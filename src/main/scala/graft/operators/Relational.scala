@@ -1,0 +1,503 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational core — the general-purpose operator families a complete
+  * engine owes its users beyond the reference's single flagship join
+  * (SURVEY.md §2.3-§2.7 "absent" rows + §7.1 M1): filters/projections,
+  * the full join taxonomy, hash aggregation, rollup/cube/grouping
+  * sets, sorts/top-k, set operations, and the scalar function sweep.
+  *
+  * Oracle-parity rules used throughout (see .claude/skills/verify):
+  *  - SUM over doubles goes through DECIMAL(18,2) casts on both sides —
+  *    decimal addition is exact and order-independent, so the result is
+  *    identical no matter how Spark parallelizes the partial aggregates
+  *    (and no matter how a 1000-executor cluster would);
+  *  - averages/ratios are CAST(decimal-sum AS DOUBLE) / CAST(count AS
+  *    DOUBLE) — deterministic IEEE division of deterministic inputs;
+  *  - compared doubles are never round()ed (Spark rounds the shortest
+  *    decimal repr, DuckDB rounds the binary value — they disagree);
+  *  - every oracled query ends in an ORDER BY over non-null keys that
+  *    make the row order unique.
+  *
+  * Scale notes: filters/projections sit directly on the parquet scan
+  * (PushedFilters/ReadSchema — verified via explain), small dimension
+  * sides are broadcast explicitly, aggregations are partial+final hash
+  * aggregates (map-side combine) by construction, and the only
+  * intentional non-equi join (q_join_range) carries an equi component
+  * on nationkey so it plans as a hash join with a range residual, not
+  * a cartesian product.
+  */
+object Relational {
+
+  // Revenue expression used by several TPC-H-style queries: exact
+  // decimal arithmetic, identical text on the DuckDB side.
+  private val discPrice =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+  private val charge =
+    s"CAST($discPrice AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(4,2)))"
+
+  // P5/P8-style scan with pushed-down predicates and pruned columns.
+  private def qFilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp")
+        && col("l_discount").between(0.02, 0.08))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // TPC-H Q1-shaped pricing summary: partial+final hash agg, exact
+  // decimal sums, derived averages as double divisions.
+  private def qAggPricing(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_base_price"),
+        expr(s"CAST(SUM($discPrice) AS DOUBLE)").as("sum_disc_price"),
+        expr(s"CAST(SUM($charge) AS DOUBLE)").as("sum_charge"),
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)").as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def qAggHaving(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("order_cnt"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("spent"))
+      .filter(col("order_cnt") >= 12)
+      .orderBy("o_custkey")
+
+  private def qDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select("c_mktsegment", "c_nationkey")
+      .distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  private def qCountDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("uniq_users"),
+        count(lit(1)).as("n_events"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
+      .orderBy("event_type")
+
+  // TPC-H Q3-shaped 3-way join: broadcast the filtered customer dim,
+  // shuffle-join the two big fact tables on their natural key.
+  private def qJoinInner(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(expr(s"CAST(SUM($discPrice) AS DOUBLE)").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
+  // Left outer join keeping order-less customers (J1's orphan
+  // retention, inverted onto the testdata star).
+  private def qJoinLeft(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"), lit(0.0)).as("spent"))
+      .orderBy("c_custkey")
+
+  private def qJoinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  // Customers that never produced an event (events.user_id covers only
+  // the low decile of custkeys at every SF, so this is non-degenerate).
+  private def qJoinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.events(s, d), col("c_custkey") === col("user_id"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  // Equi + range join: hash join on nationkey with a range residual —
+  // NOT a cartesian/BNLJ (the equi component keeps it shuffle-bounded
+  // at scale).
+  private def qJoinRange(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+    val c = Tables.customer(s, d)
+    sup.join(c,
+        sup("s_nationkey") === c("c_nationkey") && c("c_acctbal") > sup("s_acctbal"))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_richer_customers"))
+      .orderBy("s_suppkey")
+  }
+
+  // TPC-H Q5-shaped star join: revenue per nation within one region.
+  private def qStarJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    val sup = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(expr(s"CAST(SUM($discPrice) AS DOUBLE)").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  private def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").as("sum_acctbal"))
+      .orderBy(coalesce(col("r_name"), lit("~")), coalesce(col("n_name"), lit("~")))
+
+  private def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("day_ts", date_trunc("day", col("ts")))
+      .cube(col("event_type"), col("day_ts"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
+      .orderBy(
+        coalesce(col("event_type"), lit("~")),
+        coalesce(col("day_ts"), lit("9999-01-01").cast("timestamp")))
+
+  private def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_gs")
+    s.sql(
+      """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer_gs
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY COALESCE(c_mktsegment, '~'), COALESCE(c_nationkey, -1)""".stripMargin)
+  }
+
+  // W1-style deterministic top-k → TakeOrderedAndProject (no full sort).
+  private def qTopk(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  private def qSortMulti(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate", "l_quantity")
+      .orderBy(col("l_returnflag"), col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  private def qUnion(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+      .union(Tables.events(s, d).select(col("user_id").as("custkey")))
+      .distinct()
+      .orderBy("custkey")
+
+  private def qIntersect(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+      .intersect(Tables.events(s, d).select(col("user_id").as("custkey")))
+      .orderBy("custkey")
+
+  private def qExcept(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+      .except(Tables.events(s, d).select(col("user_id").as("custkey")))
+      .orderBy("custkey")
+
+  // Scalar string-function sweep (F7/F10 family + library breadth).
+  private def qStringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      lower(col("p_name")).as("name_l"),
+      substring(col("p_name"), 1, 12).as("name_pfx"),
+      length(col("p_name")).cast("long").as("name_len"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      regexp_replace(col("p_type"), " ", "_").as("type_u"),
+      lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+      concat(lit("part:"), col("p_partkey").cast("string")).as("part_key"))
+      .orderBy("p_partkey")
+
+  // Date/time function sweep (F9 family).
+  private def qDateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("o_year"),
+      month(col("o_orderdate")).cast("long").as("o_month"),
+      dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+      .orderBy("o_orderkey")
+
+  // JSON scalar functions (F2/F8 family): extraction incl. the
+  // missing-key → NULL permissive path.
+  private def qJsonFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("prop_k"),
+      get_json_object(col("props"), "$.missing").as("prop_missing"),
+      get_json_object(col("props"), "$.k").isNotNull.as("has_k"))
+      .orderBy("event_id")
+
+  // F5-style CASE bucketing + aggregation.
+  private def qCaseWhen(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("bucket",
+        when(col("value") < 10.0, "low")
+          .when(col("value") < 100.0, "mid")
+          .otherwise("high"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
+      .orderBy("bucket")
+
+  // Math function sweep — only cross-engine-deterministic ops (IEEE
+  // +,-,*,/, sqrt; no pow/exp/ln whose libm rounding differs).
+  private def qMathFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      abs(col("l_discount") - lit(0.05)).as("disc_dev"),
+      ceil(col("l_quantity")).as("qty_ceil"),
+      floor(col("l_quantity")).as("qty_floor"),
+      sqrt(col("l_quantity")).as("qty_sqrt"),
+      (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+      greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+      least(col("l_tax"), col("l_discount")).as("min_rate"),
+      (col("l_partkey") % 7).as("pk_mod"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(500)
+
+  // Approximate distinct (HLL) — algorithm-specific, no DuckDB oracle;
+  // covered by the rows-only check + ScalaTest accuracy bounds.
+  private def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_project" -> (qFilterProject _),
+    "q_agg_pricing" -> (qAggPricing _),
+    "q_agg_having" -> (qAggHaving _),
+    "q_distinct" -> (qDistinct _),
+    "q_count_distinct" -> (qCountDistinct _),
+    "q_join_inner" -> (qJoinInner _),
+    "q_join_left" -> (qJoinLeft _),
+    "q_join_semi" -> (qJoinSemi _),
+    "q_join_anti" -> (qJoinAnti _),
+    "q_join_range" -> (qJoinRange _),
+    "q_star_join" -> (qStarJoin _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_topk" -> (qTopk _),
+    "q_sort_multi" -> (qSortMulti _),
+    "q_union" -> (qUnion _),
+    "q_intersect" -> (qIntersect _),
+    "q_except" -> (qExcept _),
+    "q_string_funcs" -> (qStringFuncs _),
+    "q_date_funcs" -> (qDateFuncs _),
+    "q_json_funcs" -> (qJsonFuncs _),
+    "q_case_when" -> (qCaseWhen _),
+    "q_math_funcs" -> (qMathFuncs _),
+    "q_approx_distinct" -> (qApproxDistinct _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '2000-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.08
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_agg_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |       CAST(SUM($discPrice) AS DOUBLE) AS sum_disc_price,
+         |       CAST(SUM($charge) AS DOUBLE) AS sum_charge,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+         |       COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_having" ->
+      """SELECT o_custkey, COUNT(*) AS order_cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING COUNT(*) >= 12
+        |ORDER BY o_custkey""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey
+        |FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_join_inner" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |       CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1996-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 20""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_range" ->
+      """SELECT s_suppkey, COUNT(*) AS n_richer_customers
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+        |GROUP BY s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_star_join" ->
+      s"""SELECT n_name, CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin,
+    "q_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY COALESCE(r_name, '~'), COALESCE(n_name, '~')""".stripMargin,
+    "q_cube" ->
+      """SELECT event_type, date_trunc('day', ts) AS day_ts, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY CUBE (event_type, date_trunc('day', ts))
+        |ORDER BY COALESCE(event_type, '~'), COALESCE(date_trunc('day', ts), TIMESTAMP '9999-01-01')""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY COALESCE(c_mktsegment, '~'), COALESCE(c_nationkey, -1)""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_sort_multi" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate, l_quantity
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_shipdate DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+    "q_union" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |UNION
+        |SELECT user_id AS custkey FROM events
+        |ORDER BY custkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |INTERSECT
+        |SELECT user_id AS custkey FROM events
+        |ORDER BY custkey""".stripMargin,
+    "q_except" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |EXCEPT
+        |SELECT user_id AS custkey FROM events
+        |ORDER BY custkey""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |       upper(p_brand) AS brand_u,
+        |       lower(p_name) AS name_l,
+        |       substring(p_name, 1, 12) AS name_pfx,
+        |       CAST(length(p_name) AS BIGINT) AS name_len,
+        |       concat_ws('|', p_brand, p_type) AS brand_type,
+        |       regexp_replace(p_type, ' ', '_', 'g') AS type_u,
+        |       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |       'part:' || CAST(p_partkey AS VARCHAR) AS part_key
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS o_month,
+        |       CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS o_day,
+        |       date_trunc('month', o_orderdate) AS month_start,
+        |       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_json_funcs" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+        |       json_extract_string(props, '$.missing') AS prop_missing,
+        |       json_extract_string(props, '$.k') IS NOT NULL AS has_k
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q_case_when" ->
+      """SELECT CASE WHEN value < 10.0 THEN 'low'
+        |            WHEN value < 100.0 THEN 'mid'
+        |            ELSE 'high' END AS bucket,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       abs(l_discount - 0.05) AS disc_dev,
+        |       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        |       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        |       sqrt(l_quantity) AS qty_sqrt,
+        |       l_quantity * l_quantity AS qty_sq,
+        |       greatest(l_tax, l_discount) AS max_rate,
+        |       least(l_tax, l_discount) AS min_rate,
+        |       l_partkey % 7 AS pk_mod
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber
+        |LIMIT 500""".stripMargin
+  )
+}
