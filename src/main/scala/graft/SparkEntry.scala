@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Enrich, Relational}
+import graft.operators.{Enrich, Relational, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Enrich.queries, Enrich.oracle),
-      (Relational.queries, Relational.oracle)
+      (Relational.queries, Relational.oracle),
+      (Windows.queries, Windows.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Window functions and serving-view queries (SURVEY.md §7.1 M2).
+  *
+  * Re-expresses the reference's serving layer as engine queries:
+  *  - Cassandra's storage-defined "latest events first per partition
+  *    key" ordering (`cassandra-setup.cql:22-23`, W2) becomes
+  *    `Window.partitionBy(key).orderBy(ts.desc)` + `row_number`;
+  *  - the Redis keyed hash view (`stream-processor.py:95-111`, K2/P7)
+  *    becomes a stringify projection with a deterministic
+  *    `event:{id}` key;
+  *  - the at-least-once replay the reference tolerates (T7) is pinned
+  *    by a dedup-under-replay query.
+  *
+  * Every window ORDER BY includes a unique tiebreaker column — at 100
+  * TB a window over a hot key must still be deterministic under
+  * whatever task ordering the cluster produces.
+  */
+object Windows {
+
+  // W2: top-3 orders per customer — ranking window, then filter.
+  private def qWindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  // Running (prefix) aggregate — exact decimal prefix sums, so the
+  // result is deterministic regardless of partition scheduling.
+  private def qWindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .withColumn("running_qty",
+        sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity", "running_qty")
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+  }
+
+  // lag/lead analytics: inter-event gap per user in exact microseconds.
+  private def qWindowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+      .select("user_id", "ts", "event_id", "event_type", "prev_ts", "next_type", "gap_us")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  // Serving read path: latest event per user (the "hot state" lookup
+  // the reference serves from Redis/Cassandra clustering order).
+  private def qLatestPerKey(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  // K2/K3/P7: the keyed serving projection — deterministic key (the
+  // engine's fix for the reference's random-UUID minting, SURVEY §2.8
+  // U1) plus stringified fields, exactly the Redis hash shape.
+  private def qServingKv(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      concat(lit("event:"), col("event_id").cast("string")).as("redis_key"),
+      col("event_id"),
+      col("user_id").cast("string").as("user_id_str"),
+      col("event_type"),
+      col("value").cast("string").as("value_str"),
+      col("ts").cast("string").as("ts_str"))
+      .orderBy("event_id")
+
+  // T8 capability the reference lacks: tumbling event-time window
+  // aggregation — the batch shape of the streaming windowed query
+  // (graft.streaming.EventPipeline uses the same grouping).
+  private def qWindowTumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
+      .select(
+        col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  // Sessionization (gap > 30 min) via lag + cumulative flag — the
+  // batch analog of session_window/flatMapGroupsWithState (M3).
+  private def qSessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull
+          || (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > lit(1800000000L), 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  // T7: at-least-once replay collapses to exactly-once under dedup.
+  private def qDedupReplay(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.union(ev).distinct().orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_rank" -> (qWindowRank _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_window_lag" -> (qWindowLag _),
+    "q_latest_per_key" -> (qLatestPerKey _),
+    "q_serving_kv" -> (qServingKv _),
+    "q_window_tumbling" -> (qWindowTumbling _),
+    "q_sessionize" -> (qSessionize _),
+    "q_dedup_replay" -> (qDedupReplay _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "q_window_lag" ->
+      """SELECT user_id, ts, event_id, event_type,
+        |       LAG(ts, 1) OVER w AS prev_ts,
+        |       LEAD(event_type, 1) OVER w AS next_type,
+        |       epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_latest_per_key" ->
+      """SELECT user_id, ts, event_id, event_type, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |                               ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "q_serving_kv" ->
+      """SELECT 'event:' || CAST(event_id AS VARCHAR) AS redis_key,
+        |       event_id,
+        |       CAST(user_id AS VARCHAR) AS user_id_str,
+        |       event_type,
+        |       CAST(value AS VARCHAR) AS value_str,
+        |       CAST(ts AS VARCHAR) AS ts_str
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q_window_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS win_start,
+        |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY win_start, event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN LAG(ts, 1) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessioned AS (
+        |  SELECT user_id, ts,
+        |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id,
+        |       MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |       COUNT(*) AS n_events,
+        |       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+        |FROM sessioned
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_dedup_replay" ->
+      """SELECT DISTINCT event_id, ts, user_id, event_type, value, props
+        |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+        |ORDER BY event_id""".stripMargin
+  )
+}
