@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Enrich, Relational, Windows}
+import graft.operators.{Enrich, Multimodal, Relational, TextOps, VectorOps, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,10 @@ object SparkEntry {
     Seq(
       (Enrich.queries, Enrich.oracle),
       (Relational.queries, Relational.oracle),
-      (Windows.queries, Windows.oracle)
+      (Windows.queries, Windows.oracle),
+      (TextOps.queries, TextOps.oracle),
+      (VectorOps.queries, VectorOps.oracle),
+      (Multimodal.queries, Multimodal.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

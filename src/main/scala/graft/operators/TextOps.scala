@@ -1,0 +1,325 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text analysis + document deduplication for large-scale training-data
+  * pipelines (driver north-star extensions; SURVEY.md §7.1 M4), over
+  * the `documents` table.
+  *
+  * Scale design: every query is expressed as codegen-friendly Catalyst
+  * expressions (higher-order array functions, no UDFs), aggregations
+  * are partial+final hash aggregates, and the near-dup pipelines avoid
+  * the O(n²) all-pairs comparison: exact dedup is a hash-groupBy;
+  * shingle-Jaccard joins only docs that share a shingle; MinHash+LSH
+  * joins only docs that collide in a band bucket. At 100 TB the
+  * band/bucket join is the only shuffle whose size matters, and its
+  * width is controlled by the band parameters, not the corpus size.
+  *
+  * Dedup queries run on a "doubled" corpus (the corpus unioned with an
+  * id-shifted copy of itself) so the duplicate-collapse path is
+  * actually exercised — the raw corpus has no exact duplicates.
+  */
+object TextOps {
+
+  private val Stopwords = Seq("the", "a")
+
+  private def tokens(c: String = "text") = split(col(c), " ")
+
+  /** Corpus with a replayed copy (ids shifted by 1,000,000) — the
+    * dedup fixture. Mirrored exactly in the oracle SQL CTE.
+    */
+  private def doubled(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text", "lang", "source", "n_chars")
+    docs.union(docs.withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .select("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private val doubledSql =
+    """doubled AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars FROM documents
+      |)""".stripMargin
+
+  // Per-document token statistics (token counting north-star op).
+  private def qTextStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens()).cast("long"))
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"),
+        size(array_distinct(tokens())).cast("long").as("n_uniq_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        col("n_chars"),
+        ((length(col("text")) - (col("n_tokens") - 1)).cast("double")
+          / col("n_tokens").cast("double")).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  // Quality scoring: stopword ratio, uniqueness ratio, composite score.
+  // All ratios are exact-int divisions → cross-engine deterministic.
+  private def qTextQuality(s: SparkSession, d: String): DataFrame = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens()).cast("long"))
+      .withColumn("n_stop",
+        size(expr(s"filter(split(text, ' '), x -> x IN ($stopList))")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(tokens())).cast("long"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("uniq_ratio", col("n_uniq").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("quality_score", col("uniq_ratio") * (lit(1.0) - col("stop_ratio")))
+      .withColumn("is_short", col("n_tokens") < 30)
+      .select("doc_id", "lang", "n_tokens", "n_stop", "n_uniq",
+        "stop_ratio", "uniq_ratio", "quality_score", "is_short")
+      .orderBy("doc_id")
+  }
+
+  // Corpus-level token accounting per language: explode + hash agg
+  // (the regex tokenizer is the BPE-ish path; whitespace is primary).
+  private def qTokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("token"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("n_uniq_tokens"))
+      .orderBy("lang")
+
+  // Language-ID heuristic: marker-token votes per language, argmax with
+  // a fixed preference order. (The corpus' lang labels are synthetic
+  // and uncorrelated with content — this pins the *operator*: a
+  // deterministic n-gram-profile classifier shape.)
+  private def qLangId(s: SparkSession, d: String): DataFrame = {
+    val markers = Seq(
+      "en" -> Seq("the", "a"), "fr" -> Seq("table", "line"),
+      "es" -> Seq("data", "row"), "de" -> Seq("fast", "slow"),
+      "zh" -> Seq("spark", "big"))
+    val scored = markers.foldLeft(Tables.documents(s, d)) { case (df, (l, ws)) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      df.withColumn(s"score_$l",
+        size(expr(s"filter(split(text, ' '), x -> x IN ($inList))")).cast("long"))
+    }
+    val langs = markers.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last): org.apache.spark.sql.Column) {
+      case (l, els) =>
+        val ge = langs.filter(_ != l)
+          .map(o => col(s"score_$l") >= col(s"score_$o")).reduce(_ && _)
+        when(ge, lit(l)).otherwise(els)
+    }
+    scored
+      .withColumn("predicted", pred)
+      .withColumn("is_match", col("predicted") === col("lang"))
+      .select(Seq("doc_id", "lang").map(col) ++ langs.map(l => col(s"score_$l"))
+        ++ Seq(col("predicted"), col("is_match")): _*)
+      .orderBy("doc_id")
+  }
+
+  // Document fingerprinting: content hashes + a bucket prefix.
+  private def qFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(col("text")).as("fp_md5"),
+      sha2(col("text"), 256).as("fp_sha256"),
+      substring(md5(col("text")), 1, 8).as("fp_bucket"))
+      .orderBy("doc_id")
+
+  // Exact dedup: hash-groupBy on content digest over the doubled
+  // corpus — each text collapses to its minimum id (the keeper).
+  private def qDedupExact(s: SparkSession, d: String): DataFrame =
+    doubled(s, d)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(
+        min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"),
+        min(col("lang")).as("lang"))
+      .orderBy("text_md5")
+
+  // N-gram (token 3-shingle) Jaccard near-dup detection, exact:
+  // explode distinct shingles, join docs sharing a shingle (never the
+  // full cross product), compute |A∩B| / |A∪B| from exact counts.
+  private def qDedupNgram(s: SparkSession, d: String): DataFrame = {
+    val docs = doubled(s, d)
+      .withColumn("toks", tokens())
+      .withColumn("shingles", array_distinct(
+        expr("transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))")))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+    val ex = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    val a = ex.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("sh"))
+    val b = ex.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double")
+          / (col("a_n") + col("b_n") - col("common")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "common", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  // MinHash + LSH near-dup detection — the sub-quadratic scale path.
+  // 32 hash functions (seeded xxhash64 of each shingle), banded into
+  // 8 bands × 4 rows; only band-bucket collisions become candidate
+  // pairs, which are then verified with exact Jaccard. No DuckDB
+  // oracle (hash family is engine-specific); ScalaTest pins recall of
+  // the planted duplicates and precision of the verify stage.
+  private def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val docs = doubled(s, d)
+      .withColumn("toks", tokens())
+      .withColumn("shingles", array_distinct(
+        expr("transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))")))
+      .withColumn("sig",
+        expr("""transform(sequence(0, 31),
+                 k -> array_min(transform(shingles, sh -> xxhash64(concat(CAST(k AS STRING), ':', sh)))))"""))
+      .select("doc_id", "shingles", "sig")
+    val banded = docs.select(
+      col("doc_id"), col("shingles"),
+      posexplode(expr("transform(sequence(0, 7), b -> xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4))))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val l = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("a_id"), col("shingles").as("a_sh"))
+    val r = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("b_id"), col("shingles").as("b_sh"))
+    l.join(r, Seq("band", "band_hash")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sh", "b_sh").distinct()
+      .withColumn("jaccard",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+          / size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
+      .filter(col("jaccard") >= 0.8)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  // SimHash near-dup detection: 64-bit signature from token hashes,
+  // candidates blocked on 16-bit signature bands, verified by Hamming
+  // distance. Engine-specific hashing → no oracle; unit-tested.
+  private def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val docs = doubled(s, d)
+      .withColumn("toks", array_distinct(tokens()))
+      // per-bit counters: +1 if token-hash bit set, else -1
+      .withColumn("counters",
+        expr("""aggregate(toks, array_repeat(0L, 64),
+                 (acc, t) -> zip_with(acc,
+                   transform(sequence(0, 63), j -> (shiftright(xxhash64(t), j) & 1) * 2 - 1),
+                   (a, b) -> a + b))"""))
+      .withColumn("simhash",
+        expr("""aggregate(sequence(0, 63), 0L,
+                 (acc, j) -> acc | IF(element_at(counters, j + 1) > 0, shiftleft(1L, j), 0L))"""))
+      .select("doc_id", "simhash")
+    val banded = docs.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
+    val l = banded.select(col("band"), col("band_bits"),
+      col("doc_id").as("a_id"), col("simhash").as("a_hash"))
+    val r = banded.select(col("band"), col("band_bits"),
+      col("doc_id").as("b_id"), col("simhash").as("b_hash"))
+    l.join(r, Seq("band", "band_bits")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_hash", "b_hash").distinct()
+      .withColumn("hamming", expr("bit_count(a_hash ^ b_hash)"))
+      .filter(col("hamming") <= 3)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (qTextStats _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_token_count" -> (qTokenCount _),
+    "q_lang_id" -> (qLangId _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id, lang, source,
+        |       len(string_split(text, ' ')) AS n_tokens,
+        |       len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+        |       CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |       n_chars,
+        |       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id, lang,
+        |       len(string_split(text, ' ')) AS n_tokens,
+        |       len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS n_stop,
+        |       len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        |       CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio,
+        |       (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |         / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |         * (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |         / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS quality_score,
+        |       len(string_split(text, ' ')) < 30 AS is_short
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT lang,
+        |       COUNT(DISTINCT doc_id) AS n_docs,
+        |       COUNT(*) AS n_tokens,
+        |       COUNT(DISTINCT token) AS n_uniq_tokens
+        |FROM (SELECT lang, doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS token
+        |      FROM documents)
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    "q_lang_id" ->
+      """SELECT doc_id, lang,
+        |       len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS score_en,
+        |       len(list_filter(string_split(text, ' '), x -> x IN ('table', 'line'))) AS score_fr,
+        |       len(list_filter(string_split(text, ' '), x -> x IN ('data', 'row'))) AS score_es,
+        |       len(list_filter(string_split(text, ' '), x -> x IN ('fast', 'slow'))) AS score_de,
+        |       len(list_filter(string_split(text, ' '), x -> x IN ('spark', 'big'))) AS score_zh,
+        |       CASE
+        |         WHEN score_en >= score_fr AND score_en >= score_es AND score_en >= score_de AND score_en >= score_zh THEN 'en'
+        |         WHEN score_fr >= score_en AND score_fr >= score_es AND score_fr >= score_de AND score_fr >= score_zh THEN 'fr'
+        |         WHEN score_es >= score_en AND score_es >= score_fr AND score_es >= score_de AND score_es >= score_zh THEN 'es'
+        |         WHEN score_de >= score_en AND score_de >= score_fr AND score_de >= score_es AND score_de >= score_zh THEN 'de'
+        |         ELSE 'zh' END AS predicted,
+        |       predicted = lang AS is_match
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256,
+        |       substring(md5(text), 1, 8) AS fp_bucket
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      s"""WITH $doubledSql
+         |SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_id,
+         |       COUNT(*) AS n_copies, MIN(lang) AS lang
+         |FROM doubled
+         |GROUP BY md5(text)
+         |ORDER BY text_md5""".stripMargin,
+    "q_dedup_ngram" ->
+      s"""WITH $doubledSql,
+         |sh AS (
+         |  SELECT doc_id, shingles, len(shingles) AS n_sh
+         |  FROM (
+         |    SELECT doc_id,
+         |           list_distinct(list_transform(
+         |             range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+         |             i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingles
+         |    FROM doubled)
+         |), ex AS (
+         |  SELECT doc_id, n_sh, unnest(shingles) AS s FROM sh
+         |)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common,
+         |       CAST(COUNT(*) AS DOUBLE)
+         |         / CAST(a.n_sh + b.n_sh - COUNT(*) AS DOUBLE) AS jaccard
+         |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+         |HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - COUNT(*) AS DOUBLE) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin
+  )
+}

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Vector similarity search over the `embeddings` table
+  * (`Array[Float]`, dim 64) — driver north-star extension.
+  *
+  * Numeric determinism: float→double casts are exact, float×float in
+  * double is exact (24+24 < 53 mantissa bits), and both Spark's
+  * `aggregate` fold and DuckDB's `list_dot_product` accumulate
+  * sequentially left-to-right — verified bit-identical — so cosine
+  * scores are oracle-comparable as raw doubles, no rounding.
+  *
+  * Scale design: brute-force top-k is the correctness baseline (a
+  * broadcast of the query set against a full scan — linear, no
+  * shuffle); the random-hyperplane LSH variant is the 100 TB path:
+  * bucket the corpus once (narrow map), join query buckets to corpus
+  * buckets (shuffle bounded by bucket width), refine exact cosine only
+  * within candidates.
+  */
+object VectorOps {
+
+  /** Exact dot product of two double-array columns as a sequential
+    * left fold (codegen'd higher-order functions, no UDF). */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def asDouble(c: String): Column = col(c).cast("array<double>")
+
+  // Brute-force cosine top-k: query set = vec_id < 10 (broadcast),
+  // ranked per query with a unique tiebreaker.
+  private def qSimBruteforce(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), asDouble("embedding").as("q_vec"))
+    val c = e.select(col("vec_id").as("c_id"), asDouble("embedding").as("c_vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        dot("q_vec", "c_vec")
+          / (sqrt(dot("q_vec", "q_vec")) * sqrt(dot("c_vec", "c_vec"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "c_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
+  // Per-vector L2 norm — deterministic per-row arithmetic, oracled.
+  private def qEmbedNorms(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("vec", asDouble("embedding"))
+      .select(
+        col("vec_id"), col("label"),
+        sqrt(dot("vec", "vec")).as("l2_norm"),
+        size(col("embedding")).cast("long").as("dim"))
+      .orderBy("vec_id")
+
+  // Per-label corpus statistics (exact ints + monotone min/max).
+  private def qEmbedStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(size(col("embedding"))).cast("long").as("min_dim"),
+        max(size(col("embedding"))).cast("long").as("max_dim"),
+        min(element_at(col("embedding"), 1).cast("double")).as("min_c0"),
+        max(element_at(col("embedding"), 1).cast("double")).as("max_c0"))
+      .orderBy("label")
+
+  /** Deterministic pseudo-random ±1 hyperplanes: sign of a fixed
+    * 64-bit mix of (plane, dim) — reproducible across runs/executors
+    * with no RNG state (a requirement the DuckDB-oracle harness and
+    * any distributed re-run both impose).
+    */
+  private def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { j =>
+        val h = scala.util.hashing.MurmurHash3.productHash((p, j))
+        if ((h & 1) == 0) 1.0 else -1.0
+      }
+    }
+
+  // LSH-bucketed ANN: 6 signed random hyperplanes → 64 buckets (sized
+  // so buckets hold ~n/64 candidates at this corpus; at larger scale
+  // raise the plane count — buckets per vector stay O(1));
+  // candidates = bucket collisions; exact cosine refine within bucket.
+  // Engine-specific bucketing → no oracle; ScalaTest checks recall vs
+  // the brute-force baseline.
+  private def qSimLsh(s: SparkSession, d: String): DataFrame = {
+    val pl = typedlit(planes(6, 64))
+    val e = Tables.embeddings(s, d)
+      .withColumn("vec", asDouble("embedding"))
+      .withColumn("pl", pl)
+      .withColumn("bucket",
+        expr("""aggregate(sequence(0, 5), 0L, (acc, p) ->
+                 acc * 2 + IF(aggregate(zip_with(vec, element_at(pl, p + 1), (x, y) -> x * y),
+                                        CAST(0 AS DOUBLE), (a, v) -> a + v) > 0, 1L, 0L))"""))
+      .select("vec_id", "vec", "bucket")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("bucket"))
+    val c = e.select(col("vec_id").as("c_id"), col("vec").as("c_vec"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+    broadcast(q).join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        dot("q_vec", "c_vec")
+          / (sqrt(dot("q_vec", "q_vec")) * sqrt(dot("c_vec", "c_vec"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "c_id", "bucket", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
+  // Embedding near-duplicate pairs: same-label blocking + cosine
+  // threshold (the embedding-cosine near-dup north-star op). Oracled —
+  // the full pair set within label blocks is exact.
+  private def qEmbedDedup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("a_id"), asDouble("embedding").as("a_vec"),
+      col("label"))
+    val b = e.select(col("vec_id").as("b_id"), asDouble("embedding").as("b_vec"),
+      col("label"))
+    a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        dot("a_vec", "b_vec")
+          / (sqrt(dot("a_vec", "a_vec")) * sqrt(dot("b_vec", "b_vec"))))
+      .filter(col("cosine") > 0.5)
+      .select("label", "a_id", "b_id", "cosine")
+      .orderBy("label", "a_id", "b_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_bruteforce" -> (qSimBruteforce _),
+    "q_embed_norms" -> (qEmbedNorms _),
+    "q_embed_stats" -> (qEmbedStats _),
+    "q_sim_lsh" -> (qSimLsh _),
+    "q_embed_dedup" -> (qEmbedDedup _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_bruteforce" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         list_dot_product(q.vec, c.vec)
+        |           / (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))) AS cosine
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT q_id, rank, c_id, cosine FROM (
+        |  SELECT q_id, c_id, cosine,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    "q_embed_norms" ->
+      """SELECT vec_id, label,
+        |       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2_norm,
+        |       len(embedding) AS dim
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+    "q_embed_stats" ->
+      """SELECT label, COUNT(*) AS n,
+        |       CAST(MIN(len(embedding)) AS BIGINT) AS min_dim,
+        |       CAST(MAX(len(embedding)) AS BIGINT) AS max_dim,
+        |       MIN(CAST(embedding[1] AS DOUBLE)) AS min_c0,
+        |       MAX(CAST(embedding[1] AS DOUBLE)) AS max_c0
+        |FROM embeddings
+        |GROUP BY label
+        |ORDER BY label""".stripMargin,
+    "q_embed_dedup" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+        |SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |       list_dot_product(a.vec, b.vec)
+        |         / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS cosine
+        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.vec, b.vec)
+        |        / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) > 0.5
+        |ORDER BY a.label, a_id, b_id""".stripMargin
+  )
+}
