@@ -127,7 +127,7 @@ object VectorOps {
       .withColumn("cosine",
         dot("a_vec", "b_vec")
           / (sqrt(dot("a_vec", "a_vec")) * sqrt(dot("b_vec", "b_vec"))))
-      .filter(col("cosine") > 0.5)
+      .filter(col("cosine") > 0.2)
       .select("label", "a_id", "b_id", "cosine")
       .orderBy("label", "a_id", "b_id")
   }
@@ -176,7 +176,7 @@ object VectorOps {
         |         / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS cosine
         |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_dot_product(a.vec, b.vec)
-        |        / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) > 0.5
+        |        / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) > 0.2
         |ORDER BY a.label, a_id, b_id""".stripMargin
   )
 }

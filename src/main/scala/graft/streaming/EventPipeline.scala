@@ -1,0 +1,201 @@
+package graft.streaming
+
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.Enrich
+
+/** Structured Streaming re-expression of the reference's streaming
+  * topology (SURVEY.md §2.9, §3 EP1) plus the event-time capabilities
+  * the reference lacks (T8).
+  *
+  * The transform is `Enrich.transform` — the SAME DataFrame function
+  * the batch query `q_enrich` uses; Spark's unified semantics make the
+  * streaming query a re-execution policy, not a reimplementation
+  * (`/root/reference/processing-layer/stream-processor.py:326-345`
+  * needs a separate long-running program for this).
+  *
+  * Reference semantics carried over:
+  *  - T1 2-second micro-batch trigger; T2 append output mode;
+  *  - T3 `foreachBatch` dual-sink fan-out WITH `persist()` — the
+  *    reference recomputes the batch up to 4× per trigger
+  *    (`stream-processor.py:283-324`, SURVEY §4.2); we pin the batch
+  *    once and reuse it for both sinks;
+  *  - T4 durable checkpoint; T7 deterministic keys so sink replays are
+  *    true upserts (the engine's fix for the reference's random-UUID
+  *    minting, SURVEY §2.8 U1).
+  *
+  * Scale notes: the keyed view is hash-bucketed on the key and
+  * upserted via DYNAMIC partition overwrite — a replayed/late batch
+  * rewrites only the buckets it touches, not the whole view (at 100 TB
+  * the view is large; per-batch touched buckets are not). History is a
+  * plain append (blind writes, no read-modify-write).
+  */
+object EventPipeline {
+
+  /** Kafka-wire-shaped schema (reference `stream-processor.py:217-225`
+    * mapped onto the testdata events). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** S1 stand-in: file streaming source with the same downstream plan
+    * as the Kafka scan (no Kafka in the test environment; the options
+    * mirror maxOffsetsPerTrigger as maxFilesPerTrigger). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** Micro-batch dual-sink writer (reference `write_batch`,
+    * `stream-processor.py:283-324`, minus its inefficiencies):
+    * persist once, append history (K1 analog), upsert keyed view (K2
+    * analog), unpersist.
+    */
+  def writeBatch(historyDir: String, viewDir: String, nBuckets: Int = 16)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (!batch.isEmpty) { // P9 guard — df.isEmpty, not rdd.isEmpty
+      batch.persist()
+      try {
+        batch.write.mode("append").parquet(historyDir)
+        upsertKeyedView(batch, viewDir, nBuckets)
+      } finally batch.unpersist()
+    }
+  }
+
+  /** Keyed-upsert sink: latest row per event_id wins. Bucketed by
+    * key-hash partition; merge = union(existing ∩ touched buckets,
+    * incoming) → row_number de-rank → dynamic-partition overwrite of
+    * ONLY the touched buckets.
+    */
+  def upsertKeyedView(batch: DataFrame, viewDir: String, nBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val incoming = batch
+      .withColumn("bucket", pmod(col("event_id"), lit(nBuckets)))
+      .withColumn("is_new", lit(1))
+    val existing = Try(spark.read.parquet(viewDir)).toOption
+    val merged = existing match {
+      case None => incoming
+      case Some(old) =>
+        val touched = incoming.select("bucket").distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_id"))
+          .orderBy(col("is_new").desc)
+        old.withColumn("is_new", lit(0))
+          .join(broadcast(touched), Seq("bucket"), "left_semi")
+          .unionByName(incoming)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("rn")
+    }
+    merged.drop("is_new")
+      .write.mode("overwrite").partitionBy("bucket").parquet(viewDir)
+  }
+
+  /** EP1 as a continuously-running query: stream-static broadcast
+    * enrichment, 2 s trigger, checkpointed, dual sink.
+    */
+  def startEnrichment(
+      events: DataFrame,
+      dim: DataFrame,
+      historyDir: String,
+      viewDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    Enrich.transform(events, dim)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(writeBatch(historyDir, viewDir) _)
+      .start()
+
+  /** T8: watermarked tumbling-window aggregation (the capability gap
+    * the reference's category demands — late data beyond 10 minutes is
+    * dropped, state is bounded). Matches q_window_tumbling's grouping.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** T7→T8: streaming dedup under at-least-once replay — state bounded
+    * by the watermark horizon. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id", "ts")
+
+  // ---- custom sessionization state machine (flatMapGroupsWithState) --
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(start: Long, end: Long, nEvents: Long)
+
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, duration_us: Long)
+
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Event-time sessionization with a 30-minute gap, emitting a session
+    * when the watermark passes its gap horizon. The custom-state analog
+    * of the batch q_sessionize and of `session_window` — demonstrates
+    * arbitrary stateful processing (mapGroupsWithState family).
+    */
+  def sessionFunc(userId: Long, events: Iterator[Ev],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    def emit(st: SessionState): SessionOut = SessionOut(
+      userId,
+      new java.sql.Timestamp(st.start),
+      new java.sql.Timestamp(st.end),
+      st.nEvents,
+      (st.end - st.start) * 1000L)
+    if (state.hasTimedOut) {
+      val out = emit(state.get)
+      state.remove()
+      Iterator.single(out)
+    } else {
+      val evs = events.toSeq
+      val (minTs, maxTs) = (evs.map(_.ts.getTime).min, evs.map(_.ts.getTime).max)
+      val merged = state.getOption match {
+        case Some(st) if minTs - st.end <= SessionGapMs =>
+          SessionState(math.min(st.start, minTs), math.max(st.end, maxTs),
+            st.nEvents + evs.size)
+        case Some(st) => // gap exceeded within stream: close previous
+          state.update(SessionState(minTs, maxTs, evs.size))
+          state.setTimeoutTimestamp(maxTs + SessionGapMs)
+          return Iterator.single(emit(st))
+        case None => SessionState(minTs, maxTs, evs.size)
+      }
+      state.update(merged)
+      state.setTimeoutTimestamp(merged.end + SessionGapMs)
+      Iterator.empty
+    }
+  }
+
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionFunc)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties of the non-oracled extension operators (SURVEY.md §5.2-3):
+  * MinHash/SimHash recall of planted duplicates, LSH consistency with
+  * the brute-force baseline, HLL accuracy bounds, and the multimodal
+  * mapPartitions path cross-checked against the pure-expression path.
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, Sf0001)
+
+  test("minhash LSH finds every planted duplicate with exact-Jaccard 1.0") {
+    val pairs = q("q_dedup_minhash")
+      .filter($"b_id" - $"a_id" === 1000000L && $"jaccard" === 1.0)
+    assert(pairs.count() == 500) // one per original doc vs its replay copy
+  }
+
+  test("minhash LSH verify stage admits no pair below the threshold") {
+    assert(q("q_dedup_minhash").filter($"jaccard" < 0.8).count() == 0)
+  }
+
+  test("simhash finds every planted duplicate at hamming distance 0") {
+    val pairs = q("q_dedup_simhash")
+      .filter($"b_id" - $"a_id" === 1000000L && $"hamming" === 0)
+    assert(pairs.count() == 500)
+  }
+
+  test("LSH ANN scores agree with brute-force scores on shared pairs") {
+    val bf = q("q_sim_bruteforce").select($"q_id", $"c_id", $"cosine".as("bf_cos"))
+    val lsh = q("q_sim_lsh").select($"q_id", $"c_id", $"cosine".as("lsh_cos"))
+    val joined = lsh.join(bf, Seq("q_id", "c_id"))
+    // every LSH hit that brute-force also ranked must have the identical score
+    assert(joined.filter($"bf_cos" =!= $"lsh_cos").count() == 0)
+    assert(q("q_sim_lsh").count() > 0)
+  }
+
+  test("approx_count_distinct within 10% of exact (HLL default rsd 5%)") {
+    val approx = q("q_approx_distinct").select("event_type", "approx_users")
+    val exact = q("q_count_distinct").select("event_type", "uniq_users")
+    val joined = approx.join(exact, "event_type")
+      .withColumn("rel_err",
+        abs($"approx_users" - $"uniq_users") / $"uniq_users".cast("double"))
+    assert(joined.filter($"rel_err" > 0.10).count() == 0)
+  }
+
+  test("multimodal mapPartitions features match the expression-derived metadata") {
+    val feat = q("q_multimodal_features")
+      .select("doc_id", "byte_len", "width", "height", "n_frames")
+    val meta = q("q_multimodal_meta")
+      .select("doc_id", "byte_len", "width", "height", "n_frames")
+    assert(feat.exceptAll(meta).count() == 0)
+    assert(meta.exceptAll(feat).count() == 0)
+  }
+
+  test("exact dedup collapses the replayed corpus to n_copies = 2") {
+    val d = q("q_dedup_exact")
+    assert(d.count() == 500)
+    assert(d.filter($"n_copies" =!= 2).count() == 0)
+    assert(d.filter($"keeper_id" >= 1000000L).count() == 0) // keeper = original
+  }
+
+  test("ngram Jaccard: planted duplicates score exactly 1.0") {
+    val pairs = q("q_dedup_ngram")
+      .filter($"b_id" - $"a_id" === 1000000L && $"jaccard" === 1.0)
+    assert(pairs.count() == 500)
+  }
+
+  test("every registered query is runnable and non-degenerate at sf0.001") {
+    val counts = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      name -> SparkEntry.queries(name)(spark, Sf0001).count()
+    }
+    val empty = counts.filter(_._2 == 0L)
+    assert(empty.isEmpty, s"degenerate queries: $empty")
+  }
+
+  test("oracleSql keys are a subset of queries keys (driver contract)") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracle entries without queries: $extra")
+  }
+}

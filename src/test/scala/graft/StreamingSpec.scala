@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Enrich
+import graft.sources.Tables
+import graft.streaming.EventPipeline
+import graft.streaming.EventPipeline.Ev
+
+/** Streaming semantics (SURVEY.md §2.9 T1-T9 + the T8 additions):
+  * unified batch/stream transform, dual-sink foreachBatch with keyed
+  * upsert idempotence under replay, watermarked windows with late-data
+  * drop, streaming dedup, custom sessionization state machine, and
+  * checkpointed restart.
+  */
+class StreamingSpec extends SparkSpec {
+  import StreamingSpec.EvIn
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("unified batch/stream: same transform fn, same results (M3)") {
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      EvIn(1L, ts("2024-01-01 00:00:00"), 1L, "play", 10.0, """{"k": 1}"""),
+      EvIn(2L, ts("2024-01-01 00:01:00"), 2L, "pause", 20.0, """{"k": 2}"""),
+      EvIn(3L, ts("2024-01-01 00:02:00"), 77L, "click", 30.0, """{"k": 3}"""))
+    val dim = Tables.customer(spark, Sf0001)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+
+    val batchOut = Enrich.transform(rows.toDF(), dim)
+      .orderBy("event_id").collect().toSeq
+
+    val ms = MemoryStream[EvIn]
+    ms.addData(rows)
+    val q = Enrich.transform(ms.toDF(), dim)
+      .writeStream.format("memory").queryName("unified_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamOut = spark.table("unified_out").orderBy("event_id").collect().toSeq
+    assert(streamOut == batchOut)
+  }
+
+  test("foreachBatch dual sink: history appends, keyed view upserts idempotently (T3/T7)") {
+    val history = tmp("hist")
+    val view = tmp("view")
+    val batch = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (17L, "c", 30.0) // 17 ≡ 1 mod 16
+    ).toDF("event_id", "event_type", "value")
+
+    EventPipeline.writeBatch(history, view)(batch, 0L)
+    EventPipeline.writeBatch(history, view)(batch, 0L) // at-least-once replay
+
+    assert(spark.read.parquet(history).count() == 6) // history: blind append
+    val v = spark.read.parquet(view)
+    assert(v.count() == 3) // view: replay collapsed
+    assert(v.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 17L))
+
+    // a later batch updates one key only; untouched keys survive
+    val update = Seq((1L, "a2", 99.0)).toDF("event_id", "event_type", "value")
+    EventPipeline.writeBatch(history, view)(update, 1L)
+    val v2 = spark.read.parquet(view)
+    assert(v2.count() == 3)
+    assert(v2.filter($"event_id" === 1L).select("value").as[Double].head() == 99.0)
+    assert(v2.filter($"event_id" === 2L).select("value").as[Double].head() == 20.0)
+  }
+
+  test("watermarked tumbling window: closed windows emit, late data dropped (T8)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvIn]
+    val q = EventPipeline.windowedCounts(ms.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        EvIn(1L, ts("2024-01-01 10:05:00"), 1L, "play", 10.0, "{}"),
+        EvIn(2L, ts("2024-01-01 10:20:00"), 1L, "play", 5.0, "{}"))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window (+10 min watermark)
+      ms.addData(EvIn(3L, ts("2024-01-01 13:00:00"), 1L, "play", 1.0, "{}"))
+      q.processAllAvailable()
+      // this event is older than the watermark → must be dropped
+      ms.addData(EvIn(4L, ts("2024-01-01 10:30:00"), 1L, "play", 100.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("win_out")
+      .filter($"win_start" === ts("2024-01-01 10:00:00")).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n") == 2) // late event NOT counted
+    assert(out(0).getAs[Double]("sum_value") == 15.0)
+  }
+
+  test("streaming dropDuplicates suppresses replayed events (T7→T8)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvIn]
+    val q = EventPipeline.dedupedEvents(ms.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val e = EvIn(1L, ts("2024-01-01 10:00:00"), 1L, "play", 10.0, "{}")
+      ms.addData(e, e.copy(event_id = 2L))
+      q.processAllAvailable()
+      ms.addData(e) // replay within watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions via event-time timeout (T8)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = EventPipeline.sessionize(ms.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), 1L, "play", 1.0),
+        Ev(2L, ts("2024-01-01 10:05:00"), 1L, "play", 1.0))
+      q.processAllAvailable()
+      // watermark jump: 14:00 - 10 min >> 10:05 + 30 min gap
+      ms.addData(Ev(3L, ts("2024-01-01 14:00:00"), 2L, "play", 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(4L, ts("2024-01-01 14:01:00"), 2L, "play", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.table("sess_out").filter($"user_id" === 1L).collect()
+    assert(sessions.length == 1)
+    assert(sessions(0).getAs[Timestamp]("session_start") == ts("2024-01-01 10:00:00"))
+    assert(sessions(0).getAs[Timestamp]("session_end") == ts("2024-01-01 10:05:00"))
+    assert(sessions(0).getAs[Long]("n_events") == 2L)
+    assert(sessions(0).getAs[Long]("duration_us") == 300000000L)
+  }
+
+  test("end-to-end enrichment stream over files with checkpoint (EP1/T1-T4)") {
+    val src = tmp("src")
+    val history = tmp("hist2")
+    val view = tmp("view2")
+    val chk = tmp("chk")
+    // stage the real sf0.001 events as the stream input
+    Tables.events(spark, Sf0001).limit(100)
+      .write.mode("overwrite").parquet(src)
+    val dim = Enrich.customerDim(spark, Sf0001)
+    val q = EventPipeline.startEnrichment(
+      EventPipeline.readEventStream(spark, src), dim,
+      history, view, chk, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val hist = spark.read.parquet(history)
+    assert(hist.count() == 100)
+    assert(hist.columns.contains("engagement_pct"))
+    assert(spark.read.parquet(view).count() == 100)
+  }
+}
+
+object StreamingSpec {
+  final case class EvIn(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+}
