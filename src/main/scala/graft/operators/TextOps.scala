@@ -171,9 +171,17 @@ object TextOps {
       .withColumn("toks", tokens())
       .withColumn("shingles", array_distinct(
         expr("transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))")))
+      // hash each shingle ONCE, then derive the 32 signature slots by
+      // bitwise mixing (rotate by a distinct odd amount + xor a
+      // k-shifted avalanche constant) — O(32·|shingles|) integer ops
+      // instead of 32 string-concat+hash passes per document, and free
+      // of the long-multiply overflow ANSI mode rejects
+      .withColumn("sh_hash", expr("transform(shingles, sh -> xxhash64(sh))"))
       .withColumn("sig",
         expr("""transform(sequence(0, 31),
-                 k -> array_min(transform(shingles, sh -> xxhash64(concat(CAST(k AS STRING), ':', sh)))))"""))
+                 k -> array_min(transform(sh_hash,
+                   h -> (shiftleft(h, k * 2 + 1) | shiftrightunsigned(h, 63 - k * 2))
+                          ^ shiftleft(-7046029254386353131L, k))))"""))
       .select("doc_id", "shingles", "sig")
     val banded = docs.select(
       col("doc_id"), col("shingles"),
@@ -193,36 +201,48 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
-  // SimHash near-dup detection: 64-bit signature from token hashes,
-  // candidates blocked on 16-bit signature bands, verified by Hamming
-  // distance. Engine-specific hashing → no oracle; unit-tested.
+  // SimHash dedup: 64-bit frequency-weighted signature (Charikar) per
+  // document, then SIGNATURE-GROUP collapse — group by exact signature
+  // (keeper = min id), and count near-groups (Hamming ≤ 3) by
+  // band-joining only the DISTINCT signatures. Listing all near-dup
+  // doc pairs is inherently quadratic when a corpus clusters (every
+  // long doc here shares one topic distribution, so signatures
+  // concentrate); grouping first bounds every stage by the number of
+  // distinct signatures — the formulation that survives 100 TB.
+  // Engine-specific hashing → no oracle; unit-tested.
   private def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val docs = doubled(s, d)
-      .withColumn("toks", array_distinct(tokens()))
-      // per-bit counters: +1 if token-hash bit set, else -1
-      .withColumn("counters",
-        expr("""aggregate(toks, array_repeat(0L, 64),
-                 (acc, t) -> zip_with(acc,
-                   transform(sequence(0, 63), j -> (shiftright(xxhash64(t), j) & 1) * 2 - 1),
-                   (a, b) -> a + b))"""))
-      .withColumn("simhash",
-        expr("""aggregate(sequence(0, 63), 0L,
-                 (acc, j) -> acc | IF(element_at(counters, j + 1) > 0, shiftleft(1L, j), 0L))"""))
+    // term frequencies via explode + hash agg (vectorized, linear),
+    // then one 64-bit signature per doc from ~|vocab| (hash, weight)
+    // pairs — the hash is computed once per distinct token.
+    val tf = doubled(s, d)
+      .select(col("doc_id"), explode(tokens()).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("w"))
+      .select(col("doc_id"),
+        struct(xxhash64(col("tok")).as("h"), col("w")).as("tw"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("tw")).as("toks"))
+    val sigs = tf.withColumn("simhash", expr(
+      """aggregate(sequence(0, 63), 0L, (acc, j) ->
+           acc | IF(aggregate(toks, 0L, (a, t) -> a + ((shiftright(t.h, j) & 1) * 2 - 1) * t.w) > 0,
+                    shiftleft(1L, j), 0L))"""))
       .select("doc_id", "simhash")
-    val banded = docs.select(col("doc_id"), col("simhash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
+    val groups = sigs.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_members"))
+    val banded = groups.select(col("simhash"), posexplode(expr(
+      "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
-    val l = banded.select(col("band"), col("band_bits"),
-      col("doc_id").as("a_id"), col("simhash").as("a_hash"))
-    val r = banded.select(col("band"), col("band_bits"),
-      col("doc_id").as("b_id"), col("simhash").as("b_hash"))
-    l.join(r, Seq("band", "band_bits")).filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_hash", "b_hash").distinct()
-      .withColumn("hamming", expr("bit_count(a_hash ^ b_hash)"))
-      .filter(col("hamming") <= 3)
-      .select("a_id", "b_id", "hamming")
-      .orderBy("a_id", "b_id")
+    val l = banded.select(col("band"), col("band_bits"), col("simhash").as("a_sig"))
+    val r = banded.select(col("band"), col("band_bits"), col("simhash").as("b_sig"))
+    val near = l.join(r, Seq("band", "band_bits"))
+      .filter(col("a_sig") =!= col("b_sig"))
+      .select("a_sig", "b_sig").distinct()
+      .filter(expr("bit_count(a_sig ^ b_sig) <= 3"))
+      .groupBy(col("a_sig").as("simhash"))
+      .agg(count(lit(1)).as("n_near_groups"))
+    groups.join(near, Seq("simhash"), "left_outer")
+      .withColumn("n_near_groups", coalesce(col("n_near_groups"), lit(0L)))
+      .orderBy("simhash")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

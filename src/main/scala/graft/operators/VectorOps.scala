@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions
 import graft.sources.Tables
 
 /** Vector similarity search over the `embeddings` table
@@ -22,16 +23,18 @@ import graft.sources.Tables
   */
 object VectorOps {
 
-  /** Exact dot product of two double-array columns as a sequential
-    * left fold (codegen'd higher-order functions, no UDF). */
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+  /** Exact dot product of two double-array columns — the native
+    * codegen'd DotProduct expression (graft.functions), same
+    * sequential left-fold semantics as the zip_with+aggregate HOF
+    * formulation but fused into whole-stage codegen. */
+  private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
   private def asDouble(c: String): Column = col(c).cast("array<double>")
 
   // Brute-force cosine top-k: query set = vec_id < 10 (broadcast),
   // ranked per query with a unique tiebreaker.
   private def qSimBruteforce(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), asDouble("embedding").as("q_vec"))
@@ -49,7 +52,8 @@ object VectorOps {
   }
 
   // Per-vector L2 norm — deterministic per-row arithmetic, oracled.
-  private def qEmbedNorms(s: SparkSession, d: String): DataFrame =
+  private def qEmbedNorms(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
     Tables.embeddings(s, d)
       .withColumn("vec", asDouble("embedding"))
       .select(
@@ -57,6 +61,7 @@ object VectorOps {
         sqrt(dot("vec", "vec")).as("l2_norm"),
         size(col("embedding")).cast("long").as("dim"))
       .orderBy("vec_id")
+  }
 
   // Per-label corpus statistics (exact ints + monotone min/max).
   private def qEmbedStats(s: SparkSession, d: String): DataFrame =
@@ -90,14 +95,14 @@ object VectorOps {
   // Engine-specific bucketing → no oracle; ScalaTest checks recall vs
   // the brute-force baseline.
   private def qSimLsh(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
     val pl = typedlit(planes(6, 64))
     val e = Tables.embeddings(s, d)
       .withColumn("vec", asDouble("embedding"))
       .withColumn("pl", pl)
       .withColumn("bucket",
         expr("""aggregate(sequence(0, 5), 0L, (acc, p) ->
-                 acc * 2 + IF(aggregate(zip_with(vec, element_at(pl, p + 1), (x, y) -> x * y),
-                                        CAST(0 AS DOUBLE), (a, v) -> a + v) > 0, 1L, 0L))"""))
+                 acc * 2 + IF(graft_dot(vec, element_at(pl, p + 1)) > 0, 1L, 0L))"""))
       .select("vec_id", "vec", "bucket")
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("bucket"))
@@ -118,6 +123,7 @@ object VectorOps {
   // threshold (the embedding-cosine near-dup north-star op). Oracled —
   // the full pair set within label blocks is exact.
   private def qEmbedDedup(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
     val e = Tables.embeddings(s, d)
     val a = e.select(col("vec_id").as("a_id"), asDouble("embedding").as("a_vec"),
       col("label"))

@@ -22,10 +22,14 @@ class OperatorsSpec extends SparkSpec {
     assert(q("q_dedup_minhash").filter($"jaccard" < 0.8).count() == 0)
   }
 
-  test("simhash finds every planted duplicate at hamming distance 0") {
-    val pairs = q("q_dedup_simhash")
-      .filter($"b_id" - $"a_id" === 1000000L && $"hamming" === 0)
-    assert(pairs.count() == 500)
+  test("simhash signature groups put every planted duplicate with its original") {
+    val groups = q("q_dedup_simhash")
+    // the replayed corpus doubles every doc with identical text → every
+    // signature group must pair originals with their copies
+    assert(groups.agg(sum($"n_members")).as[Long].head() == 1000L)
+    assert(groups.filter($"n_members" % 2 =!= 0).count() == 0)
+    assert(groups.filter($"n_members" < 2).count() == 0)
+    assert(groups.filter($"keeper_id" >= 1000000L).count() == 0) // keeper = original
   }
 
   test("LSH ANN scores agree with brute-force scores on shared pairs") {
