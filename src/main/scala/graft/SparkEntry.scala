@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Enrich, Multimodal, Relational, TextOps, VectorOps, Windows}
+import graft.operators.{Enrich, IdOps, Multimodal, Relational, TextOps, VectorOps, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,8 @@ object SparkEntry {
       (Windows.queries, Windows.oracle),
       (TextOps.queries, TextOps.oracle),
       (VectorOps.queries, VectorOps.oracle),
-      (Multimodal.queries, Multimodal.oracle)
+      (Multimodal.queries, Multimodal.oracle),
+      (IdOps.queries, IdOps.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -39,6 +39,11 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // a null ELEMENT nulls the result even when both array inputs are
+  // non-null — the default child-derived nullability would let codegen
+  // elide the isNull slot and silently emit 0.0
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
