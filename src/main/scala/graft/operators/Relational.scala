@@ -286,6 +286,47 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber")
       .limit(500)
 
+  // Pivot: event_type columns × user rows (wide serving shape). The
+  // oracle expresses the same pivot as conditional decimal sums.
+  private def qPivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "purchase", "error", "signup", "view"))
+      .agg(expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"))
+      .na.fill(0.0, Seq("click", "purchase", "error", "signup", "view"))
+      .orderBy("user_id")
+
+  // Skew-mitigation pattern: salt the hot side, replicate the build
+  // side per salt, join on (key, salt) — the result is provably
+  // identical to the plain join (the oracle runs the plain join), but
+  // the shuffle spreads one hot key over `Salts` reducers. events'
+  // user_id covers only the low decile of custkeys → genuinely skewed.
+  private val Salts = 8
+  private def qJoinSalted(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(Salts)))
+    val ord = Tables.orders(s, d)
+      .withColumn("salt", explode(expr(s"sequence(0, ${Salts - 1})")))
+    ev.join(ord,
+        ev("user_id") === ord("o_custkey") && ev("salt") === ord("salt"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price"))
+      .orderBy("user_id")
+  }
+
+  // Correlated subquery surface (decorrelated by Catalyst into a join).
+  private def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_sq")
+    Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+    s.sql(
+      """SELECT c_custkey, c_acctbal,
+        |       (SELECT COUNT(*) FROM orders_sq o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer_sq c
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   // Approximate distinct (HLL) — algorithm-specific, no DuckDB oracle;
   // covered by the rows-only check + ScalaTest accuracy bounds.
   private def qApproxDistinct(s: SparkSession, d: String): DataFrame =
@@ -319,7 +360,10 @@ object Relational {
     "q_json_funcs" -> (qJsonFuncs _),
     "q_case_when" -> (qCaseWhen _),
     "q_math_funcs" -> (qMathFuncs _),
-    "q_approx_distinct" -> (qApproxDistinct _)
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_pivot" -> (qPivot _),
+    "q_join_salted" -> (qJoinSalted _),
+    "q_scalar_subquery" -> (qScalarSubquery _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -486,6 +530,27 @@ object Relational {
         |FROM events
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |       COALESCE(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS click,
+        |       COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS purchase,
+        |       COALESCE(CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS error,
+        |       COALESCE(CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS signup,
+        |       COALESCE(CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q_join_salted" ->
+      """SELECT user_id, COUNT(*) AS n_pairs,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM events JOIN orders ON user_id = o_custkey
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, c_acctbal,
+        |       (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin,
     "q_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         |       abs(l_discount - 0.05) AS disc_dev,

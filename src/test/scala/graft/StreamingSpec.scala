@@ -139,6 +139,72 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(0).getAs[Long]("duration_us") == 300000000L)
   }
 
+  test("checkpointed restart resumes from the offset log without reprocessing (T4/T5)") {
+    val src = tmp("rsrc")
+    val history = tmp("rhist")
+    val view = tmp("rview")
+    val chk = tmp("rchk")
+    val dim = Enrich.customerDim(spark, Sf0001)
+    val ev = Tables.events(spark, Sf0001)
+
+    ev.limit(50).write.mode("overwrite").parquet(src + "/part1")
+    val q1 = EventPipeline.startEnrichment(
+      EventPipeline.readEventStream(spark, src + "/part1"), dim,
+      history, view, chk, Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    assert(spark.read.parquet(history).count() == 50)
+
+    // restart against the SAME checkpoint: nothing new → no reprocessing
+    val q2 = EventPipeline.startEnrichment(
+      EventPipeline.readEventStream(spark, src + "/part1"), dim,
+      history, view, chk, Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(history).count() == 50) // no duplicate batch
+  }
+
+  test("StreamingQueryListener monitor observes batches and rows (T10)") {
+    implicit val ctx = spark.sqlContext
+    val monitor = new graft.streaming.GraftMonitor(batchWarnMs = 0L) // warn on everything
+    spark.streams.addListener(monitor)
+    try {
+      val ms = MemoryStream[EvIn]
+      val q = EventPipeline.windowedCounts(ms.toDF())
+        .writeStream.format("memory").queryName("mon_out")
+        .outputMode("append").start()
+      try {
+        ms.addData(EvIn(1L, ts("2024-01-01 10:00:00"), 1L, "play", 1.0, "{}"))
+        q.processAllAvailable()
+      } finally q.stop()
+      // listener events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 30000
+      while (monitor.rows.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(monitor.batches.get() >= 1)
+      assert(monitor.rows.get() >= 1)
+      assert(monitor.slowBatches.get() >= 1) // 0ms threshold flags every batch
+    } finally spark.streams.removeListener(monitor)
+  }
+
+  test("source format breadth: csv and json round-trip the event schema") {
+    val base = tmp("fmt")
+    // default text-format timestamp pattern truncates to milliseconds —
+    // pin a microsecond pattern on both sides of the round trip
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val ev = Tables.events(spark, Sf0001).limit(200)
+    ev.write.mode("overwrite").option("header", "true")
+      .option("timestampFormat", tsFmt).csv(base + "/csv")
+    ev.write.mode("overwrite").option("timestampFormat", tsFmt).json(base + "/json")
+    val fromCsv = spark.read.option("header", "true").option("timestampFormat", tsFmt)
+      .schema(EventPipeline.eventSchema).csv(base + "/csv")
+    val fromJson = spark.read.option("timestampFormat", tsFmt)
+      .schema(EventPipeline.eventSchema).json(base + "/json")
+    assert(fromCsv.count() == 200)
+    assert(fromJson.count() == 200)
+    // values survive the round trip (timestamps/doubles/strings)
+    assert(fromCsv.exceptAll(ev).count() == 0)
+    assert(fromJson.exceptAll(ev).count() == 0)
+  }
+
   test("end-to-end enrichment stream over files with checkpoint (EP1/T1-T4)") {
     val src = tmp("src")
     val history = tmp("hist2")
