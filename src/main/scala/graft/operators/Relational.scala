@@ -327,6 +327,35 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  // Data-quality validation sweep (P10 as a first-class operator): the
+  // reference's CHECK-constraint domains plus the referential /
+  // null-safety invariants a pipeline would assert before training on
+  // the data. One (check_name, n_violations) row per rule — each rule
+  // is an independent aggregate, so the whole sweep is a union of
+  // scan-light partial aggregations.
+  private def qValidate(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    def check(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    check("customer_dup_key",
+      cust.groupBy(col("c_custkey")).agg(count(lit(1)).as("n")).filter(col("n") > 1))
+      .union(check("events_bad_type",
+        ev.filter(!col("event_type").isin("click", "purchase", "error", "signup", "view"))))
+      .union(check("events_null_id", ev.filter(col("event_id").isNull)))
+      .union(check("events_orphan_user",
+        ev.join(cust, ev("user_id") === cust("c_custkey"), "left_anti")))
+      .union(check("lineitem_negative_price", li.filter(col("l_extendedprice") < 0.0)))
+      .union(check("lineitem_orphan_order",
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")))
+      .union(check("orders_orphan_cust",
+        ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left_anti")))
+      .orderBy("check_name")
+  }
+
   // Approximate distinct (HLL) — algorithm-specific, no DuckDB oracle;
   // covered by the rows-only check + ScalaTest accuracy bounds.
   private def qApproxDistinct(s: SparkSession, d: String): DataFrame =
@@ -363,7 +392,8 @@ object Relational {
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_pivot" -> (qPivot _),
     "q_join_salted" -> (qJoinSalted _),
-    "q_scalar_subquery" -> (qScalarSubquery _)
+    "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_validate" -> (qValidate _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -530,6 +560,28 @@ object Relational {
         |FROM events
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
+    "q_validate" ->
+      """SELECT * FROM (
+        |  SELECT 'customer_dup_key' AS check_name,
+        |         (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)) AS n_violations
+        |  UNION ALL
+        |  SELECT 'events_bad_type',
+        |         (SELECT COUNT(*) FROM events WHERE event_type NOT IN ('click', 'purchase', 'error', 'signup', 'view'))
+        |  UNION ALL
+        |  SELECT 'events_null_id', (SELECT COUNT(*) FROM events WHERE event_id IS NULL)
+        |  UNION ALL
+        |  SELECT 'events_orphan_user',
+        |         (SELECT COUNT(*) FROM events e WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+        |  UNION ALL
+        |  SELECT 'lineitem_negative_price', (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice < 0.0)
+        |  UNION ALL
+        |  SELECT 'lineitem_orphan_order',
+        |         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'orders_orphan_cust',
+        |         (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |)
+        |ORDER BY check_name""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |       COALESCE(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS click,

@@ -119,6 +119,24 @@ object Windows {
       .orderBy("user_id", "session_id")
   }
 
+  // Built-in session_window variant of qSessionize: Spark merges
+  // events whose [ts, ts+30min) intervals overlap — identical session
+  // boundaries to the lag+cumsum formulation, with session end defined
+  // as last-event + gap. The oracle derives exactly that from the same
+  // CTE chain, pinning the two formulations equivalent.
+  private def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
   // T7: at-least-once replay collapses to exactly-once under dedup.
   private def qDedupReplay(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
@@ -133,6 +151,7 @@ object Windows {
     "q_serving_kv" -> (qServingKv _),
     "q_window_tumbling" -> (qWindowTumbling _),
     "q_sessionize" -> (qSessionize _),
+    "q_session_window" -> (qSessionWindow _),
     "q_dedup_replay" -> (qDedupReplay _)
   )
 
@@ -205,6 +224,27 @@ object Windows {
         |FROM sessioned
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value, event_id,
+        |         CASE WHEN LAG(ts, 1) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessioned AS (
+        |  SELECT user_id, ts, value,
+        |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |       MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessioned
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_dedup_replay" ->
       """SELECT DISTINCT event_id, ts, user_id, event_type, value, props
         |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
