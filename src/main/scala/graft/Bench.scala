@@ -14,6 +14,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup outside the timed loop: JVM/codegen/session init and the
+    // parquet footer reads otherwise land on whichever query runs first
+    SparkEntry.queries.get("q_enrich").foreach { fn =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -119,6 +119,52 @@ object VectorOps {
       .orderBy("q_id", "rank")
   }
 
+  // IVF-style ANN — the second scale path beside LSH: a deterministic
+  // coarse quantizer (every 50th vector is a pivot), each corpus
+  // vector assigned to its nearest pivot cell (one broadcast pass),
+  // queries probe their top-2 nearest cells, exact cosine refine
+  // within probed cells. At scale the cell assignment is a narrow map
+  // over the corpus and the probe join touches ~2/K of the data.
+  // Engine-specific cell layout → no oracle; ScalaTest cross-checks
+  // scores against brute force.
+  private def qSimIvf(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d).withColumn("vec", asDouble("embedding"))
+    val pivots = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("p_id"), col("vec").as("p_vec"))
+    // nearest pivot per vector (rank by cosine over the tiny pivot set)
+    val byCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("p_cos").desc, col("p_id"))
+    val assigned = e.crossJoin(broadcast(pivots))
+      .withColumn("p_cos",
+        dot("vec", "p_vec")
+          / (sqrt(dot("vec", "vec")) * sqrt(dot("p_vec", "p_vec"))))
+      .withColumn("p_rank", row_number().over(byCell))
+      .filter(col("p_rank") === 1)
+      .select(col("vec_id"), col("vec"), col("p_id").as("cell"))
+    // queries probe their 2 nearest cells
+    val probes = e.filter(col("vec_id") < 10).crossJoin(broadcast(pivots))
+      .withColumn("p_cos",
+        dot("vec", "p_vec")
+          / (sqrt(dot("vec", "vec")) * sqrt(dot("p_vec", "p_vec"))))
+      .withColumn("p_rank", row_number().over(byCell))
+      .filter(col("p_rank") <= 2)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("p_id").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+    probes.join(
+        assigned.select(col("vec_id").as("c_id"), col("vec").as("c_vec"), col("cell")),
+        Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        dot("q_vec", "c_vec")
+          / (sqrt(dot("q_vec", "q_vec")) * sqrt(dot("c_vec", "c_vec"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "c_id", "cell", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
   // Embedding near-duplicate pairs: same-label blocking + cosine
   // threshold (the embedding-cosine near-dup north-star op). Oracled —
   // the full pair set within label blocks is exact.
@@ -143,6 +189,7 @@ object VectorOps {
     "q_embed_norms" -> (qEmbedNorms _),
     "q_embed_stats" -> (qEmbedStats _),
     "q_sim_lsh" -> (qSimLsh _),
+    "q_sim_ivf" -> (qSimIvf _),
     "q_embed_dedup" -> (qEmbedDedup _)
   )
 

@@ -41,6 +41,16 @@ class OperatorsSpec extends SparkSpec {
     assert(q("q_sim_lsh").count() > 0)
   }
 
+  test("IVF ANN scores agree with brute-force scores on shared pairs") {
+    val bf = q("q_sim_bruteforce").select($"q_id", $"c_id", $"cosine".as("bf_cos"))
+    val ivf = q("q_sim_ivf").select($"q_id", $"c_id", $"cosine".as("ivf_cos"))
+    val joined = ivf.join(bf, Seq("q_id", "c_id"))
+    assert(joined.filter($"bf_cos" =!= $"ivf_cos").count() == 0)
+    assert(ivf.count() > 0)
+    // each query probes 2 cells → at most 5 ranked hits per query
+    assert(ivf.groupBy($"q_id").count().filter($"count" > 5).count() == 0)
+  }
+
   test("approx_count_distinct within 10% of exact (HLL default rsd 5%)") {
     val approx = q("q_approx_distinct").select("event_type", "approx_users")
     val exact = q("q_count_distinct").select("event_type", "uniq_users")
