@@ -182,15 +182,19 @@ object TextOps {
                  k -> array_min(transform(sh_hash,
                    h -> (shiftleft(h, k * 2 + 1) | shiftrightunsigned(h, 63 - k * 2))
                           ^ shiftleft(-7046029254386353131L, k))))"""))
-      .select("doc_id", "shingles", "sig")
+      .select("doc_id", "sh_hash", "sig")
+    // the verify stage compares COMPACT hash arrays (distinct shingle
+    // xxhash64s), not the strings — ~3× narrower rows through the band
+    // join, and set-intersection on longs; single-pass plan so the
+    // shingling/signature computation is evaluated exactly once
     val banded = docs.select(
-      col("doc_id"), col("shingles"),
+      col("doc_id"), col("sh_hash"),
       posexplode(expr("transform(sequence(0, 7), b -> xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4))))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val l = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("a_id"), col("shingles").as("a_sh"))
+      col("doc_id").as("a_id"), col("sh_hash").as("a_sh"))
     val r = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("b_id"), col("shingles").as("b_sh"))
+      col("doc_id").as("b_id"), col("sh_hash").as("b_sh"))
     l.join(r, Seq("band", "band_hash")).filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id", "a_sh", "b_sh").distinct()
       .withColumn("jaccard",
