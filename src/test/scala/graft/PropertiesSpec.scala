@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.operators.{Enrich, IdOps}
+
+/** Property-based tests (SURVEY.md §5.3) using ScalaCheck generators
+  * with manual sampling (the scalatest-scalacheck bridge artifact is
+  * not in the offline cache): JSON round-trip on the event schema,
+  * engagement_pct invariants, UUID-normalization determinism and
+  * idempotence, dedup idempotence under replay.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Draw `n` samples from a generator across repeated trials. */
+  private def forAllSampled[A](gen: Gen[A], trials: Int = 5)(body: A => Unit): Unit =
+    (1 to trials).foreach { _ =>
+      gen.sample.foreach(body)
+    }
+
+  private val evGen = for {
+    id <- Gen.choose(0L, 1000000L)
+    user <- Gen.choose(0L, 500L)
+    tpe <- Gen.oneOf("play", "pause", "finish", "click")
+    value <- Gen.option(Gen.choose(0.0, 100000.0).map(v => math.rint(v * 100) / 100))
+    k <- Gen.choose(0L, 99L)
+    tsMs <- Gen.choose(1704067200000L, 1706745600000L)
+  } yield (id, user, tpe, value, k, tsMs)
+
+  test("to_json ∘ from_json round-trips the event schema (F2/F8)") {
+    forAllSampled(Gen.listOfN(20, evGen)) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("event_id", "user_id", "event_type", "value", "prop_k", "ts_ms")
+          .withColumn("ts", timestamp_millis($"ts_ms")).drop("ts_ms")
+        val schema = df.schema
+        val back = df
+          .select(to_json(struct(df.columns.map(col): _*)).as("j"))
+          .select(from_json($"j", schema).as("s"))
+          .select("s.*")
+        assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+      }
+    }
+  }
+
+  test("engagement metrics: pct null iff an input is null/unusable, else value*100/denominator (F4/F5)") {
+    forAllSampled(Gen.listOfN(30, evGen)) { rows =>
+      if (rows.nonEmpty) {
+        val ev = rows.zipWithIndex.map { case ((_, u, t, v, k, ms), i) =>
+          (i.toLong, u, t, v, k, ms)
+        }.toDF("event_id", "user_id", "event_type", "value", "prop_k", "ts_ms")
+          .withColumn("ts", timestamp_millis($"ts_ms"))
+          .withColumn("props", to_json(struct($"prop_k".as("k"))))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        // dim with positive, negative, zero and missing denominators
+        val dim = Seq(
+          (0L, "c0", "S", 100.0), (1L, "c1", "S", -1.0), (2L, "c2", "S", 0.0)
+        ).toDF("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        val out = Enrich.transform(ev, dim).collect()
+        out.foreach { r =>
+          val pct = r.getAs[Any]("engagement_pct")
+          val v = r.getAs[Any]("value")
+          val bal = r.getAs[Any]("c_acctbal")
+          val usable = v != null && bal != null && bal.asInstanceOf[Double] > 0.0
+          if (!usable) assert(pct == null)
+          else assert(pct.asInstanceOf[Double] ==
+            v.asInstanceOf[Double] * 100.0 / bal.asInstanceOf[Double])
+        }
+      }
+    }
+  }
+
+  test("uuidNormalize is deterministic, idempotent on its own output shape, and total (U1)") {
+    val strGen = Gen.oneOf(
+      Gen.choose(0L, Long.MaxValue).map(_.toString),
+      Gen.uuid.map(_.toString),
+      Gen.uuid.map(_.toString.toUpperCase),
+      Gen.alphaNumStr.suchThat(_.nonEmpty))
+    forAllSampled(Gen.listOfN(25, strGen)) { vals =>
+      if (vals.nonEmpty) {
+        val df = vals.toDF("v")
+        val once = df.select(IdOps.uuidNormalize($"v").as("u"))
+        val twice = df.select(IdOps.uuidNormalize(IdOps.uuidNormalize($"v")).as("u"))
+        // applying again never changes the result (already-normalized
+        // values hit the passthrough branch)
+        assert(once.exceptAll(twice).count() == 0 && twice.exceptAll(once).count() == 0)
+        // always the 8-4-4-4-12 shape
+        val bad = once.filter(!$"u".rlike(
+          "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")).count()
+        assert(bad == 0)
+      }
+    }
+  }
+
+  test("replay dedup is idempotent: processing a batch k times = once (T7)") {
+    forAllSampled(Gen.zip(Gen.listOfN(20, evGen), Gen.choose(2, 4))) { case (rows, k) =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("event_id", "user_id", "event_type", "value", "prop_k", "ts_ms")
+        val replayed = (1 to k).map(_ => df).reduce(_ union _)
+        assert(replayed.distinct().count() == df.distinct().count())
+      }
+    }
+  }
+}
