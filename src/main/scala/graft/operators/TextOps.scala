@@ -146,7 +146,12 @@ object TextOps {
       .withColumn("shingles", array_distinct(
         expr("transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))")))
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
-    val ex = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    // join on the 64-bit shingle hash, not the string — less than half
+    // the shuffle bytes and integer key compares; a hash collision
+    // would need two of the ~10^5 distinct shingles to collide in 64
+    // bits (p ≈ 3e-10) and would only perturb one pair's common-count
+    val ex = docs.select(col("doc_id"), col("n_sh"),
+      explode(expr("transform(shingles, s -> xxhash64(s))")).as("sh"))
     val a = ex.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("sh"))
     val b = ex.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("sh"))
     a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))

@@ -47,6 +47,28 @@ object EventPipeline {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** P1-P4 wire parse chain, verbatim from the reference
+    * (`stream-processor.py:241-248`): Kafka-shaped `(key, value)`
+    * binary frames → CAST(value AS STRING) → `from_json` (PERMISSIVE —
+    * malformed JSON yields a null struct, so the row survives with
+    * null fields) → flatten → typed casts. Works on any DataFrame with
+    * a binary `value` column, batch or streaming.
+    */
+  def parseKafkaWire(frames: DataFrame): DataFrame = {
+    val wireSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", StringType), // ISO string on the wire (F3)
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    frames
+      .selectExpr("CAST(value AS STRING) AS json") // P1
+      .select(from_json(col("json"), wireSchema).as("event")) // P2
+      .select(col("event.*")) // P3
+      .withColumn("ts", col("ts").cast("timestamp")) // P4 bare Cast
+  }
+
   /** S1 stand-in: file streaming source with the same downstream plan
     * as the Kafka scan (no Kafka in the test environment; the options
     * mirror maxOffsetsPerTrigger as maxFilesPerTrigger). */

@@ -185,6 +185,28 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(monitor)
   }
 
+  test("Kafka wire parse chain: CAST → from_json → flatten → casts, malformed JSON survives as nulls (P1-P4)") {
+    val frames = Seq(
+      ("""{"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "play", "value": 2.5, "props": null}""", "1"),
+      ("""{"event_id": 2, "ts": "2024-01-01T11:00:00", "user_id": 8, "event_type": "pause", "value": null, "props": "{}"}""", "2"),
+      ("""this is not json""", "3"))
+      .toDF("json_str", "key")
+      .select(col("key").cast("binary"), col("json_str").cast("binary").as("value"))
+    val out = EventPipeline.parseKafkaWire(frames).collect()
+      .sortBy(r => Option(r.getAs[Any]("event_id")).map(_.toString).getOrElse(""))
+    assert(out.length == 3) // malformed row survives (PERMISSIVE)
+    val bad = out.head // null event_id sorts first
+    assert(bad.getAs[Any]("event_id") == null && bad.getAs[Any]("event_type") == null)
+    val e1 = out(1)
+    assert(e1.getAs[Long]("event_id") == 1L)
+    assert(e1.getAs[Timestamp]("ts") == ts("2024-01-01 10:00:00"))
+    val e2 = out(2)
+    assert(e2.getAs[Long]("event_id") == 2L)
+    // lenient bare Cast parses ISO-8601 'T' form too (F3)
+    assert(e2.getAs[Timestamp]("ts") == ts("2024-01-01 11:00:00"))
+    assert(e2.getAs[Any]("value") == null)
+  }
+
   test("source format breadth: csv and json round-trip the event schema") {
     val base = tmp("fmt")
     // default text-format timestamp pattern truncates to milliseconds —
