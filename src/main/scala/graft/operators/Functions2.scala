@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Second scalar-function sweep (SURVEY.md §2.7 "library breadth"):
+  * array functions over real token arrays, null-handling conditionals,
+  * extended string surface, and interval/date arithmetic — every
+  * output column chosen to be cross-engine deterministic (exact ints,
+  * strings, booleans, timestamps; no rounded doubles).
+  */
+object Functions2 {
+
+  // Array function surface on split() token arrays — scalar outputs
+  // only (array-typed output cells complicate value hashing).
+  private def qArrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        array_contains(col("toks"), "spark").as("has_spark"),
+        expr("array_position(toks, 'data')").cast("long").as("first_data_pos"),
+        array_join(slice(col("toks"), 1, 5), "-").as("head5"),
+        element_at(col("toks"), 1).as("first_tok"),
+        element_at(col("toks"), -1).as("last_tok"),
+        array_max(col("toks")).as("max_tok"),
+        array_min(col("toks")).as("min_tok"),
+        size(flatten(array(col("toks"), col("toks")))).cast("long").as("doubled_len"),
+        expr("size(array_remove(toks, 'the'))").cast("long").as("len_no_the"))
+      .orderBy("doc_id")
+
+  // Null-handling conditionals (F5 family breadth).
+  private def qNullFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("prop_k", get_json_object(col("props"), "$.k").cast("long"))
+      .select(
+        col("event_id"),
+        coalesce(col("prop_k"), lit(-1L)).as("k_or_default"),
+        expr("nullif(event_type, 'error')").as("type_nullif"),
+        expr("ifnull(nullif(event_type, 'error'), 'was_error')").as("type_recovered"),
+        col("prop_k").isNull.as("k_missing"),
+        when(col("value") > 50.0, col("value")).as("big_value_or_null"))
+      .orderBy("event_id")
+
+  // Extended string surface.
+  private def qStringFuncs2(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      translate(col("p_brand"), "#", "_").as("brand_t"),
+      repeat(col("p_brand"), 2).as("brand_x2"),
+      reverse(col("p_name")).as("name_rev"),
+      instr(col("p_name"), "a").cast("long").as("first_a"),
+      expr("left(p_name, 3)").as("name_l3"),
+      expr("right(p_name, 3)").as("name_r3"),
+      regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("type_word1"),
+      trim(lit("  x  ")).as("trimmed"),
+      expr("split_part(p_type, ' ', 1)").as("type_part1"))
+      .orderBy("p_partkey")
+
+  // Interval / date arithmetic (F9 breadth).
+  private def qDateFuncs2(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      (col("o_orderdate") + expr("INTERVAL 3 DAY")).as("plus_3d"),
+      (col("o_orderdate") - expr("INTERVAL 1 MONTH")).as("minus_1mo"),
+      (col("o_orderdate") + expr("INTERVAL 90 MINUTE")).as("plus_90min"),
+      quarter(col("o_orderdate")).cast("long").as("o_quarter"),
+      weekofyear(col("o_orderdate")).cast("long").as("o_week"),
+      last_day(col("o_orderdate")).cast("timestamp").as("month_end"))
+      .orderBy("o_orderkey")
+
+  // Exact interpolated percentiles (both engines sort exactly and
+  // interpolate identically on these 2-decimal doubles).
+  private def qPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+        expr("percentile(l_quantity, 0.75)").as("p75_qty"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))
+      .orderBy("l_returnflag")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_array_funcs" -> (qArrayFuncs _),
+    "q_null_funcs" -> (qNullFuncs _),
+    "q_string_funcs2" -> (qStringFuncs2 _),
+    "q_date_funcs2" -> (qDateFuncs2 _),
+    "q_percentile" -> (qPercentile _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_array_funcs" ->
+      """SELECT doc_id,
+        |       list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |       CAST(COALESCE(list_position(string_split(text, ' '), 'data'), 0) AS BIGINT) AS first_data_pos,
+        |       array_to_string(string_split(text, ' ')[1:5], '-') AS head5,
+        |       string_split(text, ' ')[1] AS first_tok,
+        |       string_split(text, ' ')[-1] AS last_tok,
+        |       list_max(string_split(text, ' ')) AS max_tok,
+        |       list_min(string_split(text, ' ')) AS min_tok,
+        |       CAST(2 * len(string_split(text, ' ')) AS BIGINT) AS doubled_len,
+        |       CAST(len(list_filter(string_split(text, ' '), x -> x != 'the')) AS BIGINT) AS len_no_the
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_null_funcs" ->
+      """SELECT event_id,
+        |       COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k_or_default,
+        |       nullif(event_type, 'error') AS type_nullif,
+        |       ifnull(nullif(event_type, 'error'), 'was_error') AS type_recovered,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL AS k_missing,
+        |       CASE WHEN value > 50.0 THEN value END AS big_value_or_null
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q_string_funcs2" ->
+      """SELECT p_partkey,
+        |       translate(p_brand, '#', '_') AS brand_t,
+        |       repeat(p_brand, 2) AS brand_x2,
+        |       reverse(p_name) AS name_rev,
+        |       CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
+        |       left(p_name, 3) AS name_l3,
+        |       right(p_name, 3) AS name_r3,
+        |       COALESCE(regexp_extract(p_type, '^([A-Z]+)', 1), '') AS type_word1,
+        |       trim('  x  ') AS trimmed,
+        |       split_part(p_type, ' ', 1) AS type_part1
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs2" ->
+      """SELECT o_orderkey,
+        |       o_orderdate + INTERVAL 3 DAY AS plus_3d,
+        |       o_orderdate - INTERVAL 1 MONTH AS minus_1mo,
+        |       o_orderdate + INTERVAL 90 MINUTE AS plus_90min,
+        |       CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS o_quarter,
+        |       CAST(EXTRACT(week FROM o_orderdate) AS BIGINT) AS o_week,
+        |       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS median_qty,
+        |       quantile_cont(l_quantity, 0.25) AS p25_qty,
+        |       quantile_cont(l_quantity, 0.75) AS p75_qty,
+        |       MIN(l_shipdate) AS first_ship,
+        |       MAX(l_shipdate) AS last_ship
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+  )
+}
