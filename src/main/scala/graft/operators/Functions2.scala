@@ -83,7 +83,33 @@ object Functions2 {
         max(col("l_shipdate")).as("last_ship"))
       .orderBy("l_returnflag")
 
+  // Aggregate breadth: argmin/argmax, boolean aggregates, FILTER
+  // clause, distinct sums, order-pinned string aggregation.
+  private def qAggBreadth(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        expr("min_by(c_name, c_acctbal)").as("poorest_name"),
+        expr("max_by(c_name, c_acctbal)").as("richest_name"),
+        expr("bool_or(c_acctbal < 0)").as("any_negative"),
+        expr("bool_and(c_acctbal > -1000)").as("all_above_floor"),
+        expr("CAST(SUM(DISTINCT c_nationkey) AS BIGINT)").as("sum_distinct_nations"),
+        count(lit(1)).as("n"),
+        expr("COUNT(*) FILTER (WHERE c_acctbal > 5000)").as("n_rich"),
+        array_join(array_sort(collect_set(col("c_nationkey"))), ",").as("nations_csv"))
+      .orderBy("c_mktsegment")
+
+  // Generator / UDTF analog: posexplode over token arrays.
+  private def qPosexplode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("token"))
+      .orderBy("doc_id", "pos")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_breadth" -> (qAggBreadth _),
+    "q_posexplode" -> (qPosexplode _),
     "q_array_funcs" -> (qArrayFuncs _),
     "q_null_funcs" -> (qNullFuncs _),
     "q_string_funcs2" -> (qStringFuncs2 _),
@@ -92,6 +118,28 @@ object Functions2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_breadth" ->
+      """SELECT c_mktsegment,
+        |       arg_min(c_name, c_acctbal) AS poorest_name,
+        |       arg_max(c_name, c_acctbal) AS richest_name,
+        |       bool_or(c_acctbal < 0) AS any_negative,
+        |       bool_and(c_acctbal > -1000) AS all_above_floor,
+        |       CAST(SUM(DISTINCT c_nationkey) AS BIGINT) AS sum_distinct_nations,
+        |       COUNT(*) AS n,
+        |       COUNT(*) FILTER (WHERE c_acctbal > 5000) AS n_rich,
+        |       array_to_string(list_sort(list_distinct(list(c_nationkey))), ',') AS nations_csv
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q_posexplode" ->
+      """SELECT doc_id, CAST(z[2] AS BIGINT) AS pos, CAST(z[1] AS VARCHAR) AS token
+        |FROM (
+        |  SELECT doc_id,
+        |         unnest(list_zip(string_split(text, ' '),
+        |                         range(1, len(string_split(text, ' ')) + 1))) AS z
+        |  FROM documents
+        |  WHERE doc_id < 50)
+        |ORDER BY doc_id, pos""".stripMargin,
     "q_array_funcs" ->
       """SELECT doc_id,
         |       list_contains(string_split(text, ' '), 'spark') AS has_spark,
