@@ -137,6 +137,28 @@ object Windows {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
+  // Typed-Aggregator variant of top-3-per-customer: the custom UDAF
+  // keeps a bounded k-row buffer per group through partial aggregation
+  // (map-side combine ships ≤ k rows per group into the shuffle; the
+  // window formulation sorts every row of every partition). The oracle
+  // is the row_number formulation — the two must agree exactly.
+  private def qTopkTyped(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKAggregator[(Long, Long, Double)](
+        3, t => (t._2, t._3)).toColumn.name("topk"))
+      .flatMap { case (cust, topk) =>
+        topk.zipWithIndex.map { case ((okey, price), i) =>
+          (cust, (i + 1).toLong, okey, price)
+        }
+      }
+      .toDF("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
   // T7: at-least-once replay collapses to exactly-once under dedup.
   private def qDedupReplay(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
@@ -152,6 +174,7 @@ object Windows {
     "q_window_tumbling" -> (qWindowTumbling _),
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
+    "q_topk_typed" -> (qTopkTyped _),
     "q_dedup_replay" -> (qDedupReplay _)
   )
 
@@ -224,6 +247,14 @@ object Windows {
         |FROM sessioned
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_topk_typed" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
     "q_session_window" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value, event_id,
