@@ -327,6 +327,42 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  // TPC-H Q6 shape: tight filter + single decimal-exact sum — the
+  // classic pushdown-then-aggregate scan.
+  private def qRevenueFilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount").between(0.03, 0.07)
+        && col("l_quantity") < 24.0)
+      .agg(expr(
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)")
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  // TPC-H Q4 shape: EXISTS-filtered priority counts.
+  private def qExistsCount(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    o.join(l.select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  // TPC-H Q2 shape: rows matching their group minimum via a
+  // correlated subquery (Catalyst rewrites to an aggregate join).
+  private def qMinPerGroup(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("part_mpg")
+    s.sql(
+      """SELECT p_partkey, p_brand, p_type, p_retailprice
+        |FROM part_mpg p
+        |WHERE p_retailprice = (SELECT MIN(p2.p_retailprice)
+        |                       FROM part_mpg p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
   // Data-quality validation sweep (P10 as a first-class operator): the
   // reference's CHECK-constraint domains plus the referential /
   // null-safety invariants a pipeline would assert before training on
@@ -393,7 +429,10 @@ object Relational {
     "q_pivot" -> (qPivot _),
     "q_join_salted" -> (qJoinSalted _),
     "q_scalar_subquery" -> (qScalarSubquery _),
-    "q_validate" -> (qValidate _)
+    "q_validate" -> (qValidate _),
+    "q_revenue_filter" -> (qRevenueFilter _),
+    "q_exists_count" -> (qExistsCount _),
+    "q_min_per_group" -> (qMinPerGroup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -560,6 +599,26 @@ object Relational {
         |FROM events
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
+    "q_revenue_filter" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24.0""".stripMargin,
+    "q_exists_count" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_min_per_group" ->
+      """SELECT p_partkey, p_brand, p_type, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice = (SELECT MIN(p2.p_retailprice)
+        |                       FROM part p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin,
     "q_validate" ->
       """SELECT * FROM (
         |  SELECT 'customer_dup_key' AS check_name,
