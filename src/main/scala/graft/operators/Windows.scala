@@ -159,6 +159,16 @@ object Windows {
       .orderBy("o_custkey", "rn")
   }
 
+  // Conversion funnel — the batch shape of the stream-stream
+  // event-time range join (EventPipeline.clickPurchaseFunnel): clicks
+  // joined to purchases by the same user within the following hour.
+  private def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    graft.streaming.EventPipeline.clickPurchaseFunnel(ev)
+      .select("click_user", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value")
+      .orderBy("click_user", "click_id", "purchase_id")
+  }
+
   // T7: at-least-once replay collapses to exactly-once under dedup.
   private def qDedupReplay(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
@@ -175,6 +185,7 @@ object Windows {
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
     "q_topk_typed" -> (qTopkTyped _),
+    "q_funnel" -> (qFunnel _),
     "q_dedup_replay" -> (qDedupReplay _)
   )
 
@@ -247,6 +258,14 @@ object Windows {
         |FROM sessioned
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_funnel" ->
+      """SELECT c.user_id AS click_user, c.event_id AS click_id, c.ts AS click_ts,
+        |       p.event_id AS purchase_id, p.ts AS purchase_ts, p.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY click_user, click_id, purchase_id""".stripMargin,
     "q_topk_typed" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -163,6 +163,27 @@ object EventPipeline {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id", "ts")
 
+  /** T8: stream-stream event-time range join — the conversion-funnel
+    * pattern (click followed by a purchase within 1 hour, same user).
+    * Both sides carry watermarks and the join condition bounds event
+    * time on both sides, so Spark can expire state; the batch analog
+    * is Windows.qFunnel (same semantics, DuckDB-oracled).
+    */
+  def clickPurchaseFunnel(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("purchase_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+      expr("""click_user = purchase_user
+              AND purchase_ts >= click_ts
+              AND purchase_ts <= click_ts + INTERVAL 1 HOUR"""))
+  }
+
   // ---- custom sessionization state machine (flatMapGroupsWithState) --
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -185,6 +185,31 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(monitor)
   }
 
+  test("stream-stream event-time range join: purchase within the hour joins, later one does not (T8)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvIn]
+    val q = EventPipeline.clickPurchaseFunnel(ms.toDF())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        EvIn(1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0, "{}"),
+        EvIn(2L, ts("2024-01-01 10:30:00"), 1L, "purchase", 9.99, "{}"), // joins
+        EvIn(3L, ts("2024-01-01 12:30:00"), 1L, "purchase", 5.0, "{}"),  // > 1h: no
+        EvIn(4L, ts("2024-01-01 10:20:00"), 2L, "purchase", 1.0, "{}"))  // other user: no
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      ms.addData(EvIn(5L, ts("2024-01-01 15:00:00"), 3L, "click", 0.0, "{}"),
+        EvIn(6L, ts("2024-01-01 15:00:00"), 3L, "purchase", 0.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("funnel_out")
+      .filter($"click_user" === 1L).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("purchase_id") == 2L)
+    assert(out(0).getAs[Double]("purchase_value") == 9.99)
+  }
+
   test("Kafka wire parse chain: CAST → from_json → flatten → casts, malformed JSON survives as nulls (P1-P4)") {
     val frames = Seq(
       ("""{"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "play", "value": 2.5, "props": null}""", "1"),
