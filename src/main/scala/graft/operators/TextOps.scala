@@ -254,7 +254,50 @@ object TextOps {
       .orderBy("simhash")
   }
 
+  // Dedup cluster formation: near-dup PAIRS (exact digests here; any
+  // pair source composes) → connected components via iterative
+  // min-label propagation → one keeper per cluster. This is the step
+  // that turns similarity output into keep/drop decisions for a
+  // training corpus. The loop is driver-coordinated but each iteration
+  // is a distributed join+agg; label propagation converges in
+  // O(cluster diameter) iterations (near-dup clusters are shallow),
+  // and localCheckpoint truncates the growing lineage each round.
+  private def qDedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = doubled(s, d)
+    // edge source: exact-content pairs (doc ↔ its replay twin) plus
+    // same-fingerprint-bucket neighbors — cheap, composable stand-in
+    // for any near-dup pair stream (minhash/simhash/ngram)
+    val byDigest = docs.select(md5(col("text")).as("dig"), col("doc_id"))
+    val pairs = byDigest.alias("a").join(byDigest.alias("b"),
+        col("a.dig") === col("b.dig") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 10) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nb_label"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.groupBy(col("label").as("cluster_keeper"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(col("doc_id")).as("max_member"))
+      .orderBy("cluster_keeper")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_text_stats" -> (qTextStats _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),
@@ -267,6 +310,15 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // label propagation over same-digest cliques must converge to
+    // exactly the digest groups — expressible without recursion
+    "q_dedup_clusters" ->
+      s"""WITH $doubledSql
+         |SELECT MIN(doc_id) AS cluster_keeper, COUNT(*) AS cluster_size,
+         |       MAX(doc_id) AS max_member
+         |FROM doubled
+         |GROUP BY md5(text)
+         |ORDER BY cluster_keeper""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id, lang, source,
         |       len(string_split(text, ' ')) AS n_tokens,

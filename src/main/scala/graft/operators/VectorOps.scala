@@ -184,7 +184,33 @@ object VectorOps {
       .orderBy("label", "a_id", "b_id")
   }
 
+  // Symmetric int8 quantization — the storage path for vectors at
+  // 100 TB (4× smaller than float32): per-vector scale = 127/max|x|,
+  // q_i = floor(x_i·scale + 0.5) (explicit floor-of-shifted instead of
+  // a round()/cast, whose half-way rules differ across engines).
+  // Scalar outputs keep the oracle hashable.
+  private def qEmbedQuantize(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("vec", asDouble("embedding"))
+      .withColumn("max_abs", expr(
+        "aggregate(vec, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
+      .withColumn("scale", lit(127.0) / col("max_abs"))
+      .withColumn("q", expr(
+        "transform(vec, x -> CAST(floor(x * scale + 0.5d) AS BIGINT))"))
+      .select(
+        col("vec_id"), col("label"), col("max_abs"), col("scale"),
+        element_at(col("q"), 1).as("q0"),
+        element_at(col("q"), 2).as("q1"),
+        element_at(col("q"), 3).as("q2"),
+        element_at(col("q"), 4).as("q3"),
+        // reconstruction error on dim 1 — deterministic per-row IEEE
+        abs(element_at(col("q"), 1).cast("double") / col("scale")
+          - element_at(col("vec"), 1)).as("recon_err0"),
+        expr("aggregate(q, 0L, (acc, v) -> acc + abs(v))").as("l1_quant"))
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_quantize" -> (qEmbedQuantize _),
     "q_sim_bruteforce" -> (qSimBruteforce _),
     "q_embed_norms" -> (qEmbedNorms _),
     "q_embed_stats" -> (qEmbedStats _),
@@ -194,6 +220,23 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        |), scaled AS (
+        |  SELECT vec_id, label, vec,
+        |         list_reduce(list_transform(vec, x -> abs(x)), (a, b) -> greatest(a, b)) AS max_abs
+        |  FROM v
+        |), quant AS (
+        |  SELECT vec_id, label, vec, max_abs, 127.0 / max_abs AS scale,
+        |         list_transform(vec, x -> CAST(floor(x * (127.0 / max_abs) + 0.5) AS BIGINT)) AS q
+        |  FROM scaled)
+        |SELECT vec_id, label, max_abs, scale,
+        |       q[1] AS q0, q[2] AS q1, q[3] AS q2, q[4] AS q3,
+        |       abs(CAST(q[1] AS DOUBLE) / scale - vec[1]) AS recon_err0,
+        |       CAST(list_reduce(list_transform(q, x -> abs(x)), (a, b) -> a + b) AS BIGINT) AS l1_quant
+        |FROM quant
+        |ORDER BY vec_id""".stripMargin,
     "q_sim_bruteforce" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         |scored AS (
