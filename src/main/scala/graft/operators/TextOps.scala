@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -137,33 +138,62 @@ object TextOps {
         min(col("lang")).as("lang"))
       .orderBy("text_md5")
 
-  // N-gram (token 3-shingle) Jaccard near-dup detection, exact:
-  // explode distinct shingles, join docs sharing a shingle (never the
-  // full cross product), compute |A∩B| / |A∪B| from exact counts.
-  private def qDedupNgram(s: SparkSession, d: String): DataFrame = {
-    val docs = doubled(s, d)
-      .withColumn("toks", tokens())
-      .withColumn("shingles", array_distinct(
-        expr("transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))")))
-      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+  /** Document-frequency cap for shingle-based pair joins: a shingle
+    * shared by d documents emits d² candidate rows through the
+    * self-join, so one ubiquitous 3-gram ("of the and"-class) is both
+    * a shuffle hot key and a quadratic blowup. Shingles with df above
+    * the cap carry no dedup signal (they are corpus-wide boilerplate)
+    * and are dropped BEFORE pairing — the standard DF cap. Mirrored in
+    * the DuckDB oracle so the query stays hash-compared.
+    */
+  val ShingleDfCap = 16
+
+  /** (doc_id, sh, n_sh) shingle-hash rows after the DF cap: hot
+    * shingles removed, n_sh recomputed over the kept set. Both windows
+    * partition on the same keys the downstream join/agg use.
+    */
+  private def keptShingleHashes(docs: DataFrame, dfCap: Int): DataFrame = {
     // join on the 64-bit shingle hash, not the string — less than half
     // the shuffle bytes and integer key compares; a hash collision
     // would need two of the ~10^5 distinct shingles to collide in 64
     // bits (p ≈ 3e-10) and would only perturb one pair's common-count
-    val ex = docs.select(col("doc_id"), col("n_sh"),
-      explode(expr("transform(shingles, s -> xxhash64(s))")).as("sh"))
-    val a = ex.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("sh"))
-    val b = ex.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("sh"))
+    val ex = docs
+      .withColumn("toks", tokens())
+      .withColumn("shingles", array_distinct(
+        expr("transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))")))
+      .select(col("doc_id"),
+        explode(expr("transform(shingles, s -> xxhash64(s))")).as("sh"))
+    ex.withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df") <= lit(dfCap))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .select("doc_id", "sh", "n_sh")
+  }
+
+  /** Candidate pairs of the shingle join (pre-Jaccard-threshold),
+    * exposed so the skew guard test can prove the DF cap bounds the
+    * pair blowup. `docs` needs (doc_id, text).
+    */
+  def ngramCandidates(docs: DataFrame, dfCap: Int = ShingleDfCap): DataFrame = {
+    val kept = keptShingleHashes(docs, dfCap)
+    val a = kept.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("sh"))
+    val b = kept.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("sh"))
     a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
         col("common").cast("double")
           / (col("a_n") + col("b_n") - col("common")).cast("double"))
+  }
+
+  // N-gram (token 3-shingle) Jaccard near-dup detection, exact within
+  // the DF cap: explode distinct shingles, drop hot shingles, join docs
+  // sharing a kept shingle (never the full cross product), compute
+  // |A∩B| / |A∪B| from exact counts over the kept sets.
+  private def qDedupNgram(s: SparkSession, d: String): DataFrame =
+    ngramCandidates(doubled(s, d), ShingleDfCap)
       .filter(col("jaccard") >= 0.5)
       .select("a_id", "b_id", "common", "jaccard")
       .orderBy("a_id", "b_id")
-  }
 
   // MinHash + LSH near-dup detection — the sub-quadratic scale path.
   // 32 hash functions (seeded xxhash64 of each shingle), banded into
@@ -172,16 +202,17 @@ object TextOps {
   // oracle (hash family is engine-specific); ScalaTest pins recall of
   // the planted duplicates and precision of the verify stage.
   private def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val docs = doubled(s, d)
-      .withColumn("toks", tokens())
-      .withColumn("shingles", array_distinct(
-        expr("transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))")))
-      // hash each shingle ONCE, then derive the 32 signature slots by
-      // bitwise mixing (rotate by a distinct odd amount + xor a
-      // k-shifted avalanche constant) — O(32·|shingles|) integer ops
-      // instead of 32 string-concat+hash passes per document, and free
-      // of the long-multiply overflow ANSI mode rejects
-      .withColumn("sh_hash", expr("transform(shingles, sh -> xxhash64(sh))"))
+    // DF-capped shingle sets (same cap as the ngram join — corpus-wide
+    // boilerplate shingles carry no dedup signal and would otherwise
+    // seed hot band buckets), re-assembled to a sorted per-doc array.
+    // hash each shingle ONCE, then derive the 32 signature slots by
+    // bitwise mixing (rotate by a distinct odd amount + xor a
+    // k-shifted avalanche constant) — O(32·|shingles|) integer ops
+    // instead of 32 string-concat+hash passes per document, and free
+    // of the long-multiply overflow ANSI mode rejects
+    val docs = keptShingleHashes(doubled(s, d), ShingleDfCap)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("sh"))).as("sh_hash"))
       .withColumn("sig",
         expr("""transform(sequence(0, 31),
                  k -> array_min(transform(sh_hash,
@@ -254,50 +285,112 @@ object TextOps {
       .orderBy("simhash")
   }
 
-  // Dedup cluster formation: near-dup PAIRS (exact digests here; any
-  // pair source composes) → connected components via iterative
-  // min-label propagation → one keeper per cluster. This is the step
-  // that turns similarity output into keep/drop decisions for a
-  // training corpus. The loop is driver-coordinated but each iteration
-  // is a distributed join+agg; label propagation converges in
-  // O(cluster diameter) iterations (near-dup clusters are shallow),
-  // and localCheckpoint truncates the growing lineage each round.
+  /** Distributed connected components over a near-dup edge set:
+    * iterative min-label propagation PLUS pointer doubling
+    * (label(u) ← label(label(u)) each round), so a chain of diameter D
+    * converges in O(log D) rounds instead of O(D). The loop is
+    * driver-coordinated but every round is a distributed join+agg;
+    * localCheckpoint truncates the growing lineage; the only
+    * driver-side action per round is the `isEmpty` convergence probe.
+    *
+    * Fails LOUDLY if the round cap is hit — silently returning
+    * unconverged labels would split real clusters and leak duplicates
+    * into a training corpus. With doubling, 25 rounds cover diameters
+    * up to ~2²⁵, so the throw is a defect signal, never a data path.
+    *
+    * @param nodes (doc_id)   — one row per document
+    * @param edges (src, dst) — near-dup pairs, symmetrized internally
+    * @return (doc_id, label) — label = min doc_id of the component
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nb_label"))
+      val propagated = labels.join(neighborMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"))
+      // pointer doubling: follow the label one hop (labels are always
+      // doc_ids, so the hop is a self-join) — halves remaining depth
+      val next = propagated
+        .join(propagated.select(col("doc_id").as("label"), col("label").as("hop")),
+          Seq("label"), "left_outer")
+        .select(col("doc_id"), coalesce(col("hop"), col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: labels not converged after $maxIter rounds — " +
+        "component diameter exceeds 2^rounds; raise maxIter rather than " +
+        "consuming unconverged (over-split) clusters")
+    labels
+  }
+
+  // Dedup cluster formation: near-dup PAIRS → connected components →
+  // one keeper per cluster. This is the step that turns similarity
+  // output into keep/drop decisions for a training corpus. Edge source
+  // here: exact-content pairs (same md5 digest — each doc ↔ its replay
+  // twin); any near-dup pair stream (minhash/simhash/ngram output)
+  // plugs into connectedComponents identically.
   private def qDedupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = doubled(s, d)
-    // edge source: exact-content pairs (doc ↔ its replay twin) plus
-    // same-fingerprint-bucket neighbors — cheap, composable stand-in
-    // for any near-dup pair stream (minhash/simhash/ngram)
     val byDigest = docs.select(md5(col("text")).as("dig"), col("doc_id"))
     val pairs = byDigest.alias("a").join(byDigest.alias("b"),
         col("a.dig") === col("b.dig") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 10) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("label")).as("nb_label"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
-      iter += 1
-    }
-    labels.groupBy(col("label").as("cluster_keeper"))
+    connectedComponents(docs.select("doc_id"), pairs)
+      .groupBy(col("label").as("cluster_keeper"))
       .agg(count(lit(1)).as("cluster_size"),
         max(col("doc_id")).as("max_member"))
       .orderBy("cluster_keeper")
   }
 
+  /** TF-IDF top terms per document (SURVEY §7.1 M4 "tf-idf-lite via
+    * joins+aggs"): tf per (doc, token) × ln(N/df), top-3 per doc.
+    * The corpus size N joins in as a broadcast scalar (no driver-side
+    * count), df is a shared aggregate over the tf table — the same DF
+    * statistic that powers the shingle cap. Ranking uses the raw
+    * double score (exact ties ⇒ identical (tf, df) on both engines,
+    * broken by token); the COMPARED score column is pinned through a
+    * DECIMAL(18,6) round because ln() may differ in the last ulp
+    * between the two engines' libm implementations.
+    */
+  private def qTfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.select(col("doc_id"), explode(tokens()).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double")
+          * log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
+        expr("CAST(CAST(score AS DECIMAL(18,6)) AS DOUBLE)").as("score_r6"))
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_tfidf" -> (qTfidf _),
     "q_text_stats" -> (qTextStats _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),
@@ -385,22 +478,47 @@ object TextOps {
     "q_dedup_ngram" ->
       s"""WITH $doubledSql,
          |sh AS (
-         |  SELECT doc_id, shingles, len(shingles) AS n_sh
-         |  FROM (
-         |    SELECT doc_id,
-         |           list_distinct(list_transform(
-         |             range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-         |             i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingles
-         |    FROM doubled)
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(
+         |           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+         |           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingles
+         |  FROM doubled
          |), ex AS (
-         |  SELECT doc_id, n_sh, unnest(shingles) AS s FROM sh
+         |  SELECT doc_id, unnest(shingles) AS s FROM sh
+         |), dfd AS (
+         |  SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM ex
+         |), kept AS (
+         |  SELECT doc_id, s, COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+         |  FROM dfd WHERE df <= $ShingleDfCap
          |)
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common,
          |       CAST(COUNT(*) AS DOUBLE)
          |         / CAST(a.n_sh + b.n_sh - COUNT(*) AS DOUBLE) AS jaccard
-         |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
          |HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - COUNT(*) AS DOUBLE) >= 0.5
-         |ORDER BY a_id, b_id""".stripMargin
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH tfc AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY doc_id, token
+        |), dfc AS (
+        |  SELECT token, COUNT(*) AS df FROM tfc GROUP BY token
+        |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.token, t.tf, d.df,
+        |         CAST(t.tf AS DOUBLE)
+        |           * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS score
+        |  FROM tfc t JOIN dfc d USING (token), n
+        |)
+        |SELECT doc_id, rank, token, tf, df,
+        |       CAST(CAST(score AS DECIMAL(18,6)) AS DOUBLE) AS score_r6
+        |FROM (SELECT doc_id, token, tf, df, score,
+        |             ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                                ORDER BY score DESC, token) AS rank
+        |      FROM scored)
+        |WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin
   )
 }

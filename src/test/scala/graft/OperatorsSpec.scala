@@ -82,6 +82,49 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.count() == 500)
   }
 
+  test("connected components converges on a >10-diameter chain (pointer doubling)") {
+    // 13 nodes chained A-B-C-... (diameter 12) — the shape the old
+    // 10-round propagation cap silently mislabeled
+    val nodes = (1L to 13L).toDF("doc_id")
+    val edges = (1L to 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = graft.operators.TextOps.connectedComponents(nodes, edges)
+    assert(labels.filter($"label" =!= 1L).count() == 0)
+    assert(labels.count() == 13)
+  }
+
+  test("connected components fails loudly when the round cap is hit") {
+    val nodes = (1L to 13L).toDF("doc_id")
+    val edges = (1L to 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      graft.operators.TextOps.connectedComponents(nodes, edges, maxIter = 1).count()
+    }
+  }
+
+  test("shingle DF cap bounds the pair blowup from a corpus-hot shingle") {
+    // 50 docs share one 3-gram ("alpha beta gamma"); tails are unique.
+    // Uncapped, the hot shingle alone yields C(50,2) = 1225 candidate
+    // pairs; with the DF cap the hot shingle is dropped pre-join.
+    val docs = (1L to 50L)
+      .map(i => (i, s"alpha beta gamma u${i}a u${i}b u${i}c u${i}d"))
+      .toDF("doc_id", "text")
+    val uncapped = graft.operators.TextOps.ngramCandidates(docs, dfCap = 1000000)
+    assert(uncapped.count() == 1225)
+    val capped = graft.operators.TextOps.ngramCandidates(docs)
+    assert(capped.count() == 0)
+  }
+
+  test("tfidf ranks are dense 1..3 per doc and df-1 terms outrank common terms") {
+    val t = q("q_tfidf")
+    assert(t.count() == 1500) // 500 docs × top-3
+    assert(t.groupBy($"doc_id").count().filter($"count" =!= 3).count() == 0)
+    // a rank-1 term can never have a LARGER df with the same tf than
+    // the rank-2 term of the same doc (score is monotone in 1/df)
+    val bad = t.filter($"rank" === 1).as("a")
+      .join(t.filter($"rank" === 2).as("b"), $"a.doc_id" === $"b.doc_id")
+      .filter($"a.tf" === $"b.tf" && $"a.df" > $"b.df")
+    assert(bad.count() == 0)
+  }
+
   test("every registered query is runnable and non-degenerate at sf0.001") {
     val counts = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> SparkEntry.queries(name)(spark, Sf0001).count()
