@@ -88,6 +88,16 @@ object VectorOps {
       }
     }
 
+  /** The same hyperplane bucket as a DuckDB expression: plane p
+    * contributes bit 2^(nPlanes-1-p) — matching the Spark-side
+    * `acc * 2 + bit` left fold — with the ±1 planes interpolated as
+    * SQL literals so the bucketing is oracle-comparable. */
+  private def bucketSql(vecExpr: String, nPlanes: Int, dim: Int): String =
+    planes(nPlanes, dim).zipWithIndex.map { case (p, i) =>
+      val litArr = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product($vecExpr, $litArr) > 0 THEN ${1L << (nPlanes - 1 - i)} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
   // LSH-bucketed ANN: 6 signed random hyperplanes → 64 buckets (sized
   // so buckets hold ~n/64 candidates at this corpus; at larger scale
   // raise the plane count — buckets per vector stay O(1));
@@ -119,42 +129,63 @@ object VectorOps {
       .orderBy("q_id", "rank")
   }
 
-  // IVF-style ANN — the second scale path beside LSH: a deterministic
-  // coarse quantizer (every 50th vector is a pivot), each corpus
-  // vector assigned to its nearest pivot cell (one broadcast pass),
-  // queries probe their top-2 nearest cells, exact cosine refine
-  // within probed cells. At scale the cell assignment is a narrow map
-  // over the corpus and the probe join touches ~2/K of the data.
-  // Engine-specific cell layout → no oracle; ScalaTest cross-checks
-  // scores against brute force.
+  // IVF-style ANN — the second scale path beside LSH. Coarse quantizer
+  // = FIXED K centroids (corpus-size-INdependent, unlike a %-sampled
+  // pivot set whose broadcast and O(n²/K) assignment grow with n):
+  // seeded from the K vectors with the smallest xxhash64(vec_id)
+  // (deterministic sample, one TakeOrdered scan), then refined with 2
+  // Lloyd iterations whose per-cell means are DECIMAL-exact sums —
+  // double sums are partition-order-dependent, decimal sums are not,
+  // so cell assignment is run-to-run deterministic. Assignment is
+  // O(n·K) with an O(K·dim) broadcast; each Lloyd update collects only
+  // K·dim means to the driver (bounded, not a data collect). Queries
+  // probe their top-2 cells, exact cosine refine within probed cells —
+  // the probe join touches ~2/K of the corpus.
+  // Engine-specific cell layout → no oracle; ScalaTests cross-check
+  // scores against brute force and pin recall.
+  private val IvfK = 16
+  private val IvfProbes = 3
+  private val LloydIters = 2
+
   private def qSimIvf(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.register(s)
+    import s.implicits._
     val e = Tables.embeddings(s, d).withColumn("vec", asDouble("embedding"))
-    val pivots = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("p_id"), col("vec").as("p_vec"))
-    // nearest pivot per vector (rank by cosine over the tiny pivot set)
     val byCell = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("p_cos").desc, col("p_id"))
-    val assigned = e.crossJoin(broadcast(pivots))
-      .withColumn("p_cos",
-        dot("vec", "p_vec")
-          / (sqrt(dot("vec", "vec")) * sqrt(dot("p_vec", "p_vec"))))
-      .withColumn("p_rank", row_number().over(byCell))
-      .filter(col("p_rank") === 1)
-      .select(col("vec_id"), col("vec"), col("p_id").as("cell"))
-    // queries probe their 2 nearest cells
-    val probes = e.filter(col("vec_id") < 10).crossJoin(broadcast(pivots))
-      .withColumn("p_cos",
-        dot("vec", "p_vec")
-          / (sqrt(dot("vec", "vec")) * sqrt(dot("p_vec", "p_vec"))))
-      .withColumn("p_rank", row_number().over(byCell))
-      .filter(col("p_rank") <= 2)
-      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("p_id").as("cell"))
+      .partitionBy(col("vec_id")).orderBy(col("p_cos").desc, col("cell"))
+    def scoreCells(cents: Seq[(Long, Seq[Double])]): DataFrame =
+      e.crossJoin(broadcast(cents.toDF("cell", "cent")))
+        .withColumn("p_cos",
+          dot("vec", "cent")
+            / (sqrt(dot("vec", "vec")) * sqrt(dot("cent", "cent"))))
+        .withColumn("p_rank", row_number().over(byCell))
+    var centroids: Seq[(Long, Seq[Double])] = e
+      .select(col("vec_id"), col("vec"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(IvfK)
+      .collect().sortBy(_.getLong(0)).toSeq
+      .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+    for (_ <- 1 to LloydIters) {
+      val means = scoreCells(centroids).filter(col("p_rank") === 1)
+        .select(col("cell"), posexplode(col("vec")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("col").cast("decimal(30,15)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .collect()
+      val byId = means.groupBy(_.getLong(0)).map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      centroids = centroids.map { case (cell, old) =>
+        (cell, byId.getOrElse(cell, old)) // empty cell keeps its centroid
+      }
+    }
+    val scored = scoreCells(centroids)
+    val assigned = scored.filter(col("p_rank") === 1)
+      .select(col("vec_id").as("c_id"), col("vec").as("c_vec"), col("cell"))
+    val probes = scored.filter(col("vec_id") < 10 && col("p_rank") <= IvfProbes)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
-    probes.join(
-        assigned.select(col("vec_id").as("c_id"), col("vec").as("c_vec"), col("cell")),
-        Seq("cell"))
+    probes.join(assigned, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine",
         dot("q_vec", "c_vec")
@@ -165,23 +196,43 @@ object VectorOps {
       .orderBy("q_id", "rank")
   }
 
-  // Embedding near-duplicate pairs: same-label blocking + cosine
-  // threshold (the embedding-cosine near-dup north-star op). Oracled —
-  // the full pair set within label blocks is exact.
+  // Embedding near-duplicate pairs — LSH-bucket blocking + exact
+  // cosine refine (the embedding-cosine near-dup north-star op).
+  // Blocking on the 8-hyperplane sign bucket bounds candidate pairs by
+  // bucket width (vs the label-blocked all-pairs join, which is n²/L
+  // at any scale); identical vectors land in identical buckets, so
+  // true duplicates are never lost to blocking. Runs on the doubled
+  // corpus (id-shifted replay) so the collapse path is exercised.
+  // ORACLED: the ±1 planes are deterministic literals interpolated
+  // into the DuckDB SQL, and the sign of a sequential ±x_i fold is
+  // bit-identical across both engines.
+  private val DedupPlanes = 8
+  private val DedupCosine = 0.9
+
   private def qEmbedDedup(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.register(s)
     val e = Tables.embeddings(s, d)
-    val a = e.select(col("vec_id").as("a_id"), asDouble("embedding").as("a_vec"),
-      col("label"))
-    val b = e.select(col("vec_id").as("b_id"), asDouble("embedding").as("b_vec"),
-      col("label"))
-    a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+      .select(col("vec_id"), col("label"), asDouble("embedding").as("vec"))
+    val dbl = e.union(e.withColumn("vec_id", col("vec_id") + lit(1000000L))
+      .select("vec_id", "label", "vec"))
+    val pl = typedlit(planes(DedupPlanes, 64))
+    val bucketed = dbl
+      .withColumn("pl", pl)
+      .withColumn("bucket",
+        expr(s"""aggregate(sequence(0, ${DedupPlanes - 1}), 0L, (acc, p) ->
+                  acc * 2 + IF(graft_dot(vec, element_at(pl, p + 1)) > 0, 1L, 0L))"""))
+      .select("vec_id", "label", "vec", "bucket")
+    val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"),
+      col("vec").as("a_vec"), col("label"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"),
+      col("vec").as("b_vec"))
+    a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
       .withColumn("cosine",
         dot("a_vec", "b_vec")
           / (sqrt(dot("a_vec", "a_vec")) * sqrt(dot("b_vec", "b_vec"))))
-      .filter(col("cosine") > 0.2)
-      .select("label", "a_id", "b_id", "cosine")
-      .orderBy("label", "a_id", "b_id")
+      .filter(col("cosine") > DedupCosine)
+      .select("bucket", "label", "a_id", "b_id", "cosine")
+      .orderBy("a_id", "b_id")
   }
 
   // Symmetric int8 quantization — the storage path for vectors at
@@ -266,13 +317,23 @@ object VectorOps {
         |GROUP BY label
         |ORDER BY label""".stripMargin,
     "q_embed_dedup" ->
-      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
-        |SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
-        |       list_dot_product(a.vec, b.vec)
-        |         / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS cosine
-        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.vec, b.vec)
-        |        / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) > 0.2
-        |ORDER BY a.label, a_id, b_id""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+         |), dbl AS (
+         |  SELECT vec_id, label, vec FROM e
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id, label, vec FROM e
+         |), bk AS (
+         |  SELECT vec_id, label, vec,
+         |         CAST(${bucketSql("vec", DedupPlanes, 64)} AS BIGINT) AS bucket
+         |  FROM dbl
+         |)
+         |SELECT a.bucket, a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+         |       list_dot_product(a.vec, b.vec)
+         |         / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS cosine
+         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.vec, b.vec)
+         |        / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) > $DedupCosine
+         |ORDER BY a_id, b_id""".stripMargin
   )
 }
