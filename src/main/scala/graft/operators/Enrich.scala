@@ -83,8 +83,30 @@ object Enrich {
     transform(Tables.events(spark, sfDir), customerDim(spark, sfDir))
       .orderBy(col("event_id"))
 
+  /** q_enrich_rounded — pins the reference's F6 semantics: the
+    * engagement metrics rounded to 2 decimals
+    * (`stream-processor.py:275-278` uses `round(x, 2)`). A raw
+    * `round()` on doubles is NOT cross-engine comparable (Spark rounds
+    * the shortest-repr string, DuckDB the binary value), but a
+    * DECIMAL(38,2) cast is: both engines round HALF_UP to the same
+    * exact decimal, and the cast back to double is exact. The raw
+    * column rides along to show the pre-rounding value survives.
+    */
+  def qEnrichRounded(spark: SparkSession, sfDir: String): DataFrame =
+    transform(Tables.events(spark, sfDir), customerDim(spark, sfDir))
+      .select(
+        col("event_id"), col("user_id"),
+        col("engagement_seconds"),
+        col("engagement_seconds").cast("decimal(38,2)").cast("double")
+          .as("engagement_seconds_r2"),
+        col("engagement_pct"),
+        col("engagement_pct").cast("decimal(38,2)").cast("double")
+          .as("engagement_pct_r2"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_enrich" -> (qEnrich _)
+    "q_enrich" -> (qEnrich _),
+    "q_enrich_rounded" -> (qEnrichRounded _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -96,6 +118,21 @@ object Enrich {
         |       CASE WHEN c.c_acctbal IS NOT NULL AND c.c_acctbal > 0.0 AND e.value IS NOT NULL
         |            THEN e.value * 100.0 / c.c_acctbal END AS engagement_pct
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+    "q_enrich_rounded" ->
+      """WITH t AS (
+        |  SELECT e.event_id, e.user_id,
+        |         e.value / 1000.0 AS engagement_seconds,
+        |         CASE WHEN c.c_acctbal IS NOT NULL AND c.c_acctbal > 0.0 AND e.value IS NOT NULL
+        |              THEN e.value * 100.0 / c.c_acctbal END AS engagement_pct
+        |  FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |)
+        |SELECT event_id, user_id,
+        |       engagement_seconds,
+        |       CAST(CAST(engagement_seconds AS DECIMAL(38,2)) AS DOUBLE) AS engagement_seconds_r2,
+        |       engagement_pct,
+        |       CAST(CAST(engagement_pct AS DECIMAL(38,2)) AS DOUBLE) AS engagement_pct_r2
+        |FROM t
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -107,7 +107,64 @@ object Functions2 {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("token"))
       .orderBy("doc_id", "pos")
 
+  /** The JSON payload for the nested-parse queries: array + map +
+    * nested struct, built deterministically from event columns with
+    * plain string concat — the SAME construction runs on both engines,
+    * so the parse stage (not the fixture) is what the oracle compares.
+    * SURVEY §1.2 capability parity: `from_json` of arbitrary payloads,
+    * beyond the reference's flat `$.k` extraction.
+    */
+  private val nestedPayload = concat(
+    lit("""{"tags":[""""), col("event_type"),
+    lit("""","seg"""), pmod(col("user_id"), lit(10L)).cast("string"),
+    lit(""""],"attrs":{"uid":"""), col("user_id").cast("string"),
+    lit(""","eid":"""), col("event_id").cast("string"),
+    lit("""},"meta":{"kind":""""), col("event_type"),
+    lit("""","n":"""), pmod(col("user_id"), lit(100L)).cast("string"),
+    lit("}}"))
+
+  // single line: this fragment is interpolated into stripMargin SQL,
+  // where a leading `|` of a wrapped `||` would be eaten as a margin
+  private val nestedPayloadSql =
+    """'{"tags":["' || event_type || '","seg' || CAST(user_id % 10 AS VARCHAR) || '"],"attrs":{"uid":' || CAST(user_id AS VARCHAR) || ',"eid":' || CAST(event_id AS VARCHAR) || '},"meta":{"kind":"' || event_type || '","n":' || CAST(user_id % 100 AS VARCHAR) || '}}'"""
+
+  private val nestedSchema =
+    "tags ARRAY<STRING>, attrs MAP<STRING, BIGINT>, meta STRUCT<kind: STRING, n: BIGINT>"
+
+  // Nested from_json breadth: parse an array field, a map field, and a
+  // nested struct out of one JSON payload; scalar outputs keep the
+  // result hashable.
+  private def qJsonNested(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("payload", nestedPayload)
+      .withColumn("p", expr(s"from_json(payload, '$nestedSchema')"))
+      .select(
+        col("event_id"),
+        col("payload"),
+        element_at(col("p.tags"), 1).as("tag0"),
+        element_at(col("p.tags"), 2).as("tag1"),
+        size(col("p.tags")).cast("long").as("n_tags"),
+        element_at(col("p.attrs"), "uid").as("attr_uid"),
+        element_at(col("p.attrs"), "eid").as("attr_eid"),
+        col("p.meta.kind").as("meta_kind"),
+        col("p.meta.n").as("meta_n"))
+      .orderBy("event_id")
+
+  // Generator over a parsed JSON array: from_json → posexplode, one
+  // row per (event, tag) — the array-to-rows shape a UDTF would cover.
+  private def qJsonExplode(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_id") < 5000)
+      .withColumn("payload", nestedPayload)
+      .withColumn("p", expr(s"from_json(payload, '$nestedSchema')"))
+      .select(col("event_id"), posexplode(col("p.tags")))
+      .select(col("event_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("tag"))
+      .orderBy("event_id", "pos")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_nested" -> (qJsonNested _),
+    "q_json_explode" -> (qJsonExplode _),
     "q_agg_breadth" -> (qAggBreadth _),
     "q_posexplode" -> (qPosexplode _),
     "q_array_funcs" -> (qArrayFuncs _),
@@ -118,6 +175,37 @@ object Functions2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_json_nested" ->
+      s"""WITH j AS (
+         |  SELECT event_id,
+         |         $nestedPayloadSql AS payload
+         |  FROM events
+         |)
+         |SELECT event_id, payload,
+         |       json_extract_string(payload, '$$.tags[0]') AS tag0,
+         |       json_extract_string(payload, '$$.tags[1]') AS tag1,
+         |       CAST(json_array_length(payload, '$$.tags') AS BIGINT) AS n_tags,
+         |       CAST(json_extract_string(payload, '$$.attrs.uid') AS BIGINT) AS attr_uid,
+         |       CAST(json_extract_string(payload, '$$.attrs.eid') AS BIGINT) AS attr_eid,
+         |       json_extract_string(payload, '$$.meta.kind') AS meta_kind,
+         |       CAST(json_extract_string(payload, '$$.meta.n') AS BIGINT) AS meta_n
+         |FROM j
+         |ORDER BY event_id""".stripMargin,
+    "q_json_explode" ->
+      s"""WITH j AS (
+         |  SELECT event_id,
+         |         $nestedPayloadSql AS payload
+         |  FROM events
+         |  WHERE event_id < 5000
+         |)
+         |SELECT event_id, CAST(1 AS BIGINT) AS pos,
+         |       json_extract_string(payload, '$$.tags[0]') AS tag
+         |FROM j
+         |UNION ALL
+         |SELECT event_id, CAST(2 AS BIGINT) AS pos,
+         |       json_extract_string(payload, '$$.tags[1]') AS tag
+         |FROM j
+         |ORDER BY event_id, pos""".stripMargin,
     "q_agg_breadth" ->
       """SELECT c_mktsegment,
         |       arg_min(c_name, c_acctbal) AS poorest_name,
