@@ -303,8 +303,11 @@ object Relational {
   // user_id covers only the low decile of custkeys → genuinely skewed.
   private val Salts = 8
   private def qJoinSalted(s: SparkSession, d: String): DataFrame = {
+    // salt derives from a NULL-SAFE expression: pmod(null) would give
+    // a null salt that matches no replicated build row, silently
+    // dropping the row vs the plain join this must be identical to
     val ev = Tables.events(s, d)
-      .withColumn("salt", pmod(col("event_id"), lit(Salts)))
+      .withColumn("salt", pmod(coalesce(col("event_id"), lit(0L)), lit(Salts)))
     val ord = Tables.orders(s, d)
       .withColumn("salt", explode(expr(s"sequence(0, ${Salts - 1})")))
     ev.join(ord,

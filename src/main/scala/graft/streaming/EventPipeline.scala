@@ -102,24 +102,37 @@ object EventPipeline {
   def upsertKeyedView(batch: DataFrame, viewDir: String, nBuckets: Int): Unit = {
     val spark = batch.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val incoming = batch
+    // a null key cannot be upserted (its bucket would be the null
+    // partition, whose prior rows the touched-buckets semi-join never
+    // matches) — quarantine such rows to the history sink only; the
+    // parse chain deliberately lets malformed rows survive with nulls
+    val keyed = batch.filter(col("event_id").isNotNull)
+    val incoming = keyed
       .withColumn("bucket", pmod(col("event_id"), lit(nBuckets)))
       .withColumn("is_new", lit(1))
     val existing = Try(spark.read.parquet(viewDir)).toOption
-    val merged = existing match {
+    val unioned = existing match {
       case None => incoming
       case Some(old) =>
         val touched = incoming.select("bucket").distinct()
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("event_id"))
-          .orderBy(col("is_new").desc)
         old.withColumn("is_new", lit(0))
           .join(broadcast(touched), Seq("bucket"), "left_semi")
           .unionByName(incoming)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .drop("rn")
     }
+    // duplicate keys within one batch (an at-least-once replay inside
+    // the trigger) need a deterministic order, or the winner is
+    // whichever row the shuffle happened to order first: break ties on
+    // every payload column (name-sorted, desc = latest-ish wins)
+    val tieBreakers = unioned.columns
+      .filterNot(Set("event_id", "bucket", "is_new"))
+      .sorted.map(col(_).desc_nulls_last)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id"))
+      .orderBy((col("is_new").desc +: tieBreakers.toSeq): _*)
+    val merged = unioned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
     merged.drop("is_new")
       .write.mode("overwrite").partitionBy("bucket").parquet(viewDir)
   }
@@ -200,6 +213,14 @@ object EventPipeline {
     * when the watermark passes its gap horizon. The custom-state analog
     * of the batch q_sessionize and of `session_window` — demonstrates
     * arbitrary stateful processing (mapGroupsWithState family).
+    *
+    * The batch's events are sorted by event time and split on every
+    * intra-batch gap > SessionGapMs — with AvailableNow or a large
+    * trigger a single micro-batch can span several sessions, and
+    * collapsing it to one [min,max] span would merge what the batch
+    * analogs (q_sessionize / session_window) keep separate. All closed
+    * sessions emit immediately; only the trailing open session stays
+    * in state.
     */
   def sessionFunc(userId: Long, events: Iterator[Ev],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
@@ -214,21 +235,24 @@ object EventPipeline {
       state.remove()
       Iterator.single(out)
     } else {
-      val evs = events.toSeq
-      val (minTs, maxTs) = (evs.map(_.ts.getTime).min, evs.map(_.ts.getTime).max)
-      val merged = state.getOption match {
-        case Some(st) if minTs - st.end <= SessionGapMs =>
-          SessionState(math.min(st.start, minTs), math.max(st.end, maxTs),
-            st.nEvents + evs.size)
-        case Some(st) => // gap exceeded within stream: close previous
-          state.update(SessionState(minTs, maxTs, evs.size))
-          state.setTimeoutTimestamp(maxTs + SessionGapMs)
-          return Iterator.single(emit(st))
-        case None => SessionState(minTs, maxTs, evs.size)
+      val spans = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+      state.getOption.foreach(spans += _)
+      events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        spans.lastOption match {
+          case Some(last) if t - last.end <= SessionGapMs =>
+            // min() guards the carried-over span: a late-but-in-
+            // watermark event may precede the open session's start
+            spans(spans.size - 1) = SessionState(
+              math.min(last.start, t), math.max(last.end, t), last.nEvents + 1)
+          case _ =>
+            spans += SessionState(t, t, 1)
+        }
       }
-      state.update(merged)
-      state.setTimeoutTimestamp(merged.end + SessionGapMs)
-      Iterator.empty
+      val open = spans.last
+      state.update(open)
+      state.setTimeoutTimestamp(open.end + SessionGapMs)
+      spans.init.iterator.map(emit)
     }
   }
 

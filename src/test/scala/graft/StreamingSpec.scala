@@ -139,6 +139,30 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(0).getAs[Long]("duration_us") == 300000000L)
   }
 
+  test("sessionFunc splits intra-batch gaps > 30 min into separate sessions") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // one micro-batch (AvailableNow shape) holding TWO sessions, fed
+    // out of order — the fold must sort by event time and split on the
+    // 30-minute gap instead of collapsing to one [min,max] span
+    val state = TestGroupState.create[EventPipeline.SessionState](
+      org.apache.spark.api.java.Optional.empty(), GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+    def ev(id: Long, t: String) = Ev(id, ts(t), 1L, "play", 1.0)
+    val out = EventPipeline.sessionFunc(1L,
+      Iterator(ev(3, "2024-01-01 12:00:00"), ev(1, "2024-01-01 10:00:00"),
+        ev(4, "2024-01-01 12:05:00"), ev(2, "2024-01-01 10:05:00")),
+      state).toList
+    assert(out.map(o => (o.session_start, o.session_end, o.n_events)) ==
+      List((ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"), 2L)))
+    // trailing open session stays in state, timing out at end + gap
+    val open = state.get
+    assert(open.start == ts("2024-01-01 12:00:00").getTime)
+    assert(open.end == ts("2024-01-01 12:05:00").getTime)
+    assert(open.nEvents == 2L)
+    assert(state.getTimeoutTimestampMs.get() ==
+      ts("2024-01-01 12:05:00").getTime + EventPipeline.SessionGapMs)
+  }
+
   test("checkpointed restart resumes from the offset log without reprocessing (T4/T5)") {
     val src = tmp("rsrc")
     val history = tmp("rhist")
@@ -160,6 +184,22 @@ class StreamingSpec extends SparkSpec {
       history, view, chk, Trigger.AvailableNow())
     q2.awaitTermination(120000)
     assert(spark.read.parquet(history).count() == 50) // no duplicate batch
+  }
+
+  test("outbox single-partition ordered ingest preserves total order (O3)") {
+    // the reference's outbox poll reads rows in one ordered partition;
+    // pin the analog: repartition(1) + sortWithinPartitions writes one
+    // file whose row order IS the key order, and a re-read sees it
+    val dir = tmp("outbox")
+    Tables.events(spark, Sf0001)
+      .repartition(1)
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.rdd.getNumPartitions == 1, "ordered outbox must be one partition")
+    val ids = back.select("event_id").as[Long].collect().toSeq
+    assert(ids == ids.sorted, "row order must be the total key order")
+    assert(ids.size == Tables.events(spark, Sf0001).count())
   }
 
   test("StreamingQueryListener monitor observes batches and rows (T10)") {
