@@ -83,6 +83,22 @@ object Functions2 {
         max(col("l_shipdate")).as("last_ship"))
       .orderBy("l_returnflag")
 
+  // Approximate percentile sketch — the bounded-memory quantile path
+  // for 100 TB (exact percentile must materialize the sorted column;
+  // the sketch is a fixed-size mergeable summary). Algorithm-specific
+  // → no DuckDB oracle; accuracy vs the exact q_percentile is pinned
+  // in OperatorsSpec.
+  private def qApproxPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
+        .as("qs"))
+      .select(col("l_returnflag"),
+        element_at(col("qs"), 1).as("p25_approx"),
+        element_at(col("qs"), 2).as("median_approx"),
+        element_at(col("qs"), 3).as("p75_approx"))
+      .orderBy("l_returnflag")
+
   // Aggregate breadth: argmin/argmax, boolean aggregates, FILTER
   // clause, distinct sums, order-pinned string aggregation.
   private def qAggBreadth(s: SparkSession, d: String): DataFrame =
@@ -171,7 +187,8 @@ object Functions2 {
     "q_null_funcs" -> (qNullFuncs _),
     "q_string_funcs2" -> (qStringFuncs2 _),
     "q_date_funcs2" -> (qDateFuncs2 _),
-    "q_percentile" -> (qPercentile _)
+    "q_percentile" -> (qPercentile _),
+    "q_approx_percentile" -> (qApproxPercentile _)
   )
 
   val oracle: Map[String, String] = Map(

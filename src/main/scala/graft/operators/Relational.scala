@@ -395,6 +395,45 @@ object Relational {
       .orderBy("check_name")
   }
 
+  // Data profiling sweep — one row per profiled column with the stats
+  // a pipeline inspects before training on a table (row/null/distinct
+  // counts, numeric min/max, string min/max). Each branch is a single
+  // partial+final aggregate over one scan; the union is scan-parallel.
+  // Numeric extremes stay DOUBLE (no double→string casts, whose
+  // sci-notation thresholds diverge across engines).
+  private def qProfile(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def numeric(name: String): DataFrame =
+      ev.agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col(name))).as("n_null"),
+        countDistinct(col(name)).as("n_distinct"),
+        min(col(name)).cast("double").as("min_num"),
+        max(col(name)).cast("double").as("max_num"))
+        .select(lit(name).as("col_name"), col("n"), col("n_null"),
+          col("n_distinct"), col("min_num"), col("max_num"),
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str"))
+    def textual(name: String, e: org.apache.spark.sql.Column): DataFrame =
+      ev.agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(e)).as("n_null"),
+        countDistinct(e).as("n_distinct"),
+        min(e).cast("string").as("min_str"),
+        max(e).cast("string").as("max_str"))
+        .select(lit(name).as("col_name"), col("n"), col("n_null"),
+          col("n_distinct"),
+          lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("max_num"),
+          col("min_str"), col("max_str"))
+    numeric("event_id")
+      .union(numeric("user_id"))
+      .union(numeric("value"))
+      .union(textual("event_type", col("event_type")))
+      .union(textual("ts", col("ts")))
+      .orderBy("col_name")
+  }
+
   // Approximate distinct (HLL) — algorithm-specific, no DuckDB oracle;
   // covered by the rows-only check + ScalaTest accuracy bounds.
   private def qApproxDistinct(s: SparkSession, d: String): DataFrame =
@@ -433,12 +472,50 @@ object Relational {
     "q_join_salted" -> (qJoinSalted _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_validate" -> (qValidate _),
+    "q_profile" -> (qProfile _),
     "q_revenue_filter" -> (qRevenueFilter _),
     "q_exists_count" -> (qExistsCount _),
     "q_min_per_group" -> (qMinPerGroup _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_profile" ->
+      """WITH p AS (
+        |  SELECT 'event_id' AS col_name, COUNT(*) AS n,
+        |         COUNT(*) - COUNT(event_id) AS n_null,
+        |         COUNT(DISTINCT event_id) AS n_distinct,
+        |         CAST(MIN(event_id) AS DOUBLE) AS min_num,
+        |         CAST(MAX(event_id) AS DOUBLE) AS max_num,
+        |         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+        |         COUNT(DISTINCT user_id),
+        |         CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE),
+        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+        |         COUNT(DISTINCT value),
+        |         MIN(value), MAX(value),
+        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+        |         COUNT(DISTINCT event_type),
+        |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |         MIN(event_type), MAX(event_type)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+        |         COUNT(DISTINCT ts),
+        |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |         CAST(MIN(ts) AS VARCHAR), CAST(MAX(ts) AS VARCHAR)
+        |  FROM events
+        |)
+        |SELECT col_name, n, n_null, n_distinct, min_num, max_num, min_str, max_str
+        |FROM p
+        |ORDER BY col_name""".stripMargin,
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
         |FROM lineitem

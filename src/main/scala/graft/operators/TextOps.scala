@@ -118,6 +118,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // Canonicalizing text normalization — the pass every dedup pipeline
+  // runs BEFORE hashing/shingling (case fold, strip non-alphanumerics,
+  // collapse whitespace), plus the digest of the normalized form. All
+  // regex here is simple character classes, where Java regex (Spark)
+  // and RE2 (DuckDB) agree; DuckDB needs the explicit 'g' flag to
+  // match Spark's replace-all default.
+  private def qTextNormalize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("text_norm",
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .select(
+        col("doc_id"),
+        col("text_norm"),
+        (col("text_norm") =!= col("text")).as("changed"),
+        md5(col("text_norm")).as("norm_md5"),
+        length(col("text_norm")).cast("long").as("n_chars_norm"))
+      .orderBy("doc_id")
+
   // Document fingerprinting: content hashes + a bucket prefix.
   private def qFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -391,6 +410,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_tfidf" -> (qTfidf _),
+    "q_text_normalize" -> (qTextNormalize _),
     "q_text_stats" -> (qTextStats _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),
@@ -412,6 +432,14 @@ object TextOps {
          |FROM doubled
          |GROUP BY md5(text)
          |ORDER BY cluster_keeper""".stripMargin,
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text_norm,
+        |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) != text AS changed,
+        |       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+        |       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id, lang, source,
         |       len(string_split(text, ' ')) AS n_tokens,

@@ -169,6 +169,61 @@ object Windows {
       .orderBy("click_user", "click_id", "purchase_id")
   }
 
+  /** Sliding event-time window (2 h wide, 1 h slide): every event
+    * lands in exactly two overlapping windows. Spark's `window()`
+    * generator expands slots inline (no self-join); the oracle mirrors
+    * the expansion as a two-branch UNION ALL of hour-truncations.
+    */
+  private def qWindowSliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  /** As-of (backward temporal) join — an operator Spark has no
+    * built-in for: each purchase is attributed to the same user's most
+    * recent click at-or-before its event time. Implemented with the
+    * scale-correct union+window idiom instead of a range join: tag
+    * clicks and purchases, union, ONE shuffle on user_id, and a
+    * running `last(_, ignoreNulls)` carries the latest click forward —
+    * O(n log n) per key with bounded state, no candidate-pair blowup,
+    * no range-explode. Clicks are pre-collapsed to max(event_id) per
+    * (user, ts) so tie-breaks are deterministic on both engines.
+    * Oracled against DuckDB's native ASOF LEFT JOIN.
+    */
+  private def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        struct(col("click_id"), col("ts").as("click_ts")).as("c"),
+        lit(null).cast("long").as("purchase_id"),
+        lit(null).cast("double").as("purchase_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+        lit(null).cast("struct<click_id: bigint, click_ts: timestamp>").as("c"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    // clicks sort before purchases at equal ts (kind 0 < 1), matching
+    // ASOF's inclusive `purchase.ts >= click.ts` semantics
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_c", last(col("c"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(
+        col("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("purchase_value"),
+        col("last_c.click_id").as("click_id"),
+        col("last_c.click_ts").as("click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("last_c.click_ts"))).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
   // T7: at-least-once replay collapses to exactly-once under dedup.
   private def qDedupReplay(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
@@ -186,10 +241,39 @@ object Windows {
     "q_session_window" -> (qSessionWindow _),
     "q_topk_typed" -> (qTopkTyped _),
     "q_funnel" -> (qFunnel _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_window_sliding" -> (qWindowSliding _),
     "q_dedup_replay" -> (qDedupReplay _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_sliding" ->
+      """WITH slots AS (
+        |  SELECT date_trunc('hour', ts) AS win_start, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS win_start, event_type, value FROM events
+        |)
+        |SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end, event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM slots
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |), purchases AS (
+        |  SELECT event_id AS purchase_id, user_id, ts, value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+        |       p.value AS purchase_value,
+        |       c.click_id, c.ts AS click_ts,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.purchase_id""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

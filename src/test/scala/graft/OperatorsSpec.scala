@@ -75,6 +75,32 @@ class OperatorsSpec extends SparkSpec {
     assert(d.filter($"cosine" <= 0.9).count() == 0)
   }
 
+  test("approx_percentile within 1.5 units of the exact quantiles") {
+    // l_quantity is integer-valued: the sketch returns a real element
+    // while the exact form interpolates, so the bound is absolute
+    // (±1.5 = at most one neighboring value off), not relative
+    val approx = q("q_approx_percentile")
+    val exact = q("q_percentile")
+      .select($"l_returnflag", $"p25_qty", $"median_qty", $"p75_qty")
+    val j = approx.join(exact, "l_returnflag")
+    val bad = j.filter(
+      abs($"p25_approx" - $"p25_qty") > 1.5 ||
+        abs($"median_approx" - $"median_qty") > 1.5 ||
+        abs($"p75_approx" - $"p75_qty") > 1.5)
+    assert(bad.count() == 0)
+  }
+
+  test("hash split is exhaustive, deterministic, and near the 75/12.5/12.5 design") {
+    val a = q("q_split_assign")
+    assert(a.select("split").distinct().count() <= 3)
+    assert(a.count() == 500)
+    // rerun must assign identically (md5 of the key, no RNG state)
+    val again = q("q_split_assign")
+    assert(a.exceptAll(again).count() == 0 && again.exceptAll(a).count() == 0)
+    val frac = a.filter($"split" === "train").count().toDouble / 500.0
+    assert(frac > 0.65 && frac < 0.85, s"train fraction $frac far from 0.75")
+  }
+
   test("approx_count_distinct within 10% of exact (HLL default rsd 5%)") {
     val approx = q("q_approx_distinct").select("event_type", "approx_users")
     val exact = q("q_count_distinct").select("event_type", "uniq_users")
