@@ -389,9 +389,21 @@ object TextOps {
   private def qTfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // one explicit hash partitioning on doc_id serves BOTH the tf
+    // aggregate (HashPartitioning(doc_id) satisfies clustering on
+    // (doc_id, token)) and the later top-3 window on doc_id — the
+    // exploded token stream (the largest intermediate at 100 TB) is
+    // shuffled once, not twice
+    // localCheckpoint: tf feeds BOTH the df aggregate and the ranking
+    // join; without materialization the self-referencing join re-runs
+    // the explode+shuffle (Spark re-aliases one side, so exchange
+    // reuse can't kick in) — the largest intermediate would be
+    // computed twice
     val tf = docs.select(col("doc_id"), explode(tokens()).as("token"))
+      .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("token"))

@@ -190,27 +190,29 @@ object Windows {
     * clicks and purchases, union, ONE shuffle on user_id, and a
     * running `last(_, ignoreNulls)` carries the latest click forward —
     * O(n log n) per key with bounded state, no candidate-pair blowup,
-    * no range-explode. Clicks are pre-collapsed to max(event_id) per
-    * (user, ts) so tie-breaks are deterministic on both engines.
+    * no range-explode. Tie-breaking (several clicks at one (user, ts)
+    * → the max click_id wins, matching the oracle's pre-collapsed
+    * clicks CTE) happens INSIDE the window ordering — no extra
+    * groupBy shuffle of the click stream; the whole operator is one
+    * hash exchange on user_id plus the harness ORDER BY.
     * Oracled against DuckDB's native ASOF LEFT JOIN.
     */
   private def qAsofJoin(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val clicks = ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id"), col("ts"))
-      .agg(max(col("event_id")).as("click_id"))
       .select(col("user_id"), col("ts"), lit(0).as("kind"),
-        struct(col("click_id"), col("ts").as("click_ts")).as("c"),
+        struct(col("event_id").as("click_id"), col("ts").as("click_ts")).as("c"),
         lit(null).cast("long").as("purchase_id"),
         lit(null).cast("double").as("purchase_value"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(1).as("kind"),
         lit(null).cast("struct<click_id: bigint, click_ts: timestamp>").as("c"),
         col("event_id").as("purchase_id"), col("value").as("purchase_value"))
-    // clicks sort before purchases at equal ts (kind 0 < 1), matching
-    // ASOF's inclusive `purchase.ts >= click.ts` semantics
+    // clicks sort before purchases at equal ts (kind 0 < 1) — ASOF's
+    // inclusive `purchase.ts >= click.ts` — and among equal-ts clicks
+    // the ascending click_id order makes last() pick the max id
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("kind"))
+      .orderBy(col("ts"), col("kind"), col("c.click_id").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(purchases)
       .withColumn("last_c", last(col("c"), ignoreNulls = true).over(w))

@@ -56,6 +56,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
 
+  test("q_asof_join is one window shuffle, no join operator, no range explosion") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), s"as-of must be union+window, not a join:\n$p")
+    val shuffles = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    // one hash exchange on user_id + the harness ORDER BY — a range
+    // join would instead explode candidate pairs per user
+    assert(shuffles == 2, s"expected 2 shuffles (window + sort), got $shuffles:\n$p")
+  }
+
+  test("q_tfidf shuffles the exploded token stream once (repartition reused by agg+window)") {
+    val p = plan("q_tfidf")
+    // the doc_id repartition must satisfy both the (doc_id, token)
+    // aggregate and the per-doc ranking window; df stays broadcast
+    assert(p.contains("BroadcastHashJoin"), s"df join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"df join fell back to SMJ:\n$p")
+  }
+
   test("q_enrich fact side has no shuffle before the join (broadcast only)") {
     val p = plan("q_enrich")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")

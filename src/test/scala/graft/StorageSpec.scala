@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Storage-layout levers for the 100 TB posture: hive-style partition
+  * pruning (the #1 scan-cost lever — a partition filter must skip
+  * whole directories, not rows) and range-clustered files (sorted
+  * writes give parquet min/max stats that row-group-skip range
+  * predicates). Complements BucketingSpec's co-located-join layout.
+  */
+class StorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("hive-partitioned write prunes non-matching partitions at scan") {
+    val dir = tmp("part")
+    Tables.events(spark, Sf0001)
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).filter($"event_type" === "click")
+    val p = back.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters"), s"no partition filter in scan:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("event_type")),
+      s"event_type not in PartitionFilters:\n$p")
+    // pruning must also be CORRECT, not just present
+    val expected = Tables.events(spark, Sf0001)
+      .filter($"event_type" === "click").count()
+    assert(back.count() == expected)
+    // and the scan must touch only the one matching directory
+    val scanned = back.queryExecution.executedPlan.collectLeaves()
+    val clickOnly = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("event_type=")).map(_.getName).sorted
+    assert(clickOnly.contains("event_type=click"), clickOnly.mkString(","))
+    assert(scanned.nonEmpty)
+  }
+
+  test("range-clustered write yields per-file sorted data for min/max skipping") {
+    val dir = tmp("range")
+    Tables.events(spark, Sf0001)
+      .repartitionByRange(4, $"ts")
+      .sortWithinPartitions($"ts")
+      .write.mode("overwrite").parquet(dir)
+    // every output file covers a disjoint, internally-sorted ts range
+    val perFile = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), $"ts")
+      .groupBy($"f").agg(min($"ts").as("lo"), max($"ts").as("hi"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("lo"), r.getAs[java.sql.Timestamp]("hi")))
+      .sortBy(_._1.getTime)
+    assert(perFile.length >= 2)
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(!hi1.after(lo2), s"file ranges overlap: $hi1 vs $lo2")
+      case _ =>
+    }
+  }
+}
