@@ -166,6 +166,27 @@ object Functions2 {
         col("p.meta.n").as("meta_n"))
       .orderBy("event_id")
 
+  // VARIANT path (Spark 4 semi-structured type): parse_json once into
+  // the binary variant encoding, then typed variant_get extraction —
+  // the shredded/lakehouse-native way to hold heterogeneous JSON at
+  // 100 TB (no per-query re-parse, no rigid schema). Extraction
+  // results are ordinary typed columns, so the same DuckDB JSON
+  // oracle applies.
+  private def qVariant(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("payload", nestedPayload)
+      .withColumn("v", expr("parse_json(payload)"))
+      .select(
+        col("event_id"),
+        expr("variant_get(v, '$.tags[0]', 'string')").as("tag0"),
+        expr("variant_get(v, '$.tags[1]', 'string')").as("tag1"),
+        expr("variant_get(v, '$.attrs.uid', 'bigint')").as("attr_uid"),
+        expr("variant_get(v, '$.attrs.eid', 'bigint')").as("attr_eid"),
+        expr("variant_get(v, '$.meta.kind', 'string')").as("meta_kind"),
+        expr("variant_get(v, '$.meta.n', 'bigint')").as("meta_n"),
+        expr("variant_get(v, '$.missing', 'string') IS NULL").as("missing_is_null"))
+      .orderBy("event_id")
+
   // Generator over a parsed JSON array: from_json → posexplode, one
   // row per (event, tag) — the array-to-rows shape a UDTF would cover.
   private def qJsonExplode(s: SparkSession, d: String): DataFrame =
@@ -181,6 +202,7 @@ object Functions2 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_nested" -> (qJsonNested _),
     "q_json_explode" -> (qJsonExplode _),
+    "q_variant" -> (qVariant _),
     "q_agg_breadth" -> (qAggBreadth _),
     "q_posexplode" -> (qPosexplode _),
     "q_array_funcs" -> (qArrayFuncs _),
@@ -206,6 +228,22 @@ object Functions2 {
          |       CAST(json_extract_string(payload, '$$.attrs.eid') AS BIGINT) AS attr_eid,
          |       json_extract_string(payload, '$$.meta.kind') AS meta_kind,
          |       CAST(json_extract_string(payload, '$$.meta.n') AS BIGINT) AS meta_n
+         |FROM j
+         |ORDER BY event_id""".stripMargin,
+    "q_variant" ->
+      s"""WITH j AS (
+         |  SELECT event_id,
+         |         $nestedPayloadSql AS payload
+         |  FROM events
+         |)
+         |SELECT event_id,
+         |       json_extract_string(payload, '$$.tags[0]') AS tag0,
+         |       json_extract_string(payload, '$$.tags[1]') AS tag1,
+         |       CAST(json_extract_string(payload, '$$.attrs.uid') AS BIGINT) AS attr_uid,
+         |       CAST(json_extract_string(payload, '$$.attrs.eid') AS BIGINT) AS attr_eid,
+         |       json_extract_string(payload, '$$.meta.kind') AS meta_kind,
+         |       CAST(json_extract_string(payload, '$$.meta.n') AS BIGINT) AS meta_n,
+         |       json_extract_string(payload, '$$.missing') IS NULL AS missing_is_null
          |FROM j
          |ORDER BY event_id""".stripMargin,
     "q_json_explode" ->
