@@ -19,12 +19,12 @@ import graft.sources.Tables
 object Sampling {
 
   /** First two hex chars of md5(key) — 256 deterministic buckets. */
-  private def hexKey(key: Column): Column =
+  private[operators] def hexKey(key: Column): Column =
     substring(md5(key.cast("string")), 1, 2)
 
   /** train/val/test by first hex char: '0'-'b' → train (12/16),
     * 'c'-'d' → val (2/16), 'e'-'f' → test (2/16). */
-  private def splitOf(hex2: Column): Column =
+  private[operators] def splitOf(hex2: Column): Column =
     when(substring(hex2, 1, 1) <= "b", "train")
       .when(substring(hex2, 1, 1) <= "d", "val")
       .otherwise("test")
@@ -72,7 +72,7 @@ object Sampling {
     "q_sample_hash" -> (qSampleHash _)
   )
 
-  private val splitSql =
+  private[operators] val splitSql =
     """CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
       |     WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
       |     ELSE 'test' END""".stripMargin.replace("\n", " ")

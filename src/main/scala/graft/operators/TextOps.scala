@@ -419,8 +419,37 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** End-to-end corpus-cleaning decision — the composition every
+    * training-data pipeline actually runs, as ONE declarative plan:
+    * canonicalize text → collapse exact duplicates on the normalized
+    * digest (keeper = min doc_id) → token-count quality gate →
+    * deterministic split assignment → final `selected` verdict.
+    * Runs on the doubled corpus so the dedup stage has real work.
+    * Single shuffle on the digest (row_number window) + the harness
+    * sort; everything else is narrow maps.
+    */
+  private def qCorpusClean(s: SparkSession, d: String): DataFrame = {
+    val norm = doubled(s, d)
+      .withColumn("text_norm",
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .withColumn("norm_md5", md5(col("text_norm")))
+      .withColumn("n_tokens", size(split(col("text_norm"), " ")).cast("long"))
+    val w = Window.partitionBy(col("norm_md5")).orderBy(col("doc_id"))
+    norm
+      .withColumn("keep_dedup", row_number().over(w) === 1)
+      .withColumn("is_quality", col("n_tokens") >= 30)
+      .withColumn("split", Sampling.splitOf(Sampling.hexKey(col("doc_id"))))
+      .withColumn("selected",
+        col("keep_dedup") && col("is_quality") && col("split") === "train")
+      .select("doc_id", "lang", "norm_md5", "n_tokens",
+        "keep_dedup", "is_quality", "split", "selected")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_corpus_clean" -> (qCorpusClean _),
     "q_tfidf" -> (qTfidf _),
     "q_text_normalize" -> (qTextNormalize _),
     "q_text_stats" -> (qTextStats _),
@@ -444,6 +473,26 @@ object TextOps {
          |FROM doubled
          |GROUP BY md5(text)
          |ORDER BY cluster_keeper""".stripMargin,
+    "q_corpus_clean" ->
+      s"""WITH $doubledSql,
+         |norm AS (
+         |  SELECT doc_id, lang,
+         |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text_norm
+         |  FROM doubled
+         |), k AS (
+         |  SELECT doc_id, lang, md5(text_norm) AS norm_md5,
+         |         CAST(len(string_split(text_norm, ' ')) AS BIGINT) AS n_tokens,
+         |         ROW_NUMBER() OVER (PARTITION BY md5(text_norm) ORDER BY doc_id) AS rn,
+         |         ${Sampling.splitSql} AS split
+         |  FROM norm
+         |)
+         |SELECT doc_id, lang, norm_md5, n_tokens,
+         |       rn = 1 AS keep_dedup,
+         |       n_tokens >= 30 AS is_quality,
+         |       split,
+         |       (rn = 1 AND n_tokens >= 30 AND split = 'train') AS selected
+         |FROM k
+         |ORDER BY doc_id""".stripMargin,
     "q_text_normalize" ->
       """SELECT doc_id,
         |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text_norm,

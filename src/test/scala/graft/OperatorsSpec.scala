@@ -175,6 +175,16 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("corpus clean pipeline: one keeper per digest, replays never win, selected is consistent") {
+    val cc = q("q_corpus_clean")
+    assert(cc.count() == 1000) // doubled corpus, row-level verdicts
+    assert(cc.filter($"keep_dedup").count() == 500) // exactly one keeper per text
+    assert(cc.filter($"doc_id" >= 1000000L && $"keep_dedup").count() == 0) // original wins
+    assert(cc.filter($"selected" &&
+      (!$"keep_dedup" || !$"is_quality" || $"split" =!= "train")).count() == 0)
+    assert(cc.filter($"selected").count() > 0)
+  }
+
   test("every registered query is runnable and non-degenerate at sf0.001") {
     val counts = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> SparkEntry.queries(name)(spark, Sf0001).count()
