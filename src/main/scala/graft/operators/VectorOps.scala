@@ -29,6 +29,11 @@ object VectorOps {
     * formulation but fused into whole-stage codegen. */
   private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
+  /** Fused single-pass cosine (graft.functions.CosineSimilarity) —
+    * bit-identical to dot/(√·√) composition, one array traversal
+    * instead of three. */
+  private def cosine(a: String, b: String): Column = expr(s"graft_cosine($a, $b)")
+
   private def asDouble(c: String): Column = col(c).cast("array<double>")
 
   // Brute-force cosine top-k: query set = vec_id < 10 (broadcast),
@@ -42,9 +47,7 @@ object VectorOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
     broadcast(q).join(c, col("q_id") =!= col("c_id"))
-      .withColumn("cosine",
-        dot("q_vec", "c_vec")
-          / (sqrt(dot("q_vec", "q_vec")) * sqrt(dot("c_vec", "c_vec"))))
+      .withColumn("cosine", cosine("q_vec", "c_vec"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("q_id", "rank", "c_id", "cosine")
@@ -120,9 +123,7 @@ object VectorOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
     broadcast(q).join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
-      .withColumn("cosine",
-        dot("q_vec", "c_vec")
-          / (sqrt(dot("q_vec", "q_vec")) * sqrt(dot("c_vec", "c_vec"))))
+      .withColumn("cosine", cosine("q_vec", "c_vec"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("q_id", "rank", "c_id", "bucket", "cosine")
@@ -155,9 +156,7 @@ object VectorOps {
       .partitionBy(col("vec_id")).orderBy(col("p_cos").desc, col("cell"))
     def scoreCells(cents: Seq[(Long, Seq[Double])]): DataFrame =
       e.crossJoin(broadcast(cents.toDF("cell", "cent")))
-        .withColumn("p_cos",
-          dot("vec", "cent")
-            / (sqrt(dot("vec", "vec")) * sqrt(dot("cent", "cent"))))
+        .withColumn("p_cos", cosine("vec", "cent"))
         .withColumn("p_rank", row_number().over(byCell))
     var centroids: Seq[(Long, Seq[Double])] = e
       .select(col("vec_id"), col("vec"))
@@ -187,9 +186,7 @@ object VectorOps {
       .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
     probes.join(assigned, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cosine",
-        dot("q_vec", "c_vec")
-          / (sqrt(dot("q_vec", "q_vec")) * sqrt(dot("c_vec", "c_vec"))))
+      .withColumn("cosine", cosine("q_vec", "c_vec"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("q_id", "rank", "c_id", "cell", "cosine")
@@ -227,9 +224,7 @@ object VectorOps {
     val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"),
       col("vec").as("b_vec"))
     a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
-      .withColumn("cosine",
-        dot("a_vec", "b_vec")
-          / (sqrt(dot("a_vec", "a_vec")) * sqrt(dot("b_vec", "b_vec"))))
+      .withColumn("cosine", cosine("a_vec", "b_vec"))
       .filter(col("cosine") > DedupCosine)
       .select("bucket", "label", "a_id", "b_id", "cosine")
       .orderBy("a_id", "b_id")

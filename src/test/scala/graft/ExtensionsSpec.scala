@@ -30,6 +30,32 @@ class ExtensionsSpec extends AnyFunSuite {
       val n = s.sql("SELECT graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 1.0D)) AS d")
         .collect()(0)
       assert(n.isNullAt(0), s"expected null, got row: $n schema=${n.schema}")
+      // fused cosine must be BIT-identical to the composed form for
+      // arbitrary vectors (same per-accumulator fold order, same final
+      // IEEE expression) — this is what keeps it oracle-safe
+      val rows = s.sql(
+        """SELECT graft_cosine(a, b) AS fused,
+          |       graft_dot(a, b) / (sqrt(graft_dot(a, a)) * sqrt(graft_dot(b, b))) AS composed
+          |FROM VALUES
+          |  (array(0.1D, -2.7D, 3.3D, 0.0D), array(9.13D, 0.002D, -4.4D, 1.0D)),
+          |  (array(1.0D, 1.0D), array(1.0D, 1.0D)),
+          |  (array(1e-8D, 1e8D), array(1e8D, 1e-8D)) AS t(a, b)""".stripMargin)
+        .collect()
+      rows.foreach { r =>
+        val (f, c) = (r.getDouble(0), r.getDouble(1))
+        assert(java.lang.Double.doubleToRawLongBits(f)
+          == java.lang.Double.doubleToRawLongBits(c) || (f.isNaN && c.isNaN),
+          s"fused $f != composed $c")
+      }
+      val cn = s.sql("SELECT graft_cosine(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 1.0D)) AS d")
+        .collect()(0)
+      assert(cn.isNullAt(0), s"expected null cosine, got $cn")
+      // zero-norm input: fused form is raw IEEE (0/0 = NaN), while the
+      // composed form under ANSI throws DIVIDE_BY_ZERO — pin the fused
+      // choice (a zero embedding is data corruption, not a query error)
+      val z = s.sql("SELECT graft_cosine(array(0.0D, 0.0D), array(1.0D, 2.0D)) AS d")
+        .collect()(0).getDouble(0)
+      assert(z.isNaN, s"expected NaN for zero-norm vector, got $z")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
