@@ -395,6 +395,27 @@ object Relational {
       .orderBy("check_name")
   }
 
+  // TPC-H Q19 shape: disjunction of conjunctive brand/quantity/size
+  // bands over a fact-dim join — exercises CNF conversion, IN-list and
+  // range pushdown under OR, and the common-condition extraction that
+  // lets the join key predicate reach both scans.
+  private def qComplexPred(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
+          && col("l_quantity").between(1.0, 20.0)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 30)
+          && col("l_quantity").between(10.0, 40.0)) ||
+        (col("p_brand").isin("Brand#3", "Brand#4") && col("p_size").between(1, 50)
+          && col("l_quantity") >= 20.0))
+      .agg(
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   // Data profiling sweep — one row per profiled column with the stats
   // a pipeline inspects before training on a table (row/null/distinct
   // counts, numeric min/max, string min/max). Each branch is a single
@@ -473,12 +494,24 @@ object Relational {
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_validate" -> (qValidate _),
     "q_profile" -> (qProfile _),
+    "q_complex_pred" -> (qComplexPred _),
     "q_revenue_filter" -> (qRevenueFilter _),
     "q_exists_count" -> (qExistsCount _),
     "q_min_per_group" -> (qMinPerGroup _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_complex_pred" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1.0 AND 20.0)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30
+        |       AND l_quantity BETWEEN 10.0 AND 40.0)
+        |   OR (p_brand IN ('Brand#3', 'Brand#4') AND p_size BETWEEN 1 AND 50
+        |       AND l_quantity >= 20.0)""".stripMargin,
     "q_profile" ->
       """WITH p AS (
         |  SELECT 'event_id' AS col_name, COUNT(*) AS n,

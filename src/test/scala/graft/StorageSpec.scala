@@ -41,6 +41,19 @@ class StorageSpec extends SparkSpec {
     assert(scanned.nonEmpty)
   }
 
+  test("JDBC dimension-scan options pin the reference's S2 shape, made parallel") {
+    // no DB in the sandbox — the option SURFACE is the testable part:
+    // bulk fetchsize and a partitioned range scan (a bare JDBC read is
+    // one task through one connection)
+    val opts = graft.sources.JdbcSource.scanOptions(
+      "jdbc:postgresql://dbhost/engagement", "content")
+    assert(opts("dbtable") == "content")
+    assert(opts("fetchsize").toInt >= 1000, "bulk reads need a bulk fetchsize")
+    assert(opts("numPartitions").toInt > 1, "JDBC scan must parallelize")
+    assert(opts.contains("partitionColumn")
+      && opts.contains("lowerBound") && opts.contains("upperBound"))
+  }
+
   test("range-clustered write yields per-file sorted data for min/max skipping") {
     val dir = tmp("range")
     Tables.events(spark, Sf0001)
