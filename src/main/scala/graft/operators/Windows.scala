@@ -226,6 +226,39 @@ object Windows {
       .orderBy("purchase_id")
   }
 
+  // SCD-2 interval construction: turn an event stream into validity
+  // intervals per key (valid_from = event ts, valid_to = next event's
+  // ts, open interval = current row) — the standard
+  // change-log → slowly-changing-dimension shape, one lead() window.
+  private def qScd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "event_id", "event_type", "valid_from", "valid_to", "is_current")
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  // Cohort retention matrix: users grouped by first-activity day,
+  // counted per day-offset — two hash aggregates and one join of
+  // per-user firsts (broadcastable: one row per user) onto per-day
+  // activity.
+  private def qRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firsts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.distinct()
+      .join(broadcast(firsts), Seq("user_id"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      // DATE parquet cells read back as midnight timestamps on one
+      // side of the compare — pin the type explicitly on both sides
+      .groupBy(col("cohort_day").cast("timestamp").as("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   // T7: at-least-once replay collapses to exactly-once under dedup.
   private def qDedupReplay(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
@@ -245,10 +278,31 @@ object Windows {
     "q_funnel" -> (qFunnel _),
     "q_asof_join" -> (qAsofJoin _),
     "q_window_sliding" -> (qWindowSliding _),
+    "q_scd2" -> (qScd2 _),
+    "q_retention" -> (qRetention _),
     "q_dedup_replay" -> (qDedupReplay _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scd2" ->
+      """SELECT user_id, event_id, event_type,
+        |       ts AS valid_from,
+        |       LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |       LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), firsts AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+        |)
+        |SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+        |       CAST(date_diff('day', f.cohort_day, e.day) AS BIGINT) AS day_offset,
+        |       COUNT(DISTINCT e.user_id) AS n_users
+        |FROM ev e JOIN firsts f USING (user_id)
+        |GROUP BY f.cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     "q_window_sliding" ->
       """WITH slots AS (
         |  SELECT date_trunc('hour', ts) AS win_start, event_type, value FROM events

@@ -16,7 +16,12 @@ class DeterminismSpec extends SparkSpec {
     "q_dedup_simhash",   // signature groups
     "q_sim_bruteforce",  // double cosine ordering
     "q_topk_typed",      // custom aggregator merge order
-    "q_rollup")          // grouping-set expansion
+    "q_rollup",          // grouping-set expansion
+    "q_tfidf",           // ln-score ranking + localCheckpoint reuse
+    "q_asof_join",       // last-ignoreNulls over union ordering
+    "q_sim_ivf",         // Lloyd means MUST be decimal-exact
+    "q_embed_dedup",     // LSH bucket assignment
+    "q_corpus_clean")    // digest keeper election
 
   risky.foreach { name =>
     test(s"$name is identical across two independent executions") {
