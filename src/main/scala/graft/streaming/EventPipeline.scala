@@ -265,4 +265,53 @@ object EventPipeline {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         sessionFunc)
   }
+
+  // ---- transformWithState (Spark 4 arbitrary-state API) --------------
+
+  final case class UserCounts(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-user running counters on the transformWithState API — the
+    * successor to mapGroupsWithState: typed named state cells
+    * (ValueState here; List/Map state and timers compose the same
+    * way), RocksDB-backed so per-key state can exceed executor memory
+    * at 100 TB key cardinality. Emits the updated running totals for
+    * every key touched in a micro-batch (Update mode).
+    *
+    * Requires `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (set by the caller/test — the HDFS-map
+    * provider does not support transformWithState).
+    */
+  class RunningUserCounts
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserCounts] {
+    @transient private var counts: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getValueState[(Long, Double)]("counts",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserCounts] = {
+      val (prevN, prevV) =
+        if (counts.exists()) counts.get() else (0L, 0.0)
+      var n = prevN
+      var v = prevV
+      rows.foreach { e => n += 1; v += e.value }
+      counts.update((n, v))
+      Iterator.single(UserCounts(key, n, v))
+    }
+  }
+
+  def runningUserCounts(events: Dataset[Ev]): Dataset[UserCounts] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningUserCounts,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

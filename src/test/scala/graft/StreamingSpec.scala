@@ -186,6 +186,38 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(history).count() == 50) // no duplicate batch
   }
 
+  test("transformWithState running counters accumulate across micro-batches (RocksDB state)") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = EventPipeline.runningUserCounts(ms.toDS())
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      try {
+        ms.addData(
+          Ev(1L, ts("2024-01-01 10:00:00"), 1L, "play", 10.0),
+          Ev(2L, ts("2024-01-01 10:01:00"), 1L, "play", 5.0),
+          Ev(3L, ts("2024-01-01 10:02:00"), 2L, "play", 1.0))
+        q.processAllAvailable()
+        ms.addData(Ev(4L, ts("2024-01-01 10:03:00"), 1L, "pause", 2.5))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table("tws_out")
+      val u1 = out.filter($"user_id" === 1L).orderBy($"n_events").collect()
+      assert(u1.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 3L))
+      assert(u1.last.getAs[Double]("total_value") == 17.5)
+      assert(out.filter($"user_id" === 2L)
+        .head().getAs[Long]("n_events") == 1L)
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("outbox single-partition ordered ingest preserves total order (O3)") {
     // the reference's outbox poll reads rows in one ordered partition;
     // pin the analog: repartition(1) + sortWithinPartitions writes one
