@@ -176,6 +176,27 @@ object EventPipeline {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id", "ts")
 
+  /** T7 variant: dedup on the KEY ALONE within the watermark delay —
+    * unlike `dropDuplicates(key, ts)`, a replay with a perturbed
+    * timestamp still collapses, and state expiry needs no event-time
+    * column in the key. The right form for at-least-once producers
+    * that re-stamp on retry. */
+  def dedupedEventsWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** T8: watermarked SLIDING window (2 h wide, 1 h slide) — each event
+    * counts toward two overlapping windows; batch analog is
+    * q_window_sliding (oracled). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"))
+
   /** T8: stream-stream event-time range join — the conversion-funnel
     * pattern (click followed by a purchase within 1 hour, same user).
     * Both sides carry watermarks and the join condition bounds event

@@ -114,6 +114,43 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("dropDuplicatesWithinWatermark collapses replays even with perturbed timestamps (T7)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvIn]
+    val q = EventPipeline.dedupedEventsWithinWatermark(ms.toDF())
+      .writeStream.format("memory").queryName("dedup_wm_out")
+      .outputMode("append").start()
+    try {
+      val e = EvIn(1L, ts("2024-01-01 10:00:00"), 1L, "play", 10.0, "{}")
+      ms.addData(e, e.copy(event_id = 2L))
+      q.processAllAvailable()
+      // replay of event 1 with a RE-STAMPED ts (retrying producer):
+      // key-only dedup must still collapse it
+      ms.addData(e.copy(ts = ts("2024-01-01 10:00:03")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("dedup_wm_out").count() == 2)
+  }
+
+  test("sliding streaming window counts each event into two overlapping windows (T8)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvIn]
+    val q = EventPipeline.slidingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("slide_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(EvIn(1L, ts("2024-01-01 10:30:00"), 1L, "play", 1.0, "{}"))
+      q.processAllAvailable()
+      // push the watermark far past both windows containing 10:30
+      ms.addData(EvIn(2L, ts("2024-01-01 15:00:00"), 1L, "play", 1.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val wins = spark.table("slide_out")
+      .filter($"n" === 1L && $"win_start" <= ts("2024-01-01 10:30:00"))
+      .select("win_start").as[java.sql.Timestamp].collect().toSet
+    assert(wins == Set(ts("2024-01-01 09:00:00"), ts("2024-01-01 10:00:00")))
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions via event-time timeout (T8)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
