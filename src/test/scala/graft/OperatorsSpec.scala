@@ -150,6 +150,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("connected components composes with minhash pair output (near-dup clustering)") {
+    // the documented composition: any near-dup pair stream plugs into
+    // connectedComponents — here the real LSH candidates, not digests
+    val pairs = q("q_dedup_minhash").select($"a_id".as("src"), $"b_id".as("dst"))
+    val nodes = pairs.select($"src".as("doc_id"))
+      .union(pairs.select($"dst".as("doc_id"))).distinct()
+    val labels = graft.operators.TextOps.connectedComponents(nodes, pairs)
+    val twins = pairs.filter($"dst" - $"src" === 1000000L)
+      .join(labels.withColumnRenamed("doc_id", "src").withColumnRenamed("label", "l1"), "src")
+      .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("label", "l2"), "dst")
+    assert(twins.count() == 500)
+    assert(twins.filter($"l1" =!= $"l2").count() == 0, "replay twins must co-cluster")
+  }
+
   test("shingle DF cap bounds the pair blowup from a corpus-hot shingle") {
     // 50 docs share one 3-gram ("alpha beta gamma"); tails are unique.
     // Uncapped, the hot shingle alone yields C(50,2) = 1225 candidate

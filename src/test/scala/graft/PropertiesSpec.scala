@@ -95,6 +95,42 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents matches a driver-side union-find on random graphs") {
+    val graphGen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(0, 60)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.choose(1L, n.toLong), Gen.choose(1L, n.toLong)))
+    } yield (n, edges)
+    forAllSampled(graphGen, trials = 4) { case (n, edges) =>
+      // reference: plain union-find with path compression
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1 to n).map { i =>
+        // component label = min node id of the component
+        val members = (1 to n).filter(j => find(j) == find(i))
+        (i.toLong, members.min.toLong)
+      }.toSet
+      val nodes = (1L to n.toLong).toDF("doc_id")
+      val edgeDf =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+        else edges.toDF("src", "dst")
+      val got = graft.operators.TextOps.connectedComponents(nodes, edgeDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"n=$n edges=$edges")
+    }
+  }
+
   test("replay dedup is idempotent: processing a batch k times = once (T7)") {
     forAllSampled(Gen.zip(Gen.listOfN(20, evGen), Gen.choose(2, 4))) { case (rows, k) =>
       if (rows.nonEmpty) {
