@@ -89,12 +89,73 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling: every 3rd frame index of each media payload
+    * becomes its own row with a per-frame descriptor — the
+    * rate-subsampling shape a video pipeline runs before feature
+    * extraction. The 1→N expansion is a generator (explode over the
+    * sampled index sequence), the descriptor a digest of the frame's
+    * byte window — pure Catalyst, so the whole shape is oracled; a
+    * real codec swaps into the descriptor expression only.
+    */
+  private def qMultimodalFrames(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("len", length(col("text")).cast("long"))
+      .withColumn("n_frames", lit(1L) + col("len") % 30L)
+      .select(col("doc_id"), col("text"), col("len"),
+        explode(expr("sequence(0L, n_frames - 1, 3L)")).as("frame_idx"))
+      .withColumn("frame_off",
+        lit(1L) + (col("frame_idx") * lit(37L)) % greatest(col("len") - 99L, lit(1L)))
+      .select(col("doc_id"), col("frame_idx"), col("frame_off"),
+        md5(expr("substring(text, CAST(frame_off AS INT), 100)")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** Resize/thumbnail plumbing: emit the reduced-payload descriptor
+    * (¼-scale target dims, truncated payload digest + length). The
+    * byte-slicing stands in for a scaler kernel; schema and row shape
+    * are what a real resize stage produces. Oracled.
+    */
+  private def qMultimodalResize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("len", length(col("text")).cast("long"))
+      .withColumn("thumb_len", expr("(len + 3) DIV 4"))
+      .select(
+        col("doc_id"), col("len"), col("thumb_len"),
+        greatest(expr("(64 + len % 640) DIV 4"), lit(16L)).as("thumb_w"),
+        greatest(expr("(64 + len % 480) DIV 4"), lit(16L)).as("thumb_h"),
+        md5(expr("substring(text, 1, CAST(thumb_len AS INT))")).as("thumb_md5"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
-    "q_multimodal_features" -> (qMultimodalFeatures _)
+    "q_multimodal_features" -> (qMultimodalFeatures _),
+    "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_multimodal_resize" -> (qMultimodalResize _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+        |         1 + CAST(length(text) AS BIGINT) % 30 AS n_frames
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, text, len, unnest(range(0, n_frames, 3)) AS frame_idx FROM f
+        |)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(1 + (frame_idx * 37) % greatest(len - 99, 1) AS BIGINT) AS frame_off,
+        |       md5(substring(text,
+        |             CAST(1 + (frame_idx * 37) % greatest(len - 99, 1) AS INT), 100)) AS frame_md5
+        |FROM s
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_multimodal_resize" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS len,
+        |       CAST((length(text) + 3) // 4 AS BIGINT) AS thumb_len,
+        |       CAST(greatest((64 + length(text) % 640) // 4, 16) AS BIGINT) AS thumb_w,
+        |       CAST(greatest((64 + length(text) % 480) // 4, 16) AS BIGINT) AS thumb_h,
+        |       md5(substring(text, 1, CAST((length(text) + 3) // 4 AS INT))) AS thumb_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
