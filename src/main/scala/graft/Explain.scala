@@ -15,7 +15,8 @@ object Explain {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q_enrich", "q_filter_project", "q_agg_pricing", "q_join_inner",
-        "q_star_join", "q_topk", "q_sim_bruteforce")
+        "q_star_join", "q_topk", "q_sim_bruteforce", "q_asof_join", "q_tfidf",
+        "q_dedup_minhash", "q_corpus_clean")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -83,6 +83,27 @@ object Functions2 {
         max(col("l_shipdate")).as("last_ship"))
       .orderBy("l_returnflag")
 
+  // MAP-typed column surface: construction, lookup, key listing,
+  // predicate filtering, value transformation — all reduced to scalar
+  // outputs. The DuckDB oracle states the expected VALUES directly
+  // (each is derivable from `value`), the same
+  // semantics-not-implementation oracling q_join_salted uses.
+  private def qMapFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("m", map(
+        lit("base"), col("value"),
+        lit("double"), col("value") * 2.0,
+        lit("half"), col("value") / 2.0))
+      .select(
+        col("event_id"),
+        element_at(col("m"), "base").as("base"),
+        element_at(col("m"), "double").as("dbl"),
+        size(col("m")).cast("long").as("n_entries"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
+        size(expr("map_filter(m, (k, v) -> v > 50)")).cast("long").as("n_over_50"),
+        element_at(expr("transform_values(m, (k, v) -> v / 2)"), "double").as("halved"))
+      .orderBy("event_id")
+
   // Approximate percentile sketch — the bounded-memory quantile path
   // for 100 TB (exact percentile must materialize the sorted column;
   // the sketch is a fixed-size mergeable summary). Algorithm-specific
@@ -203,6 +224,7 @@ object Functions2 {
     "q_json_nested" -> (qJsonNested _),
     "q_json_explode" -> (qJsonExplode _),
     "q_variant" -> (qVariant _),
+    "q_map_funcs" -> (qMapFuncs _),
     "q_agg_breadth" -> (qAggBreadth _),
     "q_posexplode" -> (qPosexplode _),
     "q_array_funcs" -> (qArrayFuncs _),
@@ -230,6 +252,18 @@ object Functions2 {
          |       CAST(json_extract_string(payload, '$$.meta.n') AS BIGINT) AS meta_n
          |FROM j
          |ORDER BY event_id""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT event_id,
+        |       value AS base,
+        |       value * 2 AS dbl,
+        |       CAST(3 AS BIGINT) AS n_entries,
+        |       'base,double,half' AS keys_csv,
+        |       CAST((CASE WHEN value > 50 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN value * 2 > 50 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN value / 2 > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_50,
+        |       (value * 2) / 2 AS halved
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
     "q_variant" ->
       s"""WITH j AS (
          |  SELECT event_id,

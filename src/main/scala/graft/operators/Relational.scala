@@ -395,6 +395,20 @@ object Relational {
       .orderBy("check_name")
   }
 
+  // Unpivot/melt (wide → long): the inverse of q_pivot, via the typed
+  // Dataset.unpivot API — measures become (measure, value) rows. The
+  // reshape every feature-extraction pipeline needs before per-metric
+  // aggregation; expands N columns to N rows per input row with no
+  // shuffle (generator, not join).
+  private def qUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 200)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
   // TPC-H Q19 shape: disjunction of conjunctive brand/quantity/size
   // bands over a fact-dim join — exercises CNF conversion, IN-list and
   // range pushdown under OR, and the common-condition extraction that
@@ -495,12 +509,27 @@ object Relational {
     "q_validate" -> (qValidate _),
     "q_profile" -> (qProfile _),
     "q_complex_pred" -> (qComplexPred _),
+    "q_unpivot" -> (qUnpivot _),
     "q_revenue_filter" -> (qRevenueFilter _),
     "q_exists_count" -> (qExistsCount _),
     "q_min_per_group" -> (qMinPerGroup _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+        |  FROM lineitem WHERE l_orderkey < 200
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |  FROM lineitem WHERE l_orderkey < 200
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem WHERE l_orderkey < 200
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |  FROM lineitem WHERE l_orderkey < 200)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "q_complex_pred" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
