@@ -32,5 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    // composed dot/(sqrt*sqrt) cosine → fused single-pass expression
+    e.injectOptimizerRule(_ => graft.plans.FuseCosine)
   }
 }

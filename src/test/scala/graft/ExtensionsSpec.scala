@@ -56,6 +56,26 @@ class ExtensionsSpec extends AnyFunSuite {
       val z = s.sql("SELECT graft_cosine(array(0.0D, 0.0D), array(1.0D, 2.0D)) AS d")
         .collect()(0).getDouble(0)
       assert(z.isNaN, s"expected NaN for zero-norm vector, got $z")
+      // FuseCosine optimizer rule: the composed form a user writes is
+      // rewritten to the fused expression — visible in the optimized
+      // plan — and produces the identical value
+      val composed = s.sql(
+        // arrays derive from the range column so ConstantFolding can't
+        // collapse the pattern before the rule sees it
+        """SELECT graft_dot(a, b)
+          |         / (sqrt(graft_dot(a, a)) * sqrt(graft_dot(b, b))) AS c
+          |FROM (SELECT array(CAST(id AS DOUBLE) + 1.0D, 2.0D, 3.0D) AS a,
+          |             array(CAST(id AS DOUBLE) + 4.0D, 5.0D, 6.0D) AS b
+          |      FROM range(1))""".stripMargin)
+      val opt = composed.queryExecution.optimizedPlan.toString
+      assert(opt.contains("graft_cosine"), s"FuseCosine did not fire:\n$opt")
+      assert(!opt.contains("graft_dot"), s"composed form survived fusion:\n$opt")
+      val cv = composed.collect()(0).getDouble(0)
+      val direct = s.sql(
+        """SELECT graft_cosine(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS c""")
+        .collect()(0).getDouble(0)
+      assert(java.lang.Double.doubleToRawLongBits(cv)
+        == java.lang.Double.doubleToRawLongBits(direct))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
