@@ -395,6 +395,54 @@ object Relational {
       .orderBy("check_name")
   }
 
+  // FULL OUTER join: events' user_ids cover only the low custkey
+  // decile, so both unmatched sides are populated. The deterministic
+  // sort key is coalesced from either side (never null, never
+  // colliding: custkeys are positive, the unmatched-user marker is
+  // negative).
+  private def qJoinFull(s: SparkSession, d: String): DataFrame = {
+    // every raw user_id has a customer row, so shift every 7th user
+    // out of the custkey domain — BOTH unmatched sides must carry rows
+    // for the full-outer semantics to be exercised, not vacuous
+    val evUsers = Tables.events(s, d)
+      .withColumn("user_id",
+        when(col("user_id") % 7 === 0, col("user_id") + 1000000L)
+          .otherwise(col("user_id")))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    cust.join(evUsers, col("c_custkey") === col("user_id"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), -col("user_id")).as("sort_key"),
+        col("c_custkey"), col("c_mktsegment"), col("user_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("c_custkey").isNull.as("customer_missing"),
+        col("user_id").isNull.as("never_active"))
+      .orderBy("sort_key")
+  }
+
+  // Null-safe equality join (<=> / IS NOT DISTINCT FROM): the DISTINCT
+  // prop_k domains of two event slices, joined so the null keys MATCH
+  // (a plain equi-join drops them).
+  private def qJoinNullsafe(s: SparkSession, d: String): DataFrame = {
+    // k % 10 == 0 → null on both sides, so the null-key match path is
+    // genuinely exercised (raw props carry k for every click/purchase)
+    val ev = Tables.events(s, d)
+      .withColumn("k_raw", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("prop_k",
+        when(col("k_raw") % 10 === 0, lit(null).cast("long"))
+          .otherwise(col("k_raw")))
+    val a = ev.filter(col("event_type") === "click")
+      .select(col("prop_k").as("k")).distinct()
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("prop_k").as("k2")).distinct()
+    a.join(b, col("k") <=> col("k2"), "inner")
+      .select(
+        coalesce(col("k"), lit(-1L)).as("k_or_marker"),
+        col("k").isNull.as("is_null_match"))
+      .orderBy("k_or_marker")
+  }
+
   // Unpivot/melt (wide → long): the inverse of q_pivot, via the typed
   // Dataset.unpivot API — measures become (measure, value) rows. The
   // reshape every feature-extraction pipeline needs before per-metric
@@ -510,12 +558,46 @@ object Relational {
     "q_profile" -> (qProfile _),
     "q_complex_pred" -> (qComplexPred _),
     "q_unpivot" -> (qUnpivot _),
+    "q_join_full" -> (qJoinFull _),
+    "q_join_nullsafe" -> (qJoinNullsafe _),
     "q_revenue_filter" -> (qRevenueFilter _),
     "q_exists_count" -> (qExistsCount _),
     "q_min_per_group" -> (qMinPerGroup _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_full" ->
+      """WITH ev AS (
+        |  SELECT user_id, COUNT(*) AS n_events FROM (
+        |    SELECT CASE WHEN user_id % 7 = 0 THEN user_id + 1000000 ELSE user_id END AS user_id
+        |    FROM events)
+        |  GROUP BY user_id
+        |), cust AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer
+        |)
+        |SELECT COALESCE(c.c_custkey, -e.user_id) AS sort_key,
+        |       c.c_custkey, c.c_mktsegment, e.user_id,
+        |       COALESCE(e.n_events, 0) AS n_events,
+        |       c.c_custkey IS NULL AS customer_missing,
+        |       e.user_id IS NULL AS never_active
+        |FROM cust c FULL OUTER JOIN ev e ON c.c_custkey = e.user_id
+        |ORDER BY sort_key""".stripMargin,
+    "q_join_nullsafe" ->
+      """WITH raw AS (
+        |  SELECT event_type,
+        |         CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0
+        |              THEN NULL
+        |              ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+        |  FROM events
+        |), a AS (
+        |  SELECT DISTINCT k FROM raw WHERE event_type = 'click'
+        |), b AS (
+        |  SELECT DISTINCT k AS k2 FROM raw WHERE event_type = 'purchase'
+        |)
+        |SELECT COALESCE(a.k, -1) AS k_or_marker,
+        |       a.k IS NULL AS is_null_match
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2
+        |ORDER BY k_or_marker""".stripMargin,
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, measure, value FROM (
         |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
