@@ -183,6 +183,18 @@ object Windows {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("win_start", "event_type")
 
+  // Outer conversion funnel — the batch shape of the stream-stream
+  // LEFT OUTER event-time join: every click appears, converted or not
+  // (null purchase side counts the non-converters).
+  private def qFunnelOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    graft.streaming.EventPipeline.clickPurchaseFunnelOuter(ev)
+      .select(col("click_user"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("purchase_value"),
+        col("purchase_id").isNull.as("unconverted"))
+      .orderBy(col("click_id"), coalesce(col("purchase_id"), lit(-1L)))
+  }
+
   /** As-of (backward temporal) join — an operator Spark has no
     * built-in for: each purchase is attributed to the same user's most
     * recent click at-or-before its event time. Implemented with the
@@ -276,6 +288,7 @@ object Windows {
     "q_session_window" -> (qSessionWindow _),
     "q_topk_typed" -> (qTopkTyped _),
     "q_funnel" -> (qFunnel _),
+    "q_funnel_outer" -> (qFunnelOuter _),
     "q_asof_join" -> (qAsofJoin _),
     "q_window_sliding" -> (qWindowSliding _),
     "q_scd2" -> (qScd2 _),
@@ -284,6 +297,23 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_funnel_outer" ->
+      """WITH clicks AS (
+        |  SELECT user_id AS click_user, ts AS click_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'
+        |), purchases AS (
+        |  SELECT user_id AS purchase_user, ts AS purchase_ts,
+        |         event_id AS purchase_id, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.click_user, c.click_id, c.click_ts,
+        |       p.purchase_id, p.purchase_ts, p.purchase_value,
+        |       p.purchase_id IS NULL AS unconverted
+        |FROM clicks c LEFT JOIN purchases p
+        |  ON c.click_user = p.purchase_user
+        | AND p.purchase_ts >= c.click_ts
+        | AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+        |ORDER BY c.click_id, COALESCE(p.purchase_id, -1)""".stripMargin,
     "q_scd2" ->
       """SELECT user_id, event_id, event_type,
         |       ts AS valid_from,

@@ -203,7 +203,8 @@ object EventPipeline {
     * time on both sides, so Spark can expire state; the batch analog
     * is Windows.qFunnel (same semantics, DuckDB-oracled).
     */
-  def clickPurchaseFunnel(events: DataFrame): DataFrame = {
+  def clickPurchaseFunnel(events: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -215,8 +216,17 @@ object EventPipeline {
     clicks.join(purchases,
       expr("""click_user = purchase_user
               AND purchase_ts >= click_ts
-              AND purchase_ts <= click_ts + INTERVAL 1 HOUR"""))
+              AND purchase_ts <= click_ts + INTERVAL 1 HOUR"""),
+      joinType)
   }
+
+  /** T8: OUTER stream-stream join — an unconverted click emits with
+    * null purchase columns once the watermark proves no purchase can
+    * still arrive inside its hour (state expiry drives the null-side
+    * emission; an inner join would silently drop the non-converters,
+    * which are exactly what a funnel analysis wants to count). */
+  def clickPurchaseFunnelOuter(events: DataFrame): DataFrame =
+    clickPurchaseFunnel(events, "leftOuter")
 
   // ---- custom sessionization state machine (flatMapGroupsWithState) --
 

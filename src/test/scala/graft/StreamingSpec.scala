@@ -319,6 +319,39 @@ class StreamingSpec extends SparkSpec {
     assert(out(0).getAs[Double]("purchase_value") == 9.99)
   }
 
+  test("OUTER stream-stream join emits unconverted clicks with nulls after state expiry (T8)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvIn]
+    val q = EventPipeline.clickPurchaseFunnelOuter(ms.toDF())
+      .writeStream.format("memory").queryName("funnel_outer_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        EvIn(1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0, "{}"),    // converts
+        EvIn(2L, ts("2024-01-01 10:30:00"), 1L, "purchase", 9.99, "{}"),
+        EvIn(3L, ts("2024-01-01 10:00:00"), 2L, "click", 0.0, "{}"))    // never converts
+      q.processAllAvailable()
+      // advance BOTH branch watermarks past 11:00 + delay (the global
+      // watermark is the min over the click and purchase branches);
+      // the new watermark takes effect at the NEXT batch, so push one
+      // more pair to trigger the null-side eviction
+      ms.addData(
+        EvIn(4L, ts("2024-01-01 20:00:00"), 3L, "click", 0.0, "{}"),
+        EvIn(5L, ts("2024-01-01 20:00:00"), 3L, "purchase", 0.0, "{}"))
+      q.processAllAvailable()
+      ms.addData(
+        EvIn(6L, ts("2024-01-01 20:30:00"), 4L, "click", 0.0, "{}"),
+        EvIn(7L, ts("2024-01-01 20:30:00"), 4L, "purchase", 0.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("funnel_outer_out")
+    val converted = out.filter($"click_user" === 1L).collect()
+    assert(converted.length == 1 && converted(0).getAs[Long]("purchase_id") == 2L)
+    val unconverted = out.filter($"click_user" === 2L).collect()
+    assert(unconverted.length == 1, s"expected null-side emission, got ${out.collect().toSeq}")
+    assert(unconverted(0).isNullAt(unconverted(0).fieldIndex("purchase_id")))
+  }
+
   test("Kafka wire parse chain: CAST → from_json → flatten → casts, malformed JSON survives as nulls (P1-P4)") {
     val frames = Seq(
       ("""{"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "play", "value": 2.5, "props": null}""", "1"),
