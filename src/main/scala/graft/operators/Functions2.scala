@@ -83,6 +83,23 @@ object Functions2 {
         max(col("l_shipdate")).as("last_ship"))
       .orderBy("l_returnflag")
 
+  // ANSI error-safety surface: Spark 4 runs ANSI ON, so overflow /
+  // bad casts / integral zero-division THROW — the try_* family is
+  // how a pipeline degrades those to nulls row-locally instead of
+  // failing a 100 TB job on one poisoned record. Oracled against
+  // directly-stated expected values (DuckDB TRY_CAST + CASE).
+  private def qTryFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        expr("try_cast(event_type AS BIGINT)").as("bad_cast"),
+        expr("try_cast(CAST(event_id AS STRING) AS BIGINT)").as("roundtrip_cast"),
+        expr("try_add(9223372036854775807L, event_id)").as("overflow_add"),
+        expr("try_divide(event_id, user_id - user_id)").as("div_zero"),
+        expr("try_multiply(event_id, 2L)").as("safe_mult"),
+        expr("try_to_timestamp(event_type)").as("bad_ts"))
+      .orderBy("event_id")
+
   // MAP-typed column surface: construction, lookup, key listing,
   // predicate filtering, value transformation — all reduced to scalar
   // outputs. The DuckDB oracle states the expected VALUES directly
@@ -225,6 +242,7 @@ object Functions2 {
     "q_json_explode" -> (qJsonExplode _),
     "q_variant" -> (qVariant _),
     "q_map_funcs" -> (qMapFuncs _),
+    "q_try_funcs" -> (qTryFuncs _),
     "q_agg_breadth" -> (qAggBreadth _),
     "q_posexplode" -> (qPosexplode _),
     "q_array_funcs" -> (qArrayFuncs _),
@@ -252,6 +270,17 @@ object Functions2 {
          |       CAST(json_extract_string(payload, '$$.meta.n') AS BIGINT) AS meta_n
          |FROM j
          |ORDER BY event_id""".stripMargin,
+    "q_try_funcs" ->
+      """SELECT event_id,
+        |       TRY_CAST(event_type AS BIGINT) AS bad_cast,
+        |       TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS roundtrip_cast,
+        |       CASE WHEN event_id > 0 THEN CAST(NULL AS BIGINT)
+        |            ELSE 9223372036854775807 + event_id END AS overflow_add,
+        |       CAST(NULL AS DOUBLE) AS div_zero,
+        |       event_id * 2 AS safe_mult,
+        |       TRY_CAST(event_type AS TIMESTAMP) AS bad_ts
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
     "q_map_funcs" ->
       """SELECT event_id,
         |       value AS base,

@@ -238,6 +238,22 @@ object Windows {
       .orderBy("purchase_id")
   }
 
+  // Value-based RANGE window frame: per-user rolling count over the
+  // PRECEDING HOUR of event time (not the preceding N rows) — frame
+  // membership is defined by the ORDER BY value, so tied timestamps
+  // all join the frame and the result is order-independent even
+  // without a unique tiebreaker.
+  private def qWindowRange(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events_wr")
+    s.sql(
+      """SELECT user_id, ts, event_id,
+        |       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+        |                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+        |                            AND CURRENT ROW) AS n_last_hour
+        |FROM events_wr
+        |ORDER BY user_id, ts, event_id""".stripMargin)
+  }
+
   // SCD-2 interval construction: turn an event stream into validity
   // intervals per key (valid_from = event ts, valid_to = next event's
   // ts, open interval = current row) — the standard
@@ -292,6 +308,7 @@ object Windows {
     "q_asof_join" -> (qAsofJoin _),
     "q_window_sliding" -> (qWindowSliding _),
     "q_scd2" -> (qScd2 _),
+    "q_window_range" -> (qWindowRange _),
     "q_retention" -> (qRetention _),
     "q_dedup_replay" -> (qDedupReplay _)
   )
@@ -314,6 +331,13 @@ object Windows {
         | AND p.purchase_ts >= c.click_ts
         | AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
         |ORDER BY c.click_id, COALESCE(p.purchase_id, -1)""".stripMargin,
+    "q_window_range" ->
+      """SELECT user_id, ts, event_id,
+        |       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+        |                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+        |                            AND CURRENT ROW) AS n_last_hour
+        |FROM events
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     "q_scd2" ->
       """SELECT user_id, event_id, event_type,
         |       ts AS valid_from,
