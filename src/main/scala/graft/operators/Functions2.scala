@@ -83,6 +83,36 @@ object Functions2 {
         max(col("l_shipdate")).as("last_ship"))
       .orderBy("l_returnflag")
 
+  // Regex surface: extraction-all counts, occurrence counts, boolean
+  // match — simple character-class/literal patterns where Java regex
+  // (Spark) and RE2 (DuckDB) agree.
+  private def qRegexFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(expr("regexp_extract_all(text, '[aeiou]+', 0)")).cast("long")
+          .as("n_vowel_runs"),
+        expr("regexp_count(text, ' the ')").cast("long").as("n_the"),
+        col("text").rlike("spark").as("has_spark"),
+        regexp_extract(col("text"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
+        expr("regexp_replace(text, '[aeiou]', '', 1)").isNotNull.as("replace_ok"))
+      .orderBy("doc_id")
+
+  // Schema-evolution union: two slices with DIFFERENT projections
+  // combined by column NAME with null fill — the shape every long-
+  // lived ingestion hits when a field is added mid-stream. Oracled
+  // via DuckDB's UNION ALL BY NAME.
+  private def qUnionEvolve(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val v1 = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("value"), lit("v1").as("src"))
+    val v2 = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("value") * 2.0).as("value_scaled"), lit("v2").as("src"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .orderBy("event_id")
+  }
+
   // ANSI error-safety surface: Spark 4 runs ANSI ON, so overflow /
   // bad casts / integral zero-division THROW — the try_* family is
   // how a pipeline degrades those to nulls row-locally instead of
@@ -243,6 +273,8 @@ object Functions2 {
     "q_variant" -> (qVariant _),
     "q_map_funcs" -> (qMapFuncs _),
     "q_try_funcs" -> (qTryFuncs _),
+    "q_regex_funcs" -> (qRegexFuncs _),
+    "q_union_evolve" -> (qUnionEvolve _),
     "q_agg_breadth" -> (qAggBreadth _),
     "q_posexplode" -> (qPosexplode _),
     "q_array_funcs" -> (qArrayFuncs _),
@@ -270,6 +302,23 @@ object Functions2 {
          |       CAST(json_extract_string(payload, '$$.meta.n') AS BIGINT) AS meta_n
          |FROM j
          |ORDER BY event_id""".stripMargin,
+    "q_regex_funcs" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_vowel_runs,
+        |       CAST(len(regexp_extract_all(text, ' the ')) AS BIGINT) AS n_the,
+        |       regexp_matches(text, 'spark') AS has_spark,
+        |       COALESCE(regexp_extract(text, '([a-z]+) ([a-z]+)', 2), '') AS second_word,
+        |       regexp_replace(text, '[aeiou]', '') IS NOT NULL AS replace_ok
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_union_evolve" ->
+      """SELECT * FROM (
+        |  SELECT event_id, user_id, value, 'v1' AS src
+        |  FROM events WHERE event_id % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT event_id, user_id, event_type, value * 2 AS value_scaled, 'v2' AS src
+        |  FROM events WHERE event_id % 2 = 1)
+        |ORDER BY event_id""".stripMargin,
     "q_try_funcs" ->
       """SELECT event_id,
         |       TRY_CAST(event_type AS BIGINT) AS bad_cast,

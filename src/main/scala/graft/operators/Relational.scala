@@ -395,6 +395,38 @@ object Relational {
       .orderBy("check_name")
   }
 
+  // Pearson correlation, decimal-exact: the built-in corr() aggregates
+  // running double moments whose value depends on partition order —
+  // unusable under a bit-exact oracle AND a determinism liability on
+  // any real cluster. Instead the five sufficient statistics (Σx, Σy,
+  // Σx², Σy², Σxy) accumulate as EXACT decimals (order-independent),
+  // and the correlation is finalized per group with a handful of IEEE
+  // double ops. Same result on any partitioning, any engine.
+  private def qCorrManual(s: SparkSession, d: String): DataFrame = {
+    val x = "CAST(l_quantity AS DECIMAL(18,2))"
+    val y = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr(s"CAST(SUM($x) AS DOUBLE)").as("sx"),
+        expr(s"CAST(SUM($y) AS DOUBLE)").as("sy"),
+        expr(s"CAST(SUM($x * $x) AS DOUBLE)").as("sxx"),
+        expr(s"CAST(SUM($y * $y) AS DOUBLE)").as("syy"),
+        expr(s"CAST(SUM($x * $y) AS DOUBLE)").as("sxy"))
+      .withColumn("corr_raw",
+        (col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("n").cast("double") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("n").cast("double") * col("syy") - col("sy") * col("sy"))))
+      // the decimal→double cast of the big sums can differ in the last
+      // ulp across engines (single vs double rounding), so the
+      // compared value is pinned through a DECIMAL(18,12) round
+      .withColumn("corr_qty_price",
+        expr("CAST(CAST(corr_raw AS DECIMAL(18,12)) AS DOUBLE)"))
+      .select("l_returnflag", "n", "corr_qty_price")
+      .orderBy("l_returnflag")
+  }
+
   // FULL OUTER join: events' user_ids cover only the low custkey
   // decile, so both unmatched sides are populated. The deterministic
   // sort key is coalesced from either side (never null, never
@@ -559,6 +591,7 @@ object Relational {
     "q_complex_pred" -> (qComplexPred _),
     "q_unpivot" -> (qUnpivot _),
     "q_join_full" -> (qJoinFull _),
+    "q_corr_manual" -> (qCorrManual _),
     "q_join_nullsafe" -> (qJoinNullsafe _),
     "q_revenue_filter" -> (qRevenueFilter _),
     "q_exists_count" -> (qExistsCount _),
@@ -566,6 +599,23 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_corr_manual" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem
+        |  GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |       CAST(CAST((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |         / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |            * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS DECIMAL(18,12)) AS DOUBLE) AS corr_qty_price
+        |FROM sums
+        |ORDER BY l_returnflag""".stripMargin,
     "q_join_full" ->
       """WITH ev AS (
         |  SELECT user_id, COUNT(*) AS n_events FROM (
