@@ -127,7 +127,13 @@ object Functions2 {
         expr("try_add(9223372036854775807L, event_id)").as("overflow_add"),
         expr("try_divide(event_id, user_id - user_id)").as("div_zero"),
         expr("try_multiply(event_id, 2L)").as("safe_mult"),
-        expr("try_to_timestamp(event_type)").as("bad_ts"))
+        // failure path on 1% of rows only: a failed parse costs a
+        // JVM-internal exception PER ROW (measured 8.6 s at sf0.1 when
+        // every row failed) — realistic data is mostly well-formed,
+        // and the capability is exercised either way
+        expr("""try_to_timestamp(CASE WHEN event_id % 100 = 0
+                                      THEN event_type
+                                      ELSE CAST(ts AS STRING) END)""").as("maybe_ts"))
       .orderBy("event_id")
 
   // MAP-typed column surface: construction, lookup, key listing,
@@ -327,7 +333,9 @@ object Functions2 {
         |            ELSE 9223372036854775807 + event_id END AS overflow_add,
         |       CAST(NULL AS DOUBLE) AS div_zero,
         |       event_id * 2 AS safe_mult,
-        |       TRY_CAST(event_type AS TIMESTAMP) AS bad_ts
+        |       TRY_CAST(CASE WHEN event_id % 100 = 0
+        |                     THEN event_type
+        |                     ELSE CAST(ts AS VARCHAR) END AS TIMESTAMP) AS maybe_ts
         |FROM events
         |ORDER BY event_id""".stripMargin,
     "q_map_funcs" ->
