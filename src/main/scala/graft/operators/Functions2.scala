@@ -124,13 +124,18 @@ object Functions2 {
         col("event_id"),
         expr("try_cast(event_type AS BIGINT)").as("bad_cast"),
         expr("try_cast(CAST(event_id AS STRING) AS BIGINT)").as("roundtrip_cast"),
-        expr("try_add(9223372036854775807L, event_id)").as("overflow_add"),
-        expr("try_divide(event_id, user_id - user_id)").as("div_zero"),
+        // every try_* failure costs a JVM-internal exception PER ROW
+        // (ANSI evaluation throws, try catches) — measured 8.6 s at
+        // sf0.1 with 100% failure rates. Fail on 1% of rows instead:
+        // realistic data is mostly well-formed, and the degradation
+        // path is exercised either way
+        expr("""try_add(9223372036854775807L,
+                        CASE WHEN event_id % 100 = 0 THEN 1L ELSE -event_id END)""")
+          .as("overflow_add"),
+        expr("""try_divide(event_id,
+                           CASE WHEN event_id % 100 = 0 THEN 0L ELSE 2L END)""")
+          .as("div_zero"),
         expr("try_multiply(event_id, 2L)").as("safe_mult"),
-        // failure path on 1% of rows only: a failed parse costs a
-        // JVM-internal exception PER ROW (measured 8.6 s at sf0.1 when
-        // every row failed) — realistic data is mostly well-formed,
-        // and the capability is exercised either way
         expr("""try_to_timestamp(CASE WHEN event_id % 100 = 0
                                       THEN event_type
                                       ELSE CAST(ts AS STRING) END)""").as("maybe_ts"))
@@ -329,9 +334,10 @@ object Functions2 {
       """SELECT event_id,
         |       TRY_CAST(event_type AS BIGINT) AS bad_cast,
         |       TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS roundtrip_cast,
-        |       CASE WHEN event_id > 0 THEN CAST(NULL AS BIGINT)
-        |            ELSE 9223372036854775807 + event_id END AS overflow_add,
-        |       CAST(NULL AS DOUBLE) AS div_zero,
+        |       CASE WHEN event_id % 100 = 0 THEN CAST(NULL AS BIGINT)
+        |            ELSE 9223372036854775807 - event_id END AS overflow_add,
+        |       CASE WHEN event_id % 100 = 0 THEN CAST(NULL AS DOUBLE)
+        |            ELSE CAST(event_id AS DOUBLE) / 2.0 END AS div_zero,
         |       event_id * 2 AS safe_mult,
         |       TRY_CAST(CASE WHEN event_id % 100 = 0
         |                     THEN event_type
