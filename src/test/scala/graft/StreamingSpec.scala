@@ -200,6 +200,38 @@ class StreamingSpec extends SparkSpec {
       ts("2024-01-01 12:05:00").getTime + EventPipeline.SessionGapMs)
   }
 
+  test("sessionFunc merges a later batch into the carried-over open session") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def ev(id: Long, t: String) = Ev(id, ts(t), 1L, "play", 1.0)
+    // batch 1 leaves an open session in state
+    val s1 = TestGroupState.create[EventPipeline.SessionState](
+      org.apache.spark.api.java.Optional.empty(), GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+    assert(EventPipeline.sessionFunc(1L,
+      Iterator(ev(1, "2024-01-01 10:00:00")), s1).isEmpty)
+    // batch 2 arrives 20 min later (inside the 30-min gap): must MERGE,
+    // not open a second session
+    val s2 = TestGroupState.create[EventPipeline.SessionState](
+      org.apache.spark.api.java.Optional.of(s1.get), GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+    assert(EventPipeline.sessionFunc(1L,
+      Iterator(ev(2, "2024-01-01 10:20:00")), s2).isEmpty)
+    val open = s2.get
+    assert(open.start == ts("2024-01-01 10:00:00").getTime)
+    assert(open.end == ts("2024-01-01 10:20:00").getTime)
+    assert(open.nEvents == 2L)
+    // batch 3 arrives past the gap: the carried session closes, the
+    // new one opens
+    val s3 = TestGroupState.create[EventPipeline.SessionState](
+      org.apache.spark.api.java.Optional.of(s2.get), GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+    val closed = EventPipeline.sessionFunc(1L,
+      Iterator(ev(3, "2024-01-01 12:00:00")), s3).toList
+    assert(closed.map(o => (o.session_start, o.session_end, o.n_events)) ==
+      List((ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00"), 2L)))
+    assert(s3.get.start == ts("2024-01-01 12:00:00").getTime)
+  }
+
   test("checkpointed restart resumes from the offset log without reprocessing (T4/T5)") {
     val src = tmp("rsrc")
     val history = tmp("rhist")
