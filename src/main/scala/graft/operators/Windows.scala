@@ -287,6 +287,22 @@ object Windows {
       .orderBy("cohort_day", "day_offset")
   }
 
+  // K4 producer envelope: the (key, value) frame the Kafka sink would
+  // publish — key = partition key as text, value = JSON document via
+  // to_json(struct(...)). Non-null scalar fields only, so the JSON
+  // text is byte-deterministic and the DuckDB oracle can state it as
+  // a concat. (The wire write itself needs a broker; the envelope is
+  // the testable surface, mirroring parseKafkaWire on the consume
+  // side.)
+  private def qKafkaEnvelope(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        col("user_id").cast("string").as("key"),
+        to_json(struct(col("event_id"), col("user_id"), col("event_type")))
+          .as("value"))
+      .orderBy("event_id")
+
   // T7: at-least-once replay collapses to exactly-once under dedup.
   private def qDedupReplay(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
@@ -310,10 +326,19 @@ object Windows {
     "q_scd2" -> (qScd2 _),
     "q_window_range" -> (qWindowRange _),
     "q_retention" -> (qRetention _),
+    "q_kafka_envelope" -> (qKafkaEnvelope _),
     "q_dedup_replay" -> (qDedupReplay _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_kafka_envelope" ->
+      """SELECT event_id,
+        |       CAST(user_id AS VARCHAR) AS key,
+        |       '{"event_id":' || CAST(event_id AS VARCHAR)
+        |         || ',"user_id":' || CAST(user_id AS VARCHAR)
+        |         || ',"event_type":"' || event_type || '"}' AS value
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
     "q_funnel_outer" ->
       """WITH clicks AS (
         |  SELECT user_id AS click_user, ts AS click_ts, event_id AS click_id

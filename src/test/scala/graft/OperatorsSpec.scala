@@ -142,6 +142,17 @@ class OperatorsSpec extends SparkSpec {
     assert(labels.count() == 13)
   }
 
+  test("connected components handles a 1000-link chain within the round cap") {
+    // diameter 1000: plain propagation would need ~1000 rounds; with
+    // pointer doubling it converges in ~log2(1000) ≈ 10 — this is the
+    // shape that proves the doubling, not just the fixture
+    val n = 1001L
+    val nodes = (1L to n).toDF("doc_id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = graft.operators.TextOps.connectedComponents(nodes, edges)
+    assert(labels.filter($"label" =!= 1L).count() == 0)
+  }
+
   test("connected components fails loudly when the round cap is hit") {
     val nodes = (1L to 13L).toDF("doc_id")
     val edges = (1L to 12L).map(i => (i, i + 1)).toDF("src", "dst")
