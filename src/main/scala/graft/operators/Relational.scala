@@ -395,6 +395,23 @@ object Relational {
       .orderBy("check_name")
   }
 
+  // LATERAL correlated-subquery join: a per-row aggregate subquery in
+  // the FROM clause — Catalyst decorrelates it into an aggregate +
+  // join, so the declarative per-customer lookup costs one shuffle,
+  // not one query per row.
+  private def qLateral(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_lv")
+    Tables.orders(s, d).createOrReplaceTempView("orders_lv")
+    s.sql(
+      """SELECT c.c_custkey, c.c_mktsegment, t.max_price, t.n_orders
+        |FROM customer_lv c,
+        |LATERAL (SELECT MAX(o.o_totalprice) AS max_price,
+        |                COUNT(*) AS n_orders
+        |         FROM orders_lv o WHERE o.o_custkey = c.c_custkey) t
+        |WHERE c.c_custkey < 100
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
   // Pearson correlation, decimal-exact: the built-in corr() aggregates
   // running double moments whose value depends on partition order —
   // unusable under a bit-exact oracle AND a determinism liability on
@@ -592,6 +609,7 @@ object Relational {
     "q_unpivot" -> (qUnpivot _),
     "q_join_full" -> (qJoinFull _),
     "q_corr_manual" -> (qCorrManual _),
+    "q_lateral" -> (qLateral _),
     "q_join_nullsafe" -> (qJoinNullsafe _),
     "q_revenue_filter" -> (qRevenueFilter _),
     "q_exists_count" -> (qExistsCount _),
@@ -599,6 +617,14 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_lateral" ->
+      """SELECT c.c_custkey, c.c_mktsegment, t.max_price, t.n_orders
+        |FROM customer c,
+        |LATERAL (SELECT MAX(o.o_totalprice) AS max_price,
+        |                COUNT(*) AS n_orders
+        |         FROM orders o WHERE o.o_custkey = c.c_custkey) t
+        |WHERE c.c_custkey < 100
+        |ORDER BY c.c_custkey""".stripMargin,
     "q_corr_manual" ->
       """WITH sums AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

@@ -238,6 +238,28 @@ object Windows {
       .orderBy("purchase_id")
   }
 
+  // Distribution-window breadth: ntile / percent_rank / cume_dist /
+  // dense_rank plus first/nth/last value over an explicit frame — all
+  // rank-derived or frame-picked (exact values or one IEEE division),
+  // so fully oracle-comparable.
+  private def qWindowFuncs2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val framed = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 50)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        dense_rank().over(w).cast("long").as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"),
+        first(col("o_orderkey")).over(framed).as("biggest_order"),
+        last(col("o_orderkey")).over(framed).as("smallest_order"),
+        nth_value(col("o_orderkey"), 2).over(framed).as("second_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   // Value-based RANGE window frame: per-user rolling count over the
   // PRECEDING HOUR of event time (not the preceding N rows) — frame
   // membership is defined by the ORDER BY value, so tied timestamps
@@ -325,6 +347,7 @@ object Windows {
     "q_window_sliding" -> (qWindowSliding _),
     "q_scd2" -> (qScd2 _),
     "q_window_range" -> (qWindowRange _),
+    "q_window_funcs2" -> (qWindowFuncs2 _),
     "q_retention" -> (qRetention _),
     "q_kafka_envelope" -> (qKafkaEnvelope _),
     "q_dedup_replay" -> (qDedupReplay _)
@@ -356,6 +379,21 @@ object Windows {
         | AND p.purchase_ts >= c.click_ts
         | AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
         |ORDER BY c.click_id, COALESCE(p.purchase_id, -1)""".stripMargin,
+    "q_window_funcs2" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        |       percent_rank() OVER w AS prank,
+        |       cume_dist() OVER w AS cdist,
+        |       first_value(o_orderkey) OVER wf AS biggest_order,
+        |       last_value(o_orderkey) OVER wf AS smallest_order,
+        |       nth_value(o_orderkey, 2) OVER wf AS second_order
+        |FROM orders
+        |WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+        |       wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_window_range" ->
       """SELECT user_id, ts, event_id,
         |       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
