@@ -34,10 +34,18 @@ object Bench {
     // is comparable round over round
     names.foreach(run)
     val results = names.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // slowest queries FIRST: if the artifact line gets truncated, the
+    // numbers that matter (total + heavy hitters) survive the cut
+    val qs = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // belt-and-braces: the full result also lands in the repo so no
+    // stdout truncation can lose per-query times
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      json.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -161,6 +161,75 @@ object Relational {
       .orderBy("n_name")
   }
 
+  // TPC-H Q7-shaped cross-nation volume flow: lineitem joins BOTH its
+  // supplier's nation and its order's customer's nation, keeping the
+  // two directed flows between a nation pair. Scale shape: the 2-row
+  // filtered nation dims broadcast into supplier/customer BEFORE the
+  // fact joins, so the big shuffles (lineitem⋈orders⋈customer) only
+  // carry rows that can still match — the nation predicate is applied
+  // at the dimension, not after the fact join.
+  private def qJoinVolumeFlow(s: SparkSession, d: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Tables.customer(s, d)
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .select("c_custkey", "cust_nation")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+        || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(
+        expr(s"CAST(SUM($discPrice) AS DOUBLE)").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  // TPC-H Q8-shaped market share: 8-table snowflake (lineitem at the
+  // center; part/supplier/orders/customer one hop out; nation×2 and
+  // region two hops), share = one nation's volume over total per year.
+  // part/supplier stay shuffle joins (they scale with SF — only the
+  // O(1)-row nation/region dims are hinted broadcast); the conditional
+  // sum avoids a second pass over the joined fact.
+  private def qMarketShare(s: SparkSession, d: String): DataFrame = {
+    val nCust = Tables.nation(s, d)
+      .select(col("n_nationkey").as("cn_nk"), col("n_regionkey").as("cn_rk"))
+    val nSupp = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_nk"), col("n_name").as("nation"))
+    val r = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+    val custEu = Tables.customer(s, d)
+      .join(broadcast(nCust), col("c_nationkey") === col("cn_nk"))
+      .join(broadcast(r), col("cn_rk") === col("r_regionkey"))
+      .select("c_custkey")
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_type") === "PROMO"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nSupp), col("s_nationkey") === col("sn_nk"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(custEu, col("o_custkey") === col("c_custkey"), "left_semi")
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      .groupBy(col("o_year"))
+      .agg(
+        coalesce(expr(
+          s"CAST(SUM(CASE WHEN nation = 'NATION_3' THEN $discPrice END) AS DOUBLE)"),
+          lit(0.0)).as("nation_volume"),
+        expr(s"CAST(SUM($discPrice) AS DOUBLE)").as("total_volume"))
+      .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+      .orderBy("o_year")
+  }
+
   private def qRollup(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
@@ -613,10 +682,55 @@ object Relational {
     "q_join_nullsafe" -> (qJoinNullsafe _),
     "q_revenue_filter" -> (qRevenueFilter _),
     "q_exists_count" -> (qExistsCount _),
-    "q_min_per_group" -> (qMinPerGroup _)
+    "q_min_per_group" -> (qMinPerGroup _),
+    "q_join_volume_flow" -> (qJoinVolumeFlow _),
+    "q_market_share" -> (qMarketShare _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_volume_flow" ->
+      s"""WITH flow AS (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |         $discPrice AS volume
+         |  FROM lineitem
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders   ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate <= TIMESTAMP '1999-12-31')
+         |SELECT supp_nation, cust_nation, l_year,
+         |       CAST(SUM(volume) AS DOUBLE) AS revenue,
+         |       COUNT(*) AS n_items
+         |FROM flow
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_market_share" ->
+      s"""WITH base AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |         $discPrice AS volume,
+         |         n2.n_name AS nation
+         |  FROM lineitem
+         |  JOIN part     ON p_partkey = l_partkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders   ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN region    ON n1.n_regionkey = r_regionkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE r_name = 'EUROPE' AND p_type = 'PROMO')
+         |SELECT o_year,
+         |       COALESCE(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume END) AS DOUBLE), 0.0) AS nation_volume,
+         |       CAST(SUM(volume) AS DOUBLE) AS total_volume,
+         |       COALESCE(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume END) AS DOUBLE), 0.0)
+         |         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+         |FROM base
+         |GROUP BY o_year
+         |ORDER BY o_year""".stripMargin,
     "q_lateral" ->
       """SELECT c.c_custkey, c.c_mktsegment, t.max_price, t.n_orders
         |FROM customer c,

@@ -357,19 +357,31 @@ object TextOps {
     labels
   }
 
-  // Dedup cluster formation: near-dup PAIRS → connected components →
-  // one keeper per cluster. This is the step that turns similarity
-  // output into keep/drop decisions for a training corpus. Edge source
-  // here: exact-content pairs (same md5 digest — each doc ↔ its replay
-  // twin); any near-dup pair stream (minhash/simhash/ngram output)
-  // plugs into connectedComponents identically.
+  /** Star edges for equivalence blocking: every member of a block
+    * (same `key`) links to the block's minimum id — d members emit
+    * d−1 edges, versus d²/2 for the within-block all-pairs self-join,
+    * and the connected components are identical (the star spans the
+    * block). At web-corpus scale one boilerplate page can have 10⁶
+    * exact copies; all-pairs would emit 5×10¹¹ edges on one shuffle
+    * key, the star emits 10⁶−1. One window, no join.
+    */
+  def starEdges(keyed: DataFrame, key: String = "dig",
+      id: String = "doc_id"): DataFrame =
+    keyed
+      .withColumn("min_id", min(col(id)).over(Window.partitionBy(col(key))))
+      .filter(col(id) =!= col("min_id"))
+      .select(col("min_id").as("src"), col(id).as("dst"))
+
+  // Dedup cluster formation: near-dup blocks → star edges → connected
+  // components → one keeper per cluster. This is the step that turns
+  // similarity output into keep/drop decisions for a training corpus.
+  // Edge source here: exact-content blocks (same md5 digest — each doc
+  // blocks with its replay twin); any near-dup pair stream (minhash/
+  // simhash/ngram output) plugs into connectedComponents identically.
   private def qDedupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = doubled(s, d)
     val byDigest = docs.select(md5(col("text")).as("dig"), col("doc_id"))
-    val pairs = byDigest.alias("a").join(byDigest.alias("b"),
-        col("a.dig") === col("b.dig") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-    connectedComponents(docs.select("doc_id"), pairs)
+    connectedComponents(docs.select("doc_id"), starEdges(byDigest))
       .groupBy(col("label").as("cluster_keeper"))
       .agg(count(lit(1)).as("cluster_size"),
         max(col("doc_id")).as("max_member"))

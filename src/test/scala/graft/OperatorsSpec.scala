@@ -161,6 +161,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("star edges: 100 copies of one text emit 99 edges, not 4950") {
+    // all-pairs within a digest block is d²/2 — a boilerplate page with
+    // 10⁶ web copies would emit 5×10¹¹ edges on one shuffle key. Star
+    // edges are linear in d with identical connected components.
+    val keyed = ((1L to 100L).map(i => ("dup", i)) ++
+      Seq(("solo1", 200L), ("solo2", 201L), ("pair", 300L), ("pair", 301L)))
+      .toDF("dig", "doc_id")
+    val edges = graft.operators.TextOps.starEdges(keyed)
+    assert(edges.count() == 100)              // 99 for the block + 1 for the pair
+    assert(edges.filter($"src" === 1L).count() == 99)
+    assert(edges.filter($"src" === 300L && $"dst" === 301L).count() == 1)
+    // components identical to all-pairs: every dup member labels to 1
+    val labels = graft.operators.TextOps.connectedComponents(
+      keyed.select("doc_id"), edges)
+    assert(labels.filter($"doc_id" <= 100L && $"label" =!= 1L).count() == 0)
+    assert(labels.filter($"doc_id" === 201L).select("label").head.getLong(0) == 201L)
+  }
+
   test("connected components composes with minhash pair output (near-dup clustering)") {
     // the documented composition: any near-dup pair stream plugs into
     // connectedComponents — here the real LSH candidates, not digests
