@@ -91,42 +91,102 @@ object VectorOps {
       }
     }
 
-  /** The same hyperplane bucket as a DuckDB expression: plane p
-    * contributes bit 2^(nPlanes-1-p) — matching the Spark-side
-    * `acc * 2 + bit` left fold — with the ±1 planes interpolated as
-    * SQL literals so the bucketing is oracle-comparable. */
-  private def bucketSql(vecExpr: String, nPlanes: Int, dim: Int): String =
-    planes(nPlanes, dim).zipWithIndex.map { case (p, i) =>
-      val litArr = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-      s"CASE WHEN list_dot_product($vecExpr, $litArr) > 0 THEN ${1L << (nPlanes - 1 - i)} ELSE 0 END"
-    }.mkString("(", " + ", ")")
+  /** Banded random-hyperplane LSH parameters. `bands` independent
+    * signatures of `planesPerBand` planes each: a pair collides if it
+    * agrees on ALL planes of ANY band, so recall for cosine c is
+    * 1 − (1 − s^planesPerBand)^bands with s = 1 − acos(c)/π — banding
+    * buys back the recall that a single long signature destroys,
+    * without the quadratic pair blowup a single SHORT signature causes.
+    */
+  final case class LshParams(bands: Int, planesPerBand: Int) {
+    // each band's bucket is its OWN 2^ppb space folded into a long, so
+    // the long-width cap applies per band, not to the total plane count
+    require(bands >= 1 && planesPerBand >= 1 && planesPerBand <= 62)
+    def nPlanes: Int = bands * planesPerBand
+    def bucketsPerBand: Long = 1L << planesPerBand
+  }
 
-  // LSH-bucketed ANN: 6 signed random hyperplanes → 64 buckets (sized
-  // so buckets hold ~n/64 candidates at this corpus; at larger scale
-  // raise the plane count — buckets per vector stay O(1));
-  // candidates = bucket collisions; exact cosine refine within bucket.
-  // Engine-specific bucketing → no oracle; ScalaTest checks recall vs
-  // the brute-force baseline.
+  object LshParams {
+    /** Derive the plane count from the corpus size so the EXPECTED
+      * bucket width n / 2^planesPerBand stays ≤ `targetWidth` — the
+      * within-bucket joins are then bounded by width × bands
+      * independent of n. 10× the corpus ⇒ +log₂10 ≈ 3 planes per
+      * band, not 10× wider buckets: this is the knob that makes the
+      * blocking survive a 100 TB corpus. */
+    def forCorpus(n: Long, targetWidth: Long, bands: Int): LshParams = {
+      val ppb = math.max(1, math.ceil(
+        math.log(n.toDouble / targetWidth.toDouble) / math.log(2.0)).toInt)
+      LshParams(bands, ppb)
+    }
+  }
+
+  /** Blocking parameters for the two LSH consumers, DERIVED from the
+    * fixture corpus sizes (500 embeddings per SF dir; the dedup corpus
+    * is doubled). A deployment overrides by constructing its own
+    * LshParams / calling forCorpus with its n. */
+  private[graft] val DedupLsh = LshParams.forCorpus(1000L, 64L, bands = 4)
+  private[graft] val AnnLsh = LshParams.forCorpus(500L, 16L, bands = 4)
+
+  /** One bucket id per (row, band): bucket = left fold acc·2 + sign
+    * bit over the band's planes (band b owns plane indices
+    * [b·ppb, (b+1)·ppb)). Adds `band`/`bucket` via posexplode — each
+    * vector emits exactly `bands` rows. Input needs a `vec` column.
+    */
+  private[graft] def withBandBuckets(df: DataFrame, p: LshParams): DataFrame =
+    df.withColumn("pl", typedlit(planes(p.nPlanes, 64)))
+      .withColumn("bb", expr(
+        s"""transform(sequence(0, ${p.bands - 1}), b ->
+              aggregate(sequence(0, ${p.planesPerBand - 1}), 0L, (acc, q) ->
+                acc * 2 + IF(graft_dot(vec, element_at(pl, b * ${p.planesPerBand} + q + 1)) > 0, 1L, 0L)))"""))
+      .select(col("*"), posexplode(col("bb")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .drop("pl", "bb")
+
+  /** One band's bucket as a DuckDB expression: the band's plane q
+    * contributes bit 2^(ppb-1-q) — matching the Spark-side left fold —
+    * with the ±1 planes interpolated as SQL literals so the banded
+    * bucketing is oracle-comparable. */
+  private def bandBucketSql(vecExpr: String, band: Int, p: LshParams,
+      dim: Int): String =
+    planes(p.nPlanes, dim)
+      .slice(band * p.planesPerBand, (band + 1) * p.planesPerBand)
+      .zipWithIndex.map { case (pl, q) =>
+        val litArr = pl.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        s"CASE WHEN list_dot_product($vecExpr, $litArr) > 0 THEN ${1L << (p.planesPerBand - 1 - q)} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+
+  // Banded + multi-probe LSH ANN: `bands` independent signatures per
+  // vector; each query probes its own bucket PLUS every Hamming-1
+  // neighbor bucket in every band (flip one sign bit — the cheapest
+  // recall lever: probing is a query-side explode of ppb+1 rows while
+  // the corpus stays bucketed once). A candidate is any vector in any
+  // probed bucket; union across bands/probes, dedup, exact cosine
+  // refine + top-5. The probe join is bounded by
+  // bands × (ppb+1) × bucket width — corpus-size-independent, since
+  // the plane count is DERIVED from corpus size (AnnLsh) to hold
+  // width ~constant. Engine-specific bucketing → no oracle; ScalaTest
+  // pins recall vs the brute-force baseline.
   private def qSimLsh(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.register(s)
-    val pl = typedlit(planes(6, 64))
     val e = Tables.embeddings(s, d)
-      .withColumn("vec", asDouble("embedding"))
-      .withColumn("pl", pl)
-      .withColumn("bucket",
-        expr("""aggregate(sequence(0, 5), 0L, (acc, p) ->
-                 acc * 2 + IF(graft_dot(vec, element_at(pl, p + 1)) > 0, 1L, 0L))"""))
-      .select("vec_id", "vec", "bucket")
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("bucket"))
-    val c = e.select(col("vec_id").as("c_id"), col("vec").as("c_vec"), col("bucket"))
+      .select(col("vec_id"), asDouble("embedding").as("vec"))
+    val bucketed = withBandBuckets(e, AnnLsh)
+    val q = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("band"),
+        explode(expr(s"""array_union(array(bucket),
+          transform(sequence(0, ${AnnLsh.planesPerBand - 1}), j -> bucket ^ shiftleft(1L, j)))"""))
+          .as("bucket"))
+    val c = bucketed
+      .select(col("band"), col("bucket"), col("vec_id").as("c_id"), col("vec").as("c_vec"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
-    broadcast(q).join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
+    broadcast(q).join(c, Seq("band", "bucket")).filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "q_vec", "c_id", "c_vec")
+      .dropDuplicates("q_id", "c_id")
       .withColumn("cosine", cosine("q_vec", "c_vec"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select("q_id", "rank", "c_id", "bucket", "cosine")
+      .select("q_id", "rank", "c_id", "cosine")
       .orderBy("q_id", "rank")
   }
 
@@ -195,16 +255,38 @@ object VectorOps {
 
   // Embedding near-duplicate pairs — LSH-bucket blocking + exact
   // cosine refine (the embedding-cosine near-dup north-star op).
-  // Blocking on the 8-hyperplane sign bucket bounds candidate pairs by
-  // bucket width (vs the label-blocked all-pairs join, which is n²/L
-  // at any scale); identical vectors land in identical buckets, so
-  // true duplicates are never lost to blocking. Runs on the doubled
-  // corpus (id-shifted replay) so the collapse path is exercised.
-  // ORACLED: the ±1 planes are deterministic literals interpolated
-  // into the DuckDB SQL, and the sign of a sequential ±x_i fold is
-  // bit-identical across both engines.
-  private val DedupPlanes = 8
+  // A single long signature reliably finds IDENTICAL vectors but
+  // misses ~70% of genuine cosine-0.9 near-dups (collision prob
+  // s^planes ≈ 0.29 for 8 planes); 4 bands × 4 planes recalls
+  // 1−(1−s⁴)⁴ ≈ 0.95 at the same cost class. Candidates = union of
+  // per-band bucket collisions, dedup'd before the exact refine; the
+  // pair join is bounded by bands × bucket width, and the plane count
+  // is derived from corpus size (DedupLsh) so width doesn't grow with
+  // n. Runs on the doubled corpus (id-shifted replay) so the collapse
+  // path is exercised. ORACLED: the ±1 planes are deterministic
+  // literals interpolated into the DuckDB SQL (one bucket expression
+  // per band, OR-ed in the join), and the sign of a sequential ±x_i
+  // fold is bit-identical across both engines.
   private val DedupCosine = 0.9
+
+  /** Near-duplicate pairs over any (vec_id, vec[, extra…]) frame —
+    * public so recall tests can run planted fixtures through the exact
+    * production blocking. Extra columns ride along from side `a`. */
+  def embedNearDupPairs(vecs: DataFrame, p: LshParams = DedupLsh,
+      minCosine: Double = DedupCosine): DataFrame = {
+    val extra = vecs.columns.filterNot(Set("vec_id", "vec")).toSeq
+    val bucketed = withBandBuckets(vecs, p)
+    val a = bucketed.select(Seq(col("band"), col("bucket"),
+      col("vec_id").as("a_id"), col("vec").as("a_vec")) ++ extra.map(col): _*)
+    val b = bucketed.select(col("band"), col("bucket"),
+      col("vec_id").as("b_id"), col("vec").as("b_vec"))
+    a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
+      .drop("band", "bucket")
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cosine", cosine("a_vec", "b_vec"))
+      .filter(col("cosine") > minCosine)
+      .drop("a_vec", "b_vec")
+  }
 
   private def qEmbedDedup(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.register(s)
@@ -212,21 +294,8 @@ object VectorOps {
       .select(col("vec_id"), col("label"), asDouble("embedding").as("vec"))
     val dbl = e.union(e.withColumn("vec_id", col("vec_id") + lit(1000000L))
       .select("vec_id", "label", "vec"))
-    val pl = typedlit(planes(DedupPlanes, 64))
-    val bucketed = dbl
-      .withColumn("pl", pl)
-      .withColumn("bucket",
-        expr(s"""aggregate(sequence(0, ${DedupPlanes - 1}), 0L, (acc, p) ->
-                  acc * 2 + IF(graft_dot(vec, element_at(pl, p + 1)) > 0, 1L, 0L))"""))
-      .select("vec_id", "label", "vec", "bucket")
-    val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"),
-      col("vec").as("a_vec"), col("label"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"),
-      col("vec").as("b_vec"))
-    a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
-      .withColumn("cosine", cosine("a_vec", "b_vec"))
-      .filter(col("cosine") > DedupCosine)
-      .select("bucket", "label", "a_id", "b_id", "cosine")
+    embedNearDupPairs(dbl, DedupLsh, DedupCosine)
+      .select("label", "a_id", "b_id", "cosine")
       .orderBy("a_id", "b_id")
   }
 
@@ -311,7 +380,10 @@ object VectorOps {
         |FROM embeddings
         |GROUP BY label
         |ORDER BY label""".stripMargin,
-    "q_embed_dedup" ->
+    "q_embed_dedup" -> {
+      val bandCols = (0 until DedupLsh.bands).map(b =>
+        s"CAST(${bandBucketSql("vec", b, DedupLsh, 64)} AS BIGINT) AS b$b").mkString(", ")
+      val anyBand = (0 until DedupLsh.bands).map(b => s"a.b$b = b.b$b").mkString(" OR ")
       s"""WITH e AS (
          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
          |), dbl AS (
@@ -319,16 +391,16 @@ object VectorOps {
          |  UNION ALL
          |  SELECT vec_id + 1000000 AS vec_id, label, vec FROM e
          |), bk AS (
-         |  SELECT vec_id, label, vec,
-         |         CAST(${bucketSql("vec", DedupPlanes, 64)} AS BIGINT) AS bucket
+         |  SELECT vec_id, label, vec, $bandCols
          |  FROM dbl
          |)
-         |SELECT a.bucket, a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+         |SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
          |       list_dot_product(a.vec, b.vec)
          |         / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS cosine
-         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |FROM bk a JOIN bk b ON ($anyBand) AND a.vec_id < b.vec_id
          |WHERE list_dot_product(a.vec, b.vec)
          |        / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) > $DedupCosine
          |ORDER BY a_id, b_id""".stripMargin
+    }
   )
 }

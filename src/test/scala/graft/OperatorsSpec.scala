@@ -75,6 +75,89 @@ class OperatorsSpec extends SparkSpec {
     assert(d.filter($"cosine" <= 0.9).count() == 0)
   }
 
+  test("banded embed dedup recalls >=90% of planted cosine~0.93 near-dups (not twins)") {
+    // a single 8-plane signature recalls only ~29% of cosine-0.9
+    // near-dups (twins always collide, so twin-only tests can't see
+    // the gap); 4 bands × 4 planes must recall ≥ 90% of genuinely
+    // perturbed pairs — the round-2 verdict's recall-quality fix
+    graft.functions.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Seq[Double])]()
+    for (i <- 0 until 50) {
+      val base = unit()
+      val noise = unit()
+      val nd = base.zip(noise).map { case (b, x) => b + 0.39 * x } // cos ≈ 0.93
+      val nn = math.sqrt(nd.map(x => x * x).sum)
+      rows += ((i.toLong, base.toSeq))
+      rows += ((10000L + i, nd.map(_ / nn).toSeq))
+    }
+    for (i <- 0 until 400) rows += ((20000L + i, unit().toSeq)) // background
+    val df = rows.toSeq.toDF("vec_id", "vec")
+    // eligible = planted pairs whose TRUE cosine clears the refine
+    // threshold (blocking is what's under test, not the threshold)
+    val a = df.filter($"vec_id" < 10000L)
+      .select($"vec_id".as("a_id"), $"vec".as("a_vec"))
+    val b = df.filter($"vec_id" >= 10000L && $"vec_id" < 20000L)
+      .select(($"vec_id" - 10000L).as("a_id"), $"vec".as("b_vec"))
+    val eligible = a.join(b, "a_id")
+      .filter(expr("graft_cosine(a_vec, b_vec)") > 0.9).count().toDouble
+    assert(eligible >= 40, s"fixture degenerate: only $eligible eligible pairs")
+    val found = graft.operators.VectorOps.embedNearDupPairs(df)
+      .filter($"a_id" < 10000L && $"b_id" === $"a_id" + 10000L).count().toDouble
+    assert(found / eligible >= 0.9,
+      s"banded blocking recall ${found / eligible} below 0.9 ($found/$eligible)")
+  }
+
+  test("LSH ANN recall vs brute-force top-5 meets the banded multi-probe floor") {
+    // single-table 6-plane LSH had NO recall pin (round-2 gap) and
+    // measured ~0.3 banded-only on this corpus (true top-5 cosines are
+    // a weak 0.26-0.39, so per-band collision is ~8%); Hamming-1
+    // multi-probe lifts per-band collision to ~34% → measured ~0.8.
+    // Pin the floor well above the non-probed 0.3 class so a
+    // regression to single-bucket probing fails.
+    val bf = q("q_sim_bruteforce").select($"q_id", $"c_id")
+    val lsh = q("q_sim_lsh").select($"q_id", $"c_id")
+    val nBf = bf.count().toDouble
+    val hit = lsh.join(bf, Seq("q_id", "c_id")).count().toDouble
+    assert(hit / nBf >= 0.60, s"LSH recall ${hit / nBf} fell below 0.60")
+  }
+
+  test("LshParams.forCorpus bounds expected bucket width at any corpus size") {
+    // the scale knob: 10× corpus ⇒ ~+3 planes, width stays ≤ target
+    for (n <- Seq(1000L, 10000L, 1000000L, 100000000L)) {
+      val p = graft.operators.VectorOps.LshParams.forCorpus(n, 64L, bands = 4)
+      val width = n.toDouble / (1L << p.planesPerBand).toDouble
+      assert(width <= 64.0, s"n=$n ppb=${p.planesPerBand} width $width > 64")
+      assert(p.planesPerBand <= 62) // band bucket must fit a long
+    }
+  }
+
+  test("dedup blocking pair join is bounded by bands × bucket width, not corpus size") {
+    graft.functions.VectorExpressions.register(spark)
+    val p = graft.operators.VectorOps.LshParams.forCorpus(1000L, 64L, bands = 4)
+    val vecs = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val dbl = vecs.union(vecs.withColumn("vec_id", $"vec_id" + 1000000L))
+    val buckets = graft.operators.VectorOps.withBandBuckets(dbl, p)
+      .groupBy($"band", $"bucket").count()
+    val maxW = buckets.agg(max($"count")).as[Long].head()
+    val n = dbl.count()
+    // derived ppb keeps the deterministic fixture's worst bucket within
+    // a small skew factor of the n/2^ppb design width
+    assert(maxW <= 8L * (n / (1L << p.planesPerBand)),
+      s"max bucket width $maxW blew past the design width")
+    // per-band candidate pairs ≤ Σ w²/2 ≤ maxW/2 · n — the join is
+    // width-bounded; with derived ppb, width (hence the join) is O(target)
+    val pairBound = p.bands.toLong * maxW * n / 2
+    val cand = graft.operators.VectorOps.embedNearDupPairs(dbl, p, -1.0).count()
+    assert(cand <= pairBound, s"candidates $cand exceed width bound $pairBound")
+  }
+
   test("approx_percentile within 1.5 units of the exact quantiles") {
     // l_quantity is integer-valued: the sketch returns a real element
     // while the exact form interpolates, so the bound is absolute
