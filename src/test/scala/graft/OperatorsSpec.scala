@@ -32,6 +32,47 @@ class OperatorsSpec extends SparkSpec {
     assert(groups.filter($"keeper_id" >= 1000000L).count() == 0) // keeper = original
   }
 
+  test("simhash near-groups count planted low-Hamming variants, verified bit-for-bit") {
+    // round-2 gap: the Hamming<=3 banding was pigeonhole-correct but no
+    // test ever planted a near-duplicate (non-identical text, signature
+    // within 3 bits) and asserted it lands in n_near_groups. Fixture:
+    // one 48-token base doc + 12 single-token variants — a one-token
+    // substitution perturbs the weighted bit sums only where the two
+    // token hashes disagree, so some variants land within Hamming<=3.
+    // The reported n_near_groups is then re-derived DRIVER-SIDE from
+    // the output signatures themselves, so the banded join is checked
+    // against an exact all-pairs recount.
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val base = (0 until 48).map(i => words(i % 12) + (i / 12)).mkString(" ")
+    val variants = (0 until 12).map { k =>
+      val toks = base.split(" ").toVector
+      toks.updated(4 * k, s"variant$k").mkString(" ")
+    }
+    val docs = ((1L, base) +: variants.zipWithIndex.map {
+      case (t, i) => (i + 2L, t)
+    }).map { case (id, t) => (id, t, "en", "test", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("simhash").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_dedup_simhash")(spark, dir)
+      .select("simhash", "n_near_groups").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sigs = out.map(_._1)
+    def near(a: Long, b: Long): Boolean = {
+      val h = java.lang.Long.bitCount(a ^ b); a != b && h <= 3
+    }
+    val expected = sigs.map(a => sigs.count(b => near(a, b)).toLong)
+    // planting worked: at least one variant is a genuine near-dup of
+    // something (non-identical signature within 3 bits)
+    assert(expected.sum > 0, "fixture planted no near-duplicate signatures")
+    // and the banded count agrees with the exact all-pairs recount on
+    // EVERY signature — banding loses nothing at Hamming<=3
+    out.zip(expected).foreach { case ((sig, reported), exp) =>
+      assert(reported == exp, f"sig $sig%016x reported $reported expected $exp")
+    }
+  }
+
   test("LSH ANN scores agree with brute-force scores on shared pairs") {
     val bf = q("q_sim_bruteforce").select($"q_id", $"c_id", $"cosine".as("bf_cos"))
     val lsh = q("q_sim_lsh").select($"q_id", $"c_id", $"cosine".as("lsh_cos"))

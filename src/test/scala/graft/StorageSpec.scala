@@ -74,4 +74,39 @@ class StorageSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("min/max stats on a range-clustered write skip row groups at scan time") {
+    // THE data-layout lever a 100 TB deployment leans on hardest:
+    // range-cluster on the filter column, and a selective range
+    // predicate is answered by parquet footer min/max — whole row
+    // groups (here: whole files) never decompress. Proven via the
+    // scan's own numOutputRows metric, not the plan text.
+    val dir = tmp("skip")
+    val ev = Tables.events(spark, Sf0001)
+    val total = ev.count()
+    ev.repartitionByRange(4, $"event_id")
+      .sortWithinPartitions($"event_id")
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).filter($"event_id" < 100)
+    val matched = back.count()
+    assert(matched > 0 && matched < total / 4 + 1)
+    val df = spark.read.parquet(dir).filter($"event_id" < 100)
+      .select("event_id", "event_type")
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = plan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, s"no FileSourceScanExec leaf:\n$plan")
+    val scanRows = scans.map(_.metrics("numOutputRows").value).sum
+    // stats skipping means the scan DECODED only the one file whose
+    // [min,max] intersects the predicate — not the whole table
+    assert(scanRows <= total / 4 + 1,
+      s"scan decoded $scanRows of $total rows — row-group stats not skipping")
+    assert(scanRows >= matched)
+  }
 }
