@@ -121,10 +121,13 @@ object VectorOps {
   }
 
   /** Blocking parameters for the two LSH consumers, DERIVED from the
-    * fixture corpus sizes (500 embeddings per SF dir; the dedup corpus
-    * is doubled). A deployment overrides by constructing its own
-    * LshParams / calling forCorpus with its n. */
-  private[graft] val DedupLsh = LshParams.forCorpus(1000L, 64L, bands = 4)
+    * harness corpus sizes rather than hard-coded plane counts. Dedup is
+    * sized for the LARGEST corpus the harness runs (sf0.1: 2000
+    * embeddings, doubled → 4000 ⇒ ppb 6); 5 bands keep recall at the
+    * 0.9 threshold cosine ≥ 1−(1−s⁶)⁵ ≈ 0.92. ANN is sized for the
+    * recall-pinned correctness corpus (500). A deployment overrides by
+    * calling forCorpus with its own n. */
+  private[graft] val DedupLsh = LshParams.forCorpus(4000L, 64L, bands = 5)
   private[graft] val AnnLsh = LshParams.forCorpus(500L, 16L, bands = 4)
 
   /** One bucket id per (row, band): bucket = left fold acc·2 + sign
