@@ -169,7 +169,7 @@ object Relational {
   // carry rows that can still match — the nation predicate is applied
   // at the dimension, not after the fact join.
   private def qJoinVolumeFlow(s: SparkSession, d: String): DataFrame = {
-    val pair = Seq("NATION_1", "NATION_2")
+    val pair = Seq("NATION_1", "NATION_3")
     val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
     val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
@@ -186,8 +186,8 @@ object Relational {
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
-        || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_3")
+        || (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_1"))
       .withColumn("l_year", year(col("l_shipdate")).cast("long"))
       .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
       .agg(
@@ -699,8 +699,8 @@ object Relational {
          |  JOIN customer ON c_custkey = o_custkey
          |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
          |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-         |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-         |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_3')
+         |      OR (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_1'))
          |    AND l_shipdate >= TIMESTAMP '1996-01-01'
          |    AND l_shipdate <= TIMESTAMP '1999-12-31')
          |SELECT supp_nation, cust_nation, l_year,

@@ -66,10 +66,46 @@ object Sampling {
         col("hex2"))
       .orderBy("doc_id")
 
+  // Stratum-capped downsampling: at most 40 docs per language, chosen
+  // by md5 rank — the "balanced subset" op that keeps a dominant
+  // language from swamping a multilingual training mix. One shuffle
+  // (the per-lang window); the md5 order makes the kept set identical
+  // across engines, reruns, and partitionings.
+  private def qSampleStratified(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 40)
+      .select(col("lang"), col("rk"), col("doc_id"), col("source"))
+      .orderBy("lang", "rk")
+  }
+
+  // Temperature resampling weights (α = 0.5): w_l ∝ p_l^α — the
+  // standard multilingual rebalancing knob (upweights tail languages,
+  // tempers the head). All-langs sums go through a DECIMAL(18,12) pin
+  // so the normalizer is partition-order-independent; sqrt is IEEE
+  // correctly-rounded, so p^0.5 is bit-identical cross-engine.
+  private def qLangTemperature(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_total",
+        expr("CAST(SUM(n_docs) OVER () AS BIGINT)"))
+      .withColumn("p", col("n_docs").cast("double") / col("n_total").cast("double"))
+      .withColumn("w_raw", sqrt(col("p")))
+      .withColumn("z", expr("CAST(SUM(CAST(w_raw AS DECIMAL(18,12))) OVER () AS DOUBLE)"))
+      .withColumn("weight", col("w_raw") / col("z"))
+      .withColumn("boost", col("weight") / col("p"))
+      .select("lang", "n_docs", "n_total", "p", "w_raw", "weight", "boost")
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_assign" -> (qSplitAssign _),
     "q_split_stats" -> (qSplitStats _),
-    "q_sample_hash" -> (qSampleHash _)
+    "q_sample_hash" -> (qSampleHash _),
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_lang_temperature" -> (qLangTemperature _)
   )
 
   private[operators] val splitSql =
@@ -105,6 +141,32 @@ object Sampling {
         |       substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hex2
         |FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id, source,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT lang, rk, doc_id, source
+        |FROM ranked WHERE rk <= 40
+        |ORDER BY lang, rk""".stripMargin,
+    "q_lang_temperature" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        |), t AS (
+        |  SELECT lang, n_docs, CAST(SUM(n_docs) OVER () AS BIGINT) AS n_total FROM c
+        |), p AS (
+        |  SELECT lang, n_docs, n_total,
+        |         CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS p,
+        |         sqrt(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)) AS w_raw
+        |  FROM t)
+        |SELECT lang, n_docs, n_total, p, w_raw,
+        |       w_raw / CAST(SUM(CAST(w_raw AS DECIMAL(18,12))) OVER () AS DOUBLE) AS weight,
+        |       (w_raw / CAST(SUM(CAST(w_raw AS DECIMAL(18,12))) OVER () AS DOUBLE))
+        |         / p AS boost
+        |FROM p
+        |ORDER BY lang""".stripMargin
   )
 }

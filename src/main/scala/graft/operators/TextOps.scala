@@ -137,6 +137,49 @@ object TextOps {
         length(col("text_norm")).cast("long").as("n_chars_norm"))
       .orderBy("doc_id")
 
+  // Intra-document trigram repetition — the Gopher-class "repeated
+  // n-gram" quality gate (a doc whose trigrams mostly repeat is
+  // boilerplate/spam, dropped before training). Pure narrow maps:
+  // build the trigram list once, count total vs distinct.
+  private def qRepetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", tokens())
+      .withColumn("tris", expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))"))
+      .select(
+        col("doc_id"),
+        size(col("tris")).cast("long").as("n_tri"),
+        size(array_distinct(col("tris"))).cast("long").as("n_tri_uniq"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_tri_uniq").cast("double") / col("n_tri").cast("double"))
+      .withColumn("is_repetitive", col("rep_ratio") > 0.2)
+      .orderBy("doc_id")
+
+  /** Unigram Shannon entropy per document (nats) — the
+    * distribution-shape quality signal (near-zero entropy = one token
+    * repeated; high = diverse vocabulary). Each p·ln(p) term is pinned
+    * to DECIMAL(18,9) before the sum: ln() may differ in the last ulp
+    * across libm implementations, and a double sum is also
+    * partition-order-dependent — the decimal pin fixes both, same
+    * technique as q_tfidf/q_corr_manual.
+    */
+  private def qDocEntropy(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens()).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    tf.withColumn("n", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("term", expr(
+        """CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(18,9))"""))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_uniq_tokens"),
+        (lit(0.0) - expr("CAST(SUM(term) AS DOUBLE)")).as("entropy_nats"))
+      .orderBy("doc_id")
+  }
+
   // Document fingerprinting: content hashes + a bucket prefix.
   private def qFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -472,10 +515,46 @@ object TextOps {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_minhash" -> (qDedupMinhash _),
-    "q_dedup_simhash" -> (qDedupSimhash _)
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_repetition" -> (qRepetition _),
+    "q_doc_entropy" -> (qDocEntropy _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_repetition" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_transform(
+        |           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) AS tris
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(tris) AS BIGINT) AS n_tri,
+        |       CAST(len(list_distinct(tris)) AS BIGINT) AS n_tri_uniq,
+        |       1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / CAST(len(tris) AS DOUBLE) AS rep_ratio,
+        |       (1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / CAST(len(tris) AS DOUBLE)) > 0.2 AS is_repetitive
+        |FROM sh
+        |ORDER BY doc_id""".stripMargin,
+    "q_doc_entropy" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok
+        |), wn AS (
+        |  SELECT doc_id, c,
+        |         CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        |  FROM tf
+        |), terms AS (
+        |  SELECT doc_id, n,
+        |         CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(18,9)) AS term
+        |  FROM wn)
+        |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+        |       COUNT(*) AS n_uniq_tokens,
+        |       0.0 - CAST(SUM(term) AS DOUBLE) AS entropy_nats
+        |FROM terms
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     // label propagation over same-digest cliques must converge to
     // exactly the digest groups — expressible without recursion
     "q_dedup_clusters" ->
