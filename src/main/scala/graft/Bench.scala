@@ -19,6 +19,14 @@ object Bench {
     // derived-column work would never be evaluated — the timed plan
     // must produce every output column
     def run(name: String): Double = {
+      // drop cross-query residue BEFORE the clock starts: queries using
+      // localCheckpoint (CC loop, tfidf, minhash) leave their blocks
+      // registered until the ContextCleaner catches up, and ~200
+      // executions of residue in one JVM turns into GC churn that lands
+      // on whichever query runs when the heap fills (measured: a 1.3 s
+      // query spiking to 16 s mid-suite)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -28,7 +36,11 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional arg: comma-separated query-name filter (local iteration)
+    val names = args.headOption match {
+      case Some(f) => f.split(",").toSeq.filter(SparkEntry.queries.contains)
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     // full warmup pass: JVM/codegen warmup, parquet footer caches, and
     // per-query plan compilation jitter land here, so the timed pass
     // is comparable round over round

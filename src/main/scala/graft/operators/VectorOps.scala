@@ -278,14 +278,22 @@ object VectorOps {
   def embedNearDupPairs(vecs: DataFrame, p: LshParams = DedupLsh,
       minCosine: Double = DedupCosine): DataFrame = {
     val extra = vecs.columns.filterNot(Set("vec_id", "vec")).toSeq
-    val bucketed = withBandBuckets(vecs, p)
-    val a = bucketed.select(Seq(col("band"), col("bucket"),
-      col("vec_id").as("a_id"), col("vec").as("a_vec")) ++ extra.map(col): _*)
-    val b = bucketed.select(col("band"), col("bucket"),
-      col("vec_id").as("b_id"), col("vec").as("b_vec"))
-    a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
-      .drop("band", "bucket")
-      .dropDuplicates("a_id", "b_id")
+    // candidate generation and dedup over ID PAIRS ONLY: the band join
+    // and the distinct shuffle move 16-byte rows, not the 0.5 KB
+    // two-vector payload (a pair colliding in k bands would otherwise
+    // ship its vectors k times into the dedup exchange) — at corpus
+    // scale the candidate stream is the largest intermediate here
+    val bucketed = withBandBuckets(vecs, p).select("band", "bucket", "vec_id")
+    val cand = bucketed.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
+      .join(bucketed.select(col("band"), col("bucket"), col("vec_id").as("b_id")),
+        Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    // vectors rejoin only for the surviving distinct pairs' exact refine
+    val va = vecs.select(Seq(col("vec_id").as("a_id"),
+      col("vec").as("a_vec")) ++ extra.map(col): _*)
+    val vb = vecs.select(col("vec_id").as("b_id"), col("vec").as("b_vec"))
+    cand.join(va, Seq("a_id")).join(vb, Seq("b_id"))
       .withColumn("cosine", cosine("a_vec", "b_vec"))
       .filter(col("cosine") > minCosine)
       .drop("a_vec", "b_vec")
