@@ -272,6 +272,9 @@ object TextOps {
     // k-shifted avalanche constant) — O(32·|shingles|) integer ops
     // instead of 32 string-concat+hash passes per document, and free
     // of the long-multiply overflow ANSI mode rejects
+    // localCheckpoint: the signature frame feeds the band join (twice)
+    // AND the verify-stage rejoins — without materialization the
+    // shingle explode + window + agg would re-run for every branch
     val docs = keptShingleHashes(doubled(s, d), ShingleDfCap)
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(col("sh"))).as("sh_hash"))
@@ -281,20 +284,24 @@ object TextOps {
                    h -> (shiftleft(h, k * 2 + 1) | shiftrightunsigned(h, 63 - k * 2))
                           ^ shiftleft(-7046029254386353131L, k))))"""))
       .select("doc_id", "sh_hash", "sig")
-    // the verify stage compares COMPACT hash arrays (distinct shingle
-    // xxhash64s), not the strings — ~3× narrower rows through the band
-    // join, and set-intersection on longs; single-pass plan so the
-    // shingling/signature computation is evaluated exactly once
+      .localCheckpoint()
+    // band join + distinct move ID PAIRS ONLY (16-byte rows): a pair
+    // colliding in k bands would otherwise ship its two ~100-long
+    // shingle-hash arrays k times through the dedup exchange. The
+    // arrays rejoin afterwards for the exact-Jaccard verify of the
+    // surviving distinct pairs (compact longs, not shingle strings).
     val banded = docs.select(
-      col("doc_id"), col("sh_hash"),
+      col("doc_id"),
       posexplode(expr("transform(sequence(0, 7), b -> xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4))))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val l = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("a_id"), col("sh_hash").as("a_sh"))
-    val r = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("b_id"), col("sh_hash").as("b_sh"))
-    l.join(r, Seq("band", "band_hash")).filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh").distinct()
+    val cand = banded.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
+      .join(banded.select(col("band"), col("band_hash"), col("doc_id").as("b_id")),
+        Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("sh_hash").as("a_sh")), Seq("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("sh_hash").as("b_sh")), Seq("b_id"))
       .withColumn("jaccard",
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
           / size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
