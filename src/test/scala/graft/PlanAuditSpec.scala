@@ -73,6 +73,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"df join fell back to SMJ:\n$p")
   }
 
+  test("q_join_volume_flow filters nations at the dims and broadcasts them") {
+    // the Q7 shape's scale property: the 2-row filtered nation dims
+    // broadcast into supplier/customer BEFORE the fact joins — the
+    // nation predicate must never wait for the post-join filter
+    val p = plan("q_join_volume_flow")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2, s"expected both nation joins broadcast:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("In(n_name")),
+      s"nation name filter not pushed to the nation scan:\n$p")
+  }
+
+  test("q_market_share broadcasts only O(1) dims; part/supplier joins stay shuffles") {
+    // part and supplier scale with SF — hinting them broadcast would
+    // OOM a real cluster. Only nation (x2) and region are O(1).
+    val p = plan("q_market_share")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"nation x2 + region must broadcast:\n$p")
+    val exec = SparkEntry.queries("q_market_share")(spark, Sf0001)
+      .queryExecution.executedPlan
+    val unwrapped = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    // left-semi against the EU customer set must prune, not duplicate:
+    // no row-count change operator after it (semi join emits <= left)
+    val semis = unwrapped.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType.toString.contains("LeftSemi") => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.joinType.toString.contains("LeftSemi") => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          if j.joinType.toString.contains("LeftSemi") => j
+    }
+    assert(semis.nonEmpty, s"EU-customer filter must plan as a semi join:\n$unwrapped")
+  }
+
   test("q_enrich fact side has no shuffle before the join (broadcast only)") {
     val p = plan("q_enrich")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")

@@ -131,6 +131,32 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("starEdges yields the same components as all-pairs edges on random blockings") {
+    // the r3 rewrite claim, as a property: for ANY (key, id) blocking,
+    // the linear star edge set (member -> min id per block) must give
+    // exactly the components the quadratic within-block all-pairs set
+    // gives — blocks sharing no id never merge, blocks are fully merged
+    val blockGen = for {
+      n <- Gen.choose(2, 30)
+      keys <- Gen.listOfN(n, Gen.choose(0, 6)) // few keys → real blocks
+    } yield keys.zipWithIndex.map { case (k, i) => (s"k$k", i.toLong + 1) }
+    forAllSampled(blockGen, trials = 4) { rows =>
+      val keyed = rows.toDF("dig", "doc_id")
+      val star = graft.operators.TextOps.starEdges(keyed)
+      val nodes = keyed.select("doc_id")
+      val gotStar = graft.operators.TextOps.connectedComponents(nodes, star)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // reference: label = min id of the doc's block (blocks are
+      // disjoint by construction — each doc has exactly one key)
+      val minPerKey = rows.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).min }
+      val expected = rows.map { case (k, id) => (id, minPerKey(k)) }.toSet
+      assert(gotStar == expected, s"rows=$rows")
+      // and the edge count is linear: n - (#blocks), never C(d,2)-shaped
+      val nBlocks = rows.map(_._1).distinct.size
+      assert(star.count() == rows.size - nBlocks)
+    }
+  }
+
   test("replay dedup is idempotent: processing a batch k times = once (T7)") {
     forAllSampled(Gen.zip(Gen.listOfN(20, evGen), Gen.choose(2, 4))) { case (rows, k) =>
       if (rows.nonEmpty) {
