@@ -438,6 +438,49 @@ object TextOps {
       .orderBy("cluster_keeper")
   }
 
+  /** End-to-end training-MIX assembly — the composition a multilingual
+    * pipeline runs to turn a raw corpus into a balanced training set,
+    * as ONE declarative plan: canonicalize → collapse exact dups
+    * (keeper = min doc_id per normalized digest) → token-count quality
+    * gate → α=0.5 temperature weights over the gated per-language
+    * counts → per-language integer budgets floor(weight·B) → md5-ranked
+    * stratified selection up to each budget. Every stage is exact
+    * integer/decimal/IEEE arithmetic, so the SELECTED SET ITSELF is
+    * oracle-comparable — the whole mix decision is reproducible across
+    * engines, reruns, and partitionings. Shuffles: the digest window,
+    * the per-lang window, and a broadcast of the L-row budget table.
+    */
+  private def qCorpusMix(s: SparkSession, d: String): DataFrame = {
+    val budget = 200.0
+    val norm = doubled(s, d)
+      .withColumn("text_norm",
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .withColumn("norm_md5", md5(col("text_norm")))
+      .withColumn("n_tokens", size(split(col("text_norm"), " ")).cast("long"))
+    val keepers = norm
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("norm_md5")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1 && col("n_tokens") >= 30)
+      .select("doc_id", "lang")
+    val budgets = keepers.groupBy(col("lang")).agg(count(lit(1)).as("n_gated"))
+      .withColumn("n_total", expr("CAST(SUM(n_gated) OVER () AS BIGINT)"))
+      .withColumn("w_raw",
+        sqrt(col("n_gated").cast("double") / col("n_total").cast("double")))
+      .withColumn("target", expr(
+        s"""CAST(FLOOR(w_raw / CAST(SUM(CAST(w_raw AS DECIMAL(18,12))) OVER () AS DOUBLE)
+              * $budget) AS BIGINT)"""))
+      .select("lang", "n_gated", "target")
+    val ranked = keepers
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+    ranked.join(broadcast(budgets), Seq("lang"))
+      .filter(col("rk") <= col("target"))
+      .select("lang", "rk", "doc_id", "n_gated", "target")
+      .orderBy("lang", "rk")
+  }
+
   /** TF-IDF top terms per document (SURVEY §7.1 M4 "tf-idf-lite via
     * joins+aggs"): tf per (doc, token) × ln(N/df), top-3 per doc.
     * The corpus size N joins in as a broadcast scalar (no driver-side
@@ -524,10 +567,50 @@ object TextOps {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_repetition" -> (qRepetition _),
-    "q_doc_entropy" -> (qDocEntropy _)
+    "q_doc_entropy" -> (qDocEntropy _),
+    "q_corpus_mix" -> (qCorpusMix _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_corpus_mix" ->
+      s"""WITH $doubledSql,
+         |norm AS (
+         |  SELECT doc_id, lang,
+         |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text_norm
+         |  FROM doubled
+         |), meta AS (
+         |  SELECT doc_id, lang, md5(text_norm) AS norm_md5,
+         |         len(string_split(text_norm, ' ')) AS n_tokens
+         |  FROM norm
+         |), keepers AS (
+         |  SELECT doc_id, lang FROM (
+         |    SELECT doc_id, lang, n_tokens,
+         |           ROW_NUMBER() OVER (PARTITION BY norm_md5 ORDER BY doc_id) AS rn
+         |    FROM meta)
+         |  WHERE rn = 1 AND n_tokens >= 30
+         |), w AS (
+         |  SELECT lang, COUNT(*) AS n_gated FROM keepers GROUP BY lang
+         |), w2 AS (
+         |  SELECT lang, n_gated, CAST(SUM(n_gated) OVER () AS BIGINT) AS n_total FROM w
+         |), w3 AS (
+         |  SELECT lang, n_gated,
+         |         sqrt(CAST(n_gated AS DOUBLE) / CAST(n_total AS DOUBLE)) AS w_raw
+         |  FROM w2
+         |), budgets AS (
+         |  SELECT lang, n_gated,
+         |         CAST(FLOOR(w_raw / CAST(SUM(CAST(w_raw AS DECIMAL(18,12))) OVER () AS DOUBLE)
+         |           * 200.0) AS BIGINT) AS target
+         |  FROM w3
+         |), ranked AS (
+         |  SELECT lang, doc_id,
+         |         CAST(ROW_NUMBER() OVER (
+         |           PARTITION BY lang
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+         |  FROM keepers)
+         |SELECT r.lang, r.rk, r.doc_id, b.n_gated, b.target
+         |FROM ranked r JOIN budgets b ON r.lang = b.lang
+         |WHERE r.rk <= b.target
+         |ORDER BY r.lang, r.rk""".stripMargin,
     "q_repetition" ->
       """WITH sh AS (
         |  SELECT doc_id,
