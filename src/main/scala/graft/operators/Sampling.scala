@@ -100,12 +100,48 @@ object Sampling {
       .select("lang", "n_docs", "n_total", "p", "w_raw", "weight", "boost")
       .orderBy("lang")
 
+  /** Train/test decontamination — the span-overlap sweep every
+    * held-out set needs before it can be trusted: tile each document
+    * into disjoint 5-token chunks, build the DISTINCT train-split
+    * chunk set, and report per val/test doc how many of its chunks
+    * also occur in train. Spark side joins on xxhash64 of the chunk
+    * (8-byte keys through the one shuffle that matters — at corpus
+    * scale the train chunk set is the big side and hash keys shrink it
+    * ~6×; a 64-bit collision would perturb one count with p≈1e-10);
+    * the oracle joins the strings themselves, so the counts are
+    * cross-checked against a collision-free formulation.
+    */
+  private val ChunkToks = 5
+
+  private def qDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val k = ChunkToks
+    val chunks = Tables.documents(s, d)
+      .withColumn("split", splitOf(hexKey(col("doc_id"))))
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("split"),
+        explode(expr(
+          s"""transform(sequence(0, greatest(CAST(ceil(size(toks) / $k.0) AS INT) - 1, 0)),
+                i -> xxhash64(concat_ws(' ', slice(toks, i * $k + 1, $k))))""")).as("h"))
+    val train = chunks.filter(col("split") === "train")
+      .select(col("h")).distinct().withColumn("hit", lit(1L))
+    chunks.filter(col("split") =!= "train")
+      .join(train, Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
+      .withColumn("contam_frac",
+        col("n_contaminated").cast("double") / col("n_chunks").cast("double"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_assign" -> (qSplitAssign _),
     "q_split_stats" -> (qSplitStats _),
     "q_sample_hash" -> (qSampleHash _),
     "q_sample_stratified" -> (qSampleStratified _),
-    "q_lang_temperature" -> (qLangTemperature _)
+    "q_lang_temperature" -> (qLangTemperature _),
+    "q_decontaminate" -> (qDecontaminate _)
   )
 
   private[operators] val splitSql =
@@ -152,6 +188,27 @@ object Sampling {
         |SELECT lang, rk, doc_id, source
         |FROM ranked WHERE rk <= 40
         |ORDER BY lang, rk""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, $splitSql AS split, string_split(text, ' ') AS toks
+         |  FROM documents
+         |), chunks AS (
+         |  SELECT doc_id, split,
+         |         unnest(list_transform(
+         |           range(0, CAST(ceil(len(toks) / $ChunkToks.0) AS BIGINT)),
+         |           i -> array_to_string(toks[i*$ChunkToks+1 : i*$ChunkToks+$ChunkToks], ' '))) AS chunk
+         |  FROM docs
+         |), train AS (
+         |  SELECT DISTINCT chunk FROM chunks WHERE split = 'train'
+         |)
+         |SELECT c.doc_id, COUNT(*) AS n_chunks,
+         |       CAST(SUM(CASE WHEN t.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |       CAST(SUM(CASE WHEN t.chunk IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS contam_frac
+         |FROM chunks c LEFT JOIN train t ON c.chunk = t.chunk
+         |WHERE c.split <> 'train'
+         |GROUP BY c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
     "q_lang_temperature" ->
       """WITH c AS (
         |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
