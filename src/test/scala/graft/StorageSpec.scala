@@ -75,6 +75,37 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the second half of the stats/bloom skipping story: when a dim
+    // carries a selective predicate and the join must shuffle (no
+    // broadcast), Spark can inject a bloom filter built from the dim
+    // keys and push it into the fact scan — at 100 TB this is the
+    // difference between shuffling the whole fact table and shuffling
+    // only might-match rows. Thresholds are tuned down because the
+    // test tables are far below the production defaults.
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val l = Tables.lineitem(spark, Sf001)
+      val o = Tables.orders(spark, Sf001)
+        .filter($"o_orderpriority" === "1-URGENT")
+      val j = l.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").count()
+      val p = j.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(p.toLowerCase.contains("bloomfilter") || p.contains("might_contain"),
+        s"no runtime bloom filter in plan:\n$p")
+      assert(j.collect().head.getLong(1) > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("min/max stats on a range-clustered write skip row groups at scan time") {
     // THE data-layout lever a 100 TB deployment leans on hardest:
     // range-cluster on the filter column, and a selective range
