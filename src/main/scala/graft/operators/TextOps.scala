@@ -320,9 +320,14 @@ object TextOps {
   // distinct signatures — the formulation that survives 100 TB.
   // Engine-specific hashing → no oracle; unit-tested.
   private def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextExpressions.register(s)
     // term frequencies via explode + hash agg (vectorized, linear),
     // then one 64-bit signature per doc from ~|vocab| (hash, weight)
-    // pairs — the hash is computed once per distinct token.
+    // pairs — the hash is computed once per distinct token, and the
+    // 64 weighted bit-sums are filled in ONE codegen'd pass over the
+    // tokens (graft_simhash native expression; the HOF fold evaluated
+    // 64 interpreted lambda frames per token — ExtensionsSpec pins the
+    // two bit-identical)
     val tf = doubled(s, d)
       .select(col("doc_id"), explode(tokens()).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
@@ -331,10 +336,7 @@ object TextOps {
         struct(xxhash64(col("tok")).as("h"), col("w")).as("tw"))
       .groupBy(col("doc_id"))
       .agg(collect_list(col("tw")).as("toks"))
-    val sigs = tf.withColumn("simhash", expr(
-      """aggregate(sequence(0, 63), 0L, (acc, j) ->
-           acc | IF(aggregate(toks, 0L, (a, t) -> a + ((shiftright(t.h, j) & 1) * 2 - 1) * t.w) > 0,
-                    shiftleft(1L, j), 0L))"""))
+    val sigs = tf.withColumn("simhash", expr("graft_simhash(toks)"))
       .select("doc_id", "simhash")
     val groups = sigs.groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_members"))

@@ -32,6 +32,26 @@ class OperatorsSpec extends SparkSpec {
     assert(groups.filter($"keeper_id" >= 1000000L).count() == 0) // keeper = original
   }
 
+  test("graft_simhash native expression is bit-identical to the HOF fold") {
+    // the codegen'd one-pass signature must equal the 64-lambda-frame
+    // aggregate formulation on real corpus term frequencies — same
+    // strictly-positive bit rule, same weighted sums
+    graft.functions.TextExpressions.register(spark)
+    val tf = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("w"))
+      .select($"doc_id", struct(xxhash64($"tok").as("h"), $"w").as("tw"))
+      .groupBy($"doc_id").agg(collect_list($"tw").as("toks"))
+    val both = tf.select(
+      $"doc_id",
+      expr("graft_simhash(toks)").as("native"),
+      expr("""aggregate(sequence(0, 63), 0L, (acc, j) ->
+               acc | IF(aggregate(toks, 0L, (a, t) -> a + ((shiftright(t.h, j) & 1) * 2 - 1) * t.w) > 0,
+                        shiftleft(1L, j), 0L))""").as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() == 0)
+    assert(both.count() == 500)
+  }
+
   test("simhash near-groups count planted low-Hamming variants, verified bit-for-bit") {
     // round-2 gap: the Hamming<=3 banding was pigeonhole-correct but no
     // test ever planted a near-duplicate (non-identical text, signature
