@@ -230,6 +230,35 @@ object Relational {
       .orderBy("o_year")
   }
 
+  // Recursive CTE (Spark 4 WITH RECURSIVE): generate the complete
+  // month spine between the data's min and max order date (~80
+  // recursion levels), then LEFT JOIN monthly revenue — the gap-filled
+  // time series every reporting layer needs (months with no orders
+  // appear as explicit zeros, which a plain GROUP BY can never emit).
+  // The recursion is O(#months) rows on the driver-planned side; the
+  // fact aggregate stays a normal distributed hash agg.
+  private def qMonthSpine(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_spine")
+    s.sql(
+      """WITH RECURSIVE bounds AS (
+        |  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+        |         date_trunc('month', MAX(o_orderdate)) AS hi
+        |  FROM orders_spine
+        |), spine AS (
+        |  SELECT lo AS m, hi FROM bounds
+        |  UNION ALL
+        |  SELECT m + INTERVAL '1' MONTH, hi FROM spine WHERE m < hi
+        |), monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders_spine GROUP BY 1
+        |)
+        |SELECT s.m, COALESCE(mo.n_orders, 0) AS n_orders,
+        |       COALESCE(mo.revenue, 0.0) AS revenue
+        |FROM spine s LEFT JOIN monthly mo ON s.m = mo.m
+        |ORDER BY s.m""".stripMargin)
+  }
+
   private def qRollup(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
@@ -684,10 +713,30 @@ object Relational {
     "q_exists_count" -> (qExistsCount _),
     "q_min_per_group" -> (qMinPerGroup _),
     "q_join_volume_flow" -> (qJoinVolumeFlow _),
-    "q_market_share" -> (qMarketShare _)
+    "q_market_share" -> (qMarketShare _),
+    "q_month_spine" -> (qMonthSpine _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_month_spine" ->
+      """WITH RECURSIVE bounds AS (
+        |  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+        |         date_trunc('month', MAX(o_orderdate)) AS hi
+        |  FROM orders
+        |), spine AS (
+        |  SELECT lo AS m, hi FROM bounds
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH, hi FROM spine WHERE m < hi
+        |), monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT CAST(s.m AS TIMESTAMP) AS m,
+        |       CAST(COALESCE(mo.n_orders, 0) AS BIGINT) AS n_orders,
+        |       COALESCE(mo.revenue, 0.0) AS revenue
+        |FROM spine s LEFT JOIN monthly mo ON s.m = mo.m
+        |ORDER BY m""".stripMargin,
     "q_join_volume_flow" ->
       s"""WITH flow AS (
          |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
