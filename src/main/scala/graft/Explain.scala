@@ -16,7 +16,9 @@ object Explain {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q_enrich", "q_filter_project", "q_agg_pricing", "q_join_inner",
         "q_star_join", "q_topk", "q_sim_bruteforce", "q_asof_join", "q_tfidf",
-        "q_dedup_minhash", "q_corpus_clean")
+        "q_dedup_minhash", "q_corpus_clean", "q_join_volume_flow",
+        "q_market_share", "q_embed_dedup", "q_dedup_clusters", "q_corpus_mix",
+        "q_decontaminate", "q_month_spine")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
