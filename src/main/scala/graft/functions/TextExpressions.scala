@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructType}
   *
   * Bit j of the result is set iff Σ_t ((t.h >> j & 1) · 2 − 1) · t.w
   * is strictly positive — EXACTLY the HOF fold's semantics, pinned
-  * bit-identical by ExtensionsSpec. Null array → null; a null element
+  * bit-identical by OperatorsSpec ("graft_simhash native expression is
+  * bit-identical to the HOF fold"). Null array → null; a null element
   * or field nulls the result (conservative, mirrors graft_dot).
   */
 case class SimHash64(child: Expression) extends UnaryExpression {

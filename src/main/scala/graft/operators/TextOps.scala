@@ -445,8 +445,14 @@ object TextOps {
     * as ONE declarative plan: canonicalize → collapse exact dups
     * (keeper = min doc_id per normalized digest) → token-count quality
     * gate → α=0.5 temperature weights over the gated per-language
-    * counts → per-language integer budgets floor(weight·B) → md5-ranked
-    * stratified selection up to each budget. Every stage is exact
+    * counts → per-language integer budgets by LARGEST-REMAINDER
+    * apportionment (floor(weight·B), then the rounding residue
+    * B − Σfloor goes one slot each to the languages with the biggest
+    * fractional remainder, tie-broken by lang — so Σtarget = B exactly,
+    * no stranded slots) → md5-ranked selection up to each budget.
+    * The remainder rank is an IEEE-deterministic double (w·B and its
+    * floor are bit-identical cross-engine), so the apportionment is
+    * oracle-comparable. Every stage is exact
     * integer/decimal/IEEE arithmetic, so the SELECTED SET ITSELF is
     * oracle-comparable — the whole mix decision is reproducible across
     * engines, reruns, and partitionings. Shuffles: the digest window,
@@ -469,9 +475,19 @@ object TextOps {
       .withColumn("n_total", expr("CAST(SUM(n_gated) OVER () AS BIGINT)"))
       .withColumn("w_raw",
         sqrt(col("n_gated").cast("double") / col("n_total").cast("double")))
-      .withColumn("target", expr(
-        s"""CAST(FLOOR(w_raw / CAST(SUM(CAST(w_raw AS DECIMAL(18,12))) OVER () AS DOUBLE)
-              * $budget) AS BIGINT)"""))
+      .withColumn("exact", expr(
+        s"""w_raw / CAST(SUM(CAST(w_raw AS DECIMAL(18,12))) OVER () AS DOUBLE)
+              * $budget"""))
+      .withColumn("floor_t", expr("CAST(FLOOR(exact) AS BIGINT)"))
+      .withColumn("residue", expr(
+        s"CAST($budget AS BIGINT) - CAST(SUM(floor_t) OVER () AS BIGINT)"))
+      // largest-remainder: the L-row budget table fits one partition,
+      // so the unpartitioned rank window is a non-issue at any scale
+      .withColumn("rem_rank", row_number().over(
+        Window.orderBy((col("exact") - col("floor_t").cast("double")).desc,
+          col("lang"))).cast("long"))
+      .withColumn("target",
+        col("floor_t") + when(col("rem_rank") <= col("residue"), 1L).otherwise(0L))
       .select("lang", "n_gated", "target")
     val ranked = keepers
       .withColumn("rk", row_number().over(
@@ -598,11 +614,21 @@ object TextOps {
          |  SELECT lang, n_gated,
          |         sqrt(CAST(n_gated AS DOUBLE) / CAST(n_total AS DOUBLE)) AS w_raw
          |  FROM w2
+         |), ex AS (
+         |  SELECT lang, n_gated,
+         |         w_raw / CAST(SUM(CAST(w_raw AS DECIMAL(18,12))) OVER () AS DOUBLE)
+         |           * 200.0 AS exact_t
+         |  FROM w3
+         |), fl AS (
+         |  SELECT lang, n_gated, exact_t,
+         |         CAST(FLOOR(exact_t) AS BIGINT) AS floor_t,
+         |         200 - CAST(SUM(CAST(FLOOR(exact_t) AS BIGINT)) OVER () AS BIGINT) AS residue,
+         |         ROW_NUMBER() OVER (ORDER BY exact_t - FLOOR(exact_t) DESC, lang) AS rem_rank
+         |  FROM ex
          |), budgets AS (
          |  SELECT lang, n_gated,
-         |         CAST(FLOOR(w_raw / CAST(SUM(CAST(w_raw AS DECIMAL(18,12))) OVER () AS DOUBLE)
-         |           * 200.0) AS BIGINT) AS target
-         |  FROM w3
+         |         CAST(floor_t + CASE WHEN rem_rank <= residue THEN 1 ELSE 0 END AS BIGINT) AS target
+         |  FROM fl
          |), ranked AS (
          |  SELECT lang, doc_id,
          |         CAST(ROW_NUMBER() OVER (

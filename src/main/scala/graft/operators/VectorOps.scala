@@ -133,10 +133,21 @@ object VectorOps {
   /** One bucket id per (row, band): bucket = left fold acc·2 + sign
     * bit over the band's planes (band b owns plane indices
     * [b·ppb, (b+1)·ppb)). Adds `band`/`bucket` via posexplode — each
-    * vector emits exactly `bands` rows. Input needs a `vec` column.
+    * vector emits exactly `bands` rows. Input needs a `vec` column of
+    * exactly `dim` elements: graft_dot folds over min(len), so a
+    * shorter vector would silently bucket on a truncated projection
+    * (degraded recall, no error) — the guard turns that into a loud
+    * runtime failure instead.
     */
-  private[graft] def withBandBuckets(df: DataFrame, p: LshParams): DataFrame =
-    df.withColumn("pl", typedlit(planes(p.nPlanes, 64)))
+  private[graft] def withBandBuckets(df: DataFrame, p: LshParams,
+      dim: Int = 64): DataFrame =
+    df.withColumn("vec", expr(
+        s"""CASE WHEN size(vec) = $dim THEN vec
+              ELSE CAST(raise_error(concat(
+                'graft LSH: expected dim $dim, got ', CAST(size(vec) AS STRING),
+                ' — plane count must match the vector dimension'))
+                AS ARRAY<DOUBLE>) END"""))
+      .withColumn("pl", typedlit(planes(p.nPlanes, dim)))
       .withColumn("bb", expr(
         s"""transform(sequence(0, ${p.bands - 1}), b ->
               aggregate(sequence(0, ${p.planesPerBand - 1}), 0L, (acc, q) ->
@@ -260,8 +271,9 @@ object VectorOps {
   // cosine refine (the embedding-cosine near-dup north-star op).
   // A single long signature reliably finds IDENTICAL vectors but
   // misses ~70% of genuine cosine-0.9 near-dups (collision prob
-  // s^planes ≈ 0.29 for 8 planes); 4 bands × 4 planes recalls
-  // 1−(1−s⁴)⁴ ≈ 0.95 at the same cost class. Candidates = union of
+  // s^planes ≈ 0.29 for 8 planes); banding (DedupLsh: 5 bands × 6
+  // derived planes ⇒ 1−(1−s⁶)⁵ ≈ 0.92 at the 0.9 threshold — see the
+  // LshParams.forCorpus doc) buys the recall back. Candidates = union of
   // per-band bucket collisions, dedup'd before the exact refine; the
   // pair join is bounded by bands × bucket width, and the plane count
   // is derived from corpus size (DedupLsh) so width doesn't grow with
@@ -274,16 +286,19 @@ object VectorOps {
 
   /** Near-duplicate pairs over any (vec_id, vec[, extra…]) frame —
     * public so recall tests can run planted fixtures through the exact
-    * production blocking. Extra columns ride along from side `a`. */
+    * production blocking. Extra columns ride along from side `a`.
+    * `dim` must equal the vectors' length — mismatches raise at
+    * runtime (see withBandBuckets) rather than silently bucketing on
+    * a truncated projection. */
   def embedNearDupPairs(vecs: DataFrame, p: LshParams = DedupLsh,
-      minCosine: Double = DedupCosine): DataFrame = {
+      minCosine: Double = DedupCosine, dim: Int = 64): DataFrame = {
     val extra = vecs.columns.filterNot(Set("vec_id", "vec")).toSeq
     // candidate generation and dedup over ID PAIRS ONLY: the band join
     // and the distinct shuffle move 16-byte rows, not the 0.5 KB
     // two-vector payload (a pair colliding in k bands would otherwise
     // ship its vectors k times into the dedup exchange) — at corpus
     // scale the candidate stream is the largest intermediate here
-    val bucketed = withBandBuckets(vecs, p).select("band", "bucket", "vec_id")
+    val bucketed = withBandBuckets(vecs, p, dim).select("band", "bucket", "vec_id")
     val cand = bucketed.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
       .join(bucketed.select(col("band"), col("bucket"), col("vec_id").as("b_id")),
         Seq("band", "bucket"))

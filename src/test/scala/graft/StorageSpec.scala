@@ -84,6 +84,8 @@ class StorageSpec extends SparkSpec {
     // only might-match rows. Thresholds are tuned down because the
     // test tables are far below the production defaults.
     val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBloom = spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     spark.conf.set(
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
@@ -103,6 +105,12 @@ class StorageSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       spark.conf.unset(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      prevBloom match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      }
     }
   }
 
