@@ -36,23 +36,42 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    // optional arg: comma-separated query-name filter (local iteration)
+    // optional arg: comma-separated query-name filter (local iteration).
+    // Unknown names ABORT: silently dropping a typo would overwrite
+    // BENCH_FULL.json with a misleading near-zero partial total.
     val names = args.headOption match {
-      case Some(f) => f.split(",").toSeq.filter(SparkEntry.queries.contains)
+      case Some(f) =>
+        val asked = f.split(",").toSeq
+        val unknown = asked.filterNot(SparkEntry.queries.contains)
+        if (unknown.nonEmpty) {
+          System.err.println(
+            s"[bench] unknown queries: ${unknown.mkString(", ")} — aborting")
+          spark.stop()
+          sys.exit(1)
+        }
+        asked
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
     // full warmup pass: JVM/codegen warmup, parquet footer caches, and
     // per-query plan compilation jitter land here, so the timed pass
     // is comparable round over round
     names.foreach(run)
-    val results = names.map(n => n -> run(n))
+    // median of 3 timed passes per query: single-pass totals swung
+    // 79 vs 93 s across runs of the SAME binary from host contention
+    // alone, so a per-query median (and a total OF medians) is the
+    // smallest sample that yields a reproducible regression signal
+    val passes = 3
+    val results = names.map { n =>
+      val ts = Seq.fill(passes)(run(n)).sorted
+      n -> ts(passes / 2)
+    }
     // slowest queries FIRST: if the artifact line gets truncated, the
     // numbers that matter (total + heavy hitters) survive the cut
     val qs = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes_per_query":$passes,"stat":"median","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // belt-and-braces: the full result also lands in the repo so no
     // stdout truncation can lose per-query times

@@ -237,6 +237,14 @@ object Relational {
   // appear as explicit zeros, which a plain GROUP BY can never emit).
   // The recursion is O(#months) rows on the driver-planned side; the
   // fact aggregate stays a normal distributed hash agg.
+  // DIALECT PIN: this text and the DuckDB oracle below are
+  // hand-maintained twins whose ONLY intended divergence is the
+  // recursion step syntax — Spark `INTERVAL '1' MONTH` vs DuckDB
+  // `INTERVAL 1 MONTH` — plus the oracle's output-type casts. Any
+  // other edit must land in BOTH texts; OperatorsSpec ("q_month_spine
+  // emits one row per calendar month...") fails loudly if the Spark
+  // recursion stops stepping by exactly one month, so a silent step
+  // drift surfaces as a test failure, not hash-mismatch archaeology.
   private def qMonthSpine(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("orders_spine")
     s.sql(
@@ -718,6 +726,8 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // twin of qMonthSpine's Spark SQL — see the DIALECT PIN comment
+    // there; only the INTERVAL step syntax and output casts differ
     "q_month_spine" ->
       """WITH RECURSIVE bounds AS (
         |  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,

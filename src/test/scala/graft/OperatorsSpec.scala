@@ -32,6 +32,34 @@ class OperatorsSpec extends SparkSpec {
     assert(groups.filter($"keeper_id" >= 1000000L).count() == 0) // keeper = original
   }
 
+  test("q_month_spine emits one row per calendar month between the data's min and max") {
+    // the DIALECT-PIN guard (see qMonthSpine): the Spark and DuckDB
+    // texts are hand-maintained twins diverging only in INTERVAL step
+    // syntax — if the Spark recursion's step drifts from exactly one
+    // calendar month, depth or contiguity breaks HERE, loudly, instead
+    // of surfacing as an unexplained oracle hash mismatch
+    import java.time.ZoneOffset
+    val spine = SparkEntry.queries("q_month_spine")(spark, Sf001)
+      .select("m").collect()
+      .map(_.getTimestamp(0).toInstant.atZone(ZoneOffset.UTC).toLocalDateTime)
+    val b = graft.sources.Tables.orders(spark, Sf001)
+      .agg(date_trunc("month", min($"o_orderdate")).as("lo"),
+        date_trunc("month", max($"o_orderdate")).as("hi"))
+      .collect().head
+    val lo = b.getTimestamp(0).toInstant.atZone(ZoneOffset.UTC).toLocalDateTime
+    val hi = b.getTimestamp(1).toInstant.atZone(ZoneOffset.UTC).toLocalDateTime
+    val expectedDepth =
+      java.time.temporal.ChronoUnit.MONTHS.between(lo, hi).toInt + 1
+    assert(spine.length == expectedDepth,
+      s"spine depth ${spine.length} != independent month count $expectedDepth")
+    assert(spine.head == lo && spine.last == hi)
+    spine.sliding(2).foreach {
+      case Array(a, c) =>
+        assert(c == a.plusMonths(1), s"spine step $a -> $c is not one month")
+      case _ =>
+    }
+  }
+
   test("graft_simhash native expression is bit-identical to the HOF fold") {
     // the codegen'd one-pass signature must equal the 64-lambda-frame
     // aggregate formulation on real corpus term frequencies — same
