@@ -178,8 +178,12 @@ object VectorOps {
   // refine + top-5. The probe join is bounded by
   // bands × (ppb+1) × bucket width — corpus-size-independent, since
   // the plane count is DERIVED from corpus size (AnnLsh) to hold
-  // width ~constant. Engine-specific bucketing → no oracle; ScalaTest
-  // pins recall vs the brute-force baseline.
+  // width ~constant. ORACLED: the ±1 planes are deterministic literals
+  // (same machinery as q_embed_dedup's oracle), and "candidate c sits
+  // in some probe bucket of q" is exactly "some band's two buckets
+  // differ in ≤ 1 bit" — bit_count(xor(q.b, c.b)) <= 1 in the DuckDB
+  // join — so the whole ANN candidate path sits under the hash gate;
+  // ScalaTest additionally pins recall vs the brute-force baseline.
   private def qSimLsh(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.register(s)
     val e = Tables.embeddings(s, d)
@@ -406,6 +410,32 @@ object VectorOps {
         |FROM embeddings
         |GROUP BY label
         |ORDER BY label""".stripMargin,
+    "q_sim_lsh" -> {
+      val p = AnnLsh
+      val bandCols = (0 until p.bands).map(b =>
+        s"CAST(${bandBucketSql("vec", b, p, 64)} AS BIGINT) AS b$b").mkString(", ")
+      // probe-set membership, both directions at once: q probes its own
+      // bucket plus every single-bit flip, so c is a candidate iff the
+      // two 5-bit buckets differ in at most one bit in SOME band
+      val anyBandProbe = (0 until p.bands)
+        .map(b => s"bit_count(xor(q.b$b, c.b$b)) <= 1").mkString(" OR ")
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+         |), bk AS (
+         |  SELECT vec_id, vec, $bandCols FROM v
+         |), scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |         list_dot_product(q.vec, c.vec)
+         |           / (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))) AS cosine
+         |  FROM bk q JOIN bk c
+         |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id AND ($anyBandProbe))
+         |SELECT q_id, rank, c_id, cosine FROM (
+         |  SELECT q_id, c_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
+    },
     "q_embed_dedup" -> {
       val bandCols = (0 until DedupLsh.bands).map(b =>
         s"CAST(${bandBucketSql("vec", b, DedupLsh, 64)} AS BIGINT) AS b$b").mkString(", ")
