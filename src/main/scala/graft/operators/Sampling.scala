@@ -135,13 +135,49 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window (stride-1) variant of the decontamination sweep.
+    * Recall/cost trade vs the disjoint tiling above: disjoint chunks
+    * only flag an overlap that happens to contain a fully ALIGNED
+    * k-token chunk — a shared span must be ≥ 2k−1 tokens to guarantee
+    * one, so shorter overlaps straddling a chunk boundary slip
+    * through. Sliding k-grams flag EVERY shared k-token span exactly,
+    * at ~k× the gram volume on both sides; the train side stays
+    * bounded because only its DISTINCT gram hashes survive into the
+    * join (the big side shrinks to unique 8-byte keys), so the extra
+    * cost is one k×-larger explode + the distinct shuffle — the
+    * formulation a 100 TB held-out audit actually wants when eval
+    * sets are small and recall is the point.
+    */
+  private def qDecontaminateSliding(s: SparkSession, d: String): DataFrame = {
+    val k = ChunkToks
+    val grams = Tables.documents(s, d)
+      .withColumn("split", splitOf(hexKey(col("doc_id"))))
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("split"),
+        explode(expr(
+          s"""transform(sequence(0, greatest(size(toks) - $k, 0)),
+                i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $k))))""")).as("h"))
+    val train = grams.filter(col("split") === "train")
+      .select(col("h")).distinct().withColumn("hit", lit(1L))
+    grams.filter(col("split") =!= "train")
+      .join(train, Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
+      .withColumn("contam_frac",
+        col("n_contaminated").cast("double") / col("n_grams").cast("double"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_assign" -> (qSplitAssign _),
     "q_split_stats" -> (qSplitStats _),
     "q_sample_hash" -> (qSampleHash _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_lang_temperature" -> (qLangTemperature _),
-    "q_decontaminate" -> (qDecontaminate _)
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_sliding" -> (qDecontaminateSliding _)
   )
 
   private[operators] val splitSql =
@@ -209,6 +245,27 @@ object Sampling {
          |WHERE c.split <> 'train'
          |GROUP BY c.doc_id
          |ORDER BY c.doc_id""".stripMargin,
+    "q_decontaminate_sliding" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, $splitSql AS split, string_split(text, ' ') AS toks
+         |  FROM documents
+         |), grams AS (
+         |  SELECT doc_id, split,
+         |         unnest(list_transform(
+         |           range(0, greatest(len(toks) - $ChunkToks, 0) + 1),
+         |           i -> array_to_string(toks[i+1 : i+$ChunkToks], ' '))) AS gram
+         |  FROM docs
+         |), train AS (
+         |  SELECT DISTINCT gram FROM grams WHERE split = 'train'
+         |)
+         |SELECT g.doc_id, COUNT(*) AS n_grams,
+         |       CAST(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |       CAST(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS contam_frac
+         |FROM grams g LEFT JOIN train t ON g.gram = t.gram
+         |WHERE g.split <> 'train'
+         |GROUP BY g.doc_id
+         |ORDER BY g.doc_id""".stripMargin,
     "q_lang_temperature" ->
       """WITH c AS (
         |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang

@@ -319,16 +319,19 @@ object TextOps {
   // concentrate); grouping first bounds every stage by the number of
   // distinct signatures — the formulation that survives 100 TB.
   // Engine-specific hashing → no oracle; unit-tested.
-  private def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
-    graft.functions.TextExpressions.register(s)
-    // term frequencies via explode + hash agg (vectorized, linear),
-    // then one 64-bit signature per doc from ~|vocab| (hash, weight)
-    // pairs — the hash is computed once per distinct token, and the
-    // 64 weighted bit-sums are filled in ONE codegen'd pass over the
-    // tokens (graft_simhash native expression; the HOF fold evaluated
-    // 64 interpreted lambda frames per token — ExtensionsSpec pins the
-    // two bit-identical)
-    val tf = doubled(s, d)
+  /** 64-bit SimHash signature per document over whitespace tokens —
+    * public so planted-fixture tests drive the exact production
+    * signature path. Term frequencies via explode + hash agg
+    * (vectorized, linear), then one signature per doc from ~|vocab|
+    * (hash, weight) pairs — the hash is computed once per distinct
+    * token, and the 64 weighted bit-sums are filled in ONE codegen'd
+    * pass (graft_simhash native expression; the HOF fold evaluated 64
+    * interpreted lambda frames per token — OperatorsSpec pins the two
+    * bit-identical). Input needs (doc_id, text); returns
+    * (doc_id, simhash). */
+  def simhashSigs(docs: DataFrame): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    docs
       .select(col("doc_id"), explode(tokens()).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("w"))
@@ -336,25 +339,72 @@ object TextOps {
         struct(xxhash64(col("tok")).as("h"), col("w")).as("tw"))
       .groupBy(col("doc_id"))
       .agg(collect_list(col("tw")).as("toks"))
-    val sigs = tf.withColumn("simhash", expr("graft_simhash(toks)"))
+      .withColumn("simhash", expr("graft_simhash(toks)"))
       .select("doc_id", "simhash")
-    val groups = sigs.groupBy(col("simhash"))
-      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_members"))
-    val banded = groups.select(col("simhash"), posexplode(expr(
+  }
+
+  /** Hamming-≤3 pairs over DISTINCT signatures via 4×16-bit band join
+    * (pigeonhole: ≤3 differing bits leave ≥1 of the 4 bands
+    * identical). Bounded by distinct-signature cardinality, never doc
+    * count. Input: one `simhash` column (pre-grouped); returns
+    * (a_sig, b_sig) with a_sig < b_sig. */
+  private def nearSigPairs(sigs: DataFrame): DataFrame = {
+    val banded = sigs.select(col("simhash"), posexplode(expr(
       "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
     val l = banded.select(col("band"), col("band_bits"), col("simhash").as("a_sig"))
     val r = banded.select(col("band"), col("band_bits"), col("simhash").as("b_sig"))
-    val near = l.join(r, Seq("band", "band_bits"))
-      .filter(col("a_sig") =!= col("b_sig"))
+    l.join(r, Seq("band", "band_bits"))
+      .filter(col("a_sig") < col("b_sig"))
       .select("a_sig", "b_sig").distinct()
       .filter(expr("bit_count(a_sig ^ b_sig) <= 3"))
+  }
+
+  private def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = simhashSigs(doubled(s, d))
+    val groups = sigs.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_members"))
+    // symmetrize the ordered pairs back so each signature counts ALL
+    // its near neighbors, exactly as the pre-refactor both-direction
+    // band join did
+    val pairs = nearSigPairs(groups.select("simhash"))
+    val near = pairs
+      .union(pairs.select(col("b_sig").as("a_sig"), col("a_sig").as("b_sig")))
       .groupBy(col("a_sig").as("simhash"))
       .agg(count(lit(1)).as("n_near_groups"))
     groups.join(near, Seq("simhash"), "left_outer")
       .withColumn("n_near_groups", coalesce(col("n_near_groups"), lit(0L)))
       .orderBy("simhash")
   }
+
+  /** SimHash near-dup clusters END-TO-END — the step qDedupSimhash
+    * stops short of: signatures → exact-signature star edges + one
+    * keeper-to-keeper edge per Hamming-≤3 DISTINCT-signature pair →
+    * connected components → per-doc cluster label (= min doc_id of the
+    * cluster), i.e. actual keep/drop decisions. Every stage is bounded
+    * the scale-safe way: star edges are d−1 per block, the near-pair
+    * join runs over distinct signatures only, and CC is pointer-doubled
+    * min-label propagation with a fail-loud round cap. Engine-specific
+    * hashing → no oracle; the planted 2-bit-variant cluster test pins
+    * the semantics. */
+  def simhashClusters(docs: DataFrame): DataFrame = {
+    val sigs = simhashSigs(docs)
+    val groups = sigs.groupBy(col("simhash")).agg(min(col("doc_id")).as("keeper_id"))
+    // exact-signature blocks collapse via star edges (doc → block min)
+    val exactEdges = starEdges(sigs, key = "simhash")
+    // near-signature blocks connect keeper-to-keeper: one edge per
+    // signature PAIR, not per doc pair — a 10⁶-copy boilerplate block
+    // adds zero near edges beyond its two keepers' link
+    val nearEdges = nearSigPairs(groups.select("simhash"))
+      .join(groups.select(col("simhash").as("a_sig"), col("keeper_id").as("src")), Seq("a_sig"))
+      .join(groups.select(col("simhash").as("b_sig"), col("keeper_id").as("dst")), Seq("b_sig"))
+      .select("src", "dst")
+    connectedComponents(docs.select("doc_id"), exactEdges.union(nearEdges))
+      .select(col("doc_id"), col("label").as("cluster_keeper"))
+  }
+
+  private def qSimhashClusters(s: SparkSession, d: String): DataFrame =
+    simhashClusters(doubled(s, d)).orderBy("doc_id")
 
   /** Distributed connected components over a near-dup edge set:
     * iterative min-label propagation PLUS pointer doubling
@@ -584,6 +634,7 @@ object TextOps {
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_simhash_clusters" -> (qSimhashClusters _),
     "q_repetition" -> (qRepetition _),
     "q_doc_entropy" -> (qDocEntropy _),
     "q_corpus_mix" -> (qCorpusMix _)

@@ -121,6 +121,59 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("simhash clusters put planted variants in their original's cluster") {
+    // end-to-end check of simhashClusters (signatures → star edges +
+    // keeper near-edges → connected components): the distributed
+    // labels must equal the EXACT driver-side transitive closure of
+    // the "equal or Hamming<=3" relation over the signatures — and a
+    // planted low-Hamming variant must land in its original's cluster.
+    // Fixture = the near-group fixture (base + 12 one-token variants)
+    // PLUS an exact copy of the base (id 100, exercises the star-edge
+    // path through a different route than the variant edges).
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val base = (0 until 48).map(i => words(i % 12) + (i / 12)).mkString(" ")
+    val variants = (0 until 12).map { k =>
+      val toks = base.split(" ").toVector
+      toks.updated(4 * k, s"variant$k").mkString(" ")
+    }
+    val docs = (((1L, base) +: variants.zipWithIndex.map {
+      case (t, i) => (i + 2L, t)
+    }) :+ ((100L, base)))
+      .map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+    val sigs = graft.operators.TextOps.simhashSigs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // exact driver-side closure: union-find over equal-or-near signatures
+    val parent = scala.collection.mutable.Map(sigs.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for ((i, si) <- sigs; (j, sj) <- sigs
+         if i < j && java.lang.Long.bitCount(si ^ sj) <= 3) {
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val expected = sigs.keys.map(k => k -> find(k)).toMap
+    val labels = graft.operators.TextOps.simhashClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // planting worked: some variant (non-identical text) co-clusters
+    // with the base via a genuine near (not equal) signature
+    val nearOfBase = sigs.filter { case (id, s) =>
+      id != 1L && id != 100L &&
+        java.lang.Long.bitCount(s ^ sigs(1L)) >= 1 &&
+        java.lang.Long.bitCount(s ^ sigs(1L)) <= 3
+    }
+    assert(nearOfBase.nonEmpty, "fixture planted no near-variant of the base")
+    nearOfBase.keys.foreach(v =>
+      assert(labels(v) == labels(1L), s"variant $v not in base's cluster"))
+    // the exact duplicate collapses via the star-edge path
+    assert(labels(100L) == labels(1L))
+    // and the WHOLE labeling equals the exact closure
+    assert(labels.keySet == expected.keySet)
+    labels.foreach { case (id, lab) =>
+      assert(lab == expected(id), s"doc $id: label $lab != exact ${expected(id)}")
+    }
+  }
+
   test("LSH ANN scores agree with brute-force scores on shared pairs") {
     val bf = q("q_sim_bruteforce").select($"q_id", $"c_id", $"cosine".as("bf_cos"))
     val lsh = q("q_sim_lsh").select($"q_id", $"c_id", $"cosine".as("lsh_cos"))
