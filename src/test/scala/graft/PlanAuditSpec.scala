@@ -120,4 +120,58 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles == 1, s"expected exactly 1 shuffle (the sort), got $shuffles:\n$p")
     assert(p.contains("rangepartitioning"), s"the one shuffle should be the sort:\n$p")
   }
+
+  test("AQE splits a genuinely skewed shuffle-join partition (OptimizeSkewedJoin)") {
+    // the planner-visible half of the skew story: q_join_salted proves
+    // MANUAL salting, this proves the RUNTIME re-plan — one hot key
+    // lands one shuffle partition far above the median and AQE must
+    // split it (SortMergeJoin flips isSkewJoin=true) instead of letting
+    // a single straggler task carry the whole key. At 100 TB this is
+    // the default defense for skew you didn't predict; thresholds are
+    // tuned down because the fixture is far below production sizes.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val restore = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "262144")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      // hot key 1 carries 200k of 201k left rows (plus a payload so the
+      // partition is heavy in BYTES, which is what AQE measures)
+      val left = spark.range(0, 200000)
+        .select(lit(1L).as("k"), concat(lit("x" * 64), $"id").as("payload"))
+        .union(spark.range(2, 1002)
+          .select($"id".as("k"), concat(lit("y"), $"id").as("payload")))
+      val right = spark.range(1, 1002).select($"id".as("k"), ($"id" * 2).as("v"))
+      val j = left.join(right, "k").select(sum(length($"payload")).as("s"))
+      assert(j.collect().head.getLong(0) > 0) // execute → AQE final plan
+      val adaptive = j.queryExecution.executedPlan.collectFirst {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
+      }.getOrElse(fail("no AdaptiveSparkPlanExec in executed plan"))
+      // materialized QueryStageExec nodes are leaves to collect(), so
+      // assert on the final plan's rendering: OptimizeSkewedJoin marks
+      // the SMJ `skew=true` and the shuffle read `AQEShuffleRead skewed`
+      val rendered = adaptive.executedPlan.toString
+      assert(rendered.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire (no skew=true join):\n$rendered")
+      assert(rendered.contains("AQEShuffleRead skewed"),
+        s"skewed partition was not split by an AQEShuffleRead:\n$rendered")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
