@@ -184,15 +184,22 @@ object VectorOps {
   // differ in ≤ 1 bit" — bit_count(xor(q.b, c.b)) <= 1 in the DuckDB
   // join — so the whole ANN candidate path sits under the hash gate;
   // ScalaTest additionally pins recall vs the brute-force baseline.
-  private def qSimLsh(s: SparkSession, d: String): DataFrame = {
+  private def qSimLsh(s: SparkSession, d: String): DataFrame =
+    simLshTopK(s, d, AnnLsh)
+
+  /** Parameterized LSH ANN — public to graft so the scale probe can
+    * re-derive the plane count per corpus size (the forCorpus knob
+    * that holds bucket width constant as n grows). */
+  private[graft] def simLshTopK(s: SparkSession, d: String,
+      p: LshParams): DataFrame = {
     VectorExpressions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble("embedding").as("vec"))
-    val bucketed = withBandBuckets(e, AnnLsh)
+    val bucketed = withBandBuckets(e, p)
     val q = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("band"),
         explode(expr(s"""array_union(array(bucket),
-          transform(sequence(0, ${AnnLsh.planesPerBand - 1}), j -> bucket ^ shiftleft(1L, j)))"""))
+          transform(sequence(0, ${p.planesPerBand - 1}), j -> bucket ^ shiftleft(1L, j)))"""))
           .as("bucket"))
     val c = bucketed
       .select(col("band"), col("bucket"), col("vec_id").as("c_id"), col("vec").as("c_vec"))
@@ -211,17 +218,22 @@ object VectorOps {
   // IVF-style ANN — the second scale path beside LSH. Coarse quantizer
   // = FIXED K centroids (corpus-size-INdependent, unlike a %-sampled
   // pivot set whose broadcast and O(n²/K) assignment grow with n):
-  // seeded from the K vectors with the smallest xxhash64(vec_id)
-  // (deterministic sample, one TakeOrdered scan), then refined with 2
-  // Lloyd iterations whose per-cell means are DECIMAL-exact sums —
-  // double sums are partition-order-dependent, decimal sums are not,
-  // so cell assignment is run-to-run deterministic. Assignment is
-  // O(n·K) with an O(K·dim) broadcast; each Lloyd update collects only
-  // K·dim means to the driver (bounded, not a data collect). Queries
-  // probe their top-2 cells, exact cosine refine within probed cells —
-  // the probe join touches ~2/K of the corpus.
-  // Engine-specific cell layout → no oracle; ScalaTests cross-check
-  // scores against brute force and pin recall.
+  // seeded from the K vectors with the smallest md5(vec_id) hex
+  // (deterministic sample, one TakeOrdered scan, and — unlike a
+  // xxhash64 seed — computable in DuckDB, which is what lets the whole
+  // path be oracled), then refined with 2 Lloyd iterations whose
+  // per-cell means are DECIMAL-exact sums divided in DOUBLE (the
+  // cross-engine AVG pin) — double sums are partition-order-dependent,
+  // decimal sums are not, so cell assignment is run-to-run AND
+  // cross-engine deterministic. Assignment is O(n·K) with an O(K·dim)
+  // broadcast; each Lloyd update collects only K·dim means to the
+  // driver (bounded, not a data collect). Queries probe their top-3
+  // cells, exact cosine refine within probed cells — the probe join
+  // touches ~3/K of the corpus.
+  // ORACLED: seeds, both Lloyd iterations, assignment, probing, and
+  // the top-5 refine are all plain SQL over the same pinned
+  // arithmetic; ScalaTests additionally cross-check scores against
+  // brute force and pin recall.
   private val IvfK = 16
   private val IvfProbes = 3
   private val LloydIters = 2
@@ -238,15 +250,15 @@ object VectorOps {
         .withColumn("p_rank", row_number().over(byCell))
     var centroids: Seq[(Long, Seq[Double])] = e
       .select(col("vec_id"), col("vec"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(IvfK)
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(IvfK)
       .collect().sortBy(_.getLong(0)).toSeq
       .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
     for (_ <- 1 to LloydIters) {
       val means = scoreCells(centroids).filter(col("p_rank") === 1)
         .select(col("cell"), posexplode(col("vec")))
         .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("col").cast("decimal(30,15)")) / count(lit(1)))
-          .cast("double").as("m"))
+        .agg((sum(col("col").cast("decimal(30,15)")).cast("double")
+          / count(lit(1)).cast("double")).as("m"))
         .collect()
       val byId = means.groupBy(_.getLong(0)).map { case (cell, rows) =>
         cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
@@ -318,13 +330,20 @@ object VectorOps {
       .drop("a_vec", "b_vec")
   }
 
-  private def qEmbedDedup(s: SparkSession, d: String): DataFrame = {
+  private def qEmbedDedup(s: SparkSession, d: String): DataFrame =
+    embedDedupAt(s, d, DedupLsh)
+
+  /** Parameterized embedding dedup — public to graft so the scale
+    * probe can size the banding for each synthetic corpus via
+    * LshParams.forCorpus (the documented deployment override). */
+  private[graft] def embedDedupAt(s: SparkSession, d: String,
+      p: LshParams): DataFrame = {
     VectorExpressions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), asDouble("embedding").as("vec"))
     val dbl = e.union(e.withColumn("vec_id", col("vec_id") + lit(1000000L))
       .select("vec_id", "label", "vec"))
-    embedNearDupPairs(dbl, DedupLsh, DedupCosine)
+    embedNearDupPairs(dbl, p, DedupCosine)
       .select("label", "a_id", "b_id", "cosine")
       .orderBy("a_id", "b_id")
   }
@@ -410,6 +429,74 @@ object VectorOps {
         |FROM embeddings
         |GROUP BY label
         |ORDER BY label""".stripMargin,
+    "q_sim_ivf" -> {
+      // the full IVF pipeline in SQL, generated from the SAME constants
+      // as the Spark side (IvfK / IvfProbes / LloydIters): md5-ordered
+      // seeds → LloydIters unrolled assign+mean rounds (decimal-exact
+      // sums divided in double — the cross-engine AVG pin; empty cells
+      // keep their centroid via the LEFT JOIN COALESCE) → probe top-3
+      // cells → exact cosine refine, top-5
+      def cosSql(a: String, b: String): String =
+        s"""list_dot_product($a, $b)
+           |             / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))""".stripMargin
+      def iteration(prev: String): String =
+        s"""a_$prev AS (
+           |  SELECT vec_id, vec, cell FROM (
+           |    SELECT v.vec_id, v.vec, c.cell,
+           |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+           |             ${cosSql("v.vec", "c.cent")} DESC,
+           |             c.cell) AS rk
+           |    FROM v CROSS JOIN $prev c)
+           |  WHERE rk = 1
+           |), m_$prev AS (
+           |  SELECT cell, i,
+           |         CAST(SUM(CAST(vec[i] AS DECIMAL(30,15))) AS DOUBLE)
+           |           / CAST(COUNT(*) AS DOUBLE) AS mu
+           |  FROM a_$prev CROSS JOIN range(1, 65) r(i)
+           |  GROUP BY cell, i
+           |), next_$prev AS (
+           |  SELECT p.cell, COALESCE(m.cent, p.cent) AS cent
+           |  FROM $prev p LEFT JOIN (
+           |    SELECT cell, list(mu ORDER BY i) AS cent FROM m_$prev GROUP BY cell) m
+           |  USING (cell)
+           |)""".stripMargin
+      val chain = (0 until LloydIters).map { i =>
+        s",\n${iteration(s"c$i")},\nc${i + 1} AS (SELECT cell, cent FROM next_c$i)"
+      }.mkString
+      val cFinal = s"c$LloydIters"
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+         |), seeds AS (
+         |  SELECT vec_id, vec FROM v
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfK
+         |), c0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, vec AS cent
+         |  FROM seeds
+         |)$chain,
+         |scored AS (
+         |  SELECT v.vec_id, v.vec, c.cell,
+         |         ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |           ${cosSql("v.vec", "c.cent")} DESC,
+         |           c.cell) AS p_rank
+         |  FROM v CROSS JOIN $cFinal c
+         |), assigned AS (
+         |  SELECT vec_id AS c_id, vec AS c_vec, cell FROM scored WHERE p_rank = 1
+         |), probes AS (
+         |  SELECT vec_id AS q_id, vec AS q_vec, cell FROM scored
+         |  WHERE vec_id < 10 AND p_rank <= $IvfProbes
+         |), refined AS (
+         |  SELECT q_id, c_id, cell, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+         |  FROM (
+         |    SELECT p.q_id, a.c_id, a.cell,
+         |           ${cosSql("p.q_vec", "a.c_vec")} AS cosine
+         |    FROM probes p JOIN assigned a USING (cell)
+         |    WHERE p.q_id <> a.c_id)
+         |)
+         |SELECT q_id, rank, c_id, cell, cosine FROM refined
+         |WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
+    },
     "q_sim_lsh" -> {
       val p = AnnLsh
       val bandCols = (0 until p.bands).map(b =>
