@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Empirical scaling probe for the dedup/ANN suite — converts the
+  * "survives 100 TB" posture from a plan-shape argument into a
+  * measured time exponent. Synthesizes m× blowups of a base corpus,
+  * times each sub-quadratic path at two multipliers, and asserts the
+  * growth stays near-linear (t(16×)/t(4×) < 6, i.e. well under the
+  * 16× a quadratic path would show).
+  *
+  * Corpus synthesis (the `doubled` id-shift trick generalized, with
+  * one crucial twist): a plain m-fold id-shifted union would make
+  * every document an exact duplicate of its m−1 siblings, so the TRUE
+  * near-dup pair count — the output itself — would grow as m²·n and
+  * no sub-quadratic algorithm could look linear. Each copy is instead
+  * DECORRELATED from the others while keeping the ORIGINAL corpus's
+  * internal duplicate structure intact:
+  *
+  *  - documents: every token in copy c gets a copy-unique prefix
+  *    (`foo` → `c3xfoo`), so shingle/token/signature overlap across
+  *    copies is zero while overlap within a copy is exactly the base
+  *    corpus's — the corpus is m disjoint replicas of the original
+  *    duplicate density.
+  *  - embeddings: copy c is multiplied elementwise by a deterministic
+  *    ±1 sign pattern. cos(s∘u, s∘v) = cos(u, v) (the pattern cancels
+  *    within a copy: s_j² = 1), so every intra-copy near-dup pair and
+  *    ANN neighborhood is preserved EXACTLY, while cross-copy cosines
+  *    become sign-scrambled sums that stay far below the 0.9 near-dup
+  *    threshold — no m² cross-copy pair blowup.
+  *
+  * The LSH paths re-derive their plane counts per corpus size via
+  * LshParams.forCorpus — the documented deployment knob that holds
+  * expected bucket width constant as n grows (log₂-more planes, not
+  * wider buckets). That derivation is exactly what the probe is
+  * validating: with it, candidate volume per item is bounded and the
+  * measured exponent stays near 1.
+  */
+object ScaleProbe {
+
+  /** Deterministic ±1 pattern for copy c — same no-RNG-state scheme
+    * as VectorOps.planes, keyed off (copy, dim index). */
+  private def signs(c: Int, dim: Int): Seq[Float] =
+    (0 until dim).map { j =>
+      val h = scala.util.hashing.MurmurHash3.productHash((c, j))
+      if ((h & 1) == 0) 1.0f else -1.0f
+    }
+
+  /** Write documents.parquet + embeddings.parquet at m× the base
+    * corpus under `outDir` (copy 0 verbatim; copies 1..m−1 id-shifted
+    * by c·10⁷ — clear of the 10⁶ shift the dedup queries' internal
+    * doubling adds — and decorrelated as documented above). */
+  def writeScaled(s: SparkSession, srcDir: String, outDir: String,
+      m: Int): Unit = {
+    require(m >= 1)
+    val docs = Tables.documents(s, srcDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val scaledDocs = (0 until m).map { c =>
+      if (c == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(c * 10000000L))
+        .withColumn("text",
+          concat(lit(s"c${c}x"), regexp_replace(col("text"), " ", s" c${c}x")))
+    }.reduce(_ union _)
+    scaledDocs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val emb = Tables.embeddings(s, srcDir).select("vec_id", "embedding", "label")
+    val scaledEmb = (0 until m).map { c =>
+      if (c == 0) emb
+      else emb
+        .withColumn("vec_id", col("vec_id") + lit(c * 10000000L))
+        .withColumn("sgn", typedlit(signs(c, 64)))
+        .withColumn("embedding",
+          zip_with(col("embedding"), col("sgn"),
+            (x, sg) => (x * sg).cast("float")))
+        .select("vec_id", "embedding", "label")
+    }.reduce(_ union _)
+    scaledEmb.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** The six probed paths. Text-dedup paths run exactly the suite
+    * queries (their blocking is DF-capped / signature-bounded, no
+    * size-dependent parameter); the two LSH vector paths re-derive
+    * plane counts from the corpus size, mirroring a real deployment. */
+  private def paths(nEmb: Long): Seq[(String, (SparkSession, String) => DataFrame)] = {
+    val dedupP = VectorOps.LshParams.forCorpus(2 * nEmb, 64L, bands = 5)
+    val annP = VectorOps.LshParams.forCorpus(nEmb, 16L, bands = 4)
+    Seq(
+      "q_dedup_minhash" -> TextOps.queries("q_dedup_minhash"),
+      "q_dedup_ngram" -> TextOps.queries("q_dedup_ngram"),
+      "q_dedup_simhash" -> TextOps.queries("q_dedup_simhash"),
+      "q_embed_dedup" ->
+        ((s: SparkSession, d: String) => VectorOps.embedDedupAt(s, d, dedupP)),
+      "q_sim_lsh" ->
+        ((s: SparkSession, d: String) => VectorOps.simLshTopK(s, d, annP)),
+      "q_sim_ivf" -> VectorOps.queries("q_sim_ivf")
+    )
+  }
+
+  /** Median of `passes` noop-sink materializations (first pass doubles
+    * as warmup — the median sheds it). Residue is dropped outside the
+    * clock, as in Bench. */
+  private def timeMedian(s: SparkSession, passes: Int)(f: => DataFrame): Double = {
+    val ts = Seq.fill(passes) {
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    ts.sorted.apply(passes / 2)
+  }
+
+  /** Synthesize each multiplier under `workDir` and time every path.
+    * @return multiplier → (path → median seconds) */
+  def run(s: SparkSession, baseDir: String, workDir: String,
+      multipliers: Seq[Int], passes: Int = 3): Map[Int, Map[String, Double]] =
+    multipliers.map { m =>
+      val dir = s"$workDir/x$m"
+      writeScaled(s, baseDir, dir, m)
+      val nEmb = s.read.parquet(s"$dir/embeddings.parquet").count()
+      m -> paths(nEmb).map { case (name, q) =>
+        name -> timeMedian(s, passes)(q(s, dir))
+      }.toMap
+    }.toMap
+}
