@@ -319,6 +319,69 @@ object TextOps {
   // concentrate); grouping first bounds every stage by the number of
   // distinct signatures — the formulation that survives 100 TB.
   // Engine-specific hashing → no oracle; unit-tested.
+  /** Cross-engine MinHash accuracy audit — the sketch-vs-truth
+    * comparison a pipeline runs before trusting signature Jaccard as a
+    * dedup threshold at scale. 16 signature slots, slot k =
+    * lexicographic min over the doc's DF-capped shingles of the
+    * 15-hex-char prefix of md5(k ':' shingle); md5 is computable
+    * identically in both engines (unlike q_dedup_minhash's
+    * xxhash64-bitmix family, which trades oracle-ability for hashing
+    * throughput — that stays the production path), so signatures,
+    * the 4×4 banded candidate generation, AND the estimate-vs-exact
+    * deltas all sit under the hash gate. est_jaccard = matches/16 is
+    * IEEE-exact (16 = 2⁴), so every compared column is deterministic.
+    */
+  private val MinhashSlots = 16
+  private val MinhashBands = 4
+
+  private def qMinhashEstimate(s: SparkSession, d: String): DataFrame = {
+    val rows = MinhashSlots / MinhashBands
+    val kept = doubled(s, d)
+      .withColumn("toks", tokens())
+      .withColumn("shingles", array_distinct(
+        expr("transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))")))
+      .select(col("doc_id"), explode(col("shingles")).as("sng"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sng"))))
+      .filter(col("df") <= lit(ShingleDfCap))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .select("doc_id", "sng", "n_sh")
+    // localCheckpoint: sigs feed the band join (both sides) and both
+    // pair rejoins — without materialization the shingle explode and
+    // the 16-slot md5 sweep would re-run for every consumer
+    val sigs = kept.groupBy(col("doc_id"), col("n_sh"))
+      .agg(array_sort(collect_list(col("sng"))).as("shs"))
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, ${MinhashSlots - 1}),
+              k -> array_min(transform(shs,
+                s2 -> substring(md5(concat(CAST(k AS STRING), ':', s2)), 1, 15))))"""))
+      .localCheckpoint()
+    val banded = sigs.select(col("doc_id"), posexplode(expr(
+      s"""transform(sequence(0, ${MinhashBands - 1}),
+            b -> concat_ws('|', slice(sig, b * $rows + 1, $rows)))""")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val cand = banded.select(col("band"), col("band_key"), col("doc_id").as("a_id"))
+      .join(banded.select(col("band"), col("band_key"), col("doc_id").as("b_id")),
+        Seq("band", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    val a = sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
+      col("shs").as("a_shs"), col("n_sh").as("a_n"))
+    val b = sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
+      col("shs").as("b_shs"), col("n_sh").as("b_n"))
+    cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .withColumn("matches",
+        expr("size(filter(zip_with(a_sig, b_sig, (x, y) -> x = y), v -> v))").cast("long"))
+      .withColumn("common",
+        size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))
+      .withColumn("est_jaccard",
+        col("matches").cast("double") / lit(MinhashSlots.toDouble))
+      .withColumn("jaccard", col("common").cast("double")
+        / (col("a_n") + col("b_n") - col("common")).cast("double"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+      .select("a_id", "b_id", "matches", "est_jaccard", "common", "jaccard", "abs_err")
+      .orderBy("a_id", "b_id")
+  }
+
   /** 64-bit SimHash signature per document over whitespace tokens —
     * public so planted-fixture tests drive the exact production
     * signature path. Term frequencies via explode + hash agg
@@ -633,6 +696,7 @@ object TextOps {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_minhash_estimate" -> (qMinhashEstimate _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_simhash_clusters" -> (qSimhashClusters _),
     "q_repetition" -> (qRepetition _),
@@ -847,6 +911,53 @@ object TextOps {
          |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
          |HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - COUNT(*) AS DOUBLE) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+    "q_minhash_estimate" -> {
+      val rows = MinhashSlots / MinhashBands
+      s"""WITH $doubledSql,
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(
+         |           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+         |           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingles
+         |  FROM doubled
+         |), ex AS (
+         |  SELECT doc_id, unnest(shingles) AS s FROM sh
+         |), dfd AS (
+         |  SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM ex
+         |), kept AS (
+         |  SELECT doc_id, s, COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+         |  FROM dfd WHERE df <= $ShingleDfCap
+         |), sigs AS (
+         |  SELECT doc_id, n_sh, list(s ORDER BY s) AS shs FROM kept GROUP BY doc_id, n_sh
+         |), sigs2 AS (
+         |  SELECT doc_id, n_sh, shs,
+         |         list_transform(range(0, $MinhashSlots), k ->
+         |           list_min(list_transform(shs,
+         |             s2 -> substring(md5(CAST(k AS VARCHAR) || ':' || s2), 1, 15)))) AS sig
+         |  FROM sigs
+         |), banded AS (
+         |  SELECT doc_id, b AS band,
+         |         array_to_string(sig[b*$rows+1 : b*$rows+$rows], '|') AS band_key
+         |  FROM sigs2 CROSS JOIN range(0, $MinhashBands) r(b)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |)
+         |SELECT c.a_id, c.b_id,
+         |       CAST(len(list_filter(range(1, ${MinhashSlots + 1}), i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS matches,
+         |       CAST(len(list_filter(range(1, ${MinhashSlots + 1}), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $MinhashSlots.0 AS est_jaccard,
+         |       CAST(len(list_filter(sa.shs, s2 -> list_contains(sb.shs, s2))) AS BIGINT) AS common,
+         |       CAST(len(list_filter(sa.shs, s2 -> list_contains(sb.shs, s2))) AS DOUBLE)
+         |         / CAST(sa.n_sh + sb.n_sh - len(list_filter(sa.shs, s2 -> list_contains(sb.shs, s2))) AS DOUBLE) AS jaccard,
+         |       abs(CAST(len(list_filter(range(1, ${MinhashSlots + 1}), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $MinhashSlots.0
+         |         - CAST(len(list_filter(sa.shs, s2 -> list_contains(sb.shs, s2))) AS DOUBLE)
+         |             / CAST(sa.n_sh + sb.n_sh - len(list_filter(sa.shs, s2 -> list_contains(sb.shs, s2))) AS DOUBLE)) AS abs_err
+         |FROM cand c
+         |JOIN sigs2 sa ON c.a_id = sa.doc_id
+         |JOIN sigs2 sb ON c.b_id = sb.doc_id
+         |ORDER BY a_id, b_id""".stripMargin
+    },
     "q_tfidf" ->
       """WITH tfc AS (
         |  SELECT doc_id, token, COUNT(*) AS tf

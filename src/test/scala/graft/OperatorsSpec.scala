@@ -22,6 +22,20 @@ class OperatorsSpec extends SparkSpec {
     assert(q("q_dedup_minhash").filter($"jaccard" < 0.8).count() == 0)
   }
 
+  test("minhash estimate is exact on planted duplicates and tight elsewhere") {
+    // q_minhash_estimate's value is the estimate-vs-truth delta; pin
+    // its statistical behavior: identical docs (the replay copies)
+    // must estimate EXACTLY 1.0 with zero error, and across all
+    // candidate pairs the mean |est − exact| must stay within the
+    // 16-slot sketch's theoretical band (σ ≤ √(J(1−J)/16) ≤ 0.125)
+    val est = q("q_minhash_estimate")
+    val replays = est.filter($"b_id" - $"a_id" === 1000000L)
+    assert(replays.count() == 500)
+    assert(replays.filter($"est_jaccard" =!= 1.0 || $"abs_err" =!= 0.0).count() == 0)
+    val meanErr = est.agg(avg($"abs_err")).head().getDouble(0)
+    assert(meanErr < 0.15, f"mean |est-exact| = $meanErr%.3f exceeds sketch band")
+  }
+
   test("simhash signature groups put every planted duplicate with its original") {
     val groups = q("q_dedup_simhash")
     // the replayed corpus doubles every doc with identical text → every
