@@ -440,6 +440,44 @@ object TextOps {
       .orderBy("simhash")
   }
 
+  /** Cross-engine SimHash audit — q_dedup_simhash's oracled twin, the
+    * same move q_minhash_estimate makes for MinHash: swap the
+    * engine-specific xxhash64 token hashes for 60-bit md5-prefix
+    * hashes (hex-parseable in both engines), keep EVERYTHING else —
+    * the native one-pass graft_simhash signature (bits 60–63 fold to
+    * zero under always-negative sums), the signature-group-first
+    * collapse, and the banded Hamming-≤3 near counting — and the whole
+    * formulation becomes hash-comparable: the oracle recomputes the 60
+    * weighted bit sums, signatures, groups, and near counts in plain
+    * SQL. Production stays on xxhash64 (one integer mix vs an md5 per
+    * distinct token); this query pins the formulation's semantics
+    * cross-engine.
+    */
+  private def qSimhashEstimate(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextExpressions.register(s)
+    val tf = doubled(s, d)
+      .select(col("doc_id"), explode(tokens()).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("w"))
+      .select(col("doc_id"), struct(
+        expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"),
+        col("w")).as("tw"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("tw")).as("toks"))
+    val sigs = tf.withColumn("simhash", expr("graft_simhash(toks)"))
+      .select("doc_id", "simhash")
+    val groups = sigs.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_members"))
+    val pairs = nearSigPairs(groups.select("simhash"))
+    val near = pairs
+      .union(pairs.select(col("b_sig").as("a_sig"), col("a_sig").as("b_sig")))
+      .groupBy(col("a_sig").as("simhash"))
+      .agg(count(lit(1)).as("n_near_groups"))
+    groups.join(near, Seq("simhash"), "left_outer")
+      .withColumn("n_near_groups", coalesce(col("n_near_groups"), lit(0L)))
+      .orderBy("simhash")
+  }
+
   /** SimHash near-dup clusters END-TO-END — the step qDedupSimhash
     * stops short of: signatures → exact-signature star edges + one
     * keeper-to-keeper edge per Hamming-≤3 DISTINCT-signature pair →
@@ -699,6 +737,7 @@ object TextOps {
     "q_minhash_estimate" -> (qMinhashEstimate _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_simhash_clusters" -> (qSimhashClusters _),
+    "q_simhash_estimate" -> (qSimhashEstimate _),
     "q_repetition" -> (qRepetition _),
     "q_doc_entropy" -> (qDocEntropy _),
     "q_corpus_mix" -> (qCorpusMix _)
@@ -911,6 +950,36 @@ object TextOps {
          |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
          |HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - COUNT(*) AS DOUBLE) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+    "q_simhash_estimate" ->
+      s"""WITH $doubledSql,
+         |tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS w
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM doubled)
+         |  GROUP BY doc_id, tok
+         |), th AS (
+         |  SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h, w
+         |  FROM tf
+         |), bits AS (
+         |  SELECT doc_id, j, SUM((((h >> j) & 1) * 2 - 1) * w) AS bsum
+         |  FROM th CROSS JOIN range(0, 60) r(j)
+         |  GROUP BY doc_id, j
+         |), sigd AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CASE WHEN bsum > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id
+         |), groups AS (
+         |  SELECT simhash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_members
+         |  FROM sigd GROUP BY simhash
+         |), near AS (
+         |  SELECT a.simhash, COUNT(*) AS n_near_groups
+         |  FROM groups a JOIN groups b
+         |    ON a.simhash <> b.simhash AND bit_count(xor(a.simhash, b.simhash)) <= 3
+         |  GROUP BY a.simhash
+         |)
+         |SELECT g.simhash, g.keeper_id, g.n_members,
+         |       CAST(COALESCE(n.n_near_groups, 0) AS BIGINT) AS n_near_groups
+         |FROM groups g LEFT JOIN near n USING (simhash)
+         |ORDER BY simhash""".stripMargin,
     "q_minhash_estimate" -> {
       val rows = MinhashSlots / MinhashBands
       s"""WITH $doubledSql,
