@@ -65,6 +65,24 @@ object Bench {
       val ts = Seq.fill(passes)(run(n)).sorted
       n -> ts(passes / 2)
     }
+    // regression tripwire: compare per-query medians against the
+    // previous artifact BEFORE overwriting it — with median-of-3 the
+    // numbers are stable enough that a >2x jump (beyond sub-second
+    // noise) is signal, and it should be one loud stderr line instead
+    // of round-over-round JSON archaeology
+    val prevFile = java.nio.file.Paths.get("BENCH_FULL.json")
+    if (java.nio.file.Files.exists(prevFile)) {
+      val prev = new String(java.nio.file.Files.readAllBytes(prevFile), "UTF-8")
+      val entry = "\"(q_[a-z0-9_]+)\":([0-9.]+)".r
+      val prevTimes = entry.findAllMatchIn(prev)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      results.foreach { case (n, t) =>
+        prevTimes.get(n).filter(p => t > 2 * p && t - p > 0.5).foreach { p =>
+          System.err.println(
+            f"[bench] REGRESSION $n: $p%.2f s -> $t%.2f s (${t / p}%.1fx)")
+        }
+      }
+    }
     // slowest queries FIRST: if the artifact line gets truncated, the
     // numbers that matter (total + heavy hitters) survive the cut
     val qs = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + v }
@@ -74,9 +92,15 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","passes_per_query":$passes,"stat":"median","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // belt-and-braces: the full result also lands in the repo so no
-    // stdout truncation can lose per-query times
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      json.getBytes("UTF-8"))
+    // stdout truncation can lose per-query times. FULL runs only — a
+    // filtered run must never replace the suite-wide artifact with a
+    // partial total (the same misleading-near-zero trap as a typo'd
+    // filter, just intentional)
+    if (args.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        json.getBytes("UTF-8"))
+    else
+      System.err.println("[bench] filtered run — BENCH_FULL.json not updated")
     spark.stop()
   }
 }

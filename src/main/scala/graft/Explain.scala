@@ -18,7 +18,8 @@ object Explain {
         "q_star_join", "q_topk", "q_sim_bruteforce", "q_asof_join", "q_tfidf",
         "q_dedup_minhash", "q_corpus_clean", "q_join_volume_flow",
         "q_market_share", "q_embed_dedup", "q_dedup_clusters", "q_corpus_mix",
-        "q_decontaminate", "q_month_spine")
+        "q_decontaminate", "q_month_spine", "q_sim_lsh", "q_sim_ivf",
+        "q_minhash_estimate", "q_simhash_estimate", "q_decontaminate_sliding")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -591,6 +591,21 @@ object TextOps {
       .orderBy("cluster_keeper")
   }
 
+  // Per-DOC cluster labels through the same star-edges + CC machinery
+  // q_dedup_clusters aggregates — oracled row by row (the DuckDB side
+  // is a window min over the digest blocks), so the distributed label
+  // propagation itself sits under the hash gate, not just its group
+  // counts. This is the keep/drop frame a dedup stage actually joins
+  // back to the corpus; q_simhash_clusters reuses the identical
+  // machinery for near-dup (engine-hash) edges.
+  private def qClusterLabels(s: SparkSession, d: String): DataFrame = {
+    val docs = doubled(s, d)
+    val byDigest = docs.select(md5(col("text")).as("dig"), col("doc_id"))
+    connectedComponents(docs.select("doc_id"), starEdges(byDigest))
+      .withColumn("is_keeper", col("doc_id") === col("label"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end training-MIX assembly — the composition a multilingual
     * pipeline runs to turn a raw corpus into a balanced training set,
     * as ONE declarative plan: canonicalize → collapse exact dups
@@ -723,6 +738,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_cluster_labels" -> (qClusterLabels _),
     "q_corpus_clean" -> (qCorpusClean _),
     "q_tfidf" -> (qTfidf _),
     "q_text_normalize" -> (qTextNormalize _),
@@ -827,6 +843,15 @@ object TextOps {
         |FROM terms
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // distributed label propagation must assign every doc the min id
+    // of its digest block — expressible as a window min, no recursion
+    "q_cluster_labels" ->
+      s"""WITH $doubledSql
+         |SELECT doc_id,
+         |       MIN(doc_id) OVER (PARTITION BY md5(text)) AS label,
+         |       doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+         |FROM doubled
+         |ORDER BY doc_id""".stripMargin,
     // label propagation over same-digest cliques must converge to
     // exactly the digest groups — expressible without recursion
     "q_dedup_clusters" ->
