@@ -491,8 +491,6 @@ object TextOps {
   def simhashClusters(docs: DataFrame): DataFrame = {
     val sigs = simhashSigs(docs)
     val groups = sigs.groupBy(col("simhash")).agg(min(col("doc_id")).as("keeper_id"))
-    // exact-signature blocks collapse via star edges (doc → block min)
-    val exactEdges = starEdges(sigs, key = "simhash")
     // near-signature blocks connect keeper-to-keeper: one edge per
     // signature PAIR, not per doc pair — a 10⁶-copy boilerplate block
     // adds zero near edges beyond its two keepers' link
@@ -500,7 +498,20 @@ object TextOps {
       .join(groups.select(col("simhash").as("a_sig"), col("keeper_id").as("src")), Seq("a_sig"))
       .join(groups.select(col("simhash").as("b_sig"), col("keeper_id").as("dst")), Seq("b_sig"))
       .select("src", "dst")
-    connectedComponents(docs.select("doc_id"), exactEdges.union(nearEdges))
+    // the iterative CC loop runs over the KEEPER graph only — distinct
+    // signatures, not documents (orders of magnitude fewer nodes and a
+    // smaller diameter on a clustered corpus, so fewer rounds AND less
+    // data per round). Members then take their signature keeper's
+    // component label via one join: keeper_id is already the min doc
+    // of its block, so min-keeper-per-component = min doc overall —
+    // labels identical to running CC over the full doc set with
+    // per-doc star edges (the planted-fixture test pins this against
+    // an exact driver-side closure).
+    val keeperLabels = connectedComponents(
+      groups.select(col("keeper_id").as("doc_id")), nearEdges)
+      .withColumnRenamed("doc_id", "keeper_id")
+    sigs.join(groups, Seq("simhash"))
+      .join(keeperLabels, Seq("keeper_id"))
       .select(col("doc_id"), col("label").as("cluster_keeper"))
   }
 
