@@ -453,9 +453,11 @@ object TextOps {
     * distinct token); this query pins the formulation's semantics
     * cross-engine.
     */
-  private def qSimhashEstimate(s: SparkSession, d: String): DataFrame = {
+  /** 60-bit md5-family SimHash signatures — the cross-engine hash
+    * family shared by q_simhash_estimate and q_simhash_closure. */
+  private def md5SimhashSigs(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.TextExpressions.register(s)
-    val tf = doubled(s, d)
+    docs
       .select(col("doc_id"), explode(tokens()).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("w"))
@@ -464,8 +466,12 @@ object TextOps {
         col("w")).as("tw"))
       .groupBy(col("doc_id"))
       .agg(collect_list(col("tw")).as("toks"))
-    val sigs = tf.withColumn("simhash", expr("graft_simhash(toks)"))
+      .withColumn("simhash", expr("graft_simhash(toks)"))
       .select("doc_id", "simhash")
+  }
+
+  private def qSimhashEstimate(s: SparkSession, d: String): DataFrame = {
+    val sigs = md5SimhashSigs(s, doubled(s, d))
     val groups = sigs.groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_members"))
     val pairs = nearSigPairs(groups.select("simhash"))
@@ -488,8 +494,14 @@ object TextOps {
     * min-label propagation with a fail-loud round cap. Engine-specific
     * hashing → no oracle; the planted 2-bit-variant cluster test pins
     * the semantics. */
-  def simhashClusters(docs: DataFrame): DataFrame = {
-    val sigs = simhashSigs(docs)
+  def simhashClusters(docs: DataFrame): DataFrame =
+    simhashClustersFromSigs(simhashSigs(docs))
+
+  /** Clustering over a precomputed (doc_id, simhash) frame — the
+    * hash-family-agnostic core of simhashClusters, also driven by the
+    * md5-family q_simhash_closure (whose labels are oracle-comparable
+    * via a recursive-CTE closure in DuckDB). */
+  def simhashClustersFromSigs(sigs: DataFrame): DataFrame = {
     val groups = sigs.groupBy(col("simhash")).agg(min(col("doc_id")).as("keeper_id"))
     // near-signature blocks connect keeper-to-keeper: one edge per
     // signature PAIR, not per doc pair — a 10⁶-copy boilerplate block
@@ -517,6 +529,16 @@ object TextOps {
 
   private def qSimhashClusters(s: SparkSession, d: String): DataFrame =
     simhashClusters(doubled(s, d)).orderBy("doc_id")
+
+  // The clustering composition's ORACLED twin: md5-family signatures
+  // (cross-engine, q_simhash_estimate's family) through the SAME
+  // keeper-graph CC — and the expected labels are recomputed in DuckDB
+  // as a recursive-CTE transitive closure over the Hamming-≤3 keeper
+  // graph. Distributed pointer-doubling min-label propagation vs a
+  // declarative fixpoint closure in a different engine agreeing row
+  // for row is the strongest cross-check the cluster stage can get.
+  private def qSimhashClosure(s: SparkSession, d: String): DataFrame =
+    simhashClustersFromSigs(md5SimhashSigs(s, doubled(s, d))).orderBy("doc_id")
 
   /** Distributed connected components over a near-dup edge set:
     * iterative min-label propagation PLUS pointer doubling
@@ -765,6 +787,7 @@ object TextOps {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_simhash_clusters" -> (qSimhashClusters _),
     "q_simhash_estimate" -> (qSimhashEstimate _),
+    "q_simhash_closure" -> (qSimhashClosure _),
     "q_repetition" -> (qRepetition _),
     "q_doc_entropy" -> (qDocEntropy _),
     "q_corpus_mix" -> (qCorpusMix _)
