@@ -44,6 +44,52 @@ object TextOps {
       |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars FROM documents
       |)""".stripMargin
 
+  /** Shared oracle CTE chain: 60-bit md5-family SimHash signatures per
+    * doubled doc (`sigd(doc_id, simhash)`) — the cross-engine twin of
+    * [[md5SimhashSigs]], recomputing the 60 weighted bit sums in plain
+    * SQL. Used by q_simhash_estimate, q_simhash_closure and
+    * q_simhash_sizes so the three oracles can never drift apart. */
+  private val md5SigSql =
+    s"""$doubledSql,
+       |tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS w
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM doubled)
+       |  GROUP BY doc_id, tok
+       |), th AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h, w
+       |  FROM tf
+       |), bits AS (
+       |  SELECT doc_id, j, SUM((((h >> j) & 1) * 2 - 1) * w) AS bsum
+       |  FROM th CROSS JOIN range(0, 60) r(j)
+       |  GROUP BY doc_id, j
+       |), sigd AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN bsum > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |)""".stripMargin
+
+  /** Oracle CTE chain extending [[md5SigSql]] with the keeper graph and
+    * its transitive closure: `groups` (one keeper per distinct
+    * signature), `near` (Hamming-≤3 keeper-to-keeper edges — the
+    * all-pairs formulation, equal by pigeonhole to the banded join the
+    * Spark side runs), and `reach`/`lbl` — a recursive-CTE fixpoint
+    * whose min reachable keeper IS the component label the distributed
+    * pointer-doubling CC must converge to. Requires WITH RECURSIVE. */
+  private val md5ClosureSql =
+    s"""$md5SigSql, groups AS (
+       |  SELECT simhash, MIN(doc_id) AS keeper_id FROM sigd GROUP BY simhash
+       |), near AS (
+       |  SELECT a.keeper_id AS src, b.keeper_id AS dst
+       |  FROM groups a JOIN groups b
+       |    ON a.simhash <> b.simhash AND bit_count(xor(a.simhash, b.simhash)) <= 3
+       |), reach AS (
+       |  SELECT keeper_id AS src, keeper_id AS dst FROM groups
+       |  UNION
+       |  SELECT r.src, n.dst FROM reach r JOIN near n ON r.dst = n.src
+       |), lbl AS (
+       |  SELECT src AS keeper_id, MIN(dst) AS cluster_keeper FROM reach GROUP BY src
+       |)""".stripMargin
+
   // Per-document token statistics (token counting north-star op).
   private def qTextStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -540,6 +586,18 @@ object TextOps {
   private def qSimhashClosure(s: SparkSession, d: String): DataFrame =
     simhashClustersFromSigs(md5SimhashSigs(s, doubled(s, d))).orderBy("doc_id")
 
+  // Per-CLUSTER aggregate over the same md5-family CC labels — the
+  // keep/drop accounting a dedup stage reports (cluster size, last
+  // member, multi-doc flag), hash-gated end-to-end: the oracle runs
+  // the recursive-CTE closure AND the aggregation, so CC + agg sit
+  // under the gate together, not just the per-doc labels.
+  private def qSimhashSizes(s: SparkSession, d: String): DataFrame =
+    simhashClustersFromSigs(md5SimhashSigs(s, doubled(s, d)))
+      .groupBy(col("cluster_keeper"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_member"))
+      .withColumn("is_multi", col("n_docs") > 1)
+      .orderBy("cluster_keeper")
+
   /** Distributed connected components over a near-dup edge set:
     * iterative min-label propagation PLUS pointer doubling
     * (label(u) ← label(label(u)) each round), so a chain of diameter D
@@ -788,6 +846,7 @@ object TextOps {
     "q_simhash_clusters" -> (qSimhashClusters _),
     "q_simhash_estimate" -> (qSimhashEstimate _),
     "q_simhash_closure" -> (qSimhashClosure _),
+    "q_simhash_sizes" -> (qSimhashSizes _),
     "q_repetition" -> (qRepetition _),
     "q_doc_entropy" -> (qDocEntropy _),
     "q_corpus_mix" -> (qCorpusMix _)
@@ -1009,24 +1068,27 @@ object TextOps {
          |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
          |HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - COUNT(*) AS DOUBLE) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+    // distributed pointer-doubling min-label CC vs a declarative
+    // recursive-CTE fixpoint closure in a different engine, agreeing
+    // row for row on per-doc labels — the strongest cross-check the
+    // cluster stage can get
+    "q_simhash_closure" ->
+      s"""WITH RECURSIVE $md5ClosureSql
+         |SELECT s.doc_id, l.cluster_keeper
+         |FROM sigd s JOIN groups g USING (simhash) JOIN lbl l USING (keeper_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q_simhash_sizes" ->
+      s"""WITH RECURSIVE $md5ClosureSql, labels AS (
+         |  SELECT s.doc_id, l.cluster_keeper
+         |  FROM sigd s JOIN groups g USING (simhash) JOIN lbl l USING (keeper_id)
+         |)
+         |SELECT cluster_keeper, COUNT(*) AS n_docs, MAX(doc_id) AS max_member,
+         |       COUNT(*) > 1 AS is_multi
+         |FROM labels
+         |GROUP BY cluster_keeper
+         |ORDER BY cluster_keeper""".stripMargin,
     "q_simhash_estimate" ->
-      s"""WITH $doubledSql,
-         |tf AS (
-         |  SELECT doc_id, tok, COUNT(*) AS w
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM doubled)
-         |  GROUP BY doc_id, tok
-         |), th AS (
-         |  SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h, w
-         |  FROM tf
-         |), bits AS (
-         |  SELECT doc_id, j, SUM((((h >> j) & 1) * 2 - 1) * w) AS bsum
-         |  FROM th CROSS JOIN range(0, 60) r(j)
-         |  GROUP BY doc_id, j
-         |), sigd AS (
-         |  SELECT doc_id,
-         |         CAST(SUM(CASE WHEN bsum > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
-         |  FROM bits GROUP BY doc_id
-         |), groups AS (
+      s"""WITH $md5SigSql, groups AS (
          |  SELECT simhash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_members
          |  FROM sigd GROUP BY simhash
          |), near AS (
