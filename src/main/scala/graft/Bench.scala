@@ -18,7 +18,12 @@ object Bench {
     // Catalyst prune every projection and drop the sort, so parse and
     // derived-column work would never be evaluated — the timed plan
     // must produce every output column
-    def run(name: String): Double = {
+    // a throwing query must never land in the artifact as a plausible
+    // small number (elapsed-until-throw LOWERS the total, and the >2x
+    // tripwire only fires on slower): record the failure, keep it out
+    // of the JSON numbers, and exit nonzero at the end
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def run(name: String): Option[Double] = {
       // drop cross-query residue BEFORE the clock starts: queries using
       // localCheckpoint (CC loop, tfidf, minhash) leave their blocks
       // registered until the ContextCleaner catches up, and ~200
@@ -28,13 +33,16 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch {
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed += name
+          None
       }
-      (System.nanoTime() - t0) / 1e9
     }
     // optional arg: comma-separated query-name filter (local iteration).
     // Unknown names ABORT: silently dropping a typo would overwrite
@@ -61,9 +69,11 @@ object Bench {
     // alone, so a per-query median (and a total OF medians) is the
     // smallest sample that yields a reproducible regression signal
     val passes = 3
-    val results = names.map { n =>
-      val ts = Seq.fill(passes)(run(n)).sorted
-      n -> ts(passes / 2)
+    val results = names.flatMap { n =>
+      val ts = Seq.fill(passes)(run(n)).flatten.sorted
+      // a query that failed ANY pass gets no numeric entry — a partial
+      // median would still under-report it
+      if (ts.size == passes) Some(n -> ts(passes / 2)) else None
     }
     // regression tripwire: compare per-query medians against the
     // previous artifact BEFORE overwriting it — with median-of-3 the
@@ -73,7 +83,9 @@ object Bench {
     val prevFile = java.nio.file.Paths.get("BENCH_FULL.json")
     if (java.nio.file.Files.exists(prevFile)) {
       val prev = new String(java.nio.file.Files.readAllBytes(prevFile), "UTF-8")
-      val entry = "\"(q_[a-z0-9_]+)\":([0-9.]+)".r
+      // optional exponent: 1.0E-4 must parse as 1e-4, not 1.0 — a
+      // sub-millisecond prior time would otherwise corrupt the baseline
+      val entry = "\"(q_[a-z0-9_]+)\":([0-9.]+(?:[Ee][+-]?[0-9]+)?)".r
       val prevTimes = entry.findAllMatchIn(prev)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
       results.foreach { case (n, t) =>
@@ -88,19 +100,28 @@ object Bench {
     val qs = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes_per_query":$passes,"stat":"median","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes_per_query":$passes,"stat":"median","n_queries":${results.size},"queries":$qs$failedJson,"sf":"$sfDir"}"""
     println(json)
     // belt-and-braces: the full result also lands in the repo so no
     // stdout truncation can lose per-query times. FULL runs only — a
     // filtered run must never replace the suite-wide artifact with a
     // partial total (the same misleading-near-zero trap as a typo'd
-    // filter, just intentional)
-    if (args.isEmpty)
+    // filter, just intentional), and neither may a run with failures
+    // (its total silently omits the broken queries)
+    if (args.isEmpty && failed.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         json.getBytes("UTF-8"))
-    else
+    else if (args.nonEmpty)
       System.err.println("[bench] filtered run — BENCH_FULL.json not updated")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[bench] FAILED queries (no numeric entry): ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
