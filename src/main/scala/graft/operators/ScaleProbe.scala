@@ -79,10 +79,14 @@ object ScaleProbe {
     scaledEmb.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
-  /** The six probed paths. Text-dedup paths run exactly the suite
+  /** The seven probed paths. Text-dedup paths run exactly the suite
     * queries (their blocking is DF-capped / signature-bounded, no
     * size-dependent parameter); the two LSH vector paths re-derive
-    * plane counts from the corpus size, mirroring a real deployment. */
+    * plane counts from the corpus size, mirroring a real deployment.
+    * q_simhash_clusters covers the driver-coordinated CC loop — the
+    * one stage whose cost is rounds × per-round shuffle rather than a
+    * single plan, so its exponent is the least provable on paper and
+    * the most worth measuring. */
   private def paths(nEmb: Long): Seq[(String, (SparkSession, String) => DataFrame)] = {
     val dedupP = VectorOps.LshParams.forCorpus(2 * nEmb, 64L, bands = 5)
     val annP = VectorOps.LshParams.forCorpus(nEmb, 16L, bands = 4)
@@ -90,6 +94,7 @@ object ScaleProbe {
       "q_dedup_minhash" -> TextOps.queries("q_dedup_minhash"),
       "q_dedup_ngram" -> TextOps.queries("q_dedup_ngram"),
       "q_dedup_simhash" -> TextOps.queries("q_dedup_simhash"),
+      "q_simhash_clusters" -> TextOps.queries("q_simhash_clusters"),
       "q_embed_dedup" ->
         ((s: SparkSession, d: String) => VectorOps.embedDedupAt(s, d, dedupP)),
       "q_sim_lsh" ->
