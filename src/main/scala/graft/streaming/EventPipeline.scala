@@ -186,6 +186,24 @@ object EventPipeline {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming EXACT-TEXT dedup — the batch dedup stack's digest key
+    * (md5(text), exactly q_dedup_exact's) on the streaming surface: a
+    * document whose content digest was already seen inside the
+    * watermark horizon is dropped, regardless of its doc_id or ingest
+    * timestamp (an at-least-once ingest re-mints both on retry, so the
+    * CONTENT digest is the only stable identity). State is one digest
+    * per distinct in-horizon document and expires with the watermark —
+    * bounded by inflow rate × horizon, never by corpus size, which is
+    * what lets the same query run against a 100 TB/day firehose.
+    * Input needs (text, ingest_ts); all columns pass through.
+    */
+  def dedupedDocuments(docs: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("text_md5", md5(col("text")))
+      .withWatermark("ingest_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   /** T8: watermarked SLIDING window (2 h wide, 1 h slide) — each event
     * counts toward two overlapping windows; batch analog is
     * q_window_sliding (oracled). */

@@ -114,6 +114,31 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("streaming exact-text dedup drops a replayed document within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[StreamingSpec.DocIn]
+    val q = EventPipeline.dedupedDocuments(ms.toDF())
+      .writeStream.format("memory").queryName("doc_dedup_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        StreamingSpec.DocIn(1L, ts("2024-01-01 10:00:00"), "spark big data"),
+        StreamingSpec.DocIn(2L, ts("2024-01-01 10:00:01"), "other text here"))
+      q.processAllAvailable()
+      // at-least-once replay: same CONTENT, re-minted doc_id and
+      // re-stamped ingest_ts — must collapse on the digest; the
+      // genuinely new doc in the same micro-batch must survive
+      ms.addData(
+        StreamingSpec.DocIn(3L, ts("2024-01-01 10:00:05"), "spark big data"),
+        StreamingSpec.DocIn(4L, ts("2024-01-01 10:00:06"), "brand new doc"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("doc_dedup_out")
+    assert(out.count() == 3)
+    // the survivor for the replayed content is the FIRST arrival
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+  }
+
   test("dropDuplicatesWithinWatermark collapses replays even with perturbed timestamps (T7)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[EvIn]
@@ -449,4 +474,5 @@ class StreamingSpec extends SparkSpec {
 object StreamingSpec {
   final case class EvIn(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
+  final case class DocIn(doc_id: Long, ingest_ts: Timestamp, text: String)
 }
