@@ -142,11 +142,16 @@ object Sampling {
     * one, so shorter overlaps straddling a chunk boundary slip
     * through. Sliding k-grams flag EVERY shared k-token span exactly,
     * at ~k× the gram volume on both sides; the train side stays
-    * bounded because only its DISTINCT gram hashes survive into the
-    * join (the big side shrinks to unique 8-byte keys), so the extra
-    * cost is one k×-larger explode + the distinct shuffle — the
-    * formulation a 100 TB held-out audit actually wants when eval
-    * sets are small and recall is the point.
+    * bounded because only its DISTINCT grams survive into the join,
+    * so the extra cost is one k×-larger explode + the distinct
+    * shuffle — the formulation a 100 TB held-out audit actually wants
+    * when eval sets are small and recall is the point.
+    *
+    * Join key: the gram STRING, so Spark and the oracle compute the
+    * same relation by construction — this is the collision-free audit
+    * shape. qDecontaminate above keeps the hashed production shape
+    * (8-byte xxhash64 keys through the shuffle, collision odds
+    * documented there); the pair covers both formulations.
     */
   private def qDecontaminateSliding(s: SparkSession, d: String): DataFrame = {
     val k = ChunkToks
@@ -156,11 +161,11 @@ object Sampling {
       .select(col("doc_id"), col("split"),
         explode(expr(
           s"""transform(sequence(0, greatest(size(toks) - $k, 0)),
-                i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $k))))""")).as("h"))
+                i -> concat_ws(' ', slice(toks, i + 1, $k)))""")).as("gram"))
     val train = grams.filter(col("split") === "train")
-      .select(col("h")).distinct().withColumn("hit", lit(1L))
+      .select(col("gram")).distinct().withColumn("hit", lit(1L))
     grams.filter(col("split") =!= "train")
-      .join(train, Seq("h"), "left_outer")
+      .join(train, Seq("gram"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_grams"),
