@@ -856,7 +856,89 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** RAG/training chunking parameters: 64-token windows on a 48-token
+    * stride (16-token overlap) — the fixed-size sliding chunking every
+    * retrieval index and long-doc training pipeline runs. */
+  private val ChunkLen = 64
+  private val ChunkStride = 48
+
+  /** Sliding-window document chunking — one row per (doc, chunk):
+    * chunk index, token count, and the chunk digest (the key a chunk-
+    * level dedup or embedding index would use; the full text stays in
+    * the doc store). Chunk starts advance by the stride while inside
+    * the doc, so every token lands in ≥1 chunk and consecutive chunks
+    * share ChunkLen−ChunkStride tokens. Pure narrow maps — the explode
+    * is the only row expansion and it is bounded by ~n_tokens/stride
+    * per doc, so the operator is embarrassingly parallel at any scale.
+    */
+  private def qChunk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", tokens())
+      .select(col("doc_id"), col("lang"), posexplode(expr(
+        s"""transform(
+              sequence(0, CAST(floor((size(toks) - 1) / $ChunkStride.0) AS INT)),
+              i -> concat_ws(' ', slice(toks, i * $ChunkStride + 1, $ChunkLen)))""")))
+      .select(col("doc_id"), col("lang"), col("pos").cast("long").as("chunk_idx"),
+        size(split(col("col"), " ")).cast("long").as("chunk_tokens"),
+        md5(col("col")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Context-window size for sequence packing. */
+  private val SeqLen = 256
+
+  /** Concat-then-split sequence packing — the accounting LLM
+    * pretraining does when it concatenates a language's documents in
+    * a deterministic order and slices the stream into fixed
+    * SeqLen-token context windows: each doc's window is the one its
+    * STARTING offset falls in (integer running-sum arithmetic, so the
+    * whole assignment is engine-exact). Per (lang, seq) the query
+    * reports how many docs start there, their token mass, the id span,
+    * and the spill past the window boundary (tokens a straddling doc
+    * pushes into later windows). One shuffle: the per-lang running-sum
+    * window; the aggregate reuses its partitioning.
+    */
+  private def qPackSequences(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens()).cast("long"))
+      .withColumn("cum_end", sum(col("n_tokens")).over(wOrd))
+      .withColumn("seq_id", expr(s"(cum_end - n_tokens) DIV $SeqLen"))
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        greatest(max(col("cum_end")) - (col("seq_id") + 1) * SeqLen, lit(0L))
+          .as("spill_tokens"))
+      .orderBy("lang", "seq_id")
+  }
+
+  /** Exact heavy hitters — top-10 tokens per language by corpus
+    * frequency (the vocabulary head a tokenizer trainer or stopword
+    * auditor reads first). Hash-aggregate + per-lang top-k window; the
+    * deterministic (freq desc, token) order makes the kept set
+    * oracle-comparable. The CountMinSketch accuracy test in
+    * OperatorsSpec pins Spark's native `count_min_sketch` aggregate
+    * against these exact counts — the sketch is the 100 TB path when
+    * the (lang, token) keyspace itself is too wide to materialize.
+    */
+  private def qHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("freq").desc, col("token"))
+    Tables.documents(s, d)
+      .select(col("lang"), explode(tokens()).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy("lang", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk" -> (qChunk _),
+    "q_pack_sequences" -> (qPackSequences _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_cluster_labels" -> (qClusterLabels _),
     "q_corpus_clean" -> (qCorpusClean _),
@@ -882,6 +964,57 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_chunk" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+         |), c AS (
+         |  SELECT doc_id, lang,
+         |         unnest(list_zip(
+         |           list_transform(
+         |             range(0, CAST(floor((len(toks) - 1) / $ChunkStride.0) AS BIGINT) + 1),
+         |             i -> array_to_string(toks[i*$ChunkStride+1 : i*$ChunkStride+$ChunkLen], ' ')),
+         |           range(0, CAST(floor((len(toks) - 1) / $ChunkStride.0) AS BIGINT) + 1))) AS z
+         |  FROM t
+         |)
+         |SELECT doc_id, lang, CAST(z[2] AS BIGINT) AS chunk_idx,
+         |       CAST(len(string_split(CAST(z[1] AS VARCHAR), ' ')) AS BIGINT) AS chunk_tokens,
+         |       md5(CAST(z[1] AS VARCHAR)) AS chunk_md5
+         |FROM c
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum_end
+         |  FROM t
+         |), b AS (
+         |  SELECT doc_id, lang, n_tokens, cum_end,
+         |         (cum_end - n_tokens) // $SeqLen AS seq_id
+         |  FROM r
+         |)
+         |SELECT lang, seq_id, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+         |       greatest(MAX(cum_end) - (seq_id + 1) * $SeqLen, 0) AS spill_tokens
+         |FROM b
+         |GROUP BY lang, seq_id
+         |ORDER BY lang, seq_id""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH tf AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+        |), f AS (
+        |  SELECT lang, token, COUNT(*) AS freq FROM tf GROUP BY lang, token
+        |)
+        |SELECT lang, token, freq, rank FROM (
+        |  SELECT lang, token, freq,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY lang ORDER BY freq DESC, token) AS BIGINT) AS rank
+        |  FROM f)
+        |WHERE rank <= 10
+        |ORDER BY lang, rank""".stripMargin,
     "q_corpus_mix" ->
       s"""WITH $doubledSql,
          |norm AS (

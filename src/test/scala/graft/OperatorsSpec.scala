@@ -340,6 +340,33 @@ class OperatorsSpec extends SparkSpec {
     assert(frac > 0.65 && frac < 0.85, s"train fraction $frac far from 0.75")
   }
 
+  test("count-min sketch estimates bound the exact heavy-hitter counts") {
+    // the 100 TB companion to q_heavy_hitters: when the (lang, token)
+    // keyspace is too wide to materialize, Spark's native
+    // count_min_sketch aggregate (mergeable, one pass) answers point
+    // frequency queries. CMS guarantees: estimate NEVER undercounts,
+    // and overcounts by more than eps·N with probability < 1−conf.
+    // Pin both against the exact top-10 per language.
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .select($"lang", explode(split($"text", " ")).as("token"))
+    val eps = 0.001
+    val bytes = docs
+      .agg(expr(s"count_min_sketch(concat(lang, ':', token), ${eps}d, 0.99d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val n = docs.count()
+    val exact = q("q_heavy_hitters").select($"lang", $"token", $"freq")
+      .collect().map(r => (r.getString(0) + ":" + r.getString(1), r.getLong(2)))
+    assert(exact.length == 50) // 10 per language — the fixture has 5
+    exact.foreach { case (key, freq) =>
+      val est = cms.estimateCount(key)
+      assert(est >= freq, s"CMS undercounted $key: $est < $freq")
+      assert(est <= freq + (eps * n).toLong,
+        s"CMS overcount beyond eps*N for $key: $est > $freq + ${(eps * n).toLong}")
+    }
+  }
+
   test("approx_count_distinct within 10% of exact (HLL default rsd 5%)") {
     val approx = q("q_approx_distinct").select("event_type", "approx_users")
     val exact = q("q_count_distinct").select("event_type", "uniq_users")
