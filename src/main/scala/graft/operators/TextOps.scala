@@ -935,7 +935,45 @@ object TextOps {
       .orderBy("lang", "rank")
   }
 
+  /** Incremental-ingest dedup — the shape a PRODUCTION corpus runs
+    * daily: not "dedup the whole corpus" but "which of today's
+    * arrivals are novel?". The corpus/arrival split is deterministic
+    * (md5(doc_id) prefix, same device as the sampling family); each
+    * arrival is classified as
+    *   - dup_of_existing (digest already in the corpus keeper set),
+    *   - dup_in_batch    (novel digest, but a lower-id arrival in the
+    *                      SAME batch owns it — the window dedupe), or
+    *   - novel           (first sighting anywhere),
+    * with the keeper it collapses into. Scale shape: the corpus side
+    * reduces to DISTINCT (digest, min-id) — 8-byte-ish keys, the only
+    * big shuffle — and the arrival batch (small by construction) joins
+    * against it; at 100 TB the keeper set is a fraction of corpus rows
+    * and the daily batch a fraction of that.
+    */
+  private def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val all = doubled(s, d)
+      .withColumn("dig", md5(col("text")))
+      .withColumn("is_arrival",
+        substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
+    val corpus = all.filter(!col("is_arrival"))
+      .groupBy(col("dig")).agg(min(col("doc_id")).as("corpus_keeper"))
+    val wBatch = Window.partitionBy(col("dig")).orderBy(col("doc_id"))
+    all.filter(col("is_arrival"))
+      .withColumn("batch_rn", row_number().over(wBatch))
+      .withColumn("batch_keeper",
+        min(col("doc_id")).over(Window.partitionBy(col("dig"))))
+      .join(corpus, Seq("dig"), "left_outer")
+      .select(
+        col("doc_id"), col("dig"),
+        when(col("corpus_keeper").isNotNull, "dup_of_existing")
+          .when(col("batch_rn") > 1, "dup_in_batch")
+          .otherwise("novel").as("status"),
+        coalesce(col("corpus_keeper"), col("batch_keeper")).as("keeper_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_chunk" -> (qChunk _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -964,6 +1002,28 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_incremental" ->
+      s"""WITH $doubledSql,
+         |all_docs AS (
+         |  SELECT doc_id, md5(text) AS dig,
+         |         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS is_arrival
+         |  FROM doubled
+         |), corpus AS (
+         |  SELECT dig, MIN(doc_id) AS corpus_keeper
+         |  FROM all_docs WHERE NOT is_arrival GROUP BY dig
+         |), arrivals AS (
+         |  SELECT doc_id, dig,
+         |         ROW_NUMBER() OVER (PARTITION BY dig ORDER BY doc_id) AS batch_rn,
+         |         MIN(doc_id) OVER (PARTITION BY dig) AS batch_keeper
+         |  FROM all_docs WHERE is_arrival
+         |)
+         |SELECT a.doc_id, a.dig,
+         |       CASE WHEN c.corpus_keeper IS NOT NULL THEN 'dup_of_existing'
+         |            WHEN a.batch_rn > 1 THEN 'dup_in_batch'
+         |            ELSE 'novel' END AS status,
+         |       COALESCE(c.corpus_keeper, a.batch_keeper) AS keeper_id
+         |FROM arrivals a LEFT JOIN corpus c USING (dig)
+         |ORDER BY doc_id""".stripMargin,
     "q_chunk" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
