@@ -121,6 +121,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), s"the one shuffle should be the sort:\n$p")
   }
 
+  test("q_chunk is pure narrow maps: no shuffle except the harness sort") {
+    val p = plan("q_chunk")
+    val shuffles = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(shuffles == 1, s"chunking must not shuffle, got $shuffles exchanges:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("source"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("q_pack_sequences reuses the per-lang window partitioning for the aggregate") {
+    // HashPartitioning(lang) from the running-sum window must satisfy
+    // the (lang, seq_id) group clustering — a second exchange before
+    // the aggregate would re-shuffle the whole corpus for nothing
+    val p = plan("q_pack_sequences")
+    val shuffles = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(shuffles == 2, s"expected 2 shuffles (window + sort), got $shuffles:\n$p")
+  }
+
+  test("q_heavy_hitters aggregates map-side before the exchange") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("partial_count"),
+      s"token counting must partial-aggregate before shuffling:\n$p")
+  }
+
+  test("q_dedup_incremental reduces the corpus side before the join") {
+    // the scale property: the big side enters the join as DISTINCT
+    // (digest, keeper) — partial-aggregated map-side — never as raw rows
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("partial_min"),
+      s"corpus keeper set must partial-aggregate before shuffling:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("source"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
   test("AQE splits a genuinely skewed shuffle-join partition (OptimizeSkewedJoin)") {
     // the planner-visible half of the skew story: q_join_salted proves
     // MANUAL salting, this proves the RUNTIME re-plan — one hot key
