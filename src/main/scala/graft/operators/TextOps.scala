@@ -431,25 +431,24 @@ object TextOps {
   /** 64-bit SimHash signature per document over whitespace tokens —
     * public so planted-fixture tests drive the exact production
     * signature path. Term frequencies via explode + hash agg
-    * (vectorized, linear), then one signature per doc from ~|vocab|
-    * (hash, weight) pairs — the hash is computed once per distinct
-    * token, and the 64 weighted bit-sums are filled in ONE codegen'd
-    * pass (graft_simhash native expression; the HOF fold evaluated 64
-    * interpreted lambda frames per token — OperatorsSpec pins the two
-    * bit-identical). Input needs (doc_id, text); returns
+    * (vectorized, linear), then one signature per doc via the NATIVE
+    * graft_simhash_agg aggregate — the hash is computed once per
+    * distinct token, and the 64 weighted bit-sums accumulate directly
+    * in the aggregation buffer (map-side partials; no per-document
+    * token ARRAY is ever materialized, unlike the earlier
+    * collect_list + graft_simhash scalar form — OperatorsSpec pins the
+    * two bit-identical, and SimHashAgg's scaladoc states the 100 TB
+    * rationale). Input needs (doc_id, text); returns
     * (doc_id, simhash). */
   def simhashSigs(docs: DataFrame): DataFrame = {
-    graft.functions.TextExpressions.register(docs.sparkSession)
+    graft.functions.SimHashAgg.register(docs.sparkSession)
     docs
       .select(col("doc_id"), explode(tokens()).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("w"))
-      .select(col("doc_id"),
-        struct(xxhash64(col("tok")).as("h"), col("w")).as("tw"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"), col("w"))
       .groupBy(col("doc_id"))
-      .agg(collect_list(col("tw")).as("toks"))
-      .withColumn("simhash", expr("graft_simhash(toks)"))
-      .select("doc_id", "simhash")
+      .agg(expr("graft_simhash_agg(h, w)").as("simhash"))
   }
 
   /** Hamming-≤3 pairs over DISTINCT signatures via 4×16-bit band join
@@ -493,7 +492,7 @@ object TextOps {
     * same move q_minhash_estimate makes for MinHash: swap the
     * engine-specific xxhash64 token hashes for 60-bit md5-prefix
     * hashes (hex-parseable in both engines), keep EVERYTHING else —
-    * the native one-pass graft_simhash signature (bits 60–63 fold to
+    * the native one-pass graft_simhash_agg signature (bits 60–63 fold to
     * zero under always-negative sums), the signature-group-first
     * collapse, and the banded Hamming-≤3 near counting — and the whole
     * formulation becomes hash-comparable: the oracle recomputes the 60
@@ -505,18 +504,16 @@ object TextOps {
   /** 60-bit md5-family SimHash signatures — the cross-engine hash
     * family shared by q_simhash_estimate and q_simhash_closure. */
   private def md5SimhashSigs(s: SparkSession, docs: DataFrame): DataFrame = {
-    graft.functions.TextExpressions.register(s)
+    graft.functions.SimHashAgg.register(s)
     docs
       .select(col("doc_id"), explode(tokens()).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("w"))
-      .select(col("doc_id"), struct(
+      .select(col("doc_id"),
         expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"),
-        col("w")).as("tw"))
+        col("w"))
       .groupBy(col("doc_id"))
-      .agg(collect_list(col("tw")).as("toks"))
-      .withColumn("simhash", expr("graft_simhash(toks)"))
-      .select("doc_id", "simhash")
+      .agg(expr("graft_simhash_agg(h, w)").as("simhash"))
   }
 
   private def qSimhashEstimate(s: SparkSession, d: String): DataFrame = {

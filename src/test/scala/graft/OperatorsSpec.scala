@@ -94,6 +94,26 @@ class OperatorsSpec extends SparkSpec {
     assert(both.count() == 500)
   }
 
+  test("graft_simhash_agg streaming aggregate is bit-identical to the array form") {
+    // the TypedImperativeAggregate (64 bit-sums accumulating in the
+    // agg buffer, no per-doc token array) must produce the same
+    // signature as collect_list + the scalar expression — this is the
+    // production path TextOps.simhashSigs now runs
+    graft.functions.TextExpressions.register(spark)
+    val tf = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("w"))
+    val viaArray = tf
+      .select($"doc_id", struct(xxhash64($"tok").as("h"), $"w").as("tw"))
+      .groupBy($"doc_id").agg(collect_list($"tw").as("toks"))
+      .select($"doc_id", expr("graft_simhash(toks)").as("sig_array"))
+    val viaAgg = graft.operators.TextOps.simhashSigs(
+      spark.read.parquet(s"$Sf0001/documents.parquet"))
+    val joined = viaArray.join(viaAgg, "doc_id")
+    assert(joined.count() == 500)
+    assert(joined.filter($"sig_array" =!= $"simhash").count() == 0)
+  }
+
   test("simhash near-groups count planted low-Hamming variants, verified bit-for-bit") {
     // round-2 gap: the Hamming<=3 banding was pigeonhole-correct but no
     // test ever planted a near-duplicate (non-identical text, signature
