@@ -204,6 +204,22 @@ object EventPipeline {
       .withWatermark("ingest_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("text_md5")
 
+  /** Streaming counterpart of the batch q_dedup_incremental: the
+    * NOVEL-ONLY firehose. Arrivals stream in; anything whose content
+    * digest already exists in the static corpus keeper set is dropped
+    * via a stream-static LEFT ANTI join (T9 snapshot semantics — the
+    * corpus side is the big, slowly-changing relation a daily re-start
+    * re-snapshots), and [[dedupedDocuments]]' watermark-bounded digest
+    * state collapses at-least-once replays within the stream itself.
+    * What comes out is exactly what a corpus-append sink may write.
+    * @param corpusDigests static frame with a `text_md5` column
+    */
+  def novelDocuments(docs: DataFrame, corpusDigests: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    dedupedDocuments(docs, watermarkDelay)
+      .join(corpusDigests.select(col("text_md5")).distinct(),
+        Seq("text_md5"), "left_anti")
+
   /** T8: watermarked SLIDING window (2 h wide, 1 h slide) — each event
     * counts toward two overlapping windows; batch analog is
     * q_window_sliding (oracled). */

@@ -139,6 +139,28 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
   }
 
+  test("novel-only stream drops corpus-known digests and in-stream replays") {
+    implicit val ctx = spark.sqlContext
+    val corpus = Seq("spark big data").toDF("text")
+      .select(md5($"text").as("text_md5"))
+    val ms = MemoryStream[StreamingSpec.DocIn]
+    val q = EventPipeline.novelDocuments(ms.toDF(), corpus)
+      .writeStream.format("memory").queryName("novel_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        // digest already in the corpus -> dropped by the anti join
+        StreamingSpec.DocIn(1L, ts("2024-01-01 10:00:00"), "spark big data"),
+        StreamingSpec.DocIn(2L, ts("2024-01-01 10:00:01"), "genuinely new"))
+      q.processAllAvailable()
+      // replay of the novel doc -> dropped by the in-stream digest state
+      ms.addData(StreamingSpec.DocIn(3L, ts("2024-01-01 10:00:04"), "genuinely new"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("novel_out")
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("dropDuplicatesWithinWatermark collapses replays even with perturbed timestamps (T7)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[EvIn]
