@@ -83,6 +83,43 @@ object Functions2 {
         max(col("l_shipdate")).as("last_ship"))
       .orderBy("l_returnflag")
 
+  /** Winsorized robust means — clip each group's values to its exact
+    * [p05, p95] band, report the clip counts and the raw vs winsorized
+    * DECIMAL-pinned means (the outlier-robust statistic a metrics
+    * pipeline publishes when a fat tail would swamp a plain mean).
+    * Two passes: an exact-percentile aggregate (3 groups → broadcast)
+    * then the clipped re-aggregate. The exact `percentile` holds sort
+    * state per group — fine at bounded group cardinality like here; at
+    * 100 TB with wide groups the sketch path (q_approx_percentile) is
+    * the production form and THIS query is its oracled audit twin.
+    * Determinism: raw prices are 2-decimal (DECIMAL(18,2) sums exact);
+    * clipped values inherit an interpolated bound, so each term is
+    * pinned to DECIMAL(18,6) before summing — partition-order-proof on
+    * both engines, same technique as q_doc_entropy.
+    */
+  private def qWinsorize(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+    val bounds = li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.05)").as("p05"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+    li.join(broadcast(bounds), Seq("l_returnflag"))
+      .withColumn("clipped",
+        least(greatest(col("l_extendedprice"), col("p05")), col("p95")))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("p05")).as("p05"),
+        min(col("p95")).as("p95"),
+        sum(when(col("l_extendedprice") < col("p05"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("l_extendedprice") > col("p95"), 1L).otherwise(0L)).as("n_high"),
+        expr("""CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)""").as("mean_raw"),
+        expr("""CAST(SUM(CAST(clipped AS DECIMAL(18,6))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)""").as("mean_winsorized"))
+      .orderBy("l_returnflag")
+  }
+
   // Regex surface: extraction-all counts, occurrence counts, boolean
   // match — simple character-class/literal patterns where Java regex
   // (Spark) and RE2 (DuckDB) agree.
@@ -293,6 +330,7 @@ object Functions2 {
     "q_string_funcs2" -> (qStringFuncs2 _),
     "q_date_funcs2" -> (qDateFuncs2 _),
     "q_percentile" -> (qPercentile _),
+    "q_winsorize" -> (qWinsorize _),
     "q_approx_percentile" -> (qApproxPercentile _)
   )
 
@@ -462,6 +500,28 @@ object Functions2 {
         |       MIN(l_shipdate) AS first_ship,
         |       MAX(l_shipdate) AS last_ship
         |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |         quantile_cont(l_extendedprice, 0.05) AS p05,
+        |         quantile_cont(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem GROUP BY l_returnflag
+        |), c AS (
+        |  SELECT l.l_returnflag, l.l_extendedprice, b.p05, b.p95,
+        |         least(greatest(l.l_extendedprice, b.p05), b.p95) AS clipped
+        |  FROM lineitem l JOIN b USING (l_returnflag)
+        |)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |       MIN(p05) AS p05, MIN(p95) AS p95,
+        |       CAST(SUM(CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |       CAST(SUM(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS mean_raw,
+        |       CAST(SUM(CAST(clipped AS DECIMAL(18,6))) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS mean_winsorized
+        |FROM c
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin
   )
