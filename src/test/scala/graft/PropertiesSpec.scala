@@ -95,6 +95,41 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("graft_simhash_agg matches a driver-side reference fold on random weighted tokens") {
+    // the streaming aggregate's distributed partial/merge path must
+    // equal the textbook definition — Σ ((h>>j & 1)*2−1)·w per bit,
+    // strictly-positive rule — for ANY multiset of (hash, weight)
+    // rows, including negative hashes and multi-group frames
+    graft.functions.SimHashAgg.register(spark)
+    def reference(rows: Seq[(Long, Long)]): Long = {
+      val sums = new Array[Long](64)
+      rows.foreach { case (h, w) =>
+        var j = 0
+        while (j < 64) { sums(j) += (((h >>> j) & 1L) * 2L - 1L) * w; j += 1 }
+      }
+      (0 until 64).foldLeft(0L) { (sig, j) =>
+        if (sums(j) > 0L) sig | (1L << j) else sig
+      }
+    }
+    val rowGen = for {
+      grp <- Gen.choose(0, 3)
+      h <- Gen.choose(Long.MinValue, Long.MaxValue)
+      w <- Gen.choose(1L, 20L)
+    } yield (grp, h, w)
+    forAllSampled(Gen.listOfN(80, rowGen)) { rows =>
+      if (rows.nonEmpty) {
+        val got = rows.toDF("grp", "h", "w")
+          .repartition(8) // force multi-partition partial/merge
+          .groupBy($"grp")
+          .agg(expr("graft_simhash_agg(h, w)").as("sig"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val want = rows.groupBy(_._1)
+          .map { case (g, rs) => g -> reference(rs.map(t => (t._2, t._3))) }
+        assert(got == want)
+      }
+    }
+  }
+
   test("connectedComponents matches a driver-side union-find on random graphs") {
     val graphGen = for {
       n <- Gen.choose(2, 40)
