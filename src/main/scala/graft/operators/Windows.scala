@@ -119,6 +119,46 @@ object Windows {
       .orderBy("user_id", "session_id")
   }
 
+  /** Clickstream path mining — the funnel-discovery op on top of
+    * sessionization: each session's ordered event-type sequence
+    * becomes a path string ('click>play>finish'), then the corpus-wide
+    * top-50 paths by session count. Determinism: the per-session
+    * ordering goes through array_sort on (ts, event_id, type) structs
+    * (event_id is unique, so the order — and the path — is total
+    * regardless of collection order; the oracle's list(... ORDER BY
+    * ts, event_id) is the same sequence by construction). Scale shape:
+    * sessions reuse the per-user window partitioning; the path
+    * aggregate is a hash agg over session rows; the top-50 cut is
+    * orderBy+limit (TakeOrdered — no global sort), and only then does
+    * a 50-row window stamp ranks. */
+  private def qSessionPaths(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull
+          || (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > lit(1800000000L), 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("""array_join(transform(
+                  array_sort(collect_list(struct(ts, event_id, event_type))),
+                  x -> x.event_type), '>')""").as("path"))
+    sessions.groupBy(col("path"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(50)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))).cast("long"))
+      .select("rank", "path", "n_sessions", "n_users", "n_events")
+      .orderBy("rank")
+  }
+
   // Built-in session_window variant of qSessionize: Spark merges
   // events whose [ts, ts+30min) intervals overlap — identical session
   // boundaries to the lag+cumsum formulation, with session end defined
@@ -339,6 +379,7 @@ object Windows {
     "q_serving_kv" -> (qServingKv _),
     "q_window_tumbling" -> (qWindowTumbling _),
     "q_sessionize" -> (qSessionize _),
+    "q_session_paths" -> (qSessionPaths _),
     "q_session_window" -> (qSessionWindow _),
     "q_topk_typed" -> (qTopkTyped _),
     "q_funnel" -> (qFunnel _),
@@ -495,6 +536,35 @@ object Windows {
         |FROM events
         |GROUP BY 1, 2, 3
         |ORDER BY win_start, event_type""".stripMargin,
+    "q_session_paths" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN LAG(ts, 1) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessioned AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged
+        |), paths AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_events,
+        |         array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
+        |  FROM sessioned
+        |  GROUP BY user_id, session_id
+        |), agg AS (
+        |  SELECT path, COUNT(*) AS n_sessions,
+        |         COUNT(DISTINCT user_id) AS n_users,
+        |         CAST(SUM(n_events) AS BIGINT) AS n_events
+        |  FROM paths GROUP BY path
+        |)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rank,
+        |       path, n_sessions, n_users, n_events
+        |FROM agg
+        |ORDER BY rank
+        |LIMIT 50""".stripMargin,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,
