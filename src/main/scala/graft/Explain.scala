@@ -19,7 +19,10 @@ object Explain {
         "q_dedup_minhash", "q_corpus_clean", "q_join_volume_flow",
         "q_market_share", "q_embed_dedup", "q_dedup_clusters", "q_corpus_mix",
         "q_decontaminate", "q_month_spine", "q_sim_lsh", "q_sim_ivf",
-        "q_minhash_estimate", "q_simhash_estimate", "q_decontaminate_sliding")
+        "q_minhash_estimate", "q_simhash_estimate", "q_decontaminate_sliding",
+        "q_simhash_closure", "q_simhash_sizes", "q_dedup_incremental",
+        "q_chunk", "q_pack_sequences", "q_heavy_hitters", "q_winsorize",
+        "q_session_paths")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
