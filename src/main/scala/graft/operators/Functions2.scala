@@ -120,6 +120,51 @@ object Functions2 {
       .orderBy("l_returnflag")
   }
 
+  /** Equi-width histogram (10 buckets over the global [min, max]) —
+    * the distribution-profile op a data-quality dashboard draws. The
+    * 1-row min/max aggregate broadcasts back over the fact table;
+    * bucket id, bounds and fraction are per-row IEEE arithmetic on
+    * both engines (one subtraction, one division, one floor), so the
+    * whole profile is hash-gated. The top value lands in the last
+    * bucket via the least() cap, mirrored in the oracle. */
+  private def qHistogram(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
+    val mm = li.agg(min(col("x")).as("lo_all"), max(col("x")).as("hi_all"))
+    li.crossJoin(broadcast(mm))
+      .withColumn("width", (col("hi_all") - col("lo_all")) / lit(10.0))
+      .withColumn("bucket",
+        least(floor((col("x") - col("lo_all")) / col("width")), lit(9L)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("lo_all") + col("bucket").cast("double") * col("width")).as("lo"),
+        min(col("lo_all") + (col("bucket") + 1).cast("double") * col("width")).as("hi"))
+      .withColumn("frac", expr(
+        "CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)"))
+      .orderBy("bucket")
+  }
+
+  /** Value deciles via ntile(10) over a total order — the quantile
+    * table a feature-engineering pass materializes. The tie-broken
+    * ORDER BY makes each row's decile assignment engine-exact (both
+    * engines give the first n mod 10 tiles one extra row), and the
+    * per-decile bounds/counts/DECIMAL-pinned sums are then plain
+    * aggregates. One global-sort shuffle at profile time — the price
+    * of exact deciles; the sketch path is q_approx_percentile. */
+  private def qDeciles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("decile", ntile(10).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
+        .cast("long"))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price"))
+      .orderBy("decile")
+
   // Regex surface: extraction-all counts, occurrence counts, boolean
   // match — simple character-class/literal patterns where Java regex
   // (Spark) and RE2 (DuckDB) agree.
@@ -331,6 +376,8 @@ object Functions2 {
     "q_date_funcs2" -> (qDateFuncs2 _),
     "q_percentile" -> (qPercentile _),
     "q_winsorize" -> (qWinsorize _),
+    "q_histogram" -> (qHistogram _),
+    "q_deciles" -> (qDeciles _),
     "q_approx_percentile" -> (qApproxPercentile _)
   )
 
@@ -502,6 +549,37 @@ object Functions2 {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q_histogram" ->
+      """WITH mm AS (
+        |  SELECT MIN(l_extendedprice) AS lo_all, MAX(l_extendedprice) AS hi_all
+        |  FROM lineitem
+        |), b AS (
+        |  SELECT least(floor((l_extendedprice - lo_all) / ((hi_all - lo_all) / 10.0)), 9) AS bucket,
+        |         lo_all, hi_all, (hi_all - lo_all) / 10.0 AS width
+        |  FROM lineitem CROSS JOIN mm
+        |), g AS (
+        |  SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+        |         MIN(lo_all + CAST(bucket AS DOUBLE) * width) AS lo,
+        |         MIN(lo_all + CAST(bucket + 1 AS DOUBLE) * width) AS hi
+        |  FROM b GROUP BY bucket
+        |)
+        |SELECT bucket, n, lo, hi,
+        |       CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS frac
+        |FROM g
+        |ORDER BY bucket""".stripMargin,
+    "q_deciles" ->
+      """WITH d AS (
+        |  SELECT l_extendedprice,
+        |         CAST(ntile(10) OVER (
+        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS decile
+        |  FROM lineitem
+        |)
+        |SELECT decile, COUNT(*) AS n,
+        |       MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM d
+        |GROUP BY decile
+        |ORDER BY decile""".stripMargin,
     "q_winsorize" ->
       """WITH b AS (
         |  SELECT l_returnflag,
