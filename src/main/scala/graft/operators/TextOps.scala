@@ -543,21 +543,21 @@ object TextOps {
   def simhashClusters(docs: DataFrame): DataFrame =
     simhashClustersFromSigs(simhashSigs(docs))
 
-  /** Clustering over a precomputed (doc_id, simhash) frame — the
-    * hash-family-agnostic core of simhashClusters, also driven by the
-    * md5-family q_simhash_closure (whose labels are oracle-comparable
-    * via a recursive-CTE closure in DuckDB). */
-  def simhashClustersFromSigs(sigs: DataFrame): DataFrame = {
-    // materialize the signature frame and the keeper groups ONCE: both
-    // feed three consumers each (near-edge join ×2 / CC node init /
-    // final label join-back), and without a checkpoint Spark re-runs
-    // the full signature build (explode + two aggs + native simhash)
-    // for every consumer — measured 7.0 s → 5.4 s on the sf0.1 suite
-    // queries. The checkpoint is the same lineage-truncation move the
-    // CC loop itself makes; at 100 TB it is one materialization of the
-    // (doc_id, simhash) projection, far smaller than the corpus.
+  /** Shared core of the cluster queries: signature frame and keeper
+    * groups (each materialized ONCE — both feed three consumers, and
+    * without a checkpoint Spark re-runs the full signature build per
+    * consumer; measured 7.0 s → 5.4 s on the sf0.1 suite), the
+    * Hamming-≤3 keeper graph, and the CC labels over it. Groups carry
+    * per-signature member stats so per-cluster aggregates can roll up
+    * WITHOUT touching per-doc rows.
+    * @return (sigsM, groups(simhash, keeper_id, n_members, max_member),
+    *          keeperLabels(keeper_id, label)) */
+  private def sigComponents(sigs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val sigsM = sigs.localCheckpoint()
-    val groups = sigsM.groupBy(col("simhash")).agg(min(col("doc_id")).as("keeper_id"))
+    val groups = sigsM.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_members"),
+        max(col("doc_id")).as("max_member"))
       .localCheckpoint()
     // near-signature blocks connect keeper-to-keeper: one edge per
     // signature PAIR, not per doc pair — a 10⁶-copy boilerplate block
@@ -578,7 +578,16 @@ object TextOps {
     val keeperLabels = connectedComponents(
       groups.select(col("keeper_id").as("doc_id")), nearEdges)
       .withColumnRenamed("doc_id", "keeper_id")
-    sigsM.join(groups, Seq("simhash"))
+    (sigsM, groups, keeperLabels)
+  }
+
+  /** Clustering over a precomputed (doc_id, simhash) frame — the
+    * hash-family-agnostic core of simhashClusters, also driven by the
+    * md5-family q_simhash_closure (whose labels are oracle-comparable
+    * via a recursive-CTE closure in DuckDB). */
+  def simhashClustersFromSigs(sigs: DataFrame): DataFrame = {
+    val (sigsM, groups, keeperLabels) = sigComponents(sigs)
+    sigsM.join(groups.select("simhash", "keeper_id"), Seq("simhash"))
       .join(keeperLabels, Seq("keeper_id"))
       .select(col("doc_id"), col("label").as("cluster_keeper"))
   }
@@ -600,13 +609,21 @@ object TextOps {
   // keep/drop accounting a dedup stage reports (cluster size, last
   // member, multi-doc flag), hash-gated end-to-end: the oracle runs
   // the recursive-CTE closure AND the aggregation, so CC + agg sit
-  // under the gate together, not just the per-doc labels.
-  private def qSimhashSizes(s: SparkSession, d: String): DataFrame =
-    simhashClustersFromSigs(md5SimhashSigs(s, doubled(s, d)))
-      .groupBy(col("cluster_keeper"))
-      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_member"))
-      .withColumn("is_multi", col("n_docs") > 1)
+  // under the gate together, not just the per-doc labels. The rollup
+  // happens at DISTINCT-SIGNATURE granularity: per-signature member
+  // counts/maxima (already on the groups frame) sum up through the
+  // keeper labels, so no per-doc row survives past the signature
+  // aggregate — at 10⁶-copy block sizes the difference between
+  // aggregating documents and aggregating signatures.
+  private def qSimhashSizes(s: SparkSession, d: String): DataFrame = {
+    val (_, groups, keeperLabels) = sigComponents(md5SimhashSigs(s, doubled(s, d)))
+    groups.join(keeperLabels, Seq("keeper_id"))
+      .groupBy(col("label"))
+      .agg(sum(col("n_members")).as("n_docs"), max(col("max_member")).as("max_member"))
+      .select(col("label").as("cluster_keeper"), col("n_docs"), col("max_member"),
+        (col("n_docs") > 1).as("is_multi"))
       .orderBy("cluster_keeper")
+  }
 
   /** Distributed connected components over a near-dup edge set:
     * iterative min-label propagation PLUS pointer doubling
