@@ -387,6 +387,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("bloom filter on train digests: no false negatives, fpp within bound") {
+    // the membership-sketch leg of the sketch family (CMS = frequency,
+    // HLL = cardinality, Bloom = membership): a decontamination or
+    // incremental-dedup pass can pre-screen arrivals against a corpus
+    // Bloom filter before paying the exact join. Every inserted key
+    // MUST hit (no false negatives — that property is what makes the
+    // pre-screen safe: a miss proves novelty); held-out keys may false-
+    // positive at ~fpp, which only costs a redundant exact check.
+    val digests = graft.sources.Tables.documents(spark, Sf001)
+      .select(md5($"text").as("dig"),
+        (substring(md5($"doc_id".cast("string")), 1, 1) <= "b").as("is_train"))
+    val train = digests.filter($"is_train")
+    val fpp = 0.03
+    val bloom = train.stat.bloomFilter("dig", train.count(), fpp)
+    assert(train.select("dig").as[String].collect().forall(bloom.mightContain),
+      "bloom filter missed an inserted key")
+    val heldOut = digests.filter(!$"is_train").select("dig").as[String].collect()
+    val falsePos = heldOut.count(bloom.mightContain)
+    // generous 4x headroom over the configured fpp: the bound is
+    // probabilistic and the held-out set is small
+    assert(falsePos <= math.max(4 * fpp * heldOut.length, 4.0),
+      s"$falsePos/${heldOut.length} false positives exceeds ~$fpp bound")
+  }
+
   test("approx_count_distinct within 10% of exact (HLL default rsd 5%)") {
     val approx = q("q_approx_distinct").select("event_type", "approx_users")
     val exact = q("q_count_distinct").select("event_type", "uniq_users")
