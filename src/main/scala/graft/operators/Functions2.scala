@@ -165,6 +165,42 @@ object Functions2 {
         expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price"))
       .orderBy("decile")
 
+  /** Z-score anomaly counts per group — the data-quality gate that
+    * flags a partition whose value distribution drifted. Mean and
+    * stddev come from EXACT decimal sufficient statistics (Σx, Σx² —
+    * the q_corr_manual technique: order-independent under any
+    * parallelism), and the COMPARED/REUSED mean and std are pinned
+    * through DECIMAL(18,6) before the per-row z pass, so every z is
+    * computed from bit-identical inputs on both engines — the outlier
+    * count can't flip on a last-ulp boundary. Two passes over the
+    * fact table with a broadcast 3-row stats join between them. */
+  private def qAnomaly(s: SparkSession, d: String): DataFrame = {
+    val x = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    val stats = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr(s"CAST(SUM($x) AS DOUBLE)").as("s1"),
+        expr(s"CAST(SUM($x * $x) AS DOUBLE)").as("s2"))
+      .withColumn("mean", expr(
+        "CAST(CAST(s1 / CAST(n AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)"))
+      .withColumn("std", expr(
+        """CAST(CAST(sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE))
+             / CAST(n - 1 AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)"""))
+      .select("l_returnflag", "n", "mean", "std")
+    Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+      .join(broadcast(stats), Seq("l_returnflag"))
+      .withColumn("z", (col("l_extendedprice") - col("mean")) / col("std"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(col("n")).as("n"),
+        min(col("mean")).as("mean"),
+        min(col("std")).as("std"),
+        sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_outliers"),
+        max(abs(col("z"))).as("max_abs_z"))
+      .orderBy("l_returnflag")
+  }
+
   // Regex surface: extraction-all counts, occurrence counts, boolean
   // match — simple character-class/literal patterns where Java regex
   // (Spark) and RE2 (DuckDB) agree.
@@ -378,6 +414,7 @@ object Functions2 {
     "q_winsorize" -> (qWinsorize _),
     "q_histogram" -> (qHistogram _),
     "q_deciles" -> (qDeciles _),
+    "q_anomaly" -> (qAnomaly _),
     "q_approx_percentile" -> (qApproxPercentile _)
   )
 
@@ -549,6 +586,27 @@ object Functions2 {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q_anomaly" ->
+      """WITH stats AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM lineitem GROUP BY l_returnflag
+        |), pinned AS (
+        |  SELECT l_returnflag, n,
+        |         CAST(CAST(s1 / CAST(n AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean,
+        |         CAST(CAST(sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE))
+        |           / CAST(n - 1 AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS std
+        |  FROM stats
+        |)
+        |SELECT l.l_returnflag, MIN(p.n) AS n, MIN(p.mean) AS mean, MIN(p.std) AS std,
+        |       CAST(SUM(CASE WHEN abs((l.l_extendedprice - p.mean) / p.std) > 3.0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       MAX(abs((l.l_extendedprice - p.mean) / p.std)) AS max_abs_z
+        |FROM lineitem l JOIN pinned p USING (l_returnflag)
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin,
     "q_histogram" ->
       """WITH mm AS (
         |  SELECT MIN(l_extendedprice) AS lo_all, MAX(l_extendedprice) AS hi_all

@@ -303,6 +303,21 @@ object TextOps {
       .select("a_id", "b_id", "common", "jaccard")
       .orderBy("a_id", "b_id")
 
+  /** Containment near-dup detection — the ASYMMETRIC complement of
+    * Jaccard: |A∩B| / min(|A|,|B|) ≈ 1 whenever the smaller document
+    * is embedded in the larger (quotes, boilerplate-wrapped reposts,
+    * excerpt pages), pairs Jaccard misses because the union is
+    * dominated by the larger doc. Same DF-capped shingle join as
+    * q_dedup_ngram — no extra shuffle, just a different final ratio —
+    * so the sub-quadratic blocking analysis carries over unchanged. */
+  private def qContainment(s: SparkSession, d: String): DataFrame =
+    ngramCandidates(doubled(s, d), ShingleDfCap)
+      .withColumn("containment",
+        col("common").cast("double") / least(col("a_n"), col("b_n")).cast("double"))
+      .filter(col("containment") >= 0.6)
+      .select("a_id", "b_id", "a_n", "b_n", "common", "containment")
+      .orderBy("a_id", "b_id")
+
   // MinHash + LSH near-dup detection — the sub-quadratic scale path.
   // 32 hash functions (seeded xxhash64 of each shingle), banded into
   // 8 bands × 4 rows; only band-bucket collisions become candidate
@@ -949,6 +964,40 @@ object TextOps {
       .orderBy("lang", "rank")
   }
 
+  /** PMI collocation mining — the bigram-association table a tokenizer
+    * or phrase-vocabulary builder reads: for adjacent token pairs,
+    * pmi = ln(P(w1,w2) / (P(w1)·P(w2))) over the bigram stream's
+    * left/right marginals, min-count 5, top 50 by association. Shape:
+    * one bigram explode, two marginal hash aggs joined back (the w1
+    * marginal reuses the bigram agg's partitioning), a broadcast 1-row
+    * N. The ln goes through the DECIMAL(18,9) pin (q_doc_entropy's
+    * technique) so ranking and values are engine-exact. */
+  private def qCollocations(s: SparkSession, d: String): DataFrame = {
+    val bigrams = Tables.documents(s, d)
+      .withColumn("toks", tokens())
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+             i -> struct(toks[i-1] AS w1, toks[i] AS w2))""")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val pair = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // feeds the w1/w2 marginals AND the final join
+    val left = pair.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val right = pair.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val n = pair.agg(sum(col("c12")).as("n_bi"))
+    pair.filter(col("c12") >= 5)
+      .join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi", expr(
+        """CAST(CAST(ln((CAST(c12 AS DOUBLE) * CAST(n_bi AS DOUBLE))
+             / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) AS DECIMAL(18,9)) AS DOUBLE)"""))
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(50)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("w1"), col("w2"))).cast("long"))
+      .select("rank", "w1", "w2", "c12", "c1", "c2", "pmi")
+      .orderBy("rank")
+  }
+
   /** Incremental-ingest dedup — the shape a PRODUCTION corpus runs
     * daily: not "dedup the whole corpus" but "which of today's
     * arrivals are novel?". The corpus/arrival split is deterministic
@@ -988,6 +1037,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_collocations" -> (qCollocations _),
     "q_chunk" -> (qChunk _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -1003,6 +1053,7 @@ object TextOps {
     "q_fingerprint" -> (qFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
+    "q_containment" -> (qContainment _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_minhash_estimate" -> (qMinhashEstimate _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -1323,6 +1374,57 @@ object TextOps {
          |FROM labels
          |GROUP BY cluster_keeper
          |ORDER BY cluster_keeper""".stripMargin,
+    "q_collocations" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), bi AS (
+        |  SELECT unnest(list_transform(range(1, len(t)), i ->
+        |           struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+        |  FROM toks
+        |), pair AS (
+        |  SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c12 FROM bi GROUP BY b.w1, b.w2
+        |), l AS (
+        |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM pair GROUP BY w1
+        |), r AS (
+        |  SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM pair GROUP BY w2
+        |), n AS (
+        |  SELECT CAST(SUM(c12) AS BIGINT) AS n_bi FROM pair
+        |), scored AS (
+        |  SELECT p.w1, p.w2, p.c12, l.c1, r.c2,
+        |         CAST(CAST(ln((CAST(p.c12 AS DOUBLE) * CAST(n.n_bi AS DOUBLE))
+        |           / (CAST(l.c1 AS DOUBLE) * CAST(r.c2 AS DOUBLE))) AS DECIMAL(18,9)) AS DOUBLE) AS pmi
+        |  FROM pair p JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+        |  WHERE p.c12 >= 5
+        |)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rank,
+        |       w1, w2, c12, c1, c2, pmi
+        |FROM scored
+        |ORDER BY rank
+        |LIMIT 50""".stripMargin,
+    "q_containment" ->
+      s"""WITH $doubledSql,
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(
+         |           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+         |           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingles
+         |  FROM doubled
+         |), ex AS (
+         |  SELECT doc_id, unnest(shingles) AS s FROM sh
+         |), dfd AS (
+         |  SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM ex
+         |), kept AS (
+         |  SELECT doc_id, s, COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+         |  FROM dfd WHERE df <= $ShingleDfCap
+         |)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       a.n_sh AS a_n, b.n_sh AS b_n, COUNT(*) AS common,
+         |       CAST(COUNT(*) AS DOUBLE) / CAST(least(a.n_sh, b.n_sh) AS DOUBLE) AS containment
+         |FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+         |HAVING CAST(COUNT(*) AS DOUBLE) / CAST(least(a.n_sh, b.n_sh) AS DOUBLE) >= 0.6
+         |ORDER BY a_id, b_id""".stripMargin,
     "q_simhash_estimate" ->
       s"""WITH $md5SigSql, groups AS (
          |  SELECT simhash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_members
