@@ -18,6 +18,42 @@ class StorageSpec extends SparkSpec {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  test("JSONL and CSV round-trip the documents schema losslessly") {
+    // source-format breadth: the engine's queries are format-agnostic
+    // behind Tables, and an interchange dump (JSONL for pipelines, CSV
+    // for spreadsheets) must reload bit-identically under an explicit
+    // schema — the silent-coercion traps are schema inference and CSV
+    // quoting, both pinned here
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val jdir = tmp("jsonl")
+    docs.write.mode("overwrite").json(jdir)
+    val backJ = spark.read.schema(docs.schema).json(jdir)
+    assert(backJ.exceptAll(docs).count() == 0 && docs.exceptAll(backJ).count() == 0)
+    val cdir = tmp("csv")
+    docs.write.mode("overwrite").option("header", "true")
+      .option("quoteAll", "true").csv(cdir)
+    val backC = spark.read.schema(docs.schema).option("header", "true").csv(cdir)
+    assert(backC.exceptAll(docs).count() == 0 && docs.exceptAll(backC).count() == 0)
+  }
+
+  test("spark.sql over registered views matches the DataFrame formulation") {
+    // the SQL entry point a reference user migrates through: the same
+    // relational shape expressed as ANSI SQL text over temp views must
+    // produce exactly the DataFrame API's rows
+    graft.sources.Tables.lineitem(spark, Sf0001).createOrReplaceTempView("li")
+    val sql = spark.sql(
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    val df = graft.sources.Tables.lineitem(spark, Sf0001)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"))
+      .orderBy($"l_returnflag")
+    assert(sql.collect().toSeq == df.collect().toSeq)
+  }
+
   test("hive-partitioned write prunes non-matching partitions at scan") {
     val dir = tmp("part")
     Tables.events(spark, Sf0001)
