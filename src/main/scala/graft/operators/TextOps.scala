@@ -640,6 +640,96 @@ object TextOps {
       .orderBy("cluster_keeper")
   }
 
+  /** Structural audit of the near-dup keeper graph — per-keeper degree
+    * and distinct ≤2-hop neighborhood size (md5 family, so the whole
+    * graph is cross-engine): the connectivity profile an operator
+    * reads before trusting CC output — a sudden hub (boilerplate
+    * bridging unrelated clusters) shows up here as a degree/2-hop
+    * spike before it merges clusters downstream. Pure integer
+    * arithmetic end to end. The 2-hop self-join is the audit's cost
+    * (bounded by Σdeg² over keepers — fine at distinct-signature
+    * cardinality; production monitors degree alone, which is one
+    * hash agg). */
+  private def qGraphDegrees(s: SparkSession, d: String): DataFrame = {
+    val sigs = md5SimhashSigs(s, doubled(s, d)).localCheckpoint()
+    val groups = sigs.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("keeper_id")).localCheckpoint()
+    val pairs = nearSigPairs(groups.select("simhash"))
+    val edges = pairs
+      .join(groups.select(col("simhash").as("a_sig"), col("keeper_id").as("src")), Seq("a_sig"))
+      .join(groups.select(col("simhash").as("b_sig"), col("keeper_id").as("dst")), Seq("b_sig"))
+      .select("src", "dst")
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src").as("keeper_id")).agg(count(lit(1)).as("degree"))
+    val twoHop = sym.select(col("src"), col("dst").as("mid"))
+      .join(sym.select(col("src").as("mid"), col("dst").as("hop2")), Seq("mid"))
+      .filter(col("hop2") =!= col("src"))
+      .select(col("src"), col("hop2").as("nb"))
+      .union(sym.select(col("src"), col("dst").as("nb")))
+      .distinct()
+      .groupBy(col("src").as("keeper_id")).agg(count(lit(1)).as("n_within_2"))
+    groups.select("keeper_id")
+      .join(deg, Seq("keeper_id"), "left_outer")
+      .join(twoHop, Seq("keeper_id"), "left_outer")
+      .select(col("keeper_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("n_within_2"), lit(0L)).as("n_within_2"))
+      .withColumn("is_isolated", col("degree") === 0)
+      .orderBy("keeper_id")
+  }
+
+  /** PageRank (2 unrolled iterations, d = 0.85) over the md5-family
+    * near-dup keeper graph — the hub-scoring pass that ranks which
+    * boilerplate families DOMINATE a corpus's duplicate structure.
+    * A distributed iterative float computation under the hash gate:
+    * ranks start uniform, every per-edge contribution r/deg is pinned
+    * to DECIMAL(18,12) before the neighbor sum (exact, partition-
+    * order-independent — the q_doc_entropy technique), and the
+    * damping arithmetic is plain IEEE doubles on both engines, so the
+    * oracle can unroll both iterations in SQL and match bit for bit
+    * (same move as q_sim_ivf's Lloyd unroll). Dangling (isolated)
+    * keepers keep their damped base mass; their outflow is dropped —
+    * the standard simplification, stated here because it changes the
+    * global sum. Per iteration: one edge join + one hash agg. */
+  private def qPagerank(s: SparkSession, d: String): DataFrame = {
+    val sigs = md5SimhashSigs(s, doubled(s, d)).localCheckpoint()
+    val groups = sigs.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("keeper_id")).localCheckpoint()
+    val pairs = nearSigPairs(groups.select("simhash"))
+    val edges = pairs
+      .join(groups.select(col("simhash").as("a_sig"), col("keeper_id").as("src")), Seq("a_sig"))
+      .join(groups.select(col("simhash").as("b_sig"), col("keeper_id").as("dst")), Seq("b_sig"))
+      .select("src", "dst")
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src").as("keeper_id")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint()
+    val nRow = groups.agg(count(lit(1)).as("n_k"))
+    val nodes = groups.select("keeper_id").crossJoin(broadcast(nRow)).localCheckpoint()
+    var rank = nodes.withColumn("r", lit(1.0) / col("n_k").cast("double"))
+    for (_ <- 1 to 2) {
+      val contrib = sym
+        .join(rank.select(col("keeper_id").as("src"), col("r")), Seq("src"))
+        .join(deg.select(col("keeper_id").as("src"), col("degree")), Seq("src"))
+        .withColumn("c", expr("CAST(r / CAST(degree AS DOUBLE) AS DECIMAL(18,12))"))
+        .groupBy(col("dst").as("keeper_id"))
+        .agg(sum(col("c")).as("sc"))
+      rank = nodes.join(contrib, Seq("keeper_id"), "left_outer")
+        .withColumn("r",
+          lit(0.15) / col("n_k").cast("double")
+            + lit(0.85) * coalesce(col("sc").cast("double"), lit(0.0)))
+        .select("keeper_id", "n_k", "r")
+    }
+    rank.join(deg, Seq("keeper_id"), "left_outer")
+      .select(col("keeper_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        expr("CAST(CAST(r AS DECIMAL(18,12)) AS DOUBLE)").as("pagerank"))
+      .orderBy("keeper_id")
+  }
+
   /** Distributed connected components over a near-dup edge set:
     * iterative min-label propagation PLUS pointer doubling
     * (label(u) ← label(label(u)) each round), so a chain of diameter D
@@ -1061,6 +1151,8 @@ object TextOps {
     "q_simhash_estimate" -> (qSimhashEstimate _),
     "q_simhash_closure" -> (qSimhashClosure _),
     "q_simhash_sizes" -> (qSimhashSizes _),
+    "q_graph_degrees" -> (qGraphDegrees _),
+    "q_pagerank" -> (qPagerank _),
     "q_repetition" -> (qRepetition _),
     "q_doc_entropy" -> (qDocEntropy _),
     "q_corpus_mix" -> (qCorpusMix _)
@@ -1364,6 +1456,71 @@ object TextOps {
          |SELECT s.doc_id, l.cluster_keeper
          |FROM sigd s JOIN groups g USING (simhash) JOIN lbl l USING (keeper_id)
          |ORDER BY doc_id""".stripMargin,
+    "q_pagerank" ->
+      s"""WITH $md5SigSql, groups AS (
+         |  SELECT simhash, MIN(doc_id) AS keeper_id FROM sigd GROUP BY simhash
+         |), near AS (
+         |  SELECT a.keeper_id AS src, b.keeper_id AS dst
+         |  FROM groups a JOIN groups b
+         |    ON a.simhash <> b.simhash AND bit_count(xor(a.simhash, b.simhash)) <= 3
+         |), deg AS (
+         |  SELECT src AS keeper_id, COUNT(*) AS degree FROM near GROUP BY src
+         |), nn AS (SELECT COUNT(*) AS n_k FROM groups),
+         |r0 AS (
+         |  SELECT g.keeper_id, 1.0 / CAST(nn.n_k AS DOUBLE) AS r
+         |  FROM groups g CROSS JOIN nn
+         |), c1 AS (
+         |  SELECT n.dst AS keeper_id,
+         |         SUM(CAST(r0.r / CAST(d.degree AS DOUBLE) AS DECIMAL(18,12))) AS sc
+         |  FROM near n JOIN r0 ON n.src = r0.keeper_id JOIN deg d ON n.src = d.keeper_id
+         |  GROUP BY n.dst
+         |), r1 AS (
+         |  SELECT g.keeper_id,
+         |         0.15 / CAST(nn.n_k AS DOUBLE)
+         |           + 0.85 * COALESCE(CAST(c1.sc AS DOUBLE), 0.0) AS r
+         |  FROM groups g CROSS JOIN nn LEFT JOIN c1 USING (keeper_id)
+         |), c2 AS (
+         |  SELECT n.dst AS keeper_id,
+         |         SUM(CAST(r1.r / CAST(d.degree AS DOUBLE) AS DECIMAL(18,12))) AS sc
+         |  FROM near n JOIN r1 ON n.src = r1.keeper_id JOIN deg d ON n.src = d.keeper_id
+         |  GROUP BY n.dst
+         |), r2 AS (
+         |  SELECT g.keeper_id,
+         |         0.15 / CAST(nn.n_k AS DOUBLE)
+         |           + 0.85 * COALESCE(CAST(c2.sc AS DOUBLE), 0.0) AS r
+         |  FROM groups g CROSS JOIN nn LEFT JOIN c2 USING (keeper_id)
+         |)
+         |SELECT r2.keeper_id,
+         |       CAST(COALESCE(deg.degree, 0) AS BIGINT) AS degree,
+         |       CAST(CAST(r2.r AS DECIMAL(18,12)) AS DOUBLE) AS pagerank
+         |FROM r2 LEFT JOIN deg USING (keeper_id)
+         |ORDER BY keeper_id""".stripMargin,
+    "q_graph_degrees" ->
+      s"""WITH $md5SigSql, groups AS (
+         |  SELECT simhash, MIN(doc_id) AS keeper_id FROM sigd GROUP BY simhash
+         |), near AS (
+         |  SELECT a.keeper_id AS src, b.keeper_id AS dst
+         |  FROM groups a JOIN groups b
+         |    ON a.simhash <> b.simhash AND bit_count(xor(a.simhash, b.simhash)) <= 3
+         |), deg AS (
+         |  SELECT src AS keeper_id, COUNT(*) AS degree FROM near GROUP BY src
+         |), hop AS (
+         |  SELECT n1.src, n2.dst AS nb
+         |  FROM near n1 JOIN near n2 ON n1.dst = n2.src
+         |  WHERE n2.dst <> n1.src
+         |  UNION
+         |  SELECT src, dst AS nb FROM near
+         |), two AS (
+         |  SELECT src AS keeper_id, COUNT(*) AS n_within_2 FROM hop GROUP BY src
+         |)
+         |SELECT g.keeper_id,
+         |       CAST(COALESCE(deg.degree, 0) AS BIGINT) AS degree,
+         |       CAST(COALESCE(two.n_within_2, 0) AS BIGINT) AS n_within_2,
+         |       COALESCE(deg.degree, 0) = 0 AS is_isolated
+         |FROM groups g
+         |LEFT JOIN deg USING (keeper_id)
+         |LEFT JOIN two USING (keeper_id)
+         |ORDER BY keeper_id""".stripMargin,
     "q_simhash_sizes" ->
       s"""WITH RECURSIVE $md5ClosureSql, labels AS (
          |  SELECT s.doc_id, l.cluster_keeper
