@@ -1088,6 +1088,44 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Corpus-LM quality score — per-document mean bigram log-probability
+    * under an add-1-smoothed bigram model estimated from the corpus
+    * itself: the "perplexity filter without a model" a training
+    * pipeline runs when no external LM is available (word-salad and
+    * boilerplate documents score low against the corpus's own
+    * statistics). ln((c12+1)/(c1+V)) per bigram goes through the
+    * DECIMAL(18,9) pin, the per-doc sum is an exact decimal, and the
+    * mean is one double division — engine-exact end to end. Shape:
+    * the doc-bigram stream joins the (w1,w2) count table on its own
+    * partitioning (one shuffle pair), V and nothing else broadcasts.
+    */
+  private def qLmScore(s: SparkSession, d: String): DataFrame = {
+    val docBigrams = Tables.documents(s, d)
+      .withColumn("toks", tokens())
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+             i -> struct(toks[i-1] AS w1, toks[i] AS w2))""")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val pair = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val left = pair.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = pair.agg(countDistinct(col("w2")).as("v"))
+    docBigrams
+      .join(pair, Seq("w1", "w2"))
+      .join(left, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp", expr(
+        """CAST(ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+             AS DECIMAL(18,9))"""))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("CAST(SUM(logp) AS DOUBLE)").as("sum_logp"))
+      .withColumn("avg_logp", col("sum_logp") / col("n_bigrams").cast("double"))
+      .withColumn("is_low_quality", col("avg_logp") < -8.0)
+      .orderBy("doc_id")
+  }
+
   /** Incremental-ingest dedup — the shape a PRODUCTION corpus runs
     * daily: not "dedup the whole corpus" but "which of today's
     * arrivals are novel?". The corpus/arrival split is deterministic
@@ -1128,6 +1166,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_collocations" -> (qCollocations _),
+    "q_lm_score" -> (qLmScore _),
     "q_chunk" -> (qChunk _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -1531,6 +1570,33 @@ object TextOps {
          |FROM labels
          |GROUP BY cluster_keeper
          |ORDER BY cluster_keeper""".stripMargin,
+    "q_lm_score" ->
+      """WITH db AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i ->
+        |           struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 2)
+        |), dbf AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM db
+        |), pair AS (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM dbf GROUP BY w1, w2
+        |), l AS (
+        |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM pair GROUP BY w1
+        |), v AS (
+        |  SELECT COUNT(DISTINCT w2) AS v FROM pair
+        |), scored AS (
+        |  SELECT d.doc_id,
+        |         CAST(ln(CAST(p.c12 + 1 AS DOUBLE) / CAST(l.c1 + v.v AS DOUBLE))
+        |           AS DECIMAL(18,9)) AS logp
+        |  FROM dbf d JOIN pair p USING (w1, w2) JOIN l USING (w1) CROSS JOIN v
+        |)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |       CAST(SUM(logp) AS DOUBLE) AS sum_logp,
+        |       CAST(SUM(logp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_logp,
+        |       CAST(SUM(logp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) < -8.0 AS is_low_quality
+        |FROM scored
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_collocations" ->
       """WITH toks AS (
         |  SELECT string_split(text, ' ') AS t FROM documents
