@@ -156,6 +156,24 @@ class PlanAuditSpec extends SparkSpec {
       s"scan reads unreferenced columns: $readSchema")
   }
 
+  test("q_collocations and q_lm_score broadcast only the 1-row scalar") {
+    // the bigram count table must JOIN on its own partitioning, and
+    // only the single-row N / vocab aggregate may broadcast — a
+    // broadcast of the pair table would OOM at corpus vocab sizes
+    for (q <- Seq("q_collocations", "q_lm_score")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"), s"$q: missing scalar broadcast:\n$p")
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q: marginals must partial-aggregate map-side:\n$p")
+    }
+  }
+
+  test("q_anomaly joins the 3-row stats frame as a broadcast") {
+    val p = plan("q_anomaly")
+    assert(p.contains("BroadcastHashJoin"), s"stats join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stats join fell back to SMJ:\n$p")
+  }
+
   test("AQE splits a genuinely skewed shuffle-join partition (OptimizeSkewedJoin)") {
     // the planner-visible half of the skew story: q_join_salted proves
     // MANUAL salting, this proves the RUNTIME re-plan — one hot key
