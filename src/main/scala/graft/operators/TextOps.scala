@@ -1126,6 +1126,59 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Distributed BPE merge learning — two unrolled rounds of the
+    * byte-pair-encoding trainer loop over the corpus vocabulary:
+    * words → char symbol arrays weighted by corpus frequency →
+    * adjacent-pair counts (one hash agg) → deterministic argmax merge
+    * (count desc, pair asc; restricted to a ≠ b so merge sites cannot
+    * overlap and the positional rewrite below is exact) → apply the
+    * merge inside every word (a pure per-row array transform) →
+    * repeat. Output is the learned merge table, the artifact a BPE
+    * tokenizer trainer actually produces. Scale shape: each round is
+    * one explode + hash agg over the DISTINCT-WORD table (not the
+    * corpus), a 1-row argmax broadcast, and a narrow map — the
+    * canonical distributed-BPE round. Engine-exact end to end
+    * (integer counts, string equality), so the DuckDB oracle unrolls
+    * both rounds and matches the merge table bit for bit. */
+  private def qBpeMerges(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(tokens()).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("s", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .select("freq", "s")
+      .localCheckpoint()
+    // single-symbol words carry no pairs — and must not reach the
+    // explode: Spark's sequence(1, 0) DESCENDS (step −1), so an
+    // unguarded transform would index past the array under ANSI
+    def bestPair(ws: DataFrame): DataFrame = ws
+      .filter(size(col("s")) >= 2)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, size(s) - 1),
+             i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+      .filter(col("a") =!= col("b"))
+      .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+    def applyMerge(ws: DataFrame, best: DataFrame): DataFrame = ws
+      .crossJoin(broadcast(best.select(col("a").as("ma"), col("b").as("mb"))))
+      .withColumn("s", expr(
+        """filter(transform(sequence(1, size(s)), i ->
+             CASE WHEN i < size(s) AND element_at(s, i) = ma
+                       AND element_at(s, i + 1) = mb THEN concat(ma, mb)
+                  WHEN i > 1 AND element_at(s, i - 1) = ma
+                       AND element_at(s, i) = mb THEN NULL
+                  ELSE element_at(s, i) END), x -> x IS NOT NULL)"""))
+      .select("freq", "s")
+    val b1 = bestPair(words).localCheckpoint()
+    val w1 = applyMerge(words, b1)
+    val b2 = bestPair(w1).localCheckpoint()
+    b1.withColumn("round", lit(1L))
+      .unionByName(b2.withColumn("round", lit(2L)))
+      .select("round", "a", "b", "cnt")
+      .orderBy("round")
+  }
+
   /** Incremental-ingest dedup — the shape a PRODUCTION corpus runs
     * daily: not "dedup the whole corpus" but "which of today's
     * arrivals are novel?". The corpus/arrival split is deterministic
@@ -1167,6 +1220,7 @@ object TextOps {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_collocations" -> (qCollocations _),
     "q_lm_score" -> (qLmScore _),
+    "q_bpe_merges" -> (qBpeMerges _),
     "q_chunk" -> (qChunk _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -1570,6 +1624,42 @@ object TextOps {
          |FROM labels
          |GROUP BY cluster_keeper
          |ORDER BY cluster_keeper""".stripMargin,
+    "q_bpe_merges" ->
+      """WITH w0 AS (
+        |  SELECT list_transform(range(1, len(word) + 1), i -> word[i:i]) AS s,
+        |         COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word
+        |), e1 AS (
+        |  SELECT freq, unnest(list_transform(range(1, len(s)), i ->
+        |           struct_pack(a := s[i], b := s[i+1]))) AS p
+        |  FROM w0
+        |), p1 AS (
+        |  SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        |  FROM e1 GROUP BY p.a, p.b
+        |), b1 AS (
+        |  SELECT a, b, cnt FROM p1 WHERE a <> b ORDER BY cnt DESC, a, b LIMIT 1
+        |), m1 AS (SELECT a AS ma, b AS mb FROM b1),
+        |w1 AS (
+        |  SELECT freq, list_filter(list_transform(range(1, len(s) + 1), i ->
+        |           CASE WHEN i < len(s) AND s[i] = ma AND s[i+1] = mb THEN ma || mb
+        |                WHEN i > 1 AND s[i-1] = ma AND s[i] = mb THEN NULL
+        |                ELSE s[i] END), x -> x IS NOT NULL) AS s
+        |  FROM w0 CROSS JOIN m1
+        |), e2 AS (
+        |  SELECT freq, unnest(list_transform(range(1, len(s)), i ->
+        |           struct_pack(a := s[i], b := s[i+1]))) AS p
+        |  FROM w1
+        |), p2 AS (
+        |  SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        |  FROM e2 GROUP BY p.a, p.b
+        |), b2 AS (
+        |  SELECT a, b, cnt FROM p2 WHERE a <> b ORDER BY cnt DESC, a, b LIMIT 1
+        |)
+        |SELECT CAST(1 AS BIGINT) AS round, a, b, cnt FROM b1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS round, a, b, cnt FROM b2
+        |ORDER BY round""".stripMargin,
     "q_lm_score" ->
       """WITH db AS (
         |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i ->
