@@ -478,13 +478,15 @@ class StreamingSpec extends SparkSpec {
     val out = tmp("docout")
     val chk = tmp("docchk")
     // stage real sf0.001 documents as the stream input, replayed 2x
-    // (id-shifted) so the in-stream digest dedup has real work
-    val docs = Tables.documents(spark, Sf0001).limit(50)
+    // (id-shifted) so the in-stream digest dedup has real work.
+    // id predicates, not limit(): an unordered limit could pick a
+    // corpus set that is not a subset of the staged stream
+    val docs = Tables.documents(spark, Sf0001).filter($"doc_id" < 50)
       .select($"doc_id", timestamp_millis($"doc_id" * 1000L).as("ingest_ts"), $"text")
     docs.union(docs.withColumn("doc_id", $"doc_id" + 1000000L))
       .write.mode("overwrite").parquet(src)
     // 10 of the 50 distinct texts are already in the corpus
-    val corpus = Tables.documents(spark, Sf0001).limit(10)
+    val corpus = Tables.documents(spark, Sf0001).filter($"doc_id" < 10)
       .select(md5($"text").as("text_md5"))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
