@@ -95,6 +95,7 @@ object ScaleProbe {
       "q_dedup_ngram" -> TextOps.queries("q_dedup_ngram"),
       "q_dedup_simhash" -> TextOps.queries("q_dedup_simhash"),
       "q_simhash_clusters" -> TextOps.queries("q_simhash_clusters"),
+      "q_pagerank" -> TextOps.queries("q_pagerank"),
       "q_embed_dedup" ->
         ((s: SparkSession, d: String) => VectorOps.embedDedupAt(s, d, dedupP)),
       "q_sim_lsh" ->
