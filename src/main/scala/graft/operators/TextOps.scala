@@ -318,6 +318,29 @@ object TextOps {
       .select("a_id", "b_id", "a_n", "b_n", "common", "containment")
       .orderBy("a_id", "b_id")
 
+  /** Edit-distance near-dup verification — the character-level signal
+    * (OCR noise, typo farms, template fill-ins) that token-shingle
+    * Jaccard under-weights. Candidates come from the SAME DF-capped
+    * shingle join (never all pairs: Levenshtein is O(len²) per pair,
+    * so at scale the blocking IS the operator); surviving candidates
+    * pay one levenshtein() each — integer dynamic programming,
+    * bit-identical across engines, so the whole query is hash-gated.
+    * edit_ratio = 1 − lev/max(len): 1.0 = exact copy. */
+  private def qDedupEdit(s: SparkSession, d: String): DataFrame = {
+    val docs = doubled(s, d).select(col("doc_id"), col("text"))
+    ngramCandidates(docs, ShingleDfCap)
+      .filter(col("jaccard") >= 0.3)
+      .join(docs.select(col("doc_id").as("a_id"), col("text").as("a_text")), Seq("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("text").as("b_text")), Seq("b_id"))
+      .withColumn("lev", levenshtein(col("a_text"), col("b_text")).cast("long"))
+      .withColumn("edit_ratio",
+        lit(1.0) - col("lev").cast("double")
+          / greatest(length(col("a_text")), length(col("b_text"))).cast("double"))
+      .filter(col("edit_ratio") >= 0.8)
+      .select("a_id", "b_id", "lev", "edit_ratio")
+      .orderBy("a_id", "b_id")
+  }
+
   // MinHash + LSH near-dup detection — the sub-quadratic scale path.
   // 32 hash functions (seeded xxhash64 of each shingle), banded into
   // 8 bands × 4 rows; only band-bucket collisions become candidate
@@ -1237,6 +1260,7 @@ object TextOps {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_containment" -> (qContainment _),
+    "q_dedup_edit" -> (qDedupEdit _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_minhash_estimate" -> (qMinhashEstimate _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -1737,6 +1761,40 @@ object TextOps {
          |FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
          |HAVING CAST(COUNT(*) AS DOUBLE) / CAST(least(a.n_sh, b.n_sh) AS DOUBLE) >= 0.6
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_edit" ->
+      s"""WITH $doubledSql,
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(
+         |           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+         |           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingles
+         |  FROM doubled
+         |), ex AS (
+         |  SELECT doc_id, unnest(shingles) AS s FROM sh
+         |), dfd AS (
+         |  SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM ex
+         |), kept AS (
+         |  SELECT doc_id, s, COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+         |  FROM dfd WHERE df <= $ShingleDfCap
+         |), cand AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common,
+         |         a.n_sh AS a_n, b.n_sh AS b_n
+         |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+         |  HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - COUNT(*) AS DOUBLE) >= 0.3
+         |), lv AS (
+         |  SELECT c.a_id, c.b_id,
+         |         CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+         |         1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+         |           / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE) AS edit_ratio
+         |  FROM cand c
+         |  JOIN doubled da ON c.a_id = da.doc_id
+         |  JOIN doubled db ON c.b_id = db.doc_id
+         |)
+         |SELECT a_id, b_id, lev, edit_ratio
+         |FROM lv
+         |WHERE edit_ratio >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
     "q_simhash_estimate" ->
       s"""WITH $md5SigSql, groups AS (
