@@ -93,6 +93,7 @@ object ScaleProbe {
     Seq(
       "q_dedup_minhash" -> TextOps.queries("q_dedup_minhash"),
       "q_dedup_ngram" -> TextOps.queries("q_dedup_ngram"),
+      "q_dedup_edit" -> TextOps.queries("q_dedup_edit"),
       "q_dedup_simhash" -> TextOps.queries("q_dedup_simhash"),
       "q_simhash_clusters" -> TextOps.queries("q_simhash_clusters"),
       "q_pagerank" -> TextOps.queries("q_pagerank"),
