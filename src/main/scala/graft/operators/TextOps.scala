@@ -326,7 +326,18 @@ object TextOps {
     * still spanning ~2 sentences of signal; measured 21.7 s → ~2 s on
     * the sf0.1 suite. (Spark has threshold-banded levenshtein(l,r,k),
     * but DuckDB cannot mirror the band, so the ORACLED form caps the
-    * operand instead — same cross-engine integer DP, bounded cost.) */
+    * operand instead — same cross-engine integer DP, bounded cost.)
+    *
+    * SCOPE: the "bit-identical across engines" claim holds for ASCII
+    * text only. Spark's levenshtein counts Unicode CODE POINTS while
+    * DuckDB's counts BYTES (measured: 'café x' vs 'cafe x' → 1 in
+    * Spark, 2 in DuckDB — é is two UTF-8 bytes). The fixture corpus is
+    * pure ASCII, where the two units coincide; OperatorsSpec pins both
+    * the divergence and the corpus-is-ASCII precondition so a fixture
+    * regen that introduces multibyte text fails a targeted test rather
+    * than surfacing as an opaque hash mismatch. A production deployment
+    * over multilingual text must either normalize operands or accept
+    * engine-specific distances. */
   private val EditPrefix = 160
 
   /** Edit-distance near-dup verification — the character-level signal
@@ -808,9 +819,24 @@ object TextOps {
     // two driver-side decimals replaces the former join+isEmpty probe
     // with one aggregate scan of the just-materialized frame.
     // DECIMAL(38,0): at 10¹⁰ docs × 10¹⁰ max id a BIGINT sum overflows.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
+    // A NULL sum is legal only for the empty frame; on a non-empty
+    // frame it means the decimal aggregate itself overflowed (non-ANSI
+    // Spark returns NULL), and silently coalescing that to 0 would make
+    // two consecutive overflow rounds compare equal — reporting
+    // convergence with wrong labels. Fail loudly instead, matching the
+    // round-cap philosophy. (Unreachable below ~10²⁸ docs, but the
+    // probe's correctness argument should not rest on "unreachable".)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val row = df.agg(
+        sum(col("label").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n")).head
+      if (row.isNullAt(0)) {
+        if (row.getLong(1) != 0L) throw new IllegalStateException(
+          "connectedComponents: label sum overflowed DECIMAL(38,0) on a " +
+            "non-empty frame — convergence probe unsound; do not consume")
+        java.math.BigDecimal.ZERO
+      } else row.getDecimal(0)
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

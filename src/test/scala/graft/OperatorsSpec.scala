@@ -12,6 +12,29 @@ class OperatorsSpec extends SparkSpec {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, Sf0001)
 
+  test("edit-distance gate precondition: corpus is ASCII; Spark counts code points") {
+    // q_dedup_edit's oracle is valid only while bytes == code points:
+    // Spark's levenshtein counts Unicode CODE POINTS, DuckDB's counts
+    // BYTES. Pin the divergence on a planted multibyte pair (so the
+    // scope note at EditPrefix stays measured, not asserted) and pin
+    // the precondition on the real fixture (octet_length == length for
+    // every doc ⟺ pure ASCII) — a fixture regen that introduces
+    // multibyte text fails HERE with a diagnosis, not at the hash gate.
+    val planted = Seq(("café x", "cafe x")).toDF("a", "b")
+      .select(levenshtein($"a", $"b").as("lev"),
+        (length($"a") =!= expr("octet_length(a)")).as("multibyte"))
+      .head()
+    assert(planted.getInt(0) == 1, "Spark levenshtein should count code points (1), not bytes (2)")
+    assert(planted.getBoolean(1), "planted pair must actually be multibyte")
+    for (sf <- Seq(Sf0001, Sf001)) {
+      val nonAscii = graft.sources.Tables.documents(spark, sf)
+        .filter(length($"text") =!= expr("octet_length(text)")).count()
+      assert(nonAscii == 0,
+        s"$sf has $nonAscii non-ASCII docs: q_dedup_edit's cross-engine " +
+          "levenshtein gate (code points vs bytes) is no longer sound")
+    }
+  }
+
   test("minhash LSH finds every planted duplicate with exact-Jaccard 1.0") {
     val pairs = q("q_dedup_minhash")
       .filter($"b_id" - $"a_id" === 1000000L && $"jaccard" === 1.0)
@@ -379,12 +402,20 @@ class OperatorsSpec extends SparkSpec {
     val exact = q("q_heavy_hitters").select($"lang", $"token", $"freq")
       .collect().map(r => (r.getString(0) + ":" + r.getString(1), r.getLong(2)))
     assert(exact.length == 50) // 10 per language — the fixture has 5
-    exact.foreach { case (key, freq) =>
+    // the undercount bound is a hard CMS guarantee; the eps*N overcount
+    // bound is only per-key probabilistic (conf = 0.99), so while it
+    // holds for all 50 keys under the current seed+fixture, a test-data
+    // regen could legitimately trip a key or two with no code bug —
+    // allow <=2 of 50 beyond the bound before failing.
+    val overBound = exact.flatMap { case (key, freq) =>
       val est = cms.estimateCount(key)
       assert(est >= freq, s"CMS undercounted $key: $est < $freq")
-      assert(est <= freq + (eps * n).toLong,
-        s"CMS overcount beyond eps*N for $key: $est > $freq + ${(eps * n).toLong}")
+      if (est > freq + (eps * n).toLong) Some(s"$key: $est > $freq + ${(eps * n).toLong}")
+      else None
     }
+    assert(overBound.length <= 2,
+      s"CMS overcount beyond eps*N for ${overBound.length}/50 keys (allowed 2): " +
+        overBound.mkString("; "))
   }
 
   test("bloom filter on train digests: no false negatives, fpp within bound") {
