@@ -90,6 +90,52 @@ object TextOps {
        |  SELECT src AS keeper_id, MIN(dst) AS cluster_keeper FROM reach GROUP BY src
        |)""".stripMargin
 
+  /** Shared oracle CTE chain for the BPE family: vocabulary with char
+    * symbols (`w0(word, freq, s)`), both trainer rounds (`b1`/`b2` =
+    * argmax merges, `w1`/`w2` = vocab after applying them) — used by
+    * q_bpe_merges and q_bpe_encode so the two oracles replay the SAME
+    * trainer and can never drift apart. Mirrors [[bpeVocab]] /
+    * [[bpeBestPair]] / [[bpeApplyMerge]]. */
+  private val bpeSql =
+    """w0 AS (
+      |  SELECT word, list_transform(range(1, len(word) + 1), i -> word[i:i]) AS s,
+      |         COUNT(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY word
+      |), e1 AS (
+      |  SELECT freq, unnest(list_transform(range(1, len(s)), i ->
+      |           struct_pack(a := s[i], b := s[i+1]))) AS p
+      |  FROM w0
+      |), p1 AS (
+      |  SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM e1 GROUP BY p.a, p.b
+      |), b1 AS (
+      |  SELECT a, b, cnt FROM p1 WHERE a <> b ORDER BY cnt DESC, a, b LIMIT 1
+      |), m1 AS (SELECT a AS ma, b AS mb FROM b1),
+      |w1 AS (
+      |  SELECT word, freq, list_filter(list_transform(range(1, len(s) + 1), i ->
+      |           CASE WHEN i < len(s) AND s[i] = ma AND s[i+1] = mb THEN ma || mb
+      |                WHEN i > 1 AND s[i-1] = ma AND s[i] = mb THEN NULL
+      |                ELSE s[i] END), x -> x IS NOT NULL) AS s
+      |  FROM w0 CROSS JOIN m1
+      |), e2 AS (
+      |  SELECT freq, unnest(list_transform(range(1, len(s)), i ->
+      |           struct_pack(a := s[i], b := s[i+1]))) AS p
+      |  FROM w1
+      |), p2 AS (
+      |  SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM e2 GROUP BY p.a, p.b
+      |), b2 AS (
+      |  SELECT a, b, cnt FROM p2 WHERE a <> b ORDER BY cnt DESC, a, b LIMIT 1
+      |), m2 AS (SELECT a AS ma, b AS mb FROM b2),
+      |w2 AS (
+      |  SELECT word, freq, list_filter(list_transform(range(1, len(s) + 1), i ->
+      |           CASE WHEN i < len(s) AND s[i] = ma AND s[i+1] = mb THEN ma || mb
+      |                WHEN i > 1 AND s[i-1] = ma AND s[i] = mb THEN NULL
+      |                ELSE s[i] END), x -> x IS NOT NULL) AS s
+      |  FROM w1 CROSS JOIN m2
+      |)""".stripMargin
+
   // Per-document token statistics (token counting north-star op).
   private def qTextStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -1212,43 +1258,79 @@ object TextOps {
     * canonical distributed-BPE round. Engine-exact end to end
     * (integer counts, string equality), so the DuckDB oracle unrolls
     * both rounds and matches the merge table bit for bit. */
-  private def qBpeMerges(s: SparkSession, d: String): DataFrame = {
-    val words = Tables.documents(s, d)
+  /** Corpus vocabulary as (word, freq, char-symbol array) — the frame
+    * every BPE round (trainer AND encoder) runs over: merges apply
+    * once per DISTINCT word, never per corpus token. */
+  private def bpeVocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(explode(tokens()).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .withColumn("s", expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-      .select("freq", "s")
       .localCheckpoint()
-    // single-symbol words carry no pairs — and must not reach the
-    // explode: Spark's sequence(1, 0) DESCENDS (step −1), so an
-    // unguarded transform would index past the array under ANSI
-    def bestPair(ws: DataFrame): DataFrame = ws
-      .filter(size(col("s")) >= 2)
-      .select(col("freq"), explode(expr(
-        """transform(sequence(1, size(s) - 1),
-             i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))""")).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(sum(col("freq")).as("cnt"))
-      .filter(col("a") =!= col("b"))
-      .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-    def applyMerge(ws: DataFrame, best: DataFrame): DataFrame = ws
-      .crossJoin(broadcast(best.select(col("a").as("ma"), col("b").as("mb"))))
-      .withColumn("s", expr(
-        """filter(transform(sequence(1, size(s)), i ->
-             CASE WHEN i < size(s) AND element_at(s, i) = ma
-                       AND element_at(s, i + 1) = mb THEN concat(ma, mb)
-                  WHEN i > 1 AND element_at(s, i - 1) = ma
-                       AND element_at(s, i) = mb THEN NULL
-                  ELSE element_at(s, i) END), x -> x IS NOT NULL)"""))
-      .select("freq", "s")
-    val b1 = bestPair(words).localCheckpoint()
-    val w1 = applyMerge(words, b1)
-    val b2 = bestPair(w1).localCheckpoint()
+
+  // single-symbol words carry no pairs — and must not reach the
+  // explode: Spark's sequence(1, 0) DESCENDS (step −1), so an
+  // unguarded transform would index past the array under ANSI
+  private def bpeBestPair(ws: DataFrame): DataFrame = ws
+    .filter(size(col("s")) >= 2)
+    .select(col("freq"), explode(expr(
+      """transform(sequence(1, size(s) - 1),
+           i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))""")).as("p"))
+    .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+    .agg(sum(col("freq")).as("cnt"))
+    .filter(col("a") =!= col("b"))
+    .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+
+  private def bpeApplyMerge(ws: DataFrame, best: DataFrame): DataFrame = ws
+    .crossJoin(broadcast(best.select(col("a").as("ma"), col("b").as("mb"))))
+    .withColumn("s", expr(
+      """filter(transform(sequence(1, size(s)), i ->
+           CASE WHEN i < size(s) AND element_at(s, i) = ma
+                     AND element_at(s, i + 1) = mb THEN concat(ma, mb)
+                WHEN i > 1 AND element_at(s, i - 1) = ma
+                     AND element_at(s, i) = mb THEN NULL
+                ELSE element_at(s, i) END), x -> x IS NOT NULL)"""))
+    .drop("ma", "mb")
+
+  private def qBpeMerges(s: SparkSession, d: String): DataFrame = {
+    val words = bpeVocab(s, d)
+    val b1 = bpeBestPair(words).localCheckpoint()
+    val w1 = bpeApplyMerge(words, b1)
+    val b2 = bpeBestPair(w1).localCheckpoint()
     b1.withColumn("round", lit(1L))
       .unionByName(b2.withColumn("round", lit(2L)))
       .select("round", "a", "b", "cnt")
       .orderBy("round")
+  }
+
+  /** BPE ENCODING — the application half of the tokenizer loop
+    * q_bpe_merges trains: apply both learned merges to the vocabulary
+    * and account each document's token budget under the resulting
+    * segmentation (symbols before = characters, symbols after = BPE
+    * tokens). This is the "how many tokens is my corpus" question
+    * every training run prices first. Scale shape: the merge rewrites
+    * touch the DISTINCT-word table only; documents then re-join their
+    * words on the vocab's own partitioning (word → n_sym is the only
+    * shuffled pair) and aggregate per doc — corpus rows never carry
+    * symbol arrays. Integer counts end to end; the per-doc compression
+    * ratio is one exact-integer double division. */
+  private def qBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val words = bpeVocab(s, d)
+    val w1 = bpeApplyMerge(words, bpeBestPair(words).localCheckpoint())
+    val w2 = bpeApplyMerge(w1, bpeBestPair(w1).localCheckpoint())
+    val enc = w2.select(col("word"), size(col("s")).cast("long").as("n_sym"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens()).as("word"))
+      .join(enc, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(col("n_sym")).as("n_sym_bpe"))
+      .withColumn("compression",
+        col("n_sym_bpe").cast("double") / col("n_chars").cast("double"))
+      .orderBy("doc_id")
   }
 
   /** Incremental-ingest dedup — the shape a PRODUCTION corpus runs
@@ -1288,11 +1370,99 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Segment granularity for line-level dedup: non-overlapping
+    * 10-token spans (the corpus has no newlines, so fixed token spans
+    * stand in for "lines" — same grid a paragraph-dedup pass uses). */
+  private val SegLen = 10
+
+  /** Line-level boilerplate removal — the C4/CCNet-style pass that
+    * deletes text SEGMENTS repeated across documents (navigation bars,
+    * license footers, template fill) while keeping each document's
+    * unique remainder, as opposed to whole-document dedup which keeps
+    * or drops documents atomically. Each doc is cut into
+    * [[SegLen]]-token segments on a fixed grid; a segment whose md5
+    * digest appears in ≥2 DISTINCT documents is boilerplate; the
+    * surviving segments re-concatenate in order.
+    *
+    * Scale shape: segments shuffle by 16-byte digest, not text (the
+    * segment groupBy and the join back are the only wide exchanges —
+    * the exact-dedup pattern at segment granularity); reassembly is
+    * one per-doc hash agg whose collect_list is bounded by segments
+    * per document, and the deterministic order comes from
+    * array_sort on (seg_idx, …) structs, never from collect order.
+    * Engine-exact end to end (string equality, integer counts), so
+    * the whole keep/drop decision sits under the DuckDB hash gate. */
+  private def qLineDedup(s: SparkSession, d: String): DataFrame = {
+    val segs = Tables.documents(s, d)
+      .withColumn("toks", tokens())
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+              sequence(0, CAST(floor((size(toks) - 1) / $SegLen.0) AS INT)),
+              i -> concat_ws(' ', slice(toks, i * $SegLen + 1, $SegLen)))""")))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
+        col("col").as("seg_text"), md5(col("col")).as("seg_key"))
+    val boiler = segs
+      .select("seg_key", "doc_id").distinct()
+      .groupBy(col("seg_key")).agg(count(lit(1)).as("n_docs_seg"))
+      .filter(col("n_docs_seg") >= 2)
+      .select(col("seg_key"), lit(true).as("is_boiler"))
+    segs.join(boiler, Seq("seg_key"), "left_outer")
+      .withColumn("is_boiler", coalesce(col("is_boiler"), lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(col("is_boiler").cast("long")).as("n_removed"),
+        array_sort(collect_list(struct(col("seg_idx"), col("seg_text"), col("is_boiler"))))
+          .as("arr"))
+      .select(col("doc_id"), col("n_segs"), col("n_removed"),
+        concat_ws(" ",
+          expr("transform(filter(arr, x -> NOT x.is_boiler), x -> x.seg_text)"))
+          .as("kept_text"))
+      .withColumn("is_modified", col("n_removed") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction — the scrubbing pass a training pipeline runs
+    * before text leaves the raw zone: emails then digit runs are
+    * rewritten to placeholder tokens, with per-doc match accounting.
+    * The corpus has no natural PII, so the query PLANTS a
+    * deterministic contact trailer derived from (source, doc_id) —
+    * same fixture-planting device as the 2-bit-variant cluster test —
+    * and the redaction machinery itself (two regexp_replace passes,
+    * two regexp_count audits) is what the hash gate checks, including
+    * Java-regex vs RE2 agreement on the patterns. Order matters and is
+    * pinned: emails are counted and redacted FIRST so their digits
+    * never double-count as numbers. Pure per-row codegen expressions —
+    * embarrassingly parallel, no shuffle until the final sort. */
+  private def qPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val emailPat = "[a-z0-9.]+@[a-z.]+"
+    val numPat = "[0-9]+"
+    Tables.documents(s, d)
+      .withColumn("raw", concat(
+        col("text"), lit(" contact "),
+        regexp_replace(lower(col("source")), "[^a-z0-9]", ""),
+        lit("."), col("doc_id").cast("string"),
+        lit("@mail.example or call "),
+        ((col("doc_id") * 7919) % 10000000).cast("string"),
+        lit(" ext "), (col("doc_id") % 100).cast("string")))
+      .withColumn("n_emails", regexp_count(col("raw"), lit(emailPat)).cast("long"))
+      .withColumn("r1", regexp_replace(col("raw"), emailPat, "<EMAIL>"))
+      .withColumn("n_numbers", regexp_count(col("r1"), lit(numPat)).cast("long"))
+      .withColumn("redacted", regexp_replace(col("r1"), numPat, "<NUM>"))
+      .select(col("doc_id"), col("n_emails"), col("n_numbers"),
+        length(col("redacted")).cast("long").as("n_chars_red"),
+        md5(col("redacted")).as("red_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_line_dedup" -> (qLineDedup _),
+    "q_pii_redact" -> (qPiiRedact _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_collocations" -> (qCollocations _),
     "q_lm_score" -> (qLmScore _),
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_chunk" -> (qChunk _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -1697,42 +1867,83 @@ object TextOps {
          |FROM labels
          |GROUP BY cluster_keeper
          |ORDER BY cluster_keeper""".stripMargin,
-    "q_bpe_merges" ->
-      """WITH w0 AS (
-        |  SELECT list_transform(range(1, len(word) + 1), i -> word[i:i]) AS s,
-        |         COUNT(*) AS freq
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |  GROUP BY word
-        |), e1 AS (
-        |  SELECT freq, unnest(list_transform(range(1, len(s)), i ->
-        |           struct_pack(a := s[i], b := s[i+1]))) AS p
-        |  FROM w0
-        |), p1 AS (
-        |  SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
-        |  FROM e1 GROUP BY p.a, p.b
-        |), b1 AS (
-        |  SELECT a, b, cnt FROM p1 WHERE a <> b ORDER BY cnt DESC, a, b LIMIT 1
-        |), m1 AS (SELECT a AS ma, b AS mb FROM b1),
-        |w1 AS (
-        |  SELECT freq, list_filter(list_transform(range(1, len(s) + 1), i ->
-        |           CASE WHEN i < len(s) AND s[i] = ma AND s[i+1] = mb THEN ma || mb
-        |                WHEN i > 1 AND s[i-1] = ma AND s[i] = mb THEN NULL
-        |                ELSE s[i] END), x -> x IS NOT NULL) AS s
-        |  FROM w0 CROSS JOIN m1
-        |), e2 AS (
-        |  SELECT freq, unnest(list_transform(range(1, len(s)), i ->
-        |           struct_pack(a := s[i], b := s[i+1]))) AS p
-        |  FROM w1
-        |), p2 AS (
-        |  SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
-        |  FROM e2 GROUP BY p.a, p.b
-        |), b2 AS (
-        |  SELECT a, b, cnt FROM p2 WHERE a <> b ORDER BY cnt DESC, a, b LIMIT 1
+    "q_line_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), c AS (
+         |  SELECT doc_id,
+         |         unnest(list_zip(
+         |           list_transform(
+         |             range(0, CAST(floor((len(toks) - 1) / $SegLen.0) AS BIGINT) + 1),
+         |             i -> array_to_string(toks[i*$SegLen+1 : i*$SegLen+$SegLen], ' ')),
+         |           range(0, CAST(floor((len(toks) - 1) / $SegLen.0) AS BIGINT) + 1))) AS z
+         |  FROM t
+         |), segs AS (
+         |  SELECT doc_id, CAST(z[2] AS BIGINT) AS seg_idx,
+         |         CAST(z[1] AS VARCHAR) AS seg_text,
+         |         md5(CAST(z[1] AS VARCHAR)) AS seg_key
+         |  FROM c
+         |), boiler AS (
+         |  SELECT seg_key FROM (SELECT DISTINCT seg_key, doc_id FROM segs)
+         |  GROUP BY seg_key HAVING COUNT(*) >= 2
+         |), m AS (
+         |  SELECT s.doc_id, s.seg_idx, s.seg_text,
+         |         (b.seg_key IS NOT NULL) AS is_boiler
+         |  FROM segs s LEFT JOIN boiler b USING (seg_key)
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+         |       CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |       COALESCE(string_agg(CASE WHEN NOT is_boiler THEN seg_text END,
+         |                           ' ' ORDER BY seg_idx), '') AS kept_text,
+         |       CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) > 0 AS is_modified
+         |FROM m
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |         text || ' contact ' ||
+        |         regexp_replace(lower(source), '[^a-z0-9]', '', 'g') ||
+        |         '.' || CAST(doc_id AS VARCHAR) ||
+        |         '@mail.example or call ' ||
+        |         CAST((doc_id * 7919) % 10000000 AS VARCHAR) ||
+        |         ' ext ' || CAST(doc_id % 100 AS VARCHAR) AS raw
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(raw, '[a-z0-9.]+@[a-z.]+')) AS BIGINT)
+        |           AS n_emails,
+        |         regexp_replace(raw, '[a-z0-9.]+@[a-z.]+', '<EMAIL>', 'g') AS r1
+        |  FROM planted
         |)
-        |SELECT CAST(1 AS BIGINT) AS round, a, b, cnt FROM b1
-        |UNION ALL
-        |SELECT CAST(2 AS BIGINT) AS round, a, b, cnt FROM b2
-        |ORDER BY round""".stripMargin,
+        |SELECT doc_id, n_emails,
+        |       CAST(len(regexp_extract_all(r1, '[0-9]+')) AS BIGINT) AS n_numbers,
+        |       CAST(length(regexp_replace(r1, '[0-9]+', '<NUM>', 'g')) AS BIGINT)
+        |         AS n_chars_red,
+        |       md5(regexp_replace(r1, '[0-9]+', '<NUM>', 'g')) AS red_md5
+        |FROM e
+        |ORDER BY doc_id""".stripMargin,
+    "q_bpe_merges" ->
+      s"""WITH $bpeSql
+         |SELECT CAST(1 AS BIGINT) AS round, a, b, cnt FROM b1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS round, a, b, cnt FROM b2
+         |ORDER BY round""".stripMargin,
+    "q_bpe_encode" ->
+      s"""WITH $bpeSql,
+         |enc AS (
+         |  SELECT word, CAST(len(s) AS BIGINT) AS n_sym FROM w2
+         |), dw AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(len(word)) AS BIGINT) AS n_chars,
+         |       CAST(SUM(n_sym) AS BIGINT) AS n_sym_bpe,
+         |       CAST(SUM(n_sym) AS DOUBLE) / CAST(SUM(len(word)) AS DOUBLE)
+         |         AS compression
+         |FROM dw JOIN enc USING (word)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     "q_lm_score" ->
       """WITH db AS (
         |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i ->
