@@ -175,7 +175,48 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Output shard count for the training-layout plan. */
+  private val NumShards = 16
+
+  /** Training-output shard plan — the manifest a corpus writer
+    * produces before materializing tokenized output: every doc hashes
+    * to one of [[NumShards]] shards (md5-derived, so the assignment is
+    * stable across reruns, engines, and cluster sizes — a repartition
+    * by this key co-locates a shard's docs on one writer task), and
+    * the plan reports each shard's document/token/byte mass, id span,
+    * and skew against the ideal uniform share. The skew column is the
+    * number a layout reviewer actually reads: >1.2 on real data means
+    * the shard key needs salting before the write. Shape: one narrow
+    * map + one 16-group hash agg + a 1-row broadcast for totals — no
+    * full-corpus window, no driver loop. */
+  private def qShardPlan(s: SparkSession, d: String): DataFrame = {
+    val sharded = Tables.documents(s, d)
+      .withColumn("shard", expr(
+        s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT) % $NumShards"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+    val totals = sharded.agg(
+      sum(col("n_docs")).as("total_docs"),
+      sum(col("n_tokens")).as("total_tokens"))
+    sharded.crossJoin(broadcast(totals))
+      .withColumn("doc_skew",
+        col("n_docs").cast("double") * lit(NumShards.toDouble)
+          / col("total_docs").cast("double"))
+      .withColumn("token_skew",
+        col("n_tokens").cast("double") * lit(NumShards.toDouble)
+          / col("total_tokens").cast("double"))
+      .select("shard", "n_docs", "n_tokens", "n_bytes",
+        "first_doc", "last_doc", "doc_skew", "token_skew")
+      .orderBy("shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shard_plan" -> (qShardPlan _),
     "q_split_assign" -> (qSplitAssign _),
     "q_split_stats" -> (qSplitStats _),
     "q_sample_hash" -> (qSampleHash _),
@@ -191,6 +232,31 @@ object Sampling {
       |     ELSE 'test' END""".stripMargin.replace("\n", " ")
 
   val oracle: Map[String, String] = Map(
+    "q_shard_plan" ->
+      s"""WITH sharded AS (
+         |  SELECT CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+         |                   AS INT) % $NumShards AS INT) AS shard,
+         |         doc_id, n_chars,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |  FROM documents
+         |), g AS (
+         |  SELECT shard, COUNT(*) AS n_docs,
+         |         CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+         |         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |  FROM sharded GROUP BY shard
+         |), t AS (
+         |  SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+         |         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |  FROM g
+         |)
+         |SELECT shard, n_docs, n_tokens, n_bytes, first_doc, last_doc,
+         |       CAST(n_docs AS DOUBLE) * $NumShards.0 / CAST(total_docs AS DOUBLE)
+         |         AS doc_skew,
+         |       CAST(n_tokens AS DOUBLE) * $NumShards.0 / CAST(total_tokens AS DOUBLE)
+         |         AS token_skew
+         |FROM g CROSS JOIN t
+         |ORDER BY shard""".stripMargin,
     "q_split_assign" ->
       s"""SELECT doc_id, lang,
          |       substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hex2,

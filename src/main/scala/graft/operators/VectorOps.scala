@@ -238,10 +238,17 @@ object VectorOps {
   private val IvfProbes = 3
   private val LloydIters = 2
 
-  private def qSimIvf(s: SparkSession, d: String): DataFrame = {
-    VectorExpressions.register(s)
+  /** Seeded-Lloyd scoring over any (vec_id, vec[, …]) frame — the
+    * shared k-means core of q_sim_ivf and q_semdedup: md5-ordered
+    * seeds, [[LloydIters]] assign+mean rounds (decimal-exact sums
+    * divided in double — the cross-engine AVG pin; empty cells keep
+    * their centroid), then every vector scored against the final
+    * centroids. The two `.collect()`s are bounded K-seed and
+    * K×dim-mean fetches — model state, never data. Mirrored in SQL by
+    * [[ivfSeedChainSql]] over whatever `v` CTE the caller defines. */
+  private def lloydScored(s: SparkSession, vecs: DataFrame): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, d).withColumn("vec", asDouble("embedding"))
+    val e = vecs
     val byCell = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("p_cos").desc, col("cell"))
     def scoreCells(cents: Seq[(Long, Seq[Double])]): DataFrame =
@@ -267,7 +274,13 @@ object VectorOps {
         (cell, byId.getOrElse(cell, old)) // empty cell keeps its centroid
       }
     }
-    val scored = scoreCells(centroids)
+    scoreCells(centroids)
+  }
+
+  private def qSimIvf(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d).withColumn("vec", asDouble("embedding"))
+    val scored = lloydScored(s, e)
     val assigned = scored.filter(col("p_rank") === 1)
       .select(col("vec_id").as("c_id"), col("vec").as("c_vec"), col("cell"))
     val probes = scored.filter(col("vec_id") < 10 && col("p_rank") <= IvfProbes)
@@ -348,6 +361,52 @@ object VectorOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** In-cell duplicate threshold for q_semdedup — same bar as the LSH
+    * dedup path so the two strategies are comparable on one corpus. */
+  private val SemDedupCosine = 0.9
+
+  /** Semantic dedup (SemDeDup-style): k-means the corpus into
+    * [[IvfK]] cells with the SAME seeded-Lloyd machinery as q_sim_ivf,
+    * then compare vectors only WITHIN their cell and drop any vector
+    * that has a lower-id in-cell neighbor above [[SemDedupCosine]]
+    * (keeper = lowest such neighbor; keepers keep themselves). This is
+    * the embedding-space alternative to LSH-bucket blocking
+    * (q_embed_dedup): clustering replaces hashing as the candidate
+    * limiter, which also catches paraphrase-level duplicates whose
+    * buckets differ. Runs on the doubled corpus so the collapse path
+    * is exercised.
+    *
+    * Scale shape: assignment is O(n·K) narrow work; the in-cell
+    * self-join is bounded by Σ|cell|² — the deployment knob is K,
+    * which SemDeDup scales with n so cells stay O(targetWidth); K=16
+    * here matches the fixture (the forCorpus-style derivation applies
+    * unchanged). Fully oracled: seeds, both Lloyd rounds, assignment,
+    * in-cell pairs, and keeper election all replay in generated
+    * DuckDB SQL from the same constants. */
+  private def qSemdedup(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble("embedding").as("vec"))
+    val dbl = e.union(e.withColumn("vec_id", col("vec_id") + lit(1000000L))
+      .select("vec_id", "vec"))
+    val assigned = lloydScored(s, dbl).filter(col("p_rank") === 1)
+      .select(col("vec_id"), col("vec"), col("cell"))
+      .localCheckpoint() // feeds both sides of the pair join + the verdict
+    val pairs = assigned
+      .select(col("cell"), col("vec_id").as("a_id"), col("vec").as("a_vec"))
+      .join(assigned.select(col("cell"), col("vec_id").as("b_id"), col("vec").as("b_vec")),
+        Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", cosine("a_vec", "b_vec"))
+      .filter(col("cosine") > SemDedupCosine)
+    val mins = pairs.groupBy(col("b_id").as("vec_id")).agg(min(col("a_id")).as("keeper"))
+    assigned.join(mins, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        col("keeper").isNotNull.as("is_dup"),
+        coalesce(col("keeper"), col("vec_id")).as("keeper_id"))
+      .orderBy("vec_id")
+  }
+
   // Symmetric int8 quantization — the storage path for vectors at
   // 100 TB (4× smaller than float32): per-vector scale = 127/max|x|,
   // q_i = floor(x_i·scale + 0.5) (explicit floor-of-shifted instead of
@@ -380,8 +439,57 @@ object VectorOps {
     "q_embed_stats" -> (qEmbedStats _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
-    "q_embed_dedup" -> (qEmbedDedup _)
+    "q_embed_dedup" -> (qEmbedDedup _),
+    "q_semdedup" -> (qSemdedup _)
   )
+
+  /** Exact-cosine SQL fragment (sequential left-fold dot products —
+    * bit-identical to the Spark expressions, see the object doc). */
+  private def cosSql(a: String, b: String): String =
+    s"""list_dot_product($a, $b)
+       |             / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))""".stripMargin
+
+  /** One unrolled Lloyd round over CTE `v` (assign by max cosine →
+    * decimal-exact per-dim means → empty cells keep their centroid). */
+  private def ivfIterationSql(prev: String): String =
+    s"""a_$prev AS (
+       |  SELECT vec_id, vec, cell FROM (
+       |    SELECT v.vec_id, v.vec, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |             ${cosSql("v.vec", "c.cent")} DESC,
+       |             c.cell) AS rk
+       |    FROM v CROSS JOIN $prev c)
+       |  WHERE rk = 1
+       |), m_$prev AS (
+       |  SELECT cell, i,
+       |         CAST(SUM(CAST(vec[i] AS DECIMAL(30,15))) AS DOUBLE)
+       |           / CAST(COUNT(*) AS DOUBLE) AS mu
+       |  FROM a_$prev CROSS JOIN range(1, 65) r(i)
+       |  GROUP BY cell, i
+       |), next_$prev AS (
+       |  SELECT p.cell, COALESCE(m.cent, p.cent) AS cent
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT cell, list(mu ORDER BY i) AS cent FROM m_$prev GROUP BY cell) m
+       |  USING (cell)
+       |)""".stripMargin
+
+  /** Seeds + c0 + all [[LloydIters]] unrolled rounds over whatever `v`
+    * CTE the caller defined — the SQL twin of [[lloydScored]], shared
+    * by the q_sim_ivf and q_semdedup oracles so the two k-means
+    * replays can never drift. Final centroids land in CTE
+    * `c{LloydIters}`. */
+  private val ivfSeedChainSql: String = {
+    val chain = (0 until LloydIters).map { i =>
+      s",\n${ivfIterationSql(s"c$i")},\nc${i + 1} AS (SELECT cell, cent FROM next_c$i)"
+    }.mkString
+    s"""seeds AS (
+       |  SELECT vec_id, vec FROM v
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfK
+       |), c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, vec AS cent
+       |  FROM seeds
+       |)$chain""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q_embed_quantize" ->
@@ -436,43 +544,10 @@ object VectorOps {
       // sums divided in double — the cross-engine AVG pin; empty cells
       // keep their centroid via the LEFT JOIN COALESCE) → probe top-3
       // cells → exact cosine refine, top-5
-      def cosSql(a: String, b: String): String =
-        s"""list_dot_product($a, $b)
-           |             / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))""".stripMargin
-      def iteration(prev: String): String =
-        s"""a_$prev AS (
-           |  SELECT vec_id, vec, cell FROM (
-           |    SELECT v.vec_id, v.vec, c.cell,
-           |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-           |             ${cosSql("v.vec", "c.cent")} DESC,
-           |             c.cell) AS rk
-           |    FROM v CROSS JOIN $prev c)
-           |  WHERE rk = 1
-           |), m_$prev AS (
-           |  SELECT cell, i,
-           |         CAST(SUM(CAST(vec[i] AS DECIMAL(30,15))) AS DOUBLE)
-           |           / CAST(COUNT(*) AS DOUBLE) AS mu
-           |  FROM a_$prev CROSS JOIN range(1, 65) r(i)
-           |  GROUP BY cell, i
-           |), next_$prev AS (
-           |  SELECT p.cell, COALESCE(m.cent, p.cent) AS cent
-           |  FROM $prev p LEFT JOIN (
-           |    SELECT cell, list(mu ORDER BY i) AS cent FROM m_$prev GROUP BY cell) m
-           |  USING (cell)
-           |)""".stripMargin
-      val chain = (0 until LloydIters).map { i =>
-        s",\n${iteration(s"c$i")},\nc${i + 1} AS (SELECT cell, cent FROM next_c$i)"
-      }.mkString
       val cFinal = s"c$LloydIters"
       s"""WITH v AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
-         |), seeds AS (
-         |  SELECT vec_id, vec FROM v
-         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfK
-         |), c0 AS (
-         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, vec AS cent
-         |  FROM seeds
-         |)$chain,
+         |), $ivfSeedChainSql,
          |scored AS (
          |  SELECT v.vec_id, v.vec, c.cell,
          |         ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
@@ -544,6 +619,36 @@ object VectorOps {
          |WHERE list_dot_product(a.vec, b.vec)
          |        / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) > $DedupCosine
          |ORDER BY a_id, b_id""".stripMargin
+    },
+    "q_semdedup" -> {
+      val cFinal = s"c$LloydIters"
+      s"""WITH e0 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+         |), v AS (
+         |  SELECT vec_id, vec FROM e0
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id, vec FROM e0
+         |), $ivfSeedChainSql,
+         |scored AS (
+         |  SELECT v.vec_id, v.vec, c.cell,
+         |         ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |           ${cosSql("v.vec", "c.cent")} DESC,
+         |           c.cell) AS p_rank
+         |  FROM v CROSS JOIN $cFinal c
+         |), assigned AS (
+         |  SELECT vec_id, vec, cell FROM scored WHERE p_rank = 1
+         |), pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.vec", "b.vec")} > $SemDedupCosine
+         |), mins AS (
+         |  SELECT b_id AS vec_id, MIN(a_id) AS keeper FROM pairs GROUP BY b_id
+         |)
+         |SELECT s.vec_id, s.cell, (m.keeper IS NOT NULL) AS is_dup,
+         |       COALESCE(m.keeper, s.vec_id) AS keeper_id
+         |FROM assigned s LEFT JOIN mins m USING (vec_id)
+         |ORDER BY s.vec_id""".stripMargin
     }
   )
 }
