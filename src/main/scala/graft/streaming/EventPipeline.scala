@@ -204,6 +204,40 @@ object EventPipeline {
       .withWatermark("ingest_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("text_md5")
 
+  /** Per-row 64-bit SimHash signature over whitespace tokens — the
+    * SAME semantics as the batch signature path (xxhash64 term hashes,
+    * term-frequency weights, graft_simhash's bit fold; SimHash is
+    * order-invariant, so per-distinct-token tf via filter+size equals
+    * the batch explode+groupBy tf) but computed WITHOUT an
+    * aggregation, which is what lets it sit upstream of a streaming
+    * stateful operator. Per-row cost is O(distinct·tokens) lambda
+    * steps — bounded by document length, independent of corpus size.
+    * StreamingSpec pins it bit-identical to [[graft.operators.TextOps.simhashSigs]]. */
+  def perRowSimhash(textCol: String = "text"): org.apache.spark.sql.Column = expr(
+    s"""graft_simhash(transform(array_distinct(split($textCol, ' ')),
+          t -> struct(xxhash64(t) AS h,
+                      CAST(size(filter(split($textCol, ' '), x -> x = t)) AS BIGINT) AS w)))""")
+
+  /** Streaming NEAR-dup dedup — the signature-identical stage of the
+    * batch SimHash stack on the streaming surface: a document whose
+    * 64-bit SimHash signature was already seen inside the watermark
+    * horizon is dropped. Because the signature hashes the term-
+    * frequency BAG, this collapses exact replays AND content-preserving
+    * rewrites (token reorderings, whitespace-joined shuffles) that
+    * defeat [[dedupedDocuments]]' md5 key, at the same bounded state
+    * cost (one 8-byte signature per in-horizon distinct doc). Hamming-
+    * NEIGHBOR matching (≤3 bits) needs the cross-signature band join
+    * and stays a batch/micro-batch concern (q_simhash_clusters); the
+    * streaming stage is the exact-signature filter in front of it. */
+  def nearDedupedDocuments(docs: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    docs
+      .withColumn("simhash", perRowSimhash())
+      .withWatermark("ingest_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("simhash")
+  }
+
   /** Streaming counterpart of the batch q_dedup_incremental: the
     * NOVEL-ONLY firehose. Arrivals stream in; anything whose content
     * digest already exists in the static corpus keeper set is dropped

@@ -139,6 +139,48 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
   }
 
+  test("streaming near-dup dedup collapses a token-permuted replay the md5 key misses") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[StreamingSpec.DocIn]
+    val q = EventPipeline.nearDedupedDocuments(ms.toDF())
+      .writeStream.format("memory").queryName("near_dedup_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        StreamingSpec.DocIn(1L, ts("2024-01-01 10:00:00"), "spark big data pipeline"),
+        StreamingSpec.DocIn(2L, ts("2024-01-01 10:00:01"), "other text here"))
+      q.processAllAvailable()
+      // token-PERMUTED replay: different text, different md5 — exact-
+      // text dedup would emit it; the order-invariant signature must
+      // collapse it. The genuinely new doc in the same batch survives.
+      ms.addData(
+        StreamingSpec.DocIn(3L, ts("2024-01-01 10:00:05"), "pipeline data big spark"),
+        StreamingSpec.DocIn(4L, ts("2024-01-01 10:00:06"), "brand new doc"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("near_dedup_out")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // regression guard for the premise: the permuted text is NOT an
+    // md5 duplicate — only the signature collapses it
+    assert(spark.sql(
+      "SELECT md5('spark big data pipeline') = md5('pipeline data big spark')")
+      .head().getBoolean(0) == false)
+  }
+
+  test("per-row streaming simhash is bit-identical to the batch signature path") {
+    graft.functions.TextExpressions.register(spark)
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text")
+    val perRow = docs.select($"doc_id",
+      EventPipeline.perRowSimhash().as("row_sig"))
+    val mismatches = graft.operators.TextOps.simhashSigs(docs)
+      .join(perRow, Seq("doc_id"))
+      .filter($"simhash" =!= $"row_sig")
+      .count()
+    assert(mismatches == 0,
+      s"$mismatches docs where the per-row streaming signature diverges from the batch aggregate")
+  }
+
   test("novel-only stream drops corpus-known digests and in-stream replays") {
     implicit val ctx = spark.sqlContext
     val corpus = Seq("spark big data").toDF("text")
