@@ -126,14 +126,21 @@ object Functions2 {
     * bucket id, bounds and fraction are per-row IEEE arithmetic on
     * both engines (one subtraction, one division, one floor), so the
     * whole profile is hash-gated. The top value lands in the last
-    * bucket via the least() cap, mirrored in the oracle. */
-  private def qHistogram(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
-    val mm = li.agg(min(col("x")).as("lo_all"), max(col("x")).as("hi_all"))
-    li.crossJoin(broadcast(mm))
+    * bucket via the least() cap, mirrored in the oracle. A CONSTANT
+    * column (hi = lo ⇒ width 0) degenerates every row to bucket 0
+    * explicitly — without the guard the 0/0 division feeds NaN into
+    * the ANSI long cast and the query dies with an opaque cast error
+    * instead of profiling the (legitimate) one-value distribution. */
+  /** Histogram core over any single-column (x) frame — public to
+    * graft so the degenerate-width guard is testable on a constant
+    * frame without a fixture change. */
+  private[graft] def histogramOf(vals: DataFrame): DataFrame = {
+    val mm = vals.agg(min(col("x")).as("lo_all"), max(col("x")).as("hi_all"))
+    vals.crossJoin(broadcast(mm))
       .withColumn("width", (col("hi_all") - col("lo_all")) / lit(10.0))
       .withColumn("bucket",
-        least(floor((col("x") - col("lo_all")) / col("width")), lit(9L)).cast("long"))
+        when(col("width") === 0.0, lit(0L)).otherwise(
+          least(floor((col("x") - col("lo_all")) / col("width")), lit(9L)).cast("long")))
       .groupBy(col("bucket"))
       .agg(
         count(lit(1)).as("n"),
@@ -143,6 +150,9 @@ object Functions2 {
         "CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)"))
       .orderBy("bucket")
   }
+
+  private def qHistogram(s: SparkSession, d: String): DataFrame =
+    histogramOf(Tables.lineitem(s, d).select(col("l_extendedprice").as("x")))
 
   /** Value deciles via ntile(10) over a total order — the quantile
     * table a feature-engineering pass materializes. The tie-broken
@@ -612,7 +622,9 @@ object Functions2 {
         |  SELECT MIN(l_extendedprice) AS lo_all, MAX(l_extendedprice) AS hi_all
         |  FROM lineitem
         |), b AS (
-        |  SELECT least(floor((l_extendedprice - lo_all) / ((hi_all - lo_all) / 10.0)), 9) AS bucket,
+        |  SELECT CASE WHEN (hi_all - lo_all) / 10.0 = 0.0 THEN 0
+        |              ELSE least(floor((l_extendedprice - lo_all) / ((hi_all - lo_all) / 10.0)), 9)
+        |         END AS bucket,
         |         lo_all, hi_all, (hi_all - lo_all) / 10.0 AS width
         |  FROM lineitem CROSS JOIN mm
         |), g AS (

@@ -634,17 +634,81 @@ object TextOps {
       .agg(expr("graft_simhash_agg(h, w)").as("simhash"))
   }
 
+  /** Cross-QUERY memo for the md5-family signature graph: FIVE queries
+    * (estimate, closure, sizes, degrees, pagerank) consume the same
+    * signature frame / keeper groups / near-pair graph / CC labels
+    * over the same doubled corpus, and a pipeline run (graft.Verify,
+    * or a production multi-report job) should build each intermediate
+    * ONCE — exactly the sharing the round-4 review prescribed ("share
+    * the keeper-graph CC machinery's intermediate, keyed by hash
+    * family"). Entries are localCheckpoint-materialized frames keyed
+    * by (session identity, data dir); the session reference in the
+    * value keeps the key's identityHashCode stable. graft.Bench CLEARS
+    * this memo before every timed repetition (alongside its existing
+    * residue unpersist, which would orphan the checkpoint blocks
+    * anyway), so published per-query times stay COLD-path honest —
+    * the memo accelerates pipeline-shaped runs, never the benchmark.
+    */
+  private val graphCache =
+    scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+
+  /** Drop all memoized graph intermediates (bench/test isolation). */
+  def clearGraphCache(): Unit = graphCache.clear()
+
+  private def cachedGraph[T <: AnyRef](s: SparkSession, d: String,
+      kind: String)(build: => T): T =
+    graphCache.getOrElseUpdate(
+      s"$kind|${System.identityHashCode(s)}|$d", build).asInstanceOf[T]
+
+  /** Materialized (sigsM, groups) for the md5 family over `d`'s
+    * doubled corpus — groups carry per-signature member stats so any
+    * consumer can roll up without touching per-doc rows. */
+  private def md5SigsGroups(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    cachedGraph[(DataFrame, DataFrame)](s, d, "sg") {
+      val sigsM = md5SimhashSigs(s, doubled(s, d)).localCheckpoint()
+      val groups = sigsM.groupBy(col("simhash"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_members"),
+          max(col("doc_id")).as("max_member"))
+        .localCheckpoint()
+      (sigsM, groups)
+    }
+
+  /** Hamming-≤3 DISTINCT-signature pairs (a_sig < b_sig). */
+  private def md5SigPairs(s: SparkSession, d: String): DataFrame =
+    cachedGraph[DataFrame](s, d, "pairs") {
+      nearSigPairs(md5SigsGroups(s, d)._2.select("simhash")).localCheckpoint()
+    }
+
+  /** Keeper-to-keeper near edges (src, dst), one per signature pair. */
+  private def md5NearEdges(s: SparkSession, d: String): DataFrame =
+    cachedGraph[DataFrame](s, d, "edges") {
+      val groups = md5SigsGroups(s, d)._2
+      md5SigPairs(s, d)
+        .join(groups.select(col("simhash").as("a_sig"), col("keeper_id").as("src")), Seq("a_sig"))
+        .join(groups.select(col("simhash").as("b_sig"), col("keeper_id").as("dst")), Seq("b_sig"))
+        .select("src", "dst")
+    }
+
+  /** CC labels over the md5 keeper graph (keeper_id, label). */
+  private def md5KeeperLabels(s: SparkSession, d: String): DataFrame =
+    cachedGraph[DataFrame](s, d, "labels") {
+      val groups = md5SigsGroups(s, d)._2
+      connectedComponents(
+        groups.select(col("keeper_id").as("doc_id")), md5NearEdges(s, d))
+        .withColumnRenamed("doc_id", "keeper_id")
+    }
+
   private def qSimhashEstimate(s: SparkSession, d: String): DataFrame = {
-    val sigs = md5SimhashSigs(s, doubled(s, d))
-    val groups = sigs.groupBy(col("simhash"))
-      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_members"))
-    val pairs = nearSigPairs(groups.select("simhash"))
+    val groups = md5SigsGroups(s, d)._2
+    val pairs = md5SigPairs(s, d)
     val near = pairs
       .union(pairs.select(col("b_sig").as("a_sig"), col("a_sig").as("b_sig")))
       .groupBy(col("a_sig").as("simhash"))
       .agg(count(lit(1)).as("n_near_groups"))
     groups.join(near, Seq("simhash"), "left_outer")
       .withColumn("n_near_groups", coalesce(col("n_near_groups"), lit(0L)))
+      .select("simhash", "keeper_id", "n_members", "n_near_groups")
       .orderBy("simhash")
   }
 
@@ -699,15 +763,21 @@ object TextOps {
     (sigsM, groups, keeperLabels)
   }
 
-  /** Clustering over a precomputed (doc_id, simhash) frame — the
-    * hash-family-agnostic core of simhashClusters, also driven by the
-    * md5-family q_simhash_closure (whose labels are oracle-comparable
-    * via a recursive-CTE closure in DuckDB). */
-  def simhashClustersFromSigs(sigs: DataFrame): DataFrame = {
-    val (sigsM, groups, keeperLabels) = sigComponents(sigs)
+  /** Per-doc labels from the three materialized parts — the shared
+    * final join of the cluster queries. */
+  private def clusterLabelJoin(sigsM: DataFrame, groups: DataFrame,
+      keeperLabels: DataFrame): DataFrame =
     sigsM.join(groups.select("simhash", "keeper_id"), Seq("simhash"))
       .join(keeperLabels, Seq("keeper_id"))
       .select(col("doc_id"), col("label").as("cluster_keeper"))
+
+  /** Clustering over a precomputed (doc_id, simhash) frame — the
+    * hash-family-agnostic core of simhashClusters; the md5-family
+    * q_simhash_closure runs the same composition through the
+    * cross-query memo instead. */
+  def simhashClustersFromSigs(sigs: DataFrame): DataFrame = {
+    val (sigsM, groups, keeperLabels) = sigComponents(sigs)
+    clusterLabelJoin(sigsM, groups, keeperLabels)
   }
 
   private def qSimhashClusters(s: SparkSession, d: String): DataFrame =
@@ -720,8 +790,10 @@ object TextOps {
   // graph. Distributed pointer-doubling min-label propagation vs a
   // declarative fixpoint closure in a different engine agreeing row
   // for row is the strongest cross-check the cluster stage can get.
-  private def qSimhashClosure(s: SparkSession, d: String): DataFrame =
-    simhashClustersFromSigs(md5SimhashSigs(s, doubled(s, d))).orderBy("doc_id")
+  private def qSimhashClosure(s: SparkSession, d: String): DataFrame = {
+    val (sigsM, groups) = md5SigsGroups(s, d)
+    clusterLabelJoin(sigsM, groups, md5KeeperLabels(s, d)).orderBy("doc_id")
+  }
 
   // Per-CLUSTER aggregate over the same md5-family CC labels — the
   // keep/drop accounting a dedup stage reports (cluster size, last
@@ -734,8 +806,8 @@ object TextOps {
   // aggregate — at 10⁶-copy block sizes the difference between
   // aggregating documents and aggregating signatures.
   private def qSimhashSizes(s: SparkSession, d: String): DataFrame = {
-    val (_, groups, keeperLabels) = sigComponents(md5SimhashSigs(s, doubled(s, d)))
-    groups.join(keeperLabels, Seq("keeper_id"))
+    val groups = md5SigsGroups(s, d)._2
+    groups.join(md5KeeperLabels(s, d), Seq("keeper_id"))
       .groupBy(col("label"))
       .agg(sum(col("n_members")).as("n_docs"), max(col("max_member")).as("max_member"))
       .select(col("label").as("cluster_keeper"), col("n_docs"), col("max_member"),
@@ -754,14 +826,8 @@ object TextOps {
     * cardinality; production monitors degree alone, which is one
     * hash agg). */
   private def qGraphDegrees(s: SparkSession, d: String): DataFrame = {
-    val sigs = md5SimhashSigs(s, doubled(s, d)).localCheckpoint()
-    val groups = sigs.groupBy(col("simhash"))
-      .agg(min(col("doc_id")).as("keeper_id")).localCheckpoint()
-    val pairs = nearSigPairs(groups.select("simhash"))
-    val edges = pairs
-      .join(groups.select(col("simhash").as("a_sig"), col("keeper_id").as("src")), Seq("a_sig"))
-      .join(groups.select(col("simhash").as("b_sig"), col("keeper_id").as("dst")), Seq("b_sig"))
-      .select("src", "dst")
+    val groups = md5SigsGroups(s, d)._2
+    val edges = md5NearEdges(s, d)
     val sym = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
@@ -797,14 +863,8 @@ object TextOps {
     * the standard simplification, stated here because it changes the
     * global sum. Per iteration: one edge join + one hash agg. */
   private def qPagerank(s: SparkSession, d: String): DataFrame = {
-    val sigs = md5SimhashSigs(s, doubled(s, d)).localCheckpoint()
-    val groups = sigs.groupBy(col("simhash"))
-      .agg(min(col("doc_id")).as("keeper_id")).localCheckpoint()
-    val pairs = nearSigPairs(groups.select("simhash"))
-    val edges = pairs
-      .join(groups.select(col("simhash").as("a_sig"), col("keeper_id").as("src")), Seq("a_sig"))
-      .join(groups.select(col("simhash").as("b_sig"), col("keeper_id").as("dst")), Seq("b_sig"))
-      .select("src", "dst")
+    val groups = md5SigsGroups(s, d)._2
+    val edges = md5NearEdges(s, d)
     val sym = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()

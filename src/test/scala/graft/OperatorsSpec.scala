@@ -418,6 +418,17 @@ class OperatorsSpec extends SparkSpec {
         overBound.mkString("; "))
   }
 
+  test("histogram degenerates gracefully on a constant column (width 0)") {
+    // without the width-0 guard, (x - lo)/0 is 0/0 = NaN and the ANSI
+    // long cast kills the query; a constant column must instead
+    // profile as one full bucket
+    val out = graft.operators.Functions2
+      .histogramOf(Seq.fill(7)(42.0).toDF("x")).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 0L && out(0).getLong(1) == 7L)
+    assert(out(0).getDouble(4) == 1.0)
+  }
+
   test("bloom filter on train digests: no false negatives, fpp within bound") {
     // the membership-sketch leg of the sketch family (CMS = frequency,
     // HLL = cardinality, Bloom = membership): a decontamination or
