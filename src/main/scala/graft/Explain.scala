@@ -23,7 +23,8 @@ object Explain {
         "q_simhash_closure", "q_simhash_sizes", "q_dedup_incremental",
         "q_chunk", "q_pack_sequences", "q_heavy_hitters", "q_winsorize",
         "q_session_paths", "q_containment", "q_collocations", "q_lm_score",
-        "q_graph_degrees", "q_pagerank", "q_anomaly", "q_dedup_edit")
+        "q_graph_degrees", "q_pagerank", "q_anomaly", "q_dedup_edit",
+        "q_line_dedup", "q_semdedup", "q_bpe_encode", "q_shard_plan")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

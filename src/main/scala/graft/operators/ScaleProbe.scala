@@ -79,7 +79,7 @@ object ScaleProbe {
     scaledEmb.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
-  /** The seven probed paths. Text-dedup paths run exactly the suite
+  /** The probed paths. Text-dedup paths run exactly the suite
     * queries (their blocking is DF-capped / signature-bounded, no
     * size-dependent parameter); the two LSH vector paths re-derive
     * plane counts from the corpus size, mirroring a real deployment.
@@ -92,6 +92,7 @@ object ScaleProbe {
     val annP = VectorOps.LshParams.forCorpus(nEmb, 16L, bands = 4)
     Seq(
       "q_dedup_minhash" -> TextOps.queries("q_dedup_minhash"),
+      "q_line_dedup" -> TextOps.queries("q_line_dedup"),
       "q_dedup_ngram" -> TextOps.queries("q_dedup_ngram"),
       "q_dedup_edit" -> TextOps.queries("q_dedup_edit"),
       "q_dedup_simhash" -> TextOps.queries("q_dedup_simhash"),
@@ -110,6 +111,11 @@ object ScaleProbe {
     * clock, as in Bench. */
   private def timeMedian(s: SparkSession, passes: Int)(f: => DataFrame): Double = {
     val ts = Seq.fill(passes) {
+      // memo first (as in Bench): unpersist would orphan its
+      // checkpoint blocks, and the probe's exponents must price the
+      // full COLD build per pass — a memo hit on pass 2+ would fake a
+      // sub-linear exponent for the md5-family paths
+      TextOps.clearGraphCache()
       s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
       val t0 = System.nanoTime()

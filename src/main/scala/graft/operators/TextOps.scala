@@ -1515,9 +1515,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Linear quality scorer — the fastText-classifier-shaped gate a
+    * training pipeline runs when thresholds (q_corpus_clean's
+    * is_quality) are too blunt: a fixed-weight logistic model over
+    * per-doc features (uniqueness ratio, stopword ratio, saturating
+    * length). Determinism engineering: every feature is an exact
+    * integer division, the length feature saturates RATIONALLY
+    * (n/(n+50), no ln), and the squashing function is the rational
+    * sigmoid σ(z) = 1/2 + z/(2(1+|z|)) — same shape, fixpoint at
+    * z=0 — so the ENTIRE scorer is plain IEEE arithmetic with no
+    * libm call, bit-identical across engines with no DECIMAL pin
+    * needed. Keep decision ⟺ z ≥ 0 ⟺ score ≥ 0.5. Weights are
+    * fixture-plausible stand-ins for a trained model's; swapping in
+    * learned weights changes literals, not the plan. Pure narrow maps. */
+  private def qQualityScore(s: SparkSession, d: String): DataFrame = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens()).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(tokens())).cast("long"))
+      .withColumn("n_stop",
+        size(expr(s"filter(split(text, ' '), x -> x IN ($stopList))")).cast("long"))
+      .withColumn("uniq_ratio", col("n_uniq").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("len_sat",
+        col("n_tokens").cast("double") / (col("n_tokens").cast("double") + lit(50.0)))
+      .withColumn("z",
+        lit(-1.5) + lit(2.0) * col("uniq_ratio")
+          - lit(3.0) * col("stop_ratio") + lit(2.5) * col("len_sat"))
+      .withColumn("score",
+        lit(0.5) + col("z") / (lit(2.0) * (lit(1.0) + abs(col("z")))))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("uniq_ratio"), col("stop_ratio"), col("len_sat"),
+        col("z"), col("score"), (col("z") >= 0.0).as("is_keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_line_dedup" -> (qLineDedup _),
     "q_pii_redact" -> (qPiiRedact _),
+    "q_quality_score" -> (qQualityScore _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_collocations" -> (qCollocations _),
     "q_lm_score" -> (qLmScore _),
@@ -1959,6 +1995,30 @@ object TextOps {
          |FROM m
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                              x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS uniq_ratio,
+        |         CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+        |         CAST(n_tokens AS DOUBLE) / (CAST(n_tokens AS DOUBLE) + 50.0) AS len_sat
+        |  FROM f
+        |), z AS (
+        |  SELECT doc_id, lang, n_tokens, uniq_ratio, stop_ratio, len_sat,
+        |         -1.5 + 2.0 * uniq_ratio - 3.0 * stop_ratio + 2.5 * len_sat AS z
+        |  FROM r
+        |)
+        |SELECT doc_id, lang, n_tokens, uniq_ratio, stop_ratio, len_sat, z,
+        |       0.5 + z / (2.0 * (1.0 + abs(z))) AS score,
+        |       z >= 0.0 AS is_keep
+        |FROM z
+        |ORDER BY doc_id""".stripMargin,
     "q_pii_redact" ->
       """WITH planted AS (
         |  SELECT doc_id,
