@@ -24,7 +24,8 @@ object Explain {
         "q_chunk", "q_pack_sequences", "q_heavy_hitters", "q_winsorize",
         "q_session_paths", "q_containment", "q_collocations", "q_lm_score",
         "q_graph_degrees", "q_pagerank", "q_anomaly", "q_dedup_edit",
-        "q_line_dedup", "q_semdedup", "q_bpe_encode", "q_shard_plan")
+        "q_line_dedup", "q_semdedup", "q_bpe_encode", "q_shard_plan",
+        "q_sim_pq", "q_span_dedup", "q_domain_cap", "q_keeper_quality")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -93,6 +93,11 @@ object ScaleProbe {
     Seq(
       "q_dedup_minhash" -> TextOps.queries("q_dedup_minhash"),
       "q_line_dedup" -> TextOps.queries("q_line_dedup"),
+      // span dedup is the purest linear path (token-bounded explode,
+      // no pair join); its planted trailer is shared across copies,
+      // which only raises per-key occurrence COUNTS — membership
+      // counting, not pairs, so no cross-copy blowup
+      "q_span_dedup" -> TextOps.queries("q_span_dedup"),
       "q_dedup_ngram" -> TextOps.queries("q_dedup_ngram"),
       "q_dedup_edit" -> TextOps.queries("q_dedup_edit"),
       "q_dedup_simhash" -> TextOps.queries("q_dedup_simhash"),
@@ -102,7 +107,12 @@ object ScaleProbe {
         ((s: SparkSession, d: String) => VectorOps.embedDedupAt(s, d, dedupP)),
       "q_sim_lsh" ->
         ((s: SparkSession, d: String) => VectorOps.simLshTopK(s, d, annP)),
-      "q_sim_ivf" -> VectorOps.queries("q_sim_ivf")
+      "q_sim_ivf" -> VectorOps.queries("q_sim_ivf"),
+      // PQ's codebook is corpus-size-INdependent (PqM×PqK model);
+      // training/encode are O(n·M·K) narrow scans and the ADC join is
+      // O(n·M) with a Q=10 constant — the probe validates that no
+      // stage hides a super-linear exchange
+      "q_sim_pq" -> VectorOps.queries("q_sim_pq")
     )
   }
 

@@ -26,6 +26,18 @@ object TextOps {
 
   private val Stopwords = Seq("the", "a")
 
+  /** Stride-1 span length for q_span_dedup (tokens per span). */
+  private val SpanK = 8
+
+  /** Deterministic 12-token boilerplate planted on every 7th doc —
+    * q_span_dedup's duplication fixture (the raw corpus has no natural
+    * repeated spans). Interpolated into BOTH engines' formulations. */
+  private val BoilerTrailer =
+    "subscribe to our newsletter for updates terms of service apply rights reserved"
+
+  /** Per-source keep budget for q_domain_cap. */
+  private val DomainCap = 15L
+
   private def tokens(c: String = "text") = split(col(c), " ")
 
   /** Corpus with a replayed copy (ids shifted by 1,000,000) — the
@@ -135,6 +147,34 @@ object TextOps {
       |                ELSE s[i] END), x -> x IS NOT NULL) AS s
       |  FROM w1 CROSS JOIN m2
       |)""".stripMargin
+
+  /** The quality feature chain as oracle CTEs (`f`→`r`→`zz`, ending in
+    * per-doc doc_id, lang, source, n_tokens, ratios, len_sat, z) — the
+    * SQL twin of [[withQualityZ]], shared by the q_quality_score,
+    * q_domain_cap and q_keeper_quality oracles so the rankings can
+    * never drift. `table` lets the keeper election score the doubled
+    * corpus CTE instead of the base table. */
+  private def qualityZSql(table: String = "documents"): String = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""f AS (
+       |  SELECT doc_id, lang, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |                              x -> x IN ($stopList))) AS BIGINT) AS n_stop
+       |  FROM $table
+       |), r AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |         CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS uniq_ratio,
+       |         CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+       |         CAST(n_tokens AS DOUBLE) / (CAST(n_tokens AS DOUBLE) + 50.0) AS len_sat
+       |  FROM f
+       |), zz AS (
+       |  SELECT doc_id, lang, source, n_tokens, uniq_ratio, stop_ratio, len_sat,
+       |         -1.5 + 2.0 * uniq_ratio - 3.0 * stop_ratio + 2.5 * len_sat AS z
+       |  FROM r
+       |)""".stripMargin
+  }
 
   // Per-document token statistics (token counting north-star op).
   private def qTextStats(s: SparkSession, d: String): DataFrame =
@@ -634,8 +674,9 @@ object TextOps {
       .agg(expr("graft_simhash_agg(h, w)").as("simhash"))
   }
 
-  /** Cross-QUERY memo for the md5-family signature graph: FIVE queries
-    * (estimate, closure, sizes, degrees, pagerank) consume the same
+  /** Cross-QUERY memo for the md5-family signature graph: SIX queries
+    * (estimate, closure, sizes, degrees, pagerank, keeper_quality)
+    * consume the same
     * signature frame / keeper groups / near-pair graph / CC labels
     * over the same doubled corpus, and a pipeline run (graft.Verify,
     * or a production multi-report job) should build each intermediate
@@ -813,6 +854,33 @@ object TextOps {
       .select(col("label").as("cluster_keeper"), col("n_docs"), col("max_member"),
         (col("n_docs") > 1).as("is_multi"))
       .orderBy("cluster_keeper")
+  }
+
+  /** Quality-aware keeper election — the final decision of a near-dup
+    * dedup stage: within each md5-family CC cluster
+    * (q_simhash_closure's labels, via the shared graph memo) keep the
+    * HIGHEST-QUALITY member (q_quality_score's z, ties to the lowest
+    * doc_id) instead of merely the lowest id. Composes three oracled
+    * stages — signature clustering, transitive closure, quality
+    * scoring — into one end-to-end keep/drop verdict, all under the
+    * hash gate: the oracle re-runs the recursive-CTE closure AND the
+    * quality chain and must elect the same keeper row for row. Cost:
+    * cluster labels come from the memoized graph build, z is a narrow
+    * map, and the election is one cluster-partitioned window. */
+  private def qKeeperQuality(s: SparkSession, d: String): DataFrame = {
+    val (sigsM, groups) = md5SigsGroups(s, d)
+    val labels = clusterLabelJoin(sigsM, groups, md5KeeperLabels(s, d))
+    val z = withQualityZ(doubled(s, d)).select(col("doc_id"), col("z"))
+    val lab = labels.join(z, Seq("doc_id"))
+    val byQ = Window.partitionBy(col("cluster_keeper"))
+      .orderBy(col("z").desc, col("doc_id"))
+    val best = lab.withColumn("rk", row_number().over(byQ))
+      .filter(col("rk") === 1)
+      .select(col("cluster_keeper"), col("doc_id").as("best_id"))
+    lab.join(best, Seq("cluster_keeper"))
+      .select(col("doc_id"), col("cluster_keeper"), col("z"),
+        col("best_id"), (col("doc_id") === col("best_id")).as("is_best"))
+      .orderBy("doc_id")
   }
 
   /** Structural audit of the near-dup keeper graph — per-keeper degree
@@ -1528,9 +1596,14 @@ object TextOps {
     * needed. Keep decision ⟺ z ≥ 0 ⟺ score ≥ 0.5. Weights are
     * fixture-plausible stand-ins for a trained model's; swapping in
     * learned weights changes literals, not the plan. Pure narrow maps. */
-  private def qQualityScore(s: SparkSession, d: String): DataFrame = {
+  /** Shared feature chain of the quality-model family: token counts,
+    * uniqueness/stopword ratios, saturating length, and the linear
+    * score z — factored so q_domain_cap can rank on the SAME z without
+    * re-stating the feature pipeline (its SQL twin is
+    * [[qualityZSql]]). */
+  private def withQualityZ(df: DataFrame): DataFrame = {
     val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
-    Tables.documents(s, d)
+    df
       .withColumn("n_tokens", size(tokens()).cast("long"))
       .withColumn("n_uniq", size(array_distinct(tokens())).cast("long"))
       .withColumn("n_stop",
@@ -1542,11 +1615,86 @@ object TextOps {
       .withColumn("z",
         lit(-1.5) + lit(2.0) * col("uniq_ratio")
           - lit(3.0) * col("stop_ratio") + lit(2.5) * col("len_sat"))
+  }
+
+  private def qQualityScore(s: SparkSession, d: String): DataFrame =
+    withQualityZ(Tables.documents(s, d))
       .withColumn("score",
         lit(0.5) + col("z") / (lit(2.0) * (lit(1.0) + abs(col("z")))))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("uniq_ratio"), col("stop_ratio"), col("len_sat"),
         col("z"), col("score"), (col("z") >= 0.0).as("is_keep"))
+      .orderBy("doc_id")
+
+  /** Per-domain (source) cap — the crawl-pipeline knob that stops one
+    * domain from dominating a training mix: rank each source's docs by
+    * the SAME quality z as q_quality_score (ties broken by doc_id) and
+    * keep the top [[DomainCap]]. One window over a source-partitioned
+    * shuffle — at 100 TB the partition key is the domain; a
+    * pathological hub domain is exactly the skew case the cap itself
+    * bounds, since everything past rank [[DomainCap]] is dropped
+    * before any downstream work. */
+  private def qDomainCap(s: SparkSession, d: String): DataFrame = {
+    val byZ = Window.partitionBy(col("source"))
+      .orderBy(col("z").desc, col("doc_id"))
+    val bySrc = Window.partitionBy(col("source"))
+    withQualityZ(Tables.documents(s, d))
+      .withColumn("rk", row_number().over(byZ).cast("long"))
+      .withColumn("n_source", count(lit(1)).over(bySrc))
+      .select(col("doc_id"), col("source"), col("z"), col("rk"),
+        col("n_source"), (col("rk") <= DomainCap).as("is_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Duplicated-SPAN detection — the suffix-array-style exact
+    * substring dedup metric ("what fraction of this doc's tokens sit
+    * inside a span that occurs elsewhere"): every stride-1
+    * [[SpanK]]-token span is keyed by md5; an occurrence is duplicated
+    * iff its key occurs ≥ 2 times corpus-wide (cross-doc OR
+    * intra-doc). Per doc the query reports span counts plus the UNION
+    * length of its duplicated spans (overlapping consecutive spans
+    * don't double-count: one lead() pass over sorted starts, each span
+    * contributing min(K, gap)). The corpus has no natural boilerplate,
+    * so a deterministic 12-token trailer is PLANTED on every 7th doc
+    * (same fixture device as q_pii_redact) — the machinery under the
+    * hash gate is the span explode + occurrence count + interval
+    * union. Scale shape: the explode is ≤ n_tokens rows per doc
+    * (token-bounded — NO pair join anywhere, unlike shingle-Jaccard),
+    * the occurrence count is one hash agg, membership is a key-equi
+    * join, the union pass is one per-doc window — every stage linear
+    * in corpus tokens, which is what lets ExactSubstr-style dedup run
+    * where all-pairs methods can't. */
+  private def qSpanDedup(s: SparkSession, d: String): DataFrame = {
+    val k = SpanK
+    val base = Tables.documents(s, d)
+      .withColumn("txt",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" " + BoilerTrailer)))
+          .otherwise(col("text")))
+      .withColumn("toks", tokens("txt"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_spans", greatest(col("n_tokens") - (k - 1), lit(0L)))
+    val spans = base.select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(toks) >= $k
+              THEN transform(sequence(0, size(toks) - $k),
+                             i -> md5(concat_ws(' ', slice(toks, i + 1, $k))))
+              ELSE CAST(array() AS ARRAY<STRING>) END""")))
+      .select(col("doc_id"), col("pos").cast("long").as("start"), col("col").as("key"))
+    val dupKeys = spans.groupBy(col("key")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2).select("key")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val cov = spans.join(dupKeys, Seq("key"))
+      .withColumn("contrib", least(lit(k.toLong),
+        coalesce(lead(col("start"), 1).over(w), col("start") + k) - col("start")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup"), sum(col("contrib")).as("covered"))
+    base.select("doc_id", "n_tokens", "n_spans")
+      .join(cov, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("covered"), lit(0L)).as("covered"))
+      .withColumn("cover_frac",
+        col("covered").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("is_flagged", col("cover_frac") >= lit(0.2))
       .orderBy("doc_id")
   }
 
@@ -1554,6 +1702,9 @@ object TextOps {
     "q_line_dedup" -> (qLineDedup _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_quality_score" -> (qQualityScore _),
+    "q_domain_cap" -> (qDomainCap _),
+    "q_span_dedup" -> (qSpanDedup _),
+    "q_keeper_quality" -> (qKeeperQuality _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_collocations" -> (qCollocations _),
     "q_lm_score" -> (qLmScore _),
@@ -1888,6 +2039,24 @@ object TextOps {
          |SELECT s.doc_id, l.cluster_keeper
          |FROM sigd s JOIN groups g USING (simhash) JOIN lbl l USING (keeper_id)
          |ORDER BY doc_id""".stripMargin,
+    "q_keeper_quality" ->
+      s"""WITH RECURSIVE $md5ClosureSql, ${qualityZSql("doubled")},
+         |lab AS (
+         |  SELECT s.doc_id, l.cluster_keeper, zz.z
+         |  FROM sigd s JOIN groups g USING (simhash) JOIN lbl l USING (keeper_id)
+         |  JOIN zz ON zz.doc_id = s.doc_id
+         |), best AS (
+         |  SELECT cluster_keeper, doc_id AS best_id FROM (
+         |    SELECT cluster_keeper, doc_id,
+         |           ROW_NUMBER() OVER (PARTITION BY cluster_keeper
+         |                              ORDER BY z DESC, doc_id) AS rk
+         |    FROM lab)
+         |  WHERE rk = 1
+         |)
+         |SELECT lab.doc_id, lab.cluster_keeper, lab.z, best.best_id,
+         |       lab.doc_id = best.best_id AS is_best
+         |FROM lab JOIN best USING (cluster_keeper)
+         |ORDER BY doc_id""".stripMargin,
     "q_pagerank" ->
       s"""WITH $md5SigSql, groups AS (
          |  SELECT simhash, MIN(doc_id) AS keeper_id FROM sigd GROUP BY simhash
@@ -1996,29 +2165,60 @@ object TextOps {
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
     "q_quality_score" ->
-      """WITH f AS (
-        |  SELECT doc_id, lang,
-        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
-        |         CAST(len(list_filter(string_split(text, ' '),
-        |                              x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
-        |  FROM documents
-        |), r AS (
-        |  SELECT doc_id, lang, n_tokens,
-        |         CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS uniq_ratio,
-        |         CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
-        |         CAST(n_tokens AS DOUBLE) / (CAST(n_tokens AS DOUBLE) + 50.0) AS len_sat
-        |  FROM f
-        |), z AS (
-        |  SELECT doc_id, lang, n_tokens, uniq_ratio, stop_ratio, len_sat,
-        |         -1.5 + 2.0 * uniq_ratio - 3.0 * stop_ratio + 2.5 * len_sat AS z
-        |  FROM r
-        |)
-        |SELECT doc_id, lang, n_tokens, uniq_ratio, stop_ratio, len_sat, z,
-        |       0.5 + z / (2.0 * (1.0 + abs(z))) AS score,
-        |       z >= 0.0 AS is_keep
-        |FROM z
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH ${qualityZSql()}
+         |SELECT doc_id, lang, n_tokens, uniq_ratio, stop_ratio, len_sat, z,
+         |       0.5 + z / (2.0 * (1.0 + abs(z))) AS score,
+         |       z >= 0.0 AS is_keep
+         |FROM zz
+         |ORDER BY doc_id""".stripMargin,
+    "q_domain_cap" ->
+      s"""WITH ${qualityZSql()}
+         |SELECT doc_id, source, z,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY z DESC, doc_id)
+         |            AS BIGINT) AS rk,
+         |       CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_source,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY z DESC, doc_id)
+         |            AS BIGINT) <= $DomainCap AS is_kept
+         |FROM zz
+         |ORDER BY doc_id""".stripMargin,
+    "q_span_dedup" ->
+      s"""WITH pl AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 7 = 0 THEN text || ' $BoilerTrailer'
+         |              ELSE text END AS txt
+         |  FROM documents
+         |), b AS (
+         |  SELECT doc_id, string_split(txt, ' ') AS toks,
+         |         CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_tokens
+         |  FROM pl
+         |), sp AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS start,
+         |         md5(array_to_string(toks[i + 1 : i + $SpanK], ' ')) AS key
+         |  FROM b CROSS JOIN range(0, 256) r(i)
+         |  WHERE i + $SpanK <= len(toks)
+         |), occ AS (
+         |  SELECT key FROM sp GROUP BY key HAVING COUNT(*) >= 2
+         |), cv AS (
+         |  SELECT doc_id, start,
+         |         least($SpanK,
+         |               COALESCE(lead(start) OVER (PARTITION BY doc_id ORDER BY start),
+         |                        start + $SpanK) - start) AS contrib
+         |  FROM sp JOIN occ USING (key)
+         |), cov AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup,
+         |         CAST(SUM(contrib) AS BIGINT) AS covered
+         |  FROM cv GROUP BY doc_id
+         |)
+         |SELECT b.doc_id, b.n_tokens,
+         |       CAST(greatest(b.n_tokens - ${SpanK - 1}, 0) AS BIGINT) AS n_spans,
+         |       CAST(COALESCE(cov.n_dup, 0) AS BIGINT) AS n_dup,
+         |       CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered,
+         |       CAST(COALESCE(cov.covered, 0) AS DOUBLE)
+         |         / CAST(b.n_tokens AS DOUBLE) AS cover_frac,
+         |       CAST(COALESCE(cov.covered, 0) AS DOUBLE)
+         |         / CAST(b.n_tokens AS DOUBLE) >= 0.2 AS is_flagged
+         |FROM b LEFT JOIN cov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q_pii_redact" ->
       """WITH planted AS (
         |  SELECT doc_id,

@@ -296,6 +296,124 @@ object VectorOps {
       .orderBy("q_id", "rank")
   }
 
+  // ---- Product quantization (PQ) ANN — the third scale path --------
+  //
+  // PQ attacks the MEMORY side of 100 TB ANN where LSH/IVF attack the
+  // candidate count: the 64-dim float vector (256 B) is split into
+  // PqM=8 8-dim subvectors, each encoded as its nearest centroid in a
+  // per-subspace PqK=16-entry codebook — 8 4-bit codes per vector, a
+  // 64× compression of the scanned corpus (256 B float32 → 4 B). A
+  // query builds a
+  // lookup table of PqM×PqK partial dot products (model-sized, not
+  // corpus-sized), scores every candidate by summing its codes' LUT
+  // entries (ADC — asymmetric distance computation: the query stays
+  // exact, only the corpus side is quantized), then refines the top
+  // PqRefine candidates with exact cosine. Composable with IVF cell
+  // pruning; here the ADC scan is kept full so the approximation
+  // quality itself is what the recall test pins.
+  //
+  // Determinism engineering (all mirrored in the generated oracle SQL):
+  // codebooks seed from the SAME md5-ordered deterministic sample as
+  // q_sim_ivf, refined with PqLloyd L2 Lloyd rounds whose means are
+  // DECIMAL-pinned; L2² is composed as dot(x,x) − 2·dot(x,c) + dot(c,c)
+  // (three sequential folds, one fixed association order). One pin has
+  // a measured cross-engine LIMIT, and the output schema respects it:
+  // float-valued doubles can TIE exactly at the DECIMAL(30,15) cast
+  // (x·10¹⁵ half-integer — 494 elements in the sf0.001 embeddings
+  // alone), and Spark rounds ties HALF_UP while DuckDB rounds them
+  // down, so Lloyd MEANS agree only to ~1 ulp across engines. Rankings
+  // absorb that drift (a flip needs a genuine tie); raw values don't.
+  // Hence — same discipline as q_sim_ivf/q_semdedup, now stated
+  // explicitly — centroid-DEPENDENT doubles (the ADC approx score)
+  // rank candidates internally but never appear in the output; the
+  // exposed score is the exact float×float cosine, which IS
+  // bit-identical across engines.
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqK = 16
+  private val PqLloyd = 1
+  private val PqRefine = 50
+
+  /** L2² between two subvector columns in the pinned association
+    * order — used for both Lloyd assignment and encoding. */
+  private def l2sq(x: String, c: String): Column =
+    dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c)
+
+  private def qSimPq(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble("embedding").as("vec"))
+    // (vec_id, m, sv): the PqM subvectors of every vector
+    val sub = e.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> slice(vec, m * $PqSubDim + 1, $PqSubDim))")))
+      .select(col("vec_id"), col("pos").as("m"), col("col").as("sv"))
+    val byVm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("m")).orderBy(col("d2").asc, col("cell"))
+    def assign(cb: Seq[(Int, Long, Seq[Double])]): DataFrame =
+      sub.join(broadcast(cb.toDF("m", "cell", "cent")), Seq("m"))
+        .withColumn("d2", l2sq("sv", "cent"))
+        .withColumn("rk", row_number().over(byVm))
+    // seed codebooks: subspace slices of the md5-ordered sample rows
+    val seedRows = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(PqK).collect().sortBy(_.getLong(0))
+    var codebook: Seq[(Int, Long, Seq[Double])] = for {
+      (r, i) <- seedRows.toSeq.zipWithIndex
+      m <- 0 until PqM
+    } yield (m, i.toLong, r.getSeq[Double](1).slice(m * PqSubDim, (m + 1) * PqSubDim))
+    for (_ <- 1 to PqLloyd) {
+      // per-(subspace, cell, dim) decimal-exact means — a bounded
+      // PqM·PqK·PqSubDim model collect, never data
+      val means = assign(codebook).filter(col("rk") === 1)
+        .select(col("m"), col("cell"), posexplode(col("sv")))
+        .groupBy(col("m"), col("cell"), col("pos"))
+        .agg((sum(col("col").cast("decimal(30,15)")).cast("double")
+          / count(lit(1)).cast("double")).as("mu"))
+        .collect()
+      val byKey = means.groupBy(r => (r.getInt(0), r.getLong(1))).map { case (k, rows) =>
+        k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+      }
+      codebook = codebook.map { case (m, cell, old) =>
+        (m, cell, byKey.getOrElse((m, cell), old)) // empty cell keeps centroid
+      }
+    }
+    // corpus → codes (the 64×-compressed representation ADC scans)
+    val codes = assign(codebook).filter(col("rk") === 1)
+      .select(col("vec_id").as("c_id"), col("m"), col("cell"))
+    // query-side LUT: partial dot of each query subvector against
+    // EVERY cell of its subspace codebook (PqM×PqK entries per query)
+    val qd = sub.filter(col("vec_id") < 10)
+      .join(broadcast(codebook.toDF("m", "cell", "cent")), Seq("m"))
+      .select(col("vec_id").as("q_id"), col("m"), col("cell"),
+        dot("sv", "cent").as("pdot"))
+    // ADC: each candidate's code picks exactly one LUT entry per
+    // subspace; collect the PqM addends into columns and add them in
+    // one pinned order (sum() over doubles would be partition-order-
+    // dependent — with exactly one row per subspace it is exact)
+    val pcols = (0 until PqM).map(m =>
+      sum(when(col("m") === m, col("pdot"))).as(s"p$m"))
+    val adc = qd.join(codes, Seq("m", "cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(pcols.head, pcols.tail: _*)
+      .withColumn("approx", (0 until PqM).map(m => col(s"p$m")).reduceLeft(_ + _))
+    val byApprox = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("approx").desc, col("c_id"))
+    val cand = adc.withColumn("ark", row_number().over(byApprox))
+      .filter(col("ark") <= PqRefine)
+      .select("q_id", "c_id")
+    // exact refine of the shortlist only
+    val byCos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+    cand.join(e.select(col("vec_id").as("q_id"), col("vec").as("q_vec")), Seq("q_id"))
+      .join(e.select(col("vec_id").as("c_id"), col("vec").as("c_vec")), Seq("c_id"))
+      .withColumn("cosine", cosine("q_vec", "c_vec"))
+      .withColumn("rank", row_number().over(byCos))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "c_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
   // Embedding near-duplicate pairs — LSH-bucket blocking + exact
   // cosine refine (the embedding-cosine near-dup north-star op).
   // A single long signature reliably finds IDENTICAL vectors but
@@ -439,9 +557,61 @@ object VectorOps {
     "q_embed_stats" -> (qEmbedStats _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_sim_pq" -> (qSimPq _),
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_semdedup" -> (qSemdedup _)
   )
+
+  /** One unrolled per-subspace Lloyd round over CTEs `sub` and `prev`
+    * (assign by min L2² in the pinned association order →
+    * decimal-exact per-dim means → empty cells keep their centroid) —
+    * the PQ analog of [[ivfIterationSql]]. */
+  private def pqIterationSql(prev: String): String =
+    s"""pa_$prev AS (
+       |  SELECT vec_id, m, sv, cell FROM (
+       |    SELECT s.vec_id, s.m, s.sv, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |             list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.cent)
+       |               + list_dot_product(c.cent, c.cent) ASC,
+       |             c.cell) AS rk
+       |    FROM sub s JOIN $prev c ON s.m = c.m)
+       |  WHERE rk = 1
+       |), pm_$prev AS (
+       |  SELECT m, cell, i,
+       |         CAST(SUM(CAST(sv[i] AS DECIMAL(30,15))) AS DOUBLE)
+       |           / CAST(COUNT(*) AS DOUBLE) AS mu
+       |  FROM pa_$prev CROSS JOIN range(1, ${PqSubDim + 1}) r(i)
+       |  GROUP BY m, cell, i
+       |), pnext_$prev AS (
+       |  SELECT p.m, p.cell, COALESCE(mm.cent, p.cent) AS cent
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT m, cell, list(mu ORDER BY i) AS cent
+       |    FROM pm_$prev GROUP BY m, cell) mm
+       |  ON p.m = mm.m AND p.cell = mm.cell
+       |)""".stripMargin
+
+  /** Subvector explode + seeded per-subspace codebooks + all
+    * [[PqLloyd]] unrolled rounds — the SQL twin of qSimPq's codebook
+    * training. Final codebooks land in CTE `pc{PqLloyd}`. */
+  private def pqChainSql: String = {
+    val chain = (0 until PqLloyd).map { i =>
+      s",\n${pqIterationSql(s"pc$i")},\npc${i + 1} AS (SELECT m, cell, cent FROM pnext_pc$i)"
+    }.mkString
+    s"""sub AS (
+       |  SELECT vec_id, m,
+       |         vec[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
+       |  FROM v CROSS JOIN range(0, $PqM) r(m)
+       |), pseeds AS (
+       |  SELECT vec_id, vec FROM v
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqK
+       |), pc0 AS (
+       |  SELECT m,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1
+       |              AS BIGINT) AS cell,
+       |         vec[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS cent
+       |  FROM pseeds CROSS JOIN range(0, $PqM) r(m)
+       |)$chain""".stripMargin
+  }
 
   /** Exact-cosine SQL fragment (sequential left-fold dot products —
     * bit-identical to the Spark expressions, see the object doc). */
@@ -619,6 +789,56 @@ object VectorOps {
          |WHERE list_dot_product(a.vec, b.vec)
          |        / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) > $DedupCosine
          |ORDER BY a_id, b_id""".stripMargin
+    },
+    "q_sim_pq" -> {
+      // the full PQ pipeline in SQL, generated from the SAME constants
+      // as the Spark side (PqM / PqSubDim / PqK / PqLloyd / PqRefine):
+      // per-subspace seeded codebooks → Lloyd rounds → encode → ADC
+      // via LUT join → approx top-PqRefine → exact-cosine top-5
+      val pFinal = s"pc$PqLloyd"
+      val pCols = (0 until PqM).map(m =>
+        s"SUM(CASE WHEN q.m = $m THEN q.pdot END) AS p$m").mkString(",\n")
+      val pSum = (0 until PqM).map(m => s"p$m").mkString(" + ")
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+         |), $pqChainSql,
+         |enc AS (
+         |  SELECT vec_id AS c_id, m, cell FROM (
+         |    SELECT s.vec_id, s.m, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |             list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.cent)
+         |               + list_dot_product(c.cent, c.cent) ASC,
+         |             c.cell) AS rk
+         |    FROM sub s JOIN $pFinal c ON s.m = c.m)
+         |  WHERE rk = 1
+         |), qd AS (
+         |  SELECT s.vec_id AS q_id, s.m, c.cell,
+         |         list_dot_product(s.sv, c.cent) AS pdot
+         |  FROM sub s JOIN $pFinal c ON s.m = c.m
+         |  WHERE s.vec_id < 10
+         |), adc AS (
+         |  SELECT q.q_id, e.c_id,
+         |         $pCols
+         |  FROM qd q JOIN enc e ON q.m = e.m AND q.cell = e.cell
+         |  WHERE q.q_id <> e.c_id
+         |  GROUP BY q.q_id, e.c_id
+         |), cand AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q_id
+         |                              ORDER BY $pSum DESC, c_id) AS ark
+         |    FROM adc)
+         |  WHERE ark <= $PqRefine
+         |)
+         |SELECT q_id, rank, c_id, cosine FROM (
+         |  SELECT c.q_id, c.c_id,
+         |         ${cosSql("a.vec", "b.vec")} AS cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY c.q_id ORDER BY
+         |           ${cosSql("a.vec", "b.vec")} DESC,
+         |           c.c_id) AS rank
+         |  FROM cand c JOIN v a ON a.vec_id = c.q_id JOIN v b ON b.vec_id = c.c_id)
+         |WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
     },
     "q_semdedup" -> {
       val cFinal = s"c$LloydIters"

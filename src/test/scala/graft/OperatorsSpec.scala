@@ -580,6 +580,71 @@ class OperatorsSpec extends SparkSpec {
     assert(cc.filter($"selected").count() > 0)
   }
 
+  test("PQ ANN scores agree with brute-force scores on shared pairs and recall holds") {
+    val bf = q("q_sim_bruteforce").select($"q_id", $"c_id", $"cosine".as("bf_cos"))
+    val pq = q("q_sim_pq").select($"q_id", $"c_id", $"cosine".as("pq_cos"))
+    // the refine stage is exact cosine — any shared pair must score
+    // identically (ADC only shapes the shortlist, never the score)
+    val joined = pq.join(bf, Seq("q_id", "c_id"))
+    assert(joined.filter($"bf_cos" =!= $"pq_cos").count() == 0)
+    assert(pq.groupBy($"q_id").count().filter($"count" > 5).count() == 0)
+    // 8 subspaces × 16-entry codebooks + top-50 exact refine measure
+    // 0.62 recall vs brute-force top-5 on this corpus (the 4×16 /
+    // top-20 variant measured 0.20 — the true top-5 cosines here are a
+    // weak 0.26-0.39, so coarse codebooks rank poorly); pin the floor
+    // at the 0.40 the weakest accepted ANN path (old IVF) established
+    val nBf = bf.count().toDouble
+    val hit = pq.join(bf, Seq("q_id", "c_id")).count().toDouble
+    assert(hit / nBf >= 0.40, s"PQ recall ${hit / nBf} fell below 0.40")
+  }
+
+  test("span dedup: planted trailer spans are found, coverage counts the union") {
+    val sd = q("q_span_dedup")
+    assert(sd.count() == 500)
+    // every 7th doc carries the planted 12-token trailer: its 5
+    // trailer-only spans are shared across all such docs, so each must
+    // report >=5 duplicated occurrences whose union covers >=12 tokens
+    val planted = sd.filter($"doc_id" % 7 === 0)
+    assert(planted.count() > 0)
+    assert(planted.filter($"n_dup" < 5 || $"covered" < 12).count() == 0)
+    // coverage is a union of K-token intervals: it can never exceed
+    // n_tokens, and n_dup spans can never exceed n_spans
+    assert(sd.filter($"covered" > $"n_tokens" || $"n_dup" > $"n_spans").count() == 0)
+    // the flag thresholds on the fraction — consistency row by row
+    assert(sd.filter($"is_flagged" =!= ($"cover_frac" >= 0.2)).count() == 0)
+  }
+
+  test("domain cap keeps exactly DomainCap docs per source, the top-z ones") {
+    val dc = q("q_domain_cap")
+    assert(dc.count() == 500)
+    // 20 sources × 25 docs at sf0.001, cap 15 → 15 kept everywhere
+    val kept = dc.filter($"is_kept").groupBy($"source").count()
+    assert(kept.count() == 20)
+    assert(kept.filter($"count" =!= 15).count() == 0)
+    // no dropped doc outscores a kept doc of the same source (z is the
+    // ranking key; ties broken by doc_id are inside the same z value)
+    val worstKept = dc.filter($"is_kept").groupBy($"source").agg(min($"z").as("min_kept"))
+    val bestDrop = dc.filter(!$"is_kept").groupBy($"source").agg(max($"z").as("max_drop"))
+    assert(worstKept.join(bestDrop, "source")
+      .filter($"max_drop" > $"min_kept").count() == 0)
+  }
+
+  test("keeper quality elects exactly one best doc per cluster, at the max z") {
+    val kq = q("q_keeper_quality")
+    assert(kq.count() == 1000) // doubled corpus
+    val perCluster = kq.groupBy($"cluster_keeper")
+      .agg(sum(when($"is_best", 1L).otherwise(0L)).as("n_best"),
+        max($"z").as("max_z"))
+    assert(perCluster.filter($"n_best" =!= 1L).count() == 0)
+    // the elected doc carries the cluster's maximum quality score
+    val best = kq.filter($"is_best").select($"cluster_keeper", $"z".as("best_z"))
+    assert(best.join(perCluster, "cluster_keeper")
+      .filter($"best_z" =!= $"max_z").count() == 0)
+    // election is cluster-consistent: every member agrees on best_id
+    assert(kq.groupBy($"cluster_keeper")
+      .agg(countDistinct($"best_id").as("n")).filter($"n" =!= 1).count() == 0)
+  }
+
   test("every registered query is runnable and non-degenerate at sf0.001") {
     val counts = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> SparkEntry.queries(name)(spark, Sf0001).count()
