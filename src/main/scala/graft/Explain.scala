@@ -25,7 +25,8 @@ object Explain {
         "q_session_paths", "q_containment", "q_collocations", "q_lm_score",
         "q_graph_degrees", "q_pagerank", "q_anomaly", "q_dedup_edit",
         "q_line_dedup", "q_semdedup", "q_bpe_encode", "q_shard_plan",
-        "q_sim_pq", "q_span_dedup", "q_domain_cap", "q_keeper_quality")
+        "q_sim_pq", "q_span_dedup", "q_domain_cap", "q_keeper_quality",
+        "q_bm25", "q_hybrid_rrf", "q_inverted_index")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

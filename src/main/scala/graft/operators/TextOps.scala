@@ -1698,7 +1698,160 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Fixed query-term set for the retrieval family (BM25 / hybrid) —
+    * deterministic stand-in for a user query; all three terms occur in
+    * the corpus with distinct document frequencies. */
+  private val Bm25Query = Seq("spark", "vector", "hash")
+
+  /** Per-doc Okapi BM25 scores (k1=1.2, b=0.75, Lucene's
+    * ln(1 + (N−df+0.5)/(df+0.5)) idf so scores stay positive when a
+    * term's df exceeds N/2 — true for every term in this tiny-vocab
+    * corpus). Cross-engine determinism: the only libm call is ln(),
+    * and each TERM's score (idf × tf-saturation) is pinned to
+    * DECIMAL(18,9) before the per-doc sum — the q_doc_entropy device —
+    * so the sum is order-independent and the exposed double identical
+    * in both engines. Scale shape: tf is one hash agg over the
+    * query-filtered token stream (the filter prunes the explode to
+    * |Q| terms per doc), df is an agg over tf, and the score join
+    * broadcasts the 2-row corpus stats — no shuffle carries more than
+    * (doc, term ∈ Q) rows. */
+  private def bm25Frame(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("dl", size(tokens()).cast("long"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = docs.select(col("doc_id"), explode(tokens()).as("term"))
+      .filter(col("term").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dft, Seq("term"))
+      .join(docs.select("doc_id", "dl"), Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("sterm", expr(
+        """CAST(
+             ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+             * ((CAST(tf AS DOUBLE) * 2.2)
+                / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+           AS DECIMAL(18,9))"""))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        expr("CAST(SUM(sterm) AS DOUBLE)").as("score"))
+    docs.select("doc_id", "dl").join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("dl"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("score"), lit(0.0)).as("score"))
+  }
+
+  /** The BM25 scoring chain as oracle CTEs ending in per-doc
+    * `bm(doc_id, dl, n_matched, score)` — the SQL twin of
+    * [[bm25Frame]], shared by the q_bm25 and q_hybrid_rrf oracles. */
+  private def bm25Sql: String = {
+    val qlist = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""dd AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |         string_split(text, ' ') AS toks
+       |  FROM documents
+       |), st AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(dl) AS BIGINT) AS sum_dl
+       |  FROM dd
+       |), tok AS (
+       |  SELECT doc_id, unnest(toks) AS term FROM dd
+       |), tft AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       |  WHERE term IN ($qlist) GROUP BY doc_id, term
+       |), dft AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tft GROUP BY term
+       |), sc AS (
+       |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+       |         CAST(SUM(CAST(
+       |           ln(1.0 + (CAST(s.n_docs - f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+       |           * ((CAST(t.tf AS DOUBLE) * 2.2)
+       |              / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE)
+       |                   / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
+       |         AS DECIMAL(18,9))) AS DOUBLE) AS score
+       |  FROM tft t JOIN dft f USING (term) JOIN dd d USING (doc_id) CROSS JOIN st s
+       |  GROUP BY t.doc_id
+       |), bm AS (
+       |  SELECT d.doc_id, d.dl,
+       |         CAST(COALESCE(sc.n_matched, 0) AS BIGINT) AS n_matched,
+       |         COALESCE(sc.score, 0.0) AS score
+       |  FROM dd d LEFT JOIN sc USING (doc_id)
+       |)""".stripMargin
+  }
+
+  private def qBm25(s: SparkSession, d: String): DataFrame = {
+    val byScore = Window.orderBy(col("score").desc, col("doc_id"))
+    bm25Frame(s, d)
+      .withColumn("rank", row_number().over(byScore).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Hybrid retrieval via reciprocal-rank fusion — the standard way a
+    * search stack combines a lexical ranker with a vector ranker
+    * WITHOUT commensurating their score scales: each candidate scores
+    * 1/(60+rank_lex) + 1/(60+rank_vec). Lexical ranks come from the
+    * shared BM25 chain; vector ranks from exact cosine against a fixed
+    * query embedding (vec_id 0), joined on doc_id = vec_id. RRF is the
+    * determinism-friendly fusion: the fused score is pure rational
+    * arithmetic over INTEGER ranks, so unlike score-interpolation
+    * there is no cross-engine float risk beyond the already-pinned
+    * inputs. Scale shape: two global top-rank windows over per-doc
+    * scores (production shards them per query), one broadcast of the
+    * 1-row query vector, one equi-join of the two rank frames. */
+  private def qHybridRrf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val byLex = Window.orderBy(col("score").desc, col("doc_id"))
+    val lexRank = bm25Frame(s, d)
+      .withColumn("rank_lex", row_number().over(byLex).cast("long"))
+      .select("doc_id", "rank_lex")
+    val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("q_vec"))
+    val byVec = Window.orderBy(col("cos").desc, col("doc_id"))
+    val vecRank = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("c_vec"))
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", expr("graft_cosine(c_vec, q_vec)"))
+      .withColumn("rank_vec", row_number().over(byVec).cast("long"))
+      .select("doc_id", "rank_vec")
+    lexRank.join(vecRank, Seq("doc_id"))
+      .withColumn("rrf",
+        lit(1.0) / (lit(60.0) + col("rank_lex").cast("double"))
+          + lit(1.0) / (lit(60.0) + col("rank_vec").cast("double")))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 20)
+      .select("doc_id", "rank_lex", "rank_vec", "rrf", "rank")
+      .orderBy("rank")
+  }
+
+  /** Inverted-index build — the search-engine-shard artifact: per
+    * term, document frequency, corpus frequency, and the head of the
+    * doc_id-ordered posting list ("doc:tf" pairs, capped at 10 for the
+    * comparable output; production writes the full list). Scale shape:
+    * this is THE shard-by-term workload — one (term, doc) hash agg,
+    * one per-term agg whose collect_list is bounded by the posting cap
+    * only in the output projection (the full list aggregation is the
+    * honest cost, stated here); partitioning by term is what makes a
+    * distributed index build linear. */
+  private def qInvertedIndex(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens()).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        concat_ws(",", expr(
+          """transform(slice(array_sort(collect_list(struct(doc_id, tf))), 1, 10),
+               x -> concat(CAST(x.doc_id AS STRING), ':', CAST(x.tf AS STRING)))"""))
+          .as("postings_head"))
+      .orderBy("term")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> (qBm25 _),
+    "q_hybrid_rrf" -> (qHybridRrf _),
+    "q_inverted_index" -> (qInvertedIndex _),
     "q_line_dedup" -> (qLineDedup _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_quality_score" -> (qQualityScore _),
@@ -2171,6 +2324,54 @@ object TextOps {
          |       z >= 0.0 AS is_keep
          |FROM zz
          |ORDER BY doc_id""".stripMargin,
+    "q_bm25" ->
+      s"""WITH $bm25Sql
+         |SELECT doc_id, dl, n_matched, score,
+         |       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |FROM bm
+         |ORDER BY doc_id""".stripMargin,
+    "q_hybrid_rrf" ->
+      s"""WITH $bm25Sql,
+         |lr AS (
+         |  SELECT doc_id,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex
+         |  FROM bm
+         |), vq AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id = 0
+         |), vr AS (
+         |  SELECT vec_id AS doc_id,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY
+         |           list_dot_product(CAST(embedding AS DOUBLE[]), q_vec)
+         |             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+         |                * sqrt(list_dot_product(q_vec, q_vec))) DESC,
+         |           vec_id) AS BIGINT) AS rank_vec
+         |  FROM embeddings CROSS JOIN vq
+         |), fused AS (
+         |  SELECT lr.doc_id, lr.rank_lex, vr.rank_vec,
+         |         1.0 / (60.0 + CAST(lr.rank_lex AS DOUBLE))
+         |           + 1.0 / (60.0 + CAST(vr.rank_vec AS DOUBLE)) AS rrf
+         |  FROM lr JOIN vr USING (doc_id)
+         |)
+         |SELECT doc_id, rank_lex, rank_vec, rrf, rank FROM (
+         |  SELECT doc_id, rank_lex, rank_vec, rrf,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+         |  FROM fused)
+         |WHERE rank <= 20
+         |ORDER BY rank""".stripMargin,
+    "q_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tft AS (
+        |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY term, doc_id
+        |)
+        |SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+        |       array_to_string(
+        |         (list(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
+        |               ORDER BY doc_id))[1:10], ',') AS postings_head
+        |FROM tft
+        |GROUP BY term
+        |ORDER BY term""".stripMargin,
     "q_domain_cap" ->
       s"""WITH ${qualityZSql()}
          |SELECT doc_id, source, z,
