@@ -99,6 +99,10 @@ object ScaleProbe {
       // counting, not pairs, so no cross-copy blowup
       "q_span_dedup" -> TextOps.queries("q_span_dedup"),
       "q_dedup_ngram" -> TextOps.queries("q_dedup_ngram"),
+      // prefix filtering's worst case is the hot-shingle join the
+      // rare-first canonical order is supposed to neutralize — the
+      // probe measures that claim instead of trusting it
+      "q_dedup_prefix" -> TextOps.queries("q_dedup_prefix"),
       "q_dedup_edit" -> TextOps.queries("q_dedup_edit"),
       "q_dedup_simhash" -> TextOps.queries("q_dedup_simhash"),
       "q_simhash_clusters" -> TextOps.queries("q_simhash_clusters"),

@@ -389,6 +389,57 @@ object TextOps {
       .select("a_id", "b_id", "common", "jaccard")
       .orderBy("a_id", "b_id")
 
+  /** Jaccard threshold of the prefix-filtered set-similarity join. */
+  private val PrefixJaccard = 0.5
+
+  /** Prefix-filtered set-similarity join (PPJoin-style) — the LOSSLESS
+    * alternative to q_dedup_ngram's DF cap: sort every doc's distinct
+    * 3-shingle set in one GLOBAL canonical order (rarest shingle
+    * first: ascending df, ties lexicographic) and index only the first
+    * |X| − ⌈t·|X|⌉ + 1 shingles. The prefix theorem guarantees any
+    * pair with Jaccard ≥ t shares at least one PREFIX shingle, so the
+    * candidate join loses nothing — while a corpus-hot shingle sorts
+    * to the very END of the canonical order and almost never enters a
+    * prefix, which is what kills the d² hot-key blowup WITHOUT the
+    * cap's recall caveat. Candidates then pay one exact
+    * intersection-count refine. t = 0.5 (0.5 is binary-exact, so the
+    * ⌈t·|X|⌉ prefix length is integer-identical across engines). Scale
+    * shape: df agg + per-doc window for the canonical order, a
+    * prefix-token equi-join bounded by prefix length × per-shingle
+    * prefix frequency, and a candidate-bounded refine join — measured
+    * near-linear by the scale probe alongside the capped path. */
+  private def qDedupPrefix(s: SparkSession, d: String): DataFrame = {
+    val sh = doubled(s, d)
+      .withColumn("toks", tokens())
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))")))
+        .as("sh"))
+    val dft = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val ord = sh.join(dft, Seq("sh"))
+      .withColumn("pos", row_number().over(byDoc).cast("long"))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val pref = ord.filter(col("pos") <=
+        col("sz") - expr(s"CAST(ceil($PrefixJaccard * CAST(sz AS DOUBLE)) AS BIGINT)") + 1)
+      .select("doc_id", "sh")
+    val cand = pref.select(col("doc_id").as("a_id"), col("sh"))
+      .join(pref.select(col("doc_id").as("b_id"), col("sh")), Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), Seq("b_id"))
+      .withColumn("jaccard", col("common").cast("double")
+        / (col("a_sz") + col("b_sz") - col("common")).cast("double"))
+      .filter(col("jaccard") >= PrefixJaccard)
+      .select("a_id", "b_id", "a_sz", "b_sz", "common", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Containment near-dup detection — the ASYMMETRIC complement of
     * Jaccard: |A∩B| / min(|A|,|B|) ≈ 1 whenever the smaller document
     * is embedded in the larger (quotes, boilerplate-wrapped reposts,
@@ -1878,6 +1929,7 @@ object TextOps {
     "q_fingerprint" -> (qFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_prefix" -> (qDedupPrefix _),
     "q_containment" -> (qContainment _),
     "q_dedup_edit" -> (qDedupEdit _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -2182,6 +2234,45 @@ object TextOps {
          |FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
          |HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - COUNT(*) AS DOUBLE) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_prefix" ->
+      s"""WITH $doubledSql,
+         |shl AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(
+         |           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+         |           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingles
+         |  FROM doubled
+         |), ex AS (
+         |  SELECT doc_id, unnest(shingles) AS s FROM shl
+         |), dft AS (
+         |  SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY s
+         |), ord AS (
+         |  SELECT e.doc_id, e.s,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.s)
+         |              AS BIGINT) AS pos,
+         |         CAST(COUNT(*) OVER (PARTITION BY e.doc_id) AS BIGINT) AS sz
+         |  FROM ex e JOIN dft f USING (s)
+         |), pref AS (
+         |  SELECT doc_id, s FROM ord
+         |  WHERE pos <= sz - CAST(ceil($PrefixJaccard * CAST(sz AS DOUBLE)) AS BIGINT) + 1
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+         |), com AS (
+         |  SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS common
+         |  FROM cand c
+         |  JOIN ex x ON x.doc_id = c.a_id
+         |  JOIN ex y ON y.doc_id = c.b_id AND y.s = x.s
+         |  GROUP BY c.a_id, c.b_id
+         |), szs AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ex GROUP BY doc_id
+         |)
+         |SELECT a_id, b_id, sa.sz AS a_sz, sb.sz AS b_sz, common,
+         |       CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+         |FROM com JOIN szs sa ON sa.doc_id = a_id JOIN szs sb ON sb.doc_id = b_id
+         |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE)
+         |        >= $PrefixJaccard
          |ORDER BY a_id, b_id""".stripMargin,
     // distributed pointer-doubling min-label CC vs a declarative
     // recursive-CTE fixpoint closure in a different engine, agreeing

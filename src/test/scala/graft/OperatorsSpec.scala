@@ -689,6 +689,36 @@ class OperatorsSpec extends SparkSpec {
     assert(inv.filter($"df" > $"cf" || $"df" < 1).count() == 0)
   }
 
+  test("prefix-filtered join is lossless: equals the exact all-pairs Jaccard answer") {
+    val pf = q("q_dedup_prefix").select($"a_id", $"b_id", $"jaccard")
+    // exact answer: any J>=0.5 pair must share a shingle, so the
+    // UNFILTERED shingle join + exact Jaccard is complete; the prefix
+    // path must reproduce it pair for pair, value for value
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select($"doc_id", $"text")
+    val dbl = docs.union(docs.withColumn("doc_id", $"doc_id" + 1000000L))
+    val sh = dbl.withColumn("toks", split($"text", " "))
+      .select($"doc_id", explode(array_distinct(expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))")))
+        .as("sh"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val exact = sh.select($"doc_id".as("a_id"), $"sh")
+      .join(sh.select($"doc_id".as("b_id"), $"sh"), Seq("sh"))
+      .filter($"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("common"))
+      .join(sizes.select($"doc_id".as("a_id"), $"sz".as("a_sz")), Seq("a_id"))
+      .join(sizes.select($"doc_id".as("b_id"), $"sz".as("b_sz")), Seq("b_id"))
+      .withColumn("jaccard", $"common".cast("double")
+        / ($"a_sz" + $"b_sz" - $"common").cast("double"))
+      .filter($"jaccard" >= 0.5)
+      .select($"a_id", $"b_id", $"jaccard")
+    assert(pf.exceptAll(exact).count() == 0)
+    assert(exact.exceptAll(pf).count() == 0)
+    // and the 500 replay twins are all present at exactly 1.0
+    assert(pf.filter($"b_id" - $"a_id" === 1000000L && $"jaccard" === 1.0)
+      .count() == 500)
+  }
+
   test("every registered query is runnable and non-degenerate at sf0.001") {
     val counts = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> SparkEntry.queries(name)(spark, Sf0001).count()
