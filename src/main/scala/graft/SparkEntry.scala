@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Enrich, Functions2, IdOps, Multimodal, Relational, Sampling, TextOps, VectorOps, Windows}
+import graft.operators.{Enrich, Functions2, GraphOps, IdOps, Multimodal, Relational, Sampling, TextOps, VectorOps, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +26,8 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracle),
       (IdOps.queries, IdOps.oracle),
       (Functions2.queries, Functions2.oracle),
-      (Sampling.queries, Sampling.oracle)
+      (Sampling.queries, Sampling.oracle),
+      (GraphOps.queries, GraphOps.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

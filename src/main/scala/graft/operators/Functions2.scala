@@ -406,8 +406,40 @@ object Functions2 {
         col("col").as("tag"))
       .orderBy("event_id", "pos")
 
+  /** Bits interleaved per dimension of the Z-value (p_size ≤ 50 and
+    * p_partkey % 64 both fit in 6 bits). */
+  private val ZBits = 6
+
+  /** Morton/Z-order key over (`a`, `b`): bit i of `a` lands at bit 2i,
+    * bit i of `b` at bit 2i+1. Pure integer shift/mask arithmetic —
+    * the SAME generated text parses in Spark SQL and DuckDB, so the
+    * interleave itself is under the hash gate. */
+  private def zValueSql(a: String, b: String): String =
+    (0 until ZBits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  // Z-order (Morton) clustering key — the multi-dimensional data-
+  // layout primitive: sorting a 100 TB table by z(a, b) makes row-
+  // group min/max stats selective on BOTH a and b at once, so scans
+  // filtered on either dimension skip most of the file (a plain sort
+  // by `a` leaves `b` scattered across every row group). The query
+  // materializes the key plus each row's z-rank so the oracle pins
+  // the full interleave + ordering; the layout payoff itself is
+  // asserted separately in StorageSpec (write z-sorted, prove row-
+  // group skipping on both dimensions from scan metrics).
+  private def qZorder(s: SparkSession, d: String): DataFrame = {
+    val z = zValueSql("p_size", "(p_partkey % 64)")
+    Tables.part(s, d)
+      .withColumn("pmod", (col("p_partkey") % 64).cast("long"))
+      .withColumn("z", expr(z))
+      .select("p_partkey", "p_size", "pmod", "z")
+      .orderBy("z", "p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_nested" -> (qJsonNested _),
+    "q_zorder" -> (qZorder _),
     "q_json_explode" -> (qJsonExplode _),
     "q_variant" -> (qVariant _),
     "q_map_funcs" -> (qMapFuncs _),
@@ -429,6 +461,12 @@ object Functions2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_zorder" ->
+      s"""SELECT p_partkey, p_size,
+         |       CAST(p_partkey % 64 AS BIGINT) AS pmod,
+         |       ${zValueSql("p_size", "(p_partkey % 64)")} AS z
+         |FROM part
+         |ORDER BY z, p_partkey""".stripMargin,
     "q_json_nested" ->
       s"""WITH j AS (
          |  SELECT event_id,

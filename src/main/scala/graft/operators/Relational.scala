@@ -550,6 +550,43 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // Chi-square test of independence, lang × source over documents —
+  // the "is my corpus mix biased by provenance?" audit. One corpus-
+  // wide hash aggregate produces the contingency cells; everything
+  // after runs on the dimension-sized cell frame (|langs|·|sources|
+  // rows), so the windows cost nothing at any corpus scale. The cell
+  // spine is the CROSS JOIN of the observed dims, so zero cells
+  // contribute their full expected mass instead of being silently
+  // dropped. Expected counts and contributions are IEEE doubles from
+  // exact integers (identical cross-engine); only the total — a SUM
+  // of doubles, order-dependent by nature — goes through the
+  // DECIMAL(28,14) pin.
+  private def qChi2(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("observed"))
+    val langs = obs.select("lang").distinct()
+    val sources = obs.select("source").distinct()
+    langs.crossJoin(sources)
+      .join(obs, Seq("lang", "source"), "left_outer")
+      .withColumn("observed", coalesce(col("observed"), lit(0L)))
+      .withColumn("row_total",
+        expr("CAST(SUM(observed) OVER (PARTITION BY lang) AS BIGINT)"))
+      .withColumn("col_total",
+        expr("CAST(SUM(observed) OVER (PARTITION BY source) AS BIGINT)"))
+      .withColumn("n_total", expr("CAST(SUM(observed) OVER () AS BIGINT)"))
+      .withColumn("expected",
+        col("row_total").cast("double") * col("col_total").cast("double")
+          / col("n_total").cast("double"))
+      .withColumn("contrib",
+        (col("observed").cast("double") - col("expected"))
+          * (col("observed").cast("double") - col("expected")) / col("expected"))
+      .withColumn("chi2_total",
+        expr("CAST(SUM(CAST(contrib AS DECIMAL(28,14))) OVER () AS DOUBLE)"))
+      .select("lang", "source", "observed", "row_total", "col_total",
+        "expected", "contrib", "chi2_total")
+      .orderBy("lang", "source")
+  }
+
   // FULL OUTER join: events' user_ids cover only the low custkey
   // decile, so both unmatched sides are populated. The deterministic
   // sort key is coalesced from either side (never null, never
@@ -715,6 +752,7 @@ object Relational {
     "q_unpivot" -> (qUnpivot _),
     "q_join_full" -> (qJoinFull _),
     "q_corr_manual" -> (qCorrManual _),
+    "q_chi2" -> (qChi2 _),
     "q_lateral" -> (qLateral _),
     "q_join_nullsafe" -> (qJoinNullsafe _),
     "q_revenue_filter" -> (qRevenueFilter _),
@@ -815,6 +853,41 @@ object Relational {
         |            * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS DECIMAL(18,12)) AS DOUBLE) AS corr_qty_price
         |FROM sums
         |ORDER BY l_returnflag""".stripMargin,
+    "q_chi2" ->
+      """WITH obs AS (
+        |  SELECT lang, source, COUNT(*) AS observed
+        |  FROM documents GROUP BY lang, source
+        |), spine AS (
+        |  SELECT l.lang, s.source
+        |  FROM (SELECT DISTINCT lang FROM obs) l
+        |  CROSS JOIN (SELECT DISTINCT source FROM obs) s
+        |), cells AS (
+        |  SELECT spine.lang, spine.source,
+        |         CAST(COALESCE(obs.observed, 0) AS BIGINT) AS observed
+        |  FROM spine LEFT JOIN obs
+        |    ON spine.lang = obs.lang AND spine.source = obs.source
+        |), tot AS (
+        |  SELECT lang, source, observed,
+        |         CAST(SUM(observed) OVER (PARTITION BY lang) AS BIGINT) AS row_total,
+        |         CAST(SUM(observed) OVER (PARTITION BY source) AS BIGINT) AS col_total,
+        |         CAST(SUM(observed) OVER () AS BIGINT) AS n_total
+        |  FROM cells
+        |), ex AS (
+        |  SELECT *,
+        |         CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+        |           / CAST(n_total AS DOUBLE) AS expected
+        |  FROM tot
+        |), ct AS (
+        |  SELECT *,
+        |         (CAST(observed AS DOUBLE) - expected)
+        |           * (CAST(observed AS DOUBLE) - expected) / expected AS contrib
+        |  FROM ex
+        |)
+        |SELECT lang, source, observed, row_total, col_total, expected, contrib,
+        |       CAST(SUM(CAST(contrib AS DECIMAL(28,14))) OVER () AS DOUBLE)
+        |         AS chi2_total
+        |FROM ct
+        |ORDER BY lang, source""".stripMargin,
     "q_join_full" ->
       """WITH ev AS (
         |  SELECT user_id, COUNT(*) AS n_events FROM (

@@ -100,6 +100,37 @@ object Sampling {
       .select("lang", "n_docs", "n_total", "p", "w_raw", "weight", "boost")
       .orderBy("lang")
 
+  /** Top-k kept by weighted sampling without replacement. */
+  private val WeightedK = 64
+
+  // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+  // each doc draws u ~ Uniform(0,1) from md5(doc_id) and is ranked by
+  // ln(u)/w with w = n_chars — the top-k by that key is a true
+  // w-weighted sample, yet fully deterministic and engine-independent.
+  // This is the quality-weighted corpus subsetting op (sample docs
+  // proportionally to length/quality for a training mix) expressed as
+  // one narrow map + one top-k: no shuffle beyond the rank, and at
+  // cluster scale the rank is a TakeOrderedAndProject, never a full
+  // sort. The md5-derived u is (x+0.5)/2^32 from the first 8 hex
+  // chars — strictly inside (0,1), so ln(u) is finite; both engines
+  // compute ln/division on identical doubles, and key collisions
+  // would need two keys within 1 ulp (no such pair exists at any
+  // plausible corpus size; doc_id breaks exact ties anyway).
+  private def qSampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val top = Tables.documents(s, d)
+      .withColumn("u",
+        (expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+          .cast("double") + lit(0.5)) / lit(4294967296.0))
+      .withColumn("k", log(col("u")) / col("n_chars").cast("double"))
+      .orderBy(col("k").desc, col("doc_id"))
+      .limit(WeightedK) // TakeOrderedAndProject: per-partition top-k, no global sort
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("k").desc, col("doc_id")) // over the k survivors only
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select("rk", "doc_id", "lang", "source", "n_chars")
+      .orderBy("rk")
+  }
+
   /** Train/test decontamination — the span-overlap sweep every
     * held-out set needs before it can be trusted: tile each document
     * into disjoint 5-token chunks, build the DISTINCT train-split
@@ -222,6 +253,7 @@ object Sampling {
     "q_sample_hash" -> (qSampleHash _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_lang_temperature" -> (qLangTemperature _),
+    "q_sample_weighted" -> (qSampleWeighted _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_sliding" -> (qDecontaminateSliding _)
   )
@@ -352,6 +384,21 @@ object Sampling {
         |       (w_raw / CAST(SUM(CAST(w_raw AS DECIMAL(18,12))) OVER () AS DOUBLE))
         |         / p AS boost
         |FROM p
-        |ORDER BY lang""".stripMargin
+        |ORDER BY lang""".stripMargin,
+    "q_sample_weighted" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |         ln((CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |                       AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+         |           / CAST(n_chars AS DOUBLE) AS k
+         |  FROM documents
+         |), ranked AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |         CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS BIGINT) AS rk
+         |  FROM keyed
+         |)
+         |SELECT rk, doc_id, lang, source, n_chars
+         |FROM ranked WHERE rk <= $WeightedK
+         |ORDER BY rk""".stripMargin
   )
 }

@@ -719,6 +719,24 @@ class OperatorsSpec extends SparkSpec {
       .count() == 500)
   }
 
+  test("triangleCensus counts each planted triangle exactly once") {
+    // K4 on {1,2,3,4} (4 triangles) + path 5-6-7 (0) + triangle {4,8,9}
+    // (1, sharing node 4) — exercises hubs, chains, and shared nodes
+    // through the degree-ordered orientation.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L),
+      (4L, 8L), (4L, 9L), (8L, 9L)
+    ).toDF("u", "v")
+    val row = graft.operators.GraphOps.triangleCensus(edges).collect().head
+    assert(row.getAs[Long]("n_nodes") == 9L)
+    assert(row.getAs[Long]("n_edges") == 11L)
+    // wedges = Σ d(d-1)/2 over degrees (3,3,3,5,1,2,1,2,2) = 22
+    assert(row.getAs[Long]("n_wedges") == 22L)
+    assert(row.getAs[Long]("n_triangles") == 5L)
+    assert(math.abs(row.getAs[Double]("global_cc") - 15.0 / 22.0) < 1e-12)
+  }
+
   test("every registered query is runnable and non-degenerate at sf0.001") {
     val counts = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> SparkEntry.queries(name)(spark, Sf0001).count()

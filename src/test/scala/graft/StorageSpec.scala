@@ -184,4 +184,51 @@ class StorageSpec extends SparkSpec {
       s"scan decoded $scanRows of $total rows — row-group stats not skipping")
     assert(scanRows >= matched)
   }
+
+  private def decodedRows(dir: String, pred: org.apache.spark.sql.Column): Long = {
+    val df = spark.read.parquet(dir).filter(pred).select("p_partkey")
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numOutputRows").value
+    }.sum
+  }
+
+  test("z-order layout skips files on BOTH interleaved dimensions") {
+    // The q_zorder key exists to be SORTED ON: a z-clustered write
+    // confines each file to a quadrant of (p_size, pmod) space, so
+    // min/max footer stats prune selective filters on EITHER column.
+    // A 1-D sort on p_size gives pruning on p_size only — pmod stays
+    // scattered across every file, and the same pmod filter decodes
+    // the full table. Both behaviors asserted from scan metrics.
+    val rows = SparkEntry.queries("q_zorder")(spark, Sf001) // 2000 parts
+    val total = rows.count()
+    val zDir = tmp("zorder")
+    rows.repartitionByRange(16, $"z")
+      .sortWithinPartitions($"z")
+      .write.mode("overwrite").parquet(zDir)
+    val sizeDir = tmp("sizesort")
+    rows.repartitionByRange(16, $"p_size")
+      .sortWithinPartitions($"p_size")
+      .write.mode("overwrite").parquet(sizeDir)
+
+    val zOnSize = decodedRows(zDir, $"p_size" < 8)
+    val zOnPmod = decodedRows(zDir, $"pmod" < 8)
+    // z-layout: both single-dimension filters skip most files
+    assert(zOnSize <= total / 2,
+      s"z layout decoded $zOnSize/$total on p_size — no multi-dim skipping")
+    assert(zOnPmod <= total / 2,
+      s"z layout decoded $zOnPmod/$total on pmod — no multi-dim skipping")
+    // 1-D layout: great on its own column, useless on the other
+    val sOnSize = decodedRows(sizeDir, $"p_size" < 8)
+    val sOnPmod = decodedRows(sizeDir, $"pmod" < 8)
+    assert(sOnSize <= total / 4)
+    assert(sOnPmod >= total * 9 / 10,
+      s"p_size sort unexpectedly skipped pmod files ($sOnPmod/$total)")
+  }
 }
