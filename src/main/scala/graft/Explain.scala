@@ -26,7 +26,9 @@ object Explain {
         "q_graph_degrees", "q_pagerank", "q_anomaly", "q_dedup_edit",
         "q_line_dedup", "q_semdedup", "q_bpe_encode", "q_shard_plan",
         "q_sim_pq", "q_span_dedup", "q_domain_cap", "q_keeper_quality",
-        "q_bm25", "q_hybrid_rrf", "q_inverted_index", "q_dedup_prefix")
+        "q_bm25", "q_hybrid_rrf", "q_inverted_index", "q_dedup_prefix",
+        "q_triangles", "q_local_cc", "q_basket_lift", "q_chi2",
+        "q_sample_weighted", "q_zorder")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -44,16 +44,15 @@ object GraphOps {
       .select("u", "v").distinct()
   }
 
-  /** Global triangle census over an undirected edge list (u < v, no
-    * duplicates): node/edge/wedge counts, exact triangle count, and
-    * the global clustering coefficient 3·T/W. The closing-edge join
-    * runs over ORIENTED edges only, so the whole count is one wedge
-    * join + one closing join over frames no larger than the edge
-    * list. */
-  def triangleCensus(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("u").as("node"))
+  /** Per-node degree over an undirected (u < v) edge list. */
+  private def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** One row per triangle (n1, n2, n3) — n1 the (degree, id)-minimum
+    * pivot — via the degree-ordered wedge join described above. */
+  def triangleRows(edges: DataFrame, deg: DataFrame): DataFrame = {
     val degU = deg.select(col("node").as("u"), col("deg").as("du"))
     val degV = deg.select(col("node").as("v"), col("deg").as("dv"))
     val withDeg = edges.join(degU, Seq("u")).join(degV, Seq("v"))
@@ -70,9 +69,21 @@ object GraphOps {
     val e2 = oriented.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
     val wedges = e1.join(e2, Seq("src"))
       .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
-      .select(col("x").as("src"), col("y").as("dst"))
-    val tri = wedges.join(oriented.select("src", "dst"), Seq("src", "dst"))
-      .agg(count(lit(1)).as("n_triangles"))
+      .select(col("src").as("n1"), col("x").as("n2"), col("y").as("n3"))
+    wedges.join(
+      oriented.select(col("src").as("n2"), col("dst").as("n3")), Seq("n2", "n3"))
+      .select("n1", "n2", "n3")
+  }
+
+  /** Global triangle census over an undirected edge list (u < v, no
+    * duplicates): node/edge/wedge counts, exact triangle count, and
+    * the global clustering coefficient 3·T/W. The closing-edge join
+    * runs over ORIENTED edges only, so the whole count is one wedge
+    * join + one closing join over frames no larger than the edge
+    * list. */
+  def triangleCensus(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    val tri = triangleRows(edges, deg).agg(count(lit(1)).as("n_triangles"))
     val nodesEdges = deg.agg(
       count(lit(1)).as("n_nodes"),
       expr("CAST(SUM(deg) / 2 AS BIGINT)").as("n_edges"),
@@ -86,37 +97,147 @@ object GraphOps {
   private def qTriangles(s: SparkSession, d: String): DataFrame =
     triangleCensus(coEdges(s, d))
 
+  // Per-node triangle participation + local clustering coefficient —
+  // the "how clique-ish is each hub's neighborhood" profile. Triangle
+  // rows explode to their three corners (3T rows, linear in the
+  // census output), one hash aggregate per node, then a top-k that
+  // compiles to TakeOrderedAndProject — no global sort at any scale.
+  private def qLocalCc(s: SparkSession, d: String): DataFrame = {
+    val edges = coEdges(s, d)
+    val deg = degrees(edges)
+    val tri = triangleRows(edges, deg)
+    val corners = tri.select(col("n1").as("node"))
+      .unionAll(tri.select(col("n2").as("node")))
+      .unionAll(tri.select(col("n3").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(corners, Seq("node"))
+      .withColumn("local_cc",
+        lit(2.0) * col("n_tri").cast("double")
+          / (col("deg") * (col("deg") - lit(1L))).cast("double"))
+      .select("node", "deg", "n_tri", "local_cc")
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(20)
+  }
+
+  // Market-basket association over orders: pair support, per-item
+  // support, and lift = P(u,v) / (P(u)·P(v)) — the classic
+  // "co-purchase strength" mining query. Same bounded intra-order
+  // pair join as the edge build, but counting DISTINCT co-orders per
+  // pair instead of collapsing to one edge; supports are one hash
+  // aggregate each, joined back pair→item twice (node-keyed shuffles).
+  // The lift arithmetic is a single double mul/div chain over exact
+  // integers, parenthesized identically in both engines.
+  private val MinPairSupport = 3
+
+  private def qBasketLift(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+    val nOrders = li.select("l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemSup = li.groupBy(col("l_partkey").as("item"))
+      .agg(count(lit(1)).as("sup"))
+    val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+    val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+    val pairSup = a.join(b, Seq("k")).filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("pair_sup"))
+      .filter(col("pair_sup") >= MinPairSupport)
+    pairSup
+      .join(itemSup.select(col("item").as("u"), col("sup").as("sup_u")), Seq("u"))
+      .join(itemSup.select(col("item").as("v"), col("sup").as("sup_v")), Seq("v"))
+      .crossJoin(nOrders)
+      .withColumn("lift",
+        (col("pair_sup").cast("double") * col("n_orders").cast("double"))
+          / (col("sup_u").cast("double") * col("sup_v").cast("double")))
+      .select("u", "v", "pair_sup", "sup_u", "sup_v", "n_orders", "lift")
+      .orderBy(col("lift").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_triangles" -> (qTriangles _)
+    "q_triangles" -> (qTriangles _),
+    "q_local_cc" -> (qLocalCc _),
+    "q_basket_lift" -> (qBasketLift _)
   )
+
+  private val pairsSql =
+    """SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the oracle counts ordered triples u<v<w by part id — a hash-family
     // -free formulation that is independent of the degree orientation
     // the engine uses, so it cross-checks the orientation logic itself
     "q_triangles" ->
-      """WITH pairs AS (
-        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |), deg AS (
-        |  SELECT node, COUNT(*) AS deg FROM (
-        |    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
-        |  ) GROUP BY node
-        |), tri AS (
-        |  SELECT COUNT(*) AS n_triangles
-        |  FROM pairs e1
-        |  JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
-        |  JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
-        |), agg AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
-        |         CAST(SUM(deg) / 2 AS BIGINT) AS n_edges,
-        |         CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
-        |  FROM deg
-        |)
-        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
-        |       3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
-        |         AS global_cc
-        |FROM agg CROSS JOIN tri""".stripMargin
+      s"""WITH pairs AS (
+         |$pairsSql
+         |), deg AS (
+         |  SELECT node, COUNT(*) AS deg FROM (
+         |    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+         |  ) GROUP BY node
+         |), tri AS (
+         |  SELECT COUNT(*) AS n_triangles
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+         |  JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
+         |), agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |         CAST(SUM(deg) / 2 AS BIGINT) AS n_edges,
+         |         CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+         |  FROM deg
+         |)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         |       3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+         |         AS global_cc
+         |FROM agg CROSS JOIN tri""".stripMargin,
+    "q_local_cc" ->
+      s"""WITH pairs AS (
+         |$pairsSql
+         |), deg AS (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+         |  ) GROUP BY node
+         |), tri AS (
+         |  SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+         |  JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
+         |), corners AS (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+         |    SELECT n1 AS node FROM tri
+         |    UNION ALL SELECT n2 AS node FROM tri
+         |    UNION ALL SELECT n3 AS node FROM tri
+         |  ) GROUP BY node
+         |)
+         |SELECT deg.node, deg.deg, corners.n_tri,
+         |       2.0 * CAST(n_tri AS DOUBLE)
+         |         / CAST(deg * (deg - 1) AS DOUBLE) AS local_cc
+         |FROM deg JOIN corners ON deg.node = corners.node
+         |ORDER BY n_tri DESC, deg.node
+         |LIMIT 20""".stripMargin,
+    "q_basket_lift" ->
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+         |), n AS (
+         |  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li
+         |), itemsup AS (
+         |  SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS sup
+         |  FROM li GROUP BY l_partkey
+         |), pairsup AS (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         |         CAST(COUNT(*) AS BIGINT) AS pair_sup
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY a.l_partkey, b.l_partkey
+         |  HAVING COUNT(*) >= $MinPairSupport
+         |)
+         |SELECT u, v, pair_sup, su.sup AS sup_u, sv.sup AS sup_v, n_orders,
+         |       (CAST(pair_sup AS DOUBLE) * CAST(n_orders AS DOUBLE))
+         |         / (CAST(su.sup AS DOUBLE) * CAST(sv.sup AS DOUBLE)) AS lift
+         |FROM pairsup
+         |JOIN itemsup su ON su.item = u
+         |JOIN itemsup sv ON sv.item = v
+         |CROSS JOIN n
+         |ORDER BY lift DESC, u, v
+         |LIMIT 20""".stripMargin
   )
 }

@@ -77,6 +77,19 @@ object ScaleProbe {
         .select("vec_id", "embedding", "label")
     }.reduce(_ union _)
     scaledEmb.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // lineitem (for the co-occurrence graph path): copy c shifts BOTH
+    // l_orderkey and l_partkey into copy-disjoint key spaces, so the
+    // graph becomes m disjoint replicas — edges, wedges, and triangles
+    // all scale exactly m× while per-order widths (the pair-join
+    // fan-out bound) stay the base corpus's.
+    val li = Tables.lineitem(s, srcDir)
+    val scaledLi = (0 until m).map { c =>
+      if (c == 0) li
+      else li
+        .withColumn("l_orderkey", col("l_orderkey") + lit(c * 10000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(c * 10000000L))
+    }.reduce(_ union _)
+    scaledLi.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
   }
 
   /** The probed paths. Text-dedup paths run exactly the suite
@@ -116,7 +129,12 @@ object ScaleProbe {
       // training/encode are O(n·M·K) narrow scans and the ADC join is
       // O(n·M) with a Q=10 constant — the probe validates that no
       // stage hides a super-linear exchange
-      "q_sim_pq" -> VectorOps.queries("q_sim_pq")
+      "q_sim_pq" -> VectorOps.queries("q_sim_pq"),
+      // the degree-ordered wedge join is the one stage here whose
+      // worst case is m^1.5 — the probe checks the co-occurrence
+      // graph's real exponent stays linear when the graph grows as
+      // disjoint replicas (per-copy density constant)
+      "q_triangles" -> GraphOps.queries("q_triangles")
     )
   }
 
