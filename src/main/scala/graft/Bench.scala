@@ -100,16 +100,27 @@ object Bench {
         }
       }
     }
-    // slowest queries FIRST: if the artifact line gets truncated, the
-    // numbers that matter (total + heavy hitters) survive the cut
-    val qs = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + v }
+    // the driver's artifact keeps the TAIL of the stdout line (BENCH_r*
+    // "tail" fields all start mid-line and end at sbt's success line),
+    // so the end of the JSON object is what survives truncation: put
+    // the FASTEST queries first (heavy hitters last → kept) and the
+    // headline metric/value/sf fields AFTER the queries map — key order
+    // is irrelevant to any JSON parser that sees the whole line, and
+    // the truncated tail now carries the numbers that matter. Times are
+    // ms-precision (3 decimals) to shorten the line; BENCH_FULL.json
+    // keeps the same rounding (sub-ms digits are noise at this scale).
+    // Locale.ROOT: the f-interpolator honors the JVM default locale,
+    // and a comma decimal separator would corrupt the JSON
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.sortBy(_._2).map { case (k, v) => s""""$k":${ms(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson =
       if (failed.isEmpty) ""
       else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes_per_query":$passes,"stat":"median","n_queries":${results.size},"queries":$qs$failedJson,"sf":"$sfDir"}"""
+      s"""{"queries":$qs$failedJson,"passes_per_query":$passes,"stat":"median","n_queries":${results.size},"sf":"$sfDir","metric":"total","unit":"sec","value":${ms(total)}}"""
     println(json)
     // belt-and-braces: the full result also lands in the repo so no
     // stdout truncation can lose per-query times. FULL runs only — a

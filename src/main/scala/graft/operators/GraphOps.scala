@@ -152,10 +152,95 @@ object GraphOps {
       .limit(20)
   }
 
+  // ---- k-core decomposition ----------------------------------------
+  //
+  // The K-core is the maximal subgraph where every node keeps degree
+  // ≥ K — the standard "dense cohesive backbone" extraction (and, on a
+  // dedup keeper graph, the "pathological template cluster" detector).
+  // Computed by iterative peeling (the distributed form of
+  // Batagelj–Zaveršnik): drop all nodes with degree < K, recompute
+  // degrees, repeat to fixpoint. Each round is one degree aggregation
+  // plus two semi-joins — all node-keyed shuffles, no edge blowup —
+  // and the round count is bounded by the peel depth of the degree
+  // distribution, not by n (measured: 6 rounds at BOTH sf0.01 and
+  // sf0.1 for K=80; the cap below fails loudly rather than emitting a
+  // half-peeled subgraph). Lineage is cut per round with
+  // localCheckpoint, same as the CC loop, so the plan does not grow
+  // with the iteration count.
+  //
+  // K is DERIVED from the degree distribution — K = ⌊0.65·median⌋ —
+  // not hard-coded: a fixed K is meaningless across corpus sizes (this
+  // graph's median degree is 89 at sf0.001 and 119 at sf0.1), and the
+  // derived form keeps the query non-degenerate at every harness SF.
+  // The 0.65 fraction sits safely below this graph's core-collapse
+  // threshold (≈0.74·median, where the core empties and the cascade
+  // near criticality runs ~40 rounds — the classic abrupt collapse of
+  // quasi-random co-occurrence graphs): measured peel depths are 2/3/6
+  // rounds at sf0.001/0.01/0.1 with ~97% of nodes surviving. Both
+  // engines compute the median as an exact interpolated percentile
+  // over BIGINT degrees (exact in double), multiply by the same 0.65
+  // literal, and floor — bit-identical, so the derived K itself is
+  // under the hash gate (it is emitted as an output column).
+  //
+  // ORACLED: peeling only ever REMOVES edges and is idempotent at the
+  // fixpoint, so a DuckDB chain of CoreOracleRounds=12 unrolled rounds
+  // (4× the measured sf0.01 depth; extra rounds are no-ops) reproduces
+  // the Spark fixpoint exactly — same move as the unrolled-Lloyd
+  // oracles.
+  private val CoreFrac = "0.65" // shared literal — parsed to the same double by both engines
+  private val CoreMaxRounds = 40
+  private[graft] val CoreOracleRounds = 12
+
+  /** Nodes of the `k`-core of an undirected (u < v, distinct) edge
+    * list, with their within-core degree. Loops to the true fixpoint
+    * (edge count stable — peeling is monotone decreasing, so count
+    * equality IS convergence) and throws past `CoreMaxRounds` instead
+    * of returning a half-peeled subgraph. */
+  def kcore(edges0: DataFrame, k: Int): DataFrame = {
+    var edges = edges0.localCheckpoint()
+    var nEdges = edges.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < CoreMaxRounds) {
+      val keep = degrees(edges).filter(col("deg") >= k).select("node")
+      val pruned = edges
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint()
+      val m = pruned.count()
+      converged = m == nEdges
+      edges = pruned
+      nEdges = m
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"k-core peeling did not converge in $CoreMaxRounds rounds — " +
+          "K is near the core-collapse threshold for this graph; raise the " +
+          "cap deliberately rather than shipping a half-peeled subgraph")
+    degrees(edges).filter(col("deg") >= k)
+      .select(col("node"), col("deg").as("core_deg"), lit(k.toLong).as("k"))
+      .orderBy("node")
+  }
+
+  private def qKcore(s: SparkSession, d: String): DataFrame = {
+    // checkpoint: the edge list feeds the median probe AND every peel
+    // round — recomputing the intra-order pair join per round would
+    // multiply the dominant shuffle by the peel depth
+    val edges = coEdges(s, d).localCheckpoint()
+    // exact interpolated median of BIGINT degrees — a one-double model
+    // fetch (like the Lloyd centroid collects), never a data collect
+    val med = degrees(edges)
+      .agg(expr("percentile(deg, 0.5d)").as("med")).head.getDouble(0)
+    kcore(edges, math.floor(CoreFrac.toDouble * med).toInt)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> (qTriangles _),
     "q_local_cc" -> (qLocalCc _),
-    "q_basket_lift" -> (qBasketLift _)
+    "q_basket_lift" -> (qBasketLift _),
+    "q_kcore" -> (qKcore _)
   )
 
   private val pairsSql =
@@ -163,7 +248,55 @@ object GraphOps {
       |  FROM lineitem a JOIN lineitem b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin
 
+  /** The unrolled peel chain: e0 = the co-occurrence edges, kk = the
+    * derived threshold ⌊CoreFrac·median-degree⌋, then `rounds`
+    * iterations of (degrees of e_i) → (e_{i+1} = edges whose BOTH
+    * endpoints keep degree ≥ k). Extra rounds past convergence are
+    * identity, so any unroll ≥ the measured peel depth replays the
+    * Spark fixpoint exactly.
+    *
+    * Every chain CTE is AS MATERIALIZED: DuckDB inlines plain CTEs
+    * PER REFERENCE, and each round references its predecessor 4×
+    * (degrees reads e_i twice, the prune joins d_i twice), so an
+    * un-materialized 12-round chain expands to ~4¹² scans of the base
+    * table — materialization makes it 12 linear passes, the same
+    * shape as the Spark loop's localCheckpoint. */
+  private def kcoreSql(rounds: Int): String = {
+    val k = "(SELECT k FROM kk)"
+    val chain = (0 until rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT u AS node FROM e$i UNION ALL SELECT v AS node FROM e$i
+         |  ) GROUP BY node
+         |), e${i + 1} AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e$i e
+         |  JOIN d$i du ON du.node = e.u AND du.deg >= $k
+         |  JOIN d$i dv ON dv.node = e.v AND dv.deg >= $k
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |$pairsSql
+       |),
+       |kk AS MATERIALIZED (
+       |  SELECT CAST(floor($CoreFrac * percentile_cont(0.5) WITHIN GROUP (ORDER BY deg))
+       |              AS BIGINT) AS k
+       |  FROM (
+       |    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |      SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0
+       |    ) GROUP BY node)
+       |),
+       |$chain,
+       |dfin AS (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT u AS node FROM e$rounds UNION ALL SELECT v AS node FROM e$rounds
+       |  ) GROUP BY node
+       |)
+       |SELECT node, deg AS core_deg, $k AS k FROM dfin WHERE deg >= $k
+       |ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_kcore" -> kcoreSql(CoreOracleRounds),
     // the oracle counts ordered triples u<v<w by part id — a hash-family
     // -free formulation that is independent of the degree orientation
     // the engine uses, so it cross-checks the orientation logic itself

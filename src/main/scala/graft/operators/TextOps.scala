@@ -1697,6 +1697,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** ccnet-style quality tiers: NTILE(3) over the shared quality z
+    * WITHIN each language — head (tier 1), middle, tail — the standard
+    * "train on head, sample middle, drop tail" partitioning of a
+    * crawled corpus. Tie order is (z DESC, doc_id), the same
+    * deterministic pin as every other quality consumer; NTILE fill
+    * semantics (earlier buckets absorb the remainder) are the SQL
+    * standard on both engines. One language-partitioned window — the
+    * same shuffle shape as q_domain_cap, so the 100 TB posture is
+    * identical (languages are the partition key; per-language windows
+    * sort locally). */
+  private def qQualityTiers(s: SparkSession, d: String): DataFrame = {
+    val byLang = Window.partitionBy(col("lang"))
+      .orderBy(col("z").desc, col("doc_id"))
+    withQualityZ(Tables.documents(s, d))
+      .withColumn("tier", ntile(3).over(byLang).cast("long"))
+      .select(col("doc_id"), col("lang"), col("z"), col("tier"))
+      .orderBy("doc_id")
+  }
+
   /** Duplicated-SPAN detection — the suffix-array-style exact
     * substring dedup metric ("what fraction of this doc's tokens sit
     * inside a span that occurs elsewhere"): every stride-1
@@ -1906,6 +1925,7 @@ object TextOps {
     "q_line_dedup" -> (qLineDedup _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_quality_score" -> (qQualityScore _),
+    "q_quality_tiers" -> (qQualityTiers _),
     "q_domain_cap" -> (qDomainCap _),
     "q_span_dedup" -> (qSpanDedup _),
     "q_keeper_quality" -> (qKeeperQuality _),
@@ -2413,6 +2433,13 @@ object TextOps {
          |SELECT doc_id, lang, n_tokens, uniq_ratio, stop_ratio, len_sat, z,
          |       0.5 + z / (2.0 * (1.0 + abs(z))) AS score,
          |       z >= 0.0 AS is_keep
+         |FROM zz
+         |ORDER BY doc_id""".stripMargin,
+    "q_quality_tiers" ->
+      s"""WITH ${qualityZSql()}
+         |SELECT doc_id, lang, z,
+         |       CAST(NTILE(3) OVER (PARTITION BY lang
+         |                           ORDER BY z DESC, doc_id) AS BIGINT) AS tier
          |FROM zz
          |ORDER BY doc_id""".stripMargin,
     "q_bm25" ->

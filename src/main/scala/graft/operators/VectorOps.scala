@@ -339,22 +339,31 @@ object VectorOps {
   private def l2sq(x: String, c: String): Column =
     dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c)
 
-  private def qSimPq(s: SparkSession, d: String): DataFrame = {
-    VectorExpressions.register(s)
-    import s.implicits._
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), asDouble("embedding").as("vec"))
-    // (vec_id, m, sv): the PqM subvectors of every vector
-    val sub = e.select(col("vec_id"), posexplode(expr(
+  /** (vec_id, m, sv): the PqM subvectors of every (vec_id, vec) row. */
+  private def pqSub(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${PqM - 1}), m -> slice(vec, m * $PqSubDim + 1, $PqSubDim))")))
       .select(col("vec_id"), col("pos").as("m"), col("col").as("sv"))
+
+  /** Nearest-cell assignment of every subvector against a codebook
+    * (rk = 1 marks the winner), L2² in the pinned association order. */
+  private def pqAssign(s: SparkSession, sub: DataFrame,
+      cb: Seq[(Int, Long, Seq[Double])]): DataFrame = {
+    import s.implicits._
     val byVm = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"), col("m")).orderBy(col("d2").asc, col("cell"))
-    def assign(cb: Seq[(Int, Long, Seq[Double])]): DataFrame =
-      sub.join(broadcast(cb.toDF("m", "cell", "cent")), Seq("m"))
-        .withColumn("d2", l2sq("sv", "cent"))
-        .withColumn("rk", row_number().over(byVm))
-    // seed codebooks: subspace slices of the md5-ordered sample rows
+    sub.join(broadcast(cb.toDF("m", "cell", "cent")), Seq("m"))
+      .withColumn("d2", l2sq("sv", "cent"))
+      .withColumn("rk", row_number().over(byVm))
+  }
+
+  /** Seeded + PqLloyd-refined per-subspace codebooks — shared by
+    * q_sim_pq and q_sim_ivfpq so both ADC paths train the SAME model
+    * (and replay the same pqChainSql oracle). Seeds are subspace
+    * slices of the md5-ordered sample rows; each Lloyd round's means
+    * are a bounded PqM·PqK·PqSubDim model collect, never data. */
+  private def pqCodebook(s: SparkSession, e: DataFrame,
+      sub: DataFrame): Seq[(Int, Long, Seq[Double])] = {
     val seedRows = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(PqK).collect().sortBy(_.getLong(0))
     var codebook: Seq[(Int, Long, Seq[Double])] = for {
@@ -362,9 +371,7 @@ object VectorOps {
       m <- 0 until PqM
     } yield (m, i.toLong, r.getSeq[Double](1).slice(m * PqSubDim, (m + 1) * PqSubDim))
     for (_ <- 1 to PqLloyd) {
-      // per-(subspace, cell, dim) decimal-exact means — a bounded
-      // PqM·PqK·PqSubDim model collect, never data
-      val means = assign(codebook).filter(col("rk") === 1)
+      val means = pqAssign(s, sub, codebook).filter(col("rk") === 1)
         .select(col("m"), col("cell"), posexplode(col("sv")))
         .groupBy(col("m"), col("cell"), col("pos"))
         .agg((sum(col("col").cast("decimal(30,15)")).cast("double")
@@ -377,8 +384,26 @@ object VectorOps {
         (m, cell, byKey.getOrElse((m, cell), old)) // empty cell keeps centroid
       }
     }
+    codebook
+  }
+
+  /** The PqM per-subspace ADC addends collected into pinned columns —
+    * sum() over doubles would be partition-order-dependent; with
+    * exactly one row per subspace these are exact. */
+  private def adcPartialCols: Seq[Column] = (0 until PqM).map(m =>
+    sum(when(col("m") === m, col("pdot"))).as(s"p$m"))
+  private def adcSum: Column =
+    (0 until PqM).map(m => col(s"p$m")).reduceLeft(_ + _)
+
+  private def qSimPq(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble("embedding").as("vec"))
+    val sub = pqSub(e)
+    val codebook = pqCodebook(s, e, sub)
     // corpus → codes (the 64×-compressed representation ADC scans)
-    val codes = assign(codebook).filter(col("rk") === 1)
+    val codes = pqAssign(s, sub, codebook).filter(col("rk") === 1)
       .select(col("vec_id").as("c_id"), col("m"), col("cell"))
     // query-side LUT: partial dot of each query subvector against
     // EVERY cell of its subspace codebook (PqM×PqK entries per query)
@@ -390,13 +415,11 @@ object VectorOps {
     // subspace; collect the PqM addends into columns and add them in
     // one pinned order (sum() over doubles would be partition-order-
     // dependent — with exactly one row per subspace it is exact)
-    val pcols = (0 until PqM).map(m =>
-      sum(when(col("m") === m, col("pdot"))).as(s"p$m"))
     val adc = qd.join(codes, Seq("m", "cell"))
       .filter(col("q_id") =!= col("c_id"))
       .groupBy(col("q_id"), col("c_id"))
-      .agg(pcols.head, pcols.tail: _*)
-      .withColumn("approx", (0 until PqM).map(m => col(s"p$m")).reduceLeft(_ + _))
+      .agg(adcPartialCols.head, adcPartialCols.tail: _*)
+      .withColumn("approx", adcSum)
     val byApprox = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("approx").desc, col("c_id"))
     val cand = adc.withColumn("ark", row_number().over(byApprox))
@@ -550,6 +573,143 @@ object VectorOps {
         expr("aggregate(q, 0L, (acc, v) -> acc + abs(v))").as("l1_quant"))
       .orderBy("vec_id")
 
+  // ---- IVF × PQ — the composed FAISS-style 100 TB path -------------
+  //
+  // q_sim_ivf prunes the CANDIDATE COUNT (probe IvfProbes of IvfK
+  // cells → ~3/16 of the corpus touched); q_sim_pq compresses the
+  // SCAN (64× smaller codes via ADC). Production ANN at corpus scale
+  // composes them — FAISS's IndexIVFPQ — and this query is exactly
+  // that composition over the already-shipped machinery: coarse cells
+  // from the SAME seeded-Lloyd chain as q_sim_ivf, codes from the
+  // SAME seeded codebooks as q_sim_pq (GLOBAL codebooks, not
+  // per-cell residual ones — one training pass and the two stages
+  // compose with no new model state; residual encoding is the
+  // documented production upgrade). The ADC scan now runs only inside
+  // probed cells, so the scored rows are (probe fraction) × (corpus)
+  // × PqM — each stage's reduction multiplies.
+  //
+  // ORACLED end-to-end: the SQL is literally the concatenation of the
+  // two already-pinned chains (ivfSeedChainSql + pqChainSql) plus the
+  // candidate intersection — both models replay bit-identically, and
+  // the same output discipline applies: the ADC approx score ranks
+  // the shortlist internally but is never output (the 1-ulp
+  // Lloyd-mean tie limit), the exposed cosine is the exact
+  // float×float fold.
+  private def qSimIvfpq(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble("embedding").as("vec"))
+    // coarse stage: one cell per vector, IvfProbes cells per query
+    val scored = lloydScored(s, e)
+    val assigned = scored.filter(col("p_rank") === 1)
+      .select(col("vec_id").as("c_id"), col("cell"))
+    val probes = scored.filter(col("vec_id") < 10 && col("p_rank") <= IvfProbes)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    // fine stage: PQ codes for the corpus, LUT for the queries; the
+    // PQ cell id is renamed `code` so it cannot collide with the IVF
+    // cell key the candidate join runs on
+    val sub = pqSub(e)
+    val codebook = pqCodebook(s, e, sub)
+    val codes = pqAssign(s, sub, codebook).filter(col("rk") === 1)
+      .select(col("vec_id").as("c_id"), col("m"), col("cell").as("code"))
+    val qd = sub.filter(col("vec_id") < 10)
+      .join(broadcast(codebook.toDF("m", "code", "cent")), Seq("m"))
+      .select(col("vec_id").as("q_id"), col("m"), col("code"),
+        dot("sv", "cent").as("pdot"))
+    // candidates = corpus vectors whose IVF cell is probed by q; each
+    // c_id has exactly ONE cell so pairs are already distinct
+    val cand0 = probes.join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id", "cell")
+    val adc = cand0.join(codes, Seq("c_id"))
+      .join(broadcast(qd), Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("c_id"), col("cell"))
+      .agg(adcPartialCols.head, adcPartialCols.tail: _*)
+      .withColumn("approx", adcSum)
+    val byApprox = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("approx").desc, col("c_id"))
+    val cand = adc.withColumn("ark", row_number().over(byApprox))
+      .filter(col("ark") <= PqRefine)
+      .select("q_id", "c_id", "cell")
+    val byCos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+    cand.join(e.select(col("vec_id").as("q_id"), col("vec").as("q_vec")), Seq("q_id"))
+      .join(e.select(col("vec_id").as("c_id"), col("vec").as("c_vec")), Seq("c_id"))
+      .withColumn("cosine", cosine("q_vec", "c_vec"))
+      .withColumn("rank", row_number().over(byCos))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "c_id", "cell", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
+  // ---- Contrastive pair mining (hard negatives) --------------------
+  //
+  // Embedding-model training needs, per anchor, its closest SAME-label
+  // neighbors (positives) and its closest WRONG-label neighbors (hard
+  // negatives — the pairs that actually move the loss; random
+  // negatives are trivially separated). One scored scan serves both:
+  // rank same-label and cross-label candidates in separate window
+  // partitions and keep top-2 / top-3. The anchor set broadcasts and
+  // the corpus streams — linear, no shuffle beyond the window on the
+  // (small) survivor set; at corpus scale the candidate generator
+  // swaps to the already-shipped LSH/IVF blocking, which is a drop-in
+  // replacement for the crossJoin here (same refine contract as
+  // q_sim_lsh → q_sim_bruteforce).
+  private def qHardNegatives(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), asDouble("embedding").as("vec"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("vec").as("q_vec"))
+    val c = e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+      col("vec").as("c_vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"), col("kind"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cosine", cosine("q_vec", "c_vec"))
+      .withColumn("kind",
+        when(col("q_label") === col("c_label"), lit("pos")).otherwise(lit("neg")))
+      .withColumn("rank", row_number().over(w))
+      .filter((col("kind") === "pos" && col("rank") <= 2)
+        || (col("kind") === "neg" && col("rank") <= 3))
+      .select("q_id", "kind", "rank", "c_id", "c_label", "cosine")
+      .orderBy("q_id", "kind", "rank")
+  }
+
+  // ---- Deterministic class rebalancing (oversampling) --------------
+  //
+  // Training sets want label parity; the minority classes are
+  // oversampled to the majority count. Deterministic and exactly
+  // balanced: rows of each label are ranked by md5(vec_id) (the
+  // engine-neutral shuffle used throughout), and row rn of a
+  // cnt-sized class emits ⌊(target−rn)/cnt⌋+1 copies — cyclic
+  // round-robin, so per-label totals equal target EXACTLY (Σ over
+  // rn of the formula telescopes to target) and no row is duplicated
+  // more than ⌈target/cnt⌉ times. The explode is sequence()-driven —
+  // per-partition generation, no shuffle beyond the label-count agg
+  // (broadcast back); integer-exact in double, same floor both
+  // engines.
+  private def qRebalance(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val cnts = e.groupBy("label").agg(count(lit(1)).as("cnt"))
+    val target = cnts.agg(max(col("cnt")).as("target"))
+    val byLabel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    e.join(broadcast(cnts), Seq("label"))
+      .crossJoin(broadcast(target))
+      .withColumn("rn", row_number().over(byLabel).cast("long"))
+      .withColumn("copies",
+        floor((col("target") - col("rn")).cast("double") / col("cnt").cast("double"))
+          .cast("long") + lit(1L))
+      .select(col("label"), col("vec_id"), col("cnt"), col("target"),
+        explode(expr("sequence(1L, copies)")).as("copy"))
+      .orderBy("label", "vec_id", "copy")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_sim_bruteforce" -> (qSimBruteforce _),
@@ -558,8 +718,11 @@ object VectorOps {
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_pq" -> (qSimPq _),
+    "q_sim_ivfpq" -> (qSimIvfpq _),
     "q_embed_dedup" -> (qEmbedDedup _),
-    "q_semdedup" -> (qSemdedup _)
+    "q_semdedup" -> (qSemdedup _),
+    "q_hard_negatives" -> (qHardNegatives _),
+    "q_rebalance" -> (qRebalance _)
   )
 
   /** One unrolled per-subspace Lloyd round over CTEs `sub` and `prev`
@@ -840,6 +1003,113 @@ object VectorOps {
          |WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin
     },
+    "q_sim_ivfpq" -> {
+      // the composition of the two already-pinned model chains
+      // (ivfSeedChainSql coarse cells + pqChainSql codebooks) plus the
+      // candidate intersection — generated from the SAME constants as
+      // the Spark side, so neither model can drift from its solo query
+      val cFinal = s"c$LloydIters"
+      val pFinal = s"pc$PqLloyd"
+      val pCols = (0 until PqM).map(m =>
+        s"SUM(CASE WHEN q.m = $m THEN q.pdot END) AS p$m").mkString(",\n")
+      val pSum = (0 until PqM).map(m => s"p$m").mkString(" + ")
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+         |), $ivfSeedChainSql,
+         |$pqChainSql,
+         |scored AS (
+         |  SELECT v.vec_id, v.vec, c.cell,
+         |         ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |           ${cosSql("v.vec", "c.cent")} DESC,
+         |           c.cell) AS p_rank
+         |  FROM v CROSS JOIN $cFinal c
+         |), assigned AS (
+         |  SELECT vec_id AS c_id, cell FROM scored WHERE p_rank = 1
+         |), probes AS (
+         |  SELECT vec_id AS q_id, cell FROM scored
+         |  WHERE vec_id < 10 AND p_rank <= $IvfProbes
+         |), enc AS (
+         |  SELECT vec_id AS c_id, m, cell AS code FROM (
+         |    SELECT s.vec_id, s.m, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |             list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.cent)
+         |               + list_dot_product(c.cent, c.cent) ASC,
+         |             c.cell) AS rk
+         |    FROM sub s JOIN $pFinal c ON s.m = c.m)
+         |  WHERE rk = 1
+         |), qd AS (
+         |  SELECT s.vec_id AS q_id, s.m, c.cell AS code,
+         |         list_dot_product(s.sv, c.cent) AS pdot
+         |  FROM sub s JOIN $pFinal c ON s.m = c.m
+         |  WHERE s.vec_id < 10
+         |), cand0 AS (
+         |  SELECT p.q_id, a.c_id, a.cell
+         |  FROM probes p JOIN assigned a USING (cell)
+         |  WHERE p.q_id <> a.c_id
+         |), adc AS (
+         |  SELECT c0.q_id, c0.c_id, c0.cell,
+         |         $pCols
+         |  FROM cand0 c0
+         |  JOIN enc e ON e.c_id = c0.c_id
+         |  JOIN qd q ON q.q_id = c0.q_id AND q.m = e.m AND q.code = e.code
+         |  GROUP BY c0.q_id, c0.c_id, c0.cell
+         |), cand AS (
+         |  SELECT q_id, c_id, cell FROM (
+         |    SELECT q_id, c_id, cell,
+         |           ROW_NUMBER() OVER (PARTITION BY q_id
+         |                              ORDER BY $pSum DESC, c_id) AS ark
+         |    FROM adc)
+         |  WHERE ark <= $PqRefine
+         |)
+         |SELECT q_id, rank, c_id, cell, cosine FROM (
+         |  SELECT c.q_id, c.c_id, c.cell,
+         |         ${cosSql("a.vec", "b.vec")} AS cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY c.q_id ORDER BY
+         |           ${cosSql("a.vec", "b.vec")} DESC,
+         |           c.c_id) AS rank
+         |  FROM cand c JOIN v a ON a.vec_id = c.q_id JOIN v b ON b.vec_id = c.c_id)
+         |WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
+    },
+    "q_hard_negatives" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        |), scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label AS c_label,
+        |         CASE WHEN q.label = c.label THEN 'pos' ELSE 'neg' END AS kind,
+        |         list_dot_product(q.vec, c.vec)
+        |           / (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))) AS cosine
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT q_id, kind, rank, c_id, c_label, cosine FROM (
+        |  SELECT q_id, kind, c_id, c_label, cosine,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id, kind
+        |                            ORDER BY cosine DESC, c_id) AS rank
+        |  FROM scored)
+        |WHERE (kind = 'pos' AND rank <= 2) OR (kind = 'neg' AND rank <= 3)
+        |ORDER BY q_id, kind, rank""".stripMargin,
+    "q_rebalance" ->
+      """WITH e AS (
+        |  SELECT vec_id, label FROM embeddings
+        |), cnts AS (
+        |  SELECT label, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY label
+        |), t AS (
+        |  SELECT MAX(cnt) AS target FROM cnts
+        |), r AS (
+        |  SELECT e.label, e.vec_id, c.cnt, t.target,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY e.label
+        |              ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id) AS BIGINT) AS rn
+        |  FROM e JOIN cnts c USING (label) CROSS JOIN t
+        |), x AS (
+        |  SELECT label, vec_id, cnt, target,
+        |         CAST(floor(CAST(target - rn AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT)
+        |           + 1 AS copies
+        |  FROM r
+        |)
+        |SELECT * FROM (
+        |  SELECT label, vec_id, cnt, target,
+        |         unnest(generate_series(1, copies)) AS copy
+        |  FROM x)
+        |ORDER BY label, vec_id, copy""".stripMargin,
     "q_semdedup" -> {
       val cFinal = s"c$LloydIters"
       s"""WITH e0 AS (

@@ -737,6 +737,19 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("global_cc") - 15.0 / 22.0) < 1e-12)
   }
 
+  test("kcore peels cascading tails and keeps the planted clique") {
+    // K4 clique {1,2,3,4} (3-core) + tail 1-7-8 with 8 also tied to 2,3:
+    // node 7 peels in round 1 (deg 2), which drops 8 to deg 2 so it
+    // peels in round 2 — a genuine cascade, not a single-pass filter.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 7L), (7L, 8L), (2L, 8L), (3L, 8L)
+    ).toDF("u", "v")
+    val core = graft.operators.GraphOps.kcore(edges, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(core == Seq((1L, 3L, 3L), (2L, 3L, 3L), (3L, 3L, 3L), (4L, 3L, 3L)))
+  }
+
   test("every registered query is runnable and non-degenerate at sf0.001") {
     val counts = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> SparkEntry.queries(name)(spark, Sf0001).count()
