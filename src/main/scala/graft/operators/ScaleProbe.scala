@@ -130,11 +130,20 @@ object ScaleProbe {
       // O(n·M) with a Q=10 constant — the probe validates that no
       // stage hides a super-linear exchange
       "q_sim_pq" -> VectorOps.queries("q_sim_pq"),
+      // the composed path: cell pruning × ADC — its candidate join is
+      // the product of two bounded reductions, but the composition is
+      // exactly where a hidden cross-stage blowup would live
+      "q_sim_ivfpq" -> VectorOps.queries("q_sim_ivfpq"),
       // the degree-ordered wedge join is the one stage here whose
       // worst case is m^1.5 — the probe checks the co-occurrence
       // graph's real exponent stays linear when the graph grows as
       // disjoint replicas (per-copy density constant)
-      "q_triangles" -> GraphOps.queries("q_triangles")
+      "q_triangles" -> GraphOps.queries("q_triangles"),
+      // k-core peeling: disjoint replicas keep the degree distribution
+      // (hence the derived K and the peel depth) exactly the base
+      // corpus's, so cost should scale as rounds × m — linear, with
+      // the driver-coordinated loop overhead the probe prices in
+      "q_kcore" -> GraphOps.queries("q_kcore")
     )
   }
 

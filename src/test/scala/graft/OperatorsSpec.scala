@@ -598,6 +598,56 @@ class OperatorsSpec extends SparkSpec {
     assert(hit / nBf >= 0.40, s"PQ recall ${hit / nBf} fell below 0.40")
   }
 
+  test("IVF-PQ ANN: shared pairs score exactly brute force; recall meets the family floor") {
+    val bf = q("q_sim_bruteforce").select($"q_id", $"c_id", $"cosine".as("bf_cos"))
+    val ip = q("q_sim_ivfpq").select($"q_id", $"c_id", $"cosine".as("ip_cos"))
+    // the refine stage is exact cosine — any pair shared with brute
+    // force must score identically (cells + ADC only shape the
+    // shortlist, never the exposed score)
+    val joined = ip.join(bf, Seq("q_id", "c_id"))
+    assert(joined.filter($"bf_cos" =!= $"ip_cos").count() == 0)
+    assert(ip.groupBy($"q_id").count().filter($"count" > 5).count() == 0)
+    // composing the two pruners costs recall vs either alone (measured
+    // 0.48 here vs IVF 0.50 / PQ 0.56 — each stage discards different
+    // true neighbors); the floor stays the family's established 0.40
+    val nBf = bf.count().toDouble
+    assert(joined.count().toDouble / nBf >= 0.40,
+      s"IVF-PQ recall ${joined.count().toDouble / nBf} fell below 0.40")
+  }
+
+  test("pca power: unit-norm loadings, positive lambda, aligned with converged eigenvector") {
+    val p = q("q_pca_power").collect().sortBy(_.getLong(0))
+    assert(p.length == 64)
+    val loadings = p.map(_.getDouble(2))
+    val lambda = p.head.getDouble(3)
+    assert(p.forall(_.getDouble(3) == lambda))
+    assert(lambda > 0.0)
+    // loadings = w2 / ||w2|| — unit norm up to float division rounding
+    assert(math.abs(loadings.map(x => x * x).sum - 1.0) < 1e-9)
+    // meaningfulness: the 2-round direction must align with the fully
+    // converged top eigenvector of the SAME quantized Gram matrix
+    // (driver-side reference on the 500-vector test corpus: 50 power
+    // rounds with renormalization)
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS vec")
+      .collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val quant = emb.map { v =>
+      val maxAbs = v.map(math.abs).max
+      val scale = 127.0 / maxAbs
+      v.map(x => math.floor(x * scale + 0.5))
+    }
+    var w = Array.fill(64)(1.0)
+    for (_ <- 1 to 50) {
+      val t = quant.map(row => row.zip(w).map { case (a, b) => a * b }.sum)
+      val nw = Array.tabulate(64)(j => quant.zip(t).map { case (row, ti) => ti * row(j) }.sum)
+      val n = math.sqrt(nw.map(x => x * x).sum)
+      w = nw.map(_ / n)
+    }
+    val align = math.abs(loadings.zip(w).map { case (a, b) => a * b }.sum)
+    assert(align > 0.98, s"2-round direction drifted from converged eigenvector: |cos| = $align")
+  }
+
   test("span dedup: planted trailer spans are found, coverage counts the union") {
     val sd = q("q_span_dedup")
     assert(sd.count() == 500)
