@@ -148,6 +148,48 @@ object TextOps {
       |  FROM w1 CROSS JOIN m2
       |)""".stripMargin
 
+  /** The span-coverage chain as oracle CTEs, ending in the per-doc
+    * CTE `sc` (doc_id, source, n_tokens, n_spans, n_dup, covered,
+    * cover_frac) — the SQL twin of [[spanCoverage]], shared by the
+    * q_span_dedup, q_auc and q_pr_curve oracles so detector and
+    * evaluation can never drift. */
+  private def spanCoverageSql: String =
+    s"""pl AS (
+       |  SELECT doc_id, source,
+       |         CASE WHEN doc_id % 7 = 0 THEN text || ' $BoilerTrailer'
+       |              ELSE text END AS txt
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, source, string_split(txt, ' ') AS toks,
+       |         CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_tokens
+       |  FROM pl
+       |), sp AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS start,
+       |         md5(array_to_string(toks[i + 1 : i + $SpanK], ' ')) AS key
+       |  FROM b CROSS JOIN range(0, 256) r(i)
+       |  WHERE i + $SpanK <= len(toks)
+       |), occ AS (
+       |  SELECT key FROM sp GROUP BY key HAVING COUNT(*) >= 2
+       |), cv AS (
+       |  SELECT doc_id, start,
+       |         least($SpanK,
+       |               COALESCE(lead(start) OVER (PARTITION BY doc_id ORDER BY start),
+       |                        start + $SpanK) - start) AS contrib
+       |  FROM sp JOIN occ USING (key)
+       |), cov AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup,
+       |         CAST(SUM(contrib) AS BIGINT) AS covered
+       |  FROM cv GROUP BY doc_id
+       |), sc AS (
+       |  SELECT b.doc_id, b.source, b.n_tokens,
+       |         CAST(greatest(b.n_tokens - ${SpanK - 1}, 0) AS BIGINT) AS n_spans,
+       |         CAST(COALESCE(cov.n_dup, 0) AS BIGINT) AS n_dup,
+       |         CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered,
+       |         CAST(COALESCE(cov.covered, 0) AS DOUBLE)
+       |           / CAST(b.n_tokens AS DOUBLE) AS cover_frac
+       |  FROM b LEFT JOIN cov USING (doc_id)
+       |)""".stripMargin
+
   /** The quality feature chain as oracle CTEs (`f`→`r`→`zz`, ending in
     * per-doc doc_id, lang, source, n_tokens, ratios, len_sat, z) — the
     * SQL twin of [[withQualityZ]], shared by the q_quality_score,
@@ -1734,7 +1776,12 @@ object TextOps {
     * join, the union pass is one per-doc window — every stage linear
     * in corpus tokens, which is what lets ExactSubstr-style dedup run
     * where all-pairs methods can't. */
-  private def qSpanDedup(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc span-coverage frame (doc_id, source, n_tokens, n_spans,
+    * n_dup, covered, cover_frac) — the shared core of q_span_dedup and
+    * the evaluation-metric queries (q_auc / q_pr_curve score the
+    * cover_frac detector against the planted-trailer ground truth), so
+    * detector and evaluation can never drift. */
+  private def spanCoverage(s: SparkSession, d: String): DataFrame = {
     val k = SpanK
     val base = Tables.documents(s, d)
       .withColumn("txt",
@@ -1757,15 +1804,84 @@ object TextOps {
         coalesce(lead(col("start"), 1).over(w), col("start") + k) - col("start")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup"), sum(col("contrib")).as("covered"))
-    base.select("doc_id", "n_tokens", "n_spans")
+    base.select("doc_id", "source", "n_tokens", "n_spans")
       .join(cov, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("n_spans"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
         coalesce(col("covered"), lit(0L)).as("covered"))
       .withColumn("cover_frac",
         col("covered").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  private def qSpanDedup(s: SparkSession, d: String): DataFrame =
+    spanCoverage(s, d)
       .withColumn("is_flagged", col("cover_frac") >= lit(0.2))
+      .drop("source")
       .orderBy("doc_id")
+
+  // ---- Evaluation metrics: exact AUC + per-source PR curve ---------
+  //
+  // A data pipeline that SCORES documents needs to evaluate those
+  // scores against ground truth at corpus scale. The detector under
+  // test is the span-coverage boilerplate score (cover_frac) and the
+  // gold labels are the corpus's planted trailer docs (doc_id % 7 = 0
+  // — the same planted-ground-truth device every recall spec uses).
+  //
+  // q_auc is the tie-corrected Mann-Whitney AUC in EXACT integer
+  // arithmetic: group docs by score (the grouped frame IS the score
+  // histogram — at 100 TB the cumsum runs over distinct scores, not
+  // docs, and is range-partitionable), cumulative counts give each tie
+  // group's doubled average rank 2·start + c − 1 without any division,
+  // and AUC = (2U)/(2·n⁺·n⁻) divides two exact BIGINTs once at the
+  // end. The giant tie group at cover_frac = 0 exercises the tie
+  // correction for real. u2 = 2U is emitted so the gate compares an
+  // exact integer, not only the derived double.
+  private def qAuc(s: SparkSession, d: String): DataFrame = {
+    val g = spanCoverage(s, d)
+      .withColumn("pos", when(col("doc_id") % 7 === 0, 1L).otherwise(0L))
+      .groupBy("cover_frac")
+      .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+    val cum = Window.orderBy("cover_frac")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("before", coalesce(sum(col("c")).over(cum), lit(0L)))
+      .agg(
+        sum(col("p")).as("npos"),
+        sum(col("c") - col("p")).as("nneg"),
+        sum(col("p") * (lit(2L) * (col("before") + lit(1L)) + col("c") - lit(1L))).as("s2"))
+      .select(
+        col("npos").as("n_pos"), col("nneg").as("n_neg"),
+        (col("s2") - col("npos") * (col("npos") + lit(1L))).as("u2"),
+        ((col("s2") - col("npos") * (col("npos") + lit(1L))).cast("double")
+          / (lit(2L) * col("npos") * col("nneg")).cast("double")).as("auc"))
+  }
+
+  // q_pr_curve: precision/recall of the same detector at the 10
+  // within-source rank-decile cutoffs (rank by cover_frac DESC, ties
+  // by doc_id). Source-partitioned windows — the q_domain_cap shuffle
+  // shape — then one hash aggregate per (source, k): every count is an
+  // exact BIGINT and the two divisions are deterministic; a source
+  // with no positives yields NULL recall on both engines (CASE guard).
+  private def qPrCurve(s: SparkSession, d: String): DataFrame = {
+    val bySrc = Window.partitionBy("source")
+    val r = spanCoverage(s, d)
+      .withColumn("pos", when(col("doc_id") % 7 === 0, 1L).otherwise(0L))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("cover_frac").desc, col("doc_id"))).cast("long"))
+      .withColumn("nl", count(lit(1)).over(bySrc))
+      .withColumn("npos_l", sum(col("pos")).over(bySrc))
+    r.withColumn("k", explode(expr("sequence(1L, 10L)")))
+      .withColumn("cutoff", expr("CAST((k * nl + 9) DIV 10 AS BIGINT)"))
+      .groupBy("source", "k")
+      .agg(
+        min("cutoff").as("n_kept"),
+        sum(when(col("rn") <= col("cutoff"), col("pos")).otherwise(0L)).as("tp"),
+        sum(when(col("rn") <= col("cutoff"), lit(1L) - col("pos")).otherwise(0L)).as("fp"),
+        min("npos_l").as("npos_l"))
+      .select(col("source"), col("k"), col("n_kept"), col("tp"), col("fp"),
+        (col("tp").cast("double") / col("n_kept").cast("double")).as("p_at_k"),
+        when(col("npos_l") > 0,
+          col("tp").cast("double") / col("npos_l").cast("double")).as("r_at_k"))
+      .orderBy("source", "k")
   }
 
   /** Fixed query-term set for the retrieval family (BM25 / hybrid) —
@@ -1928,6 +2044,8 @@ object TextOps {
     "q_quality_tiers" -> (qQualityTiers _),
     "q_domain_cap" -> (qDomainCap _),
     "q_span_dedup" -> (qSpanDedup _),
+    "q_auc" -> (qAuc _),
+    "q_pr_curve" -> (qPrCurve _),
     "q_keeper_quality" -> (qKeeperQuality _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_collocations" -> (qCollocations _),
@@ -2501,43 +2619,64 @@ object TextOps {
          |FROM zz
          |ORDER BY doc_id""".stripMargin,
     "q_span_dedup" ->
-      s"""WITH pl AS (
-         |  SELECT doc_id,
-         |         CASE WHEN doc_id % 7 = 0 THEN text || ' $BoilerTrailer'
-         |              ELSE text END AS txt
-         |  FROM documents
-         |), b AS (
-         |  SELECT doc_id, string_split(txt, ' ') AS toks,
-         |         CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_tokens
-         |  FROM pl
-         |), sp AS (
-         |  SELECT doc_id, CAST(i AS BIGINT) AS start,
-         |         md5(array_to_string(toks[i + 1 : i + $SpanK], ' ')) AS key
-         |  FROM b CROSS JOIN range(0, 256) r(i)
-         |  WHERE i + $SpanK <= len(toks)
-         |), occ AS (
-         |  SELECT key FROM sp GROUP BY key HAVING COUNT(*) >= 2
-         |), cv AS (
-         |  SELECT doc_id, start,
-         |         least($SpanK,
-         |               COALESCE(lead(start) OVER (PARTITION BY doc_id ORDER BY start),
-         |                        start + $SpanK) - start) AS contrib
-         |  FROM sp JOIN occ USING (key)
-         |), cov AS (
-         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup,
-         |         CAST(SUM(contrib) AS BIGINT) AS covered
-         |  FROM cv GROUP BY doc_id
-         |)
-         |SELECT b.doc_id, b.n_tokens,
-         |       CAST(greatest(b.n_tokens - ${SpanK - 1}, 0) AS BIGINT) AS n_spans,
-         |       CAST(COALESCE(cov.n_dup, 0) AS BIGINT) AS n_dup,
-         |       CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered,
-         |       CAST(COALESCE(cov.covered, 0) AS DOUBLE)
-         |         / CAST(b.n_tokens AS DOUBLE) AS cover_frac,
-         |       CAST(COALESCE(cov.covered, 0) AS DOUBLE)
-         |         / CAST(b.n_tokens AS DOUBLE) >= 0.2 AS is_flagged
-         |FROM b LEFT JOIN cov USING (doc_id)
+      s"""WITH $spanCoverageSql
+         |SELECT doc_id, n_tokens, n_spans, n_dup, covered, cover_frac,
+         |       cover_frac >= 0.2 AS is_flagged
+         |FROM sc
          |ORDER BY doc_id""".stripMargin,
+    "q_auc" ->
+      s"""WITH $spanCoverageSql,
+         |g AS (
+         |  SELECT cover_frac, CAST(COUNT(*) AS BIGINT) AS c,
+         |         CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS p
+         |  FROM sc GROUP BY cover_frac
+         |), w AS (
+         |  SELECT c, p,
+         |         CAST(COALESCE(SUM(c) OVER (ORDER BY cover_frac
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |              AS BIGINT) AS before
+         |  FROM g
+         |), t AS (
+         |  SELECT CAST(SUM(p) AS BIGINT) AS npos,
+         |         CAST(SUM(c - p) AS BIGINT) AS nneg,
+         |         CAST(SUM(p * (2 * (before + 1) + c - 1)) AS BIGINT) AS s2
+         |  FROM w
+         |)
+         |SELECT npos AS n_pos, nneg AS n_neg,
+         |       s2 - npos * (npos + 1) AS u2,
+         |       CAST(s2 - npos * (npos + 1) AS DOUBLE)
+         |         / CAST(2 * npos * nneg AS DOUBLE) AS auc
+         |FROM t""".stripMargin,
+    "q_pr_curve" ->
+      s"""WITH $spanCoverageSql,
+         |r AS (
+         |  SELECT doc_id, source, cover_frac,
+         |         CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS pos,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |                ORDER BY cover_frac DESC, doc_id) AS BIGINT) AS rn,
+         |         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS nl,
+         |         CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+         |                OVER (PARTITION BY source) AS BIGINT) AS npos_l
+         |  FROM sc
+         |), e AS (
+         |  SELECT source, CAST(i AS BIGINT) AS k,
+         |         (CAST(i AS BIGINT) * nl + 9) // 10 AS cutoff,
+         |         rn, pos, npos_l
+         |  FROM r CROSS JOIN range(1, 11) kk(i)
+         |), a AS (
+         |  SELECT source, k,
+         |         CAST(MIN(cutoff) AS BIGINT) AS n_kept,
+         |         CAST(SUM(CASE WHEN rn <= cutoff THEN pos ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(SUM(CASE WHEN rn <= cutoff THEN 1 - pos ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(MIN(npos_l) AS BIGINT) AS npos_l
+         |  FROM e GROUP BY source, k
+         |)
+         |SELECT source, k, n_kept, tp, fp,
+         |       CAST(tp AS DOUBLE) / CAST(n_kept AS DOUBLE) AS p_at_k,
+         |       CASE WHEN npos_l > 0
+         |            THEN CAST(tp AS DOUBLE) / CAST(npos_l AS DOUBLE) END AS r_at_k
+         |FROM a
+         |ORDER BY source, k""".stripMargin,
     "q_pii_redact" ->
       """WITH planted AS (
         |  SELECT doc_id,

@@ -648,6 +648,36 @@ class OperatorsSpec extends SparkSpec {
     assert(align > 0.98, s"2-round direction drifted from converged eigenvector: |cos| = $align")
   }
 
+  test("evaluation metrics: AUC separates the planted trailer, PR curve is consistent") {
+    val a = q("q_auc").collect().head
+    val (nPos, nNeg, u2, auc) =
+      (a.getLong(0), a.getLong(1), a.getLong(2), a.getDouble(3))
+    // the planted-trailer docs are exactly the doc_id % 7 == 0 ones
+    assert(nPos > 0 && nNeg > 0)
+    // AUC must reproduce its own exact-integer numerator
+    assert(auc == u2.toDouble / (2.0 * nPos * nNeg))
+    // cover_frac is a strong (not perfect — incidental shared spans
+    // exist) detector of the plant: measured 0.92 at sf0.001/sf0.01
+    assert(auc > 0.85 && auc <= 1.0, s"AUC $auc outside (0.85, 1]")
+    val pr = q("q_pr_curve").collect()
+    pr.foreach { r =>
+      val (kept, tp, fp) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(tp + fp == kept, s"tp+fp != n_kept in $r")
+      assert(r.getDouble(5) == tp.toDouble / kept)
+    }
+    // at k = 10 every doc is kept, so recall is exactly 1 wherever a
+    // source has positives at all
+    pr.filter(_.getLong(1) == 10L).foreach { r =>
+      assert(r.isNullAt(6) || r.getDouble(6) == 1.0)
+    }
+    // recall is monotone nondecreasing in k within a source
+    pr.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val recalls = rows.sortBy(_.getLong(1)).map(r =>
+        if (r.isNullAt(6)) 0.0 else r.getDouble(6))
+      assert(recalls.zip(recalls.tail).forall { case (x, y) => y >= x })
+    }
+  }
+
   test("span dedup: planted trailer spans are found, coverage counts the union") {
     val sd = q("q_span_dedup")
     assert(sd.count() == 500)
