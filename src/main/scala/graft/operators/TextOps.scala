@@ -1884,6 +1884,43 @@ object TextOps {
       .orderBy("source", "k")
   }
 
+  // ---- Cross-source overlap (container-level mirroring) ------------
+  //
+  // The "which domains mirror each other" curation diagnostic: exact
+  // Jaccard and containment between each source pair's DISTINCT
+  // 3-shingle sets. Doc-level dedup misses systematic mirroring (a
+  // domain republishing another's content across MANY docs); the
+  // container-level overlap matrix is how crawl curation finds it.
+  // Scale shape: the shingle join's fan-out per key is bounded by the
+  // number of SOURCES sharing the shingle (≤ S, so ≤ S² pair rows per
+  // key — container count, not corpus size), and the shuffle is linear
+  // in Σ per-source distinct shingles. At web scale (millions of
+  // domains) the deployment adds the same DF cap / MinHash move as the
+  // doc-level path; at the harness's 20 sources the exact join IS the
+  // production shape.
+  private def qSourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.documents(s, d)
+      .withColumn("toks", tokens())
+      .select(col("source"), explode(expr(
+        """array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),
+             i -> concat_ws(' ', slice(toks, i, 3))))""")).as("sh"))
+      .distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val inter = st.select(col("source").as("src_a"), col("sh"))
+      .join(st.select(col("source").as("src_b"), col("sh")), Seq("sh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("source").as("src_a"), col("n_sh").as("n_a")), Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("n_sh").as("n_b")), Seq("src_b"))
+      .withColumn("jaccard", col("n_common").cast("double")
+        / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .withColumn("containment", col("n_common").cast("double")
+        / least(col("n_a"), col("n_b")).cast("double"))
+      .select("src_a", "src_b", "n_a", "n_b", "n_common", "jaccard", "containment")
+      .orderBy("src_a", "src_b")
+  }
+
   /** Fixed query-term set for the retrieval family (BM25 / hybrid) —
     * deterministic stand-in for a user query; all three terms occur in
     * the corpus with distinct document frequencies. */
@@ -2046,6 +2083,7 @@ object TextOps {
     "q_span_dedup" -> (qSpanDedup _),
     "q_auc" -> (qAuc _),
     "q_pr_curve" -> (qPrCurve _),
+    "q_source_overlap" -> (qSourceOverlap _),
     "q_keeper_quality" -> (qKeeperQuality _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_collocations" -> (qCollocations _),
@@ -2647,6 +2685,32 @@ object TextOps {
          |       CAST(s2 - npos * (npos + 1) AS DOUBLE)
          |         / CAST(2 * npos * nneg AS DOUBLE) AS auc
          |FROM t""".stripMargin,
+    "q_source_overlap" ->
+      """WITH ex AS (
+        |  SELECT source,
+        |         unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
+        |  FROM documents
+        |), st AS (
+        |  SELECT DISTINCT source, sh FROM ex
+        |), sizes AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM st GROUP BY source
+        |), inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM st a JOIN st b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY a.source, b.source
+        |)
+        |SELECT src_a, src_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_common,
+        |       CAST(n_common AS DOUBLE)
+        |         / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard,
+        |       CAST(n_common AS DOUBLE)
+        |         / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+        |FROM inter
+        |JOIN sizes sa ON sa.source = src_a
+        |JOIN sizes sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "q_pr_curve" ->
       s"""WITH $spanCoverageSql,
          |r AS (
