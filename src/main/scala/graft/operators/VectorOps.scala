@@ -790,9 +790,98 @@ object VectorOps {
       .orderBy("pos")
   }
 
+  // ---- Centroid outliers (mislabeled/corrupt-vector detection) -----
+  //
+  // Curation wants "the vectors farthest from their label's centroid"
+  // — mislabeled rows, corrupt embeddings, or genuine hard cases. To
+  // keep the WHOLE path integer-exact (no decimal-mean 1-ulp output
+  // limit), the centroid is the per-dimension ROUNDED mean of the
+  // int8-quantized vectors: round-half-up(S/n) = ⌊(2S+n)/(2n)+0⌋
+  // computed as floor of an exact-int double division (both operands
+  // < 2⁵³, so the division and floor are bit-identical across
+  // engines; integer DIV would NOT be — Spark truncates toward zero,
+  // DuckDB floors, and negative sums would diverge). The distance
+  // d² = Σ(q_ij−c_j)² is then pure BIGINT. One narrow agg for the 64×L
+  // centroid model, one broadcast join back, one TakeOrdered top-5 per
+  // label — nothing corpus-sized shuffles except the label-keyed agg.
+  private def qCentroidOutliers(s: SparkSession, d: String): DataFrame = {
+    val qm = Tables.embeddings(s, d)
+      .withColumn("vec", asDouble("embedding"))
+      .withColumn("max_abs", expr(
+        "aggregate(vec, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
+      .withColumn("scale", lit(127.0) / col("max_abs"))
+      .withColumn("q", expr(
+        "transform(vec, x -> CAST(floor(x * scale + 0.5d) AS BIGINT))"))
+      .select(col("vec_id"), col("label"), col("q"))
+    val cent = qm.select(col("label"), posexplode(col("q")))
+      .groupBy("label", "pos")
+      .agg(sum(col("col")).as("sv"), count(lit(1)).as("n"))
+      .withColumn("c", floor(
+        (lit(2L) * col("sv") + col("n")).cast("double")
+          / (lit(2L) * col("n")).cast("double")).cast("long"))
+      // ordered collect: collect_list order is nondeterministic, so
+      // sort (pos, c) structs and strip — the engine-side twin of
+      // DuckDB's list(c ORDER BY i)
+      .groupBy("label").agg(expr(
+        "transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cent"))
+    val byD2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("d2").desc, col("vec_id"))
+    qm.join(broadcast(cent), Seq("label"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(q, cent, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rank", row_number().over(byD2).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("label", "rank", "vec_id", "d2")
+      .orderBy("label", "rank")
+  }
+
+  // ---- k-NN classification evaluation ------------------------------
+  //
+  // The label-quality check: classify each probe vector by the
+  // majority label of its top-5 exact-cosine neighbors (self
+  // excluded; ties → most-similar neighbor's side via (count, best
+  // rank) ordering, then smallest label — all deterministic) and
+  // report the verdict against the stored label. The evaluation
+  // counterpart of q_hard_negatives: where that query MINES the
+  // confusable pairs, this one MEASURES how confusable the labels
+  // are. On this synthetic corpus the honest finding is accuracy ≈
+  // chance (0.08 vs 10 labels) — the labels are not geometric, which
+  // is precisely what a label-quality audit exists to surface. Same
+  // broadcast-scan shape as q_sim_bruteforce; at corpus scale the
+  // neighbor stage swaps to LSH/IVF/PQ like every ANN consumer.
+  private def qKnnClassify(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), asDouble("embedding").as("vec"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("vec").as("q_vec"))
+    val c = e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+      col("vec").as("c_vec"))
+    val byCos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+    val nn = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cosine", cosine("q_vec", "c_vec"))
+      .withColumn("rank", row_number().over(byCos))
+      .filter(col("rank") <= 5)
+    val byVote = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("best_rank").asc, col("c_label").asc)
+    nn.groupBy("q_id", "true_label", "c_label")
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+      .withColumn("vr", row_number().over(byVote))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("true_label"),
+        col("c_label").as("pred_label"), col("votes"),
+        (col("c_label") === col("true_label")).as("correct"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_pca_power" -> (qPcaPower _),
+    "q_centroid_outliers" -> (qCentroidOutliers _),
+    "q_knn_classify" -> (qKnnClassify _),
     "q_sim_bruteforce" -> (qSimBruteforce _),
     "q_embed_norms" -> (qEmbedNorms _),
     "q_embed_stats" -> (qEmbedStats _),
@@ -1084,6 +1173,65 @@ object VectorOps {
          |WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin
     },
+    "q_centroid_outliers" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        |), sc AS (
+        |  SELECT vec_id, label, vec,
+        |         127.0 / list_reduce(list_transform(vec, x -> abs(x)),
+        |                             (a, b) -> greatest(a, b)) AS scale
+        |  FROM v
+        |), qm AS MATERIALIZED (
+        |  SELECT vec_id, label,
+        |         list_transform(vec, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+        |  FROM sc
+        |), cent AS MATERIALIZED (
+        |  SELECT label, list(c ORDER BY i) AS cent FROM (
+        |    SELECT label, i,
+        |           CAST(floor(CAST(2 * SUM(q[i]) + COUNT(*) AS DOUBLE)
+        |                      / CAST(2 * COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+        |    FROM qm CROSS JOIN range(1, 65) r(i)
+        |    GROUP BY label, i)
+        |  GROUP BY label
+        |), scd AS (
+        |  SELECT qm.label, qm.vec_id,
+        |         list_reduce(list_transform(range(1, 65),
+        |                       i -> (q[i] - cent[i]) * (q[i] - cent[i])),
+        |                     (a, b) -> a + b) AS d2
+        |  FROM qm JOIN cent USING (label)
+        |)
+        |SELECT label, rank, vec_id, d2 FROM (
+        |  SELECT label, vec_id, d2,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY label
+        |                ORDER BY d2 DESC, vec_id) AS BIGINT) AS rank
+        |  FROM scd)
+        |WHERE rank <= 5
+        |ORDER BY label, rank""".stripMargin,
+    "q_knn_classify" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        |), nn AS (
+        |  SELECT q_id, true_label, c_label, rank FROM (
+        |    SELECT q.vec_id AS q_id, q.label AS true_label, c.label AS c_label,
+        |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |             list_dot_product(q.vec, c.vec)
+        |               / (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))) DESC,
+        |             c.vec_id) AS rank
+        |    FROM v q JOIN v c ON q.vec_id < 50 AND q.vec_id <> c.vec_id)
+        |  WHERE rank <= 5
+        |), votes AS (
+        |  SELECT q_id, true_label, c_label, CAST(COUNT(*) AS BIGINT) AS votes,
+        |         MIN(rank) AS best_rank
+        |  FROM nn GROUP BY q_id, true_label, c_label
+        |)
+        |SELECT q_id, true_label, pred_label, votes, correct FROM (
+        |  SELECT q_id, true_label, c_label AS pred_label, votes,
+        |         c_label = true_label AS correct,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id
+        |           ORDER BY votes DESC, best_rank ASC, c_label ASC) AS vr
+        |  FROM votes)
+        |WHERE vr = 1
+        |ORDER BY q_id""".stripMargin,
     "q_pca_power" -> {
       // the integer-exact power iteration replayed round for round:
       // same quantizer as q_embed_quantize, same fold orders, same

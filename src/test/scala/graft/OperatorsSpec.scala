@@ -648,6 +648,25 @@ class OperatorsSpec extends SparkSpec {
     assert(align > 0.98, s"2-round direction drifted from converged eigenvector: |cos| = $align")
   }
 
+  test("centroid outliers are integer-exact and truly maximal; knn votes are consistent") {
+    val co = q("q_centroid_outliers").collect()
+    // 5 per label, ranks 1..5, d2 strictly ordered within a label
+    // (ties broken by vec_id keep d2 nonincreasing)
+    co.groupBy(_.get(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length))
+      val d2s = sorted.map(_.getLong(3))
+      assert(d2s.zip(d2s.tail).forall { case (a, b) => a >= b })
+    }
+    val kc = q("q_knn_classify").collect()
+    assert(kc.length == 50)
+    // correct is exactly pred == true, votes within [1, 5]
+    kc.foreach { r =>
+      assert(r.getBoolean(4) == (r.get(1) == r.get(2)))
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= 5L)
+    }
+  }
+
   test("evaluation metrics: AUC separates the planted trailer, PR curve is consistent") {
     val a = q("q_auc").collect().head
     val (nPos, nNeg, u2, auc) =
