@@ -28,7 +28,10 @@ object Explain {
         "q_sim_pq", "q_span_dedup", "q_domain_cap", "q_keeper_quality",
         "q_bm25", "q_hybrid_rrf", "q_inverted_index", "q_dedup_prefix",
         "q_triangles", "q_local_cc", "q_basket_lift", "q_chi2",
-        "q_sample_weighted", "q_zorder")
+        "q_sample_weighted", "q_zorder", "q_kcore", "q_sim_ivfpq",
+        "q_hard_negatives", "q_rebalance", "q_quality_tiers", "q_auc",
+        "q_pr_curve", "q_source_overlap", "q_centroid_outliers",
+        "q_knn_classify", "q_novelty_curve")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1947,6 +1947,32 @@ object TextOps {
       .orderBy("src_a", "src_b")
   }
 
+  // ---- Novelty curve (crawl-saturation diagnostic) -----------------
+  //
+  // Per-doc novelty = the fraction of its distinct 3-shingles whose
+  // FIRST corpus occurrence (min doc_id, the ingest-order proxy; a
+  // deployment uses ingest timestamps) is this document. Plotted over
+  // ingest order this is the curve that tells a crawl team when new
+  // data stops adding content — diminishing novelty = saturation =
+  // the point where further crawling buys dedup work, not tokens.
+  // Scale shape: one shingle-keyed min-agg (map-side combine), one
+  // join back, one per-doc agg — all linear, no pair joins.
+  private def qNoveltyCurve(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .withColumn("toks", tokens())
+      .select(col("doc_id"), explode(array_distinct(
+        expr("""transform(sequence(1, greatest(size(toks) - 2, 1)),
+                 i -> concat_ws(' ', slice(toks, i, 3)))"""))).as("sh"))
+    val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_sh").cast("double"))
+      .orderBy("doc_id")
+  }
+
   /** Fixed query-term set for the retrieval family (BM25 / hybrid) —
     * deterministic stand-in for a user query; all three terms occur in
     * the corpus with distinct document frequencies. */
@@ -2110,6 +2136,7 @@ object TextOps {
     "q_auc" -> (qAuc _),
     "q_pr_curve" -> (qPrCurve _),
     "q_source_overlap" -> (qSourceOverlap _),
+    "q_novelty_curve" -> (qNoveltyCurve _),
     "q_keeper_quality" -> (qKeeperQuality _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_collocations" -> (qCollocations _),
@@ -2718,6 +2745,24 @@ object TextOps {
          |       CAST(s2 - npos * (npos + 1) AS DOUBLE)
          |         / CAST(2 * npos * nneg AS DOUBLE) AS auc
          |FROM t""".stripMargin,
+    "q_novelty_curve" ->
+      """WITH ex AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
+        |  FROM documents
+        |), fo AS (
+        |  SELECT sh, MIN(doc_id) AS first_doc FROM ex GROUP BY sh
+        |)
+        |SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+        |       CAST(SUM(CASE WHEN fo.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_novel,
+        |       CAST(SUM(CASE WHEN fo.first_doc = ex.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS novelty
+        |FROM ex JOIN fo USING (sh)
+        |GROUP BY ex.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_source_overlap" ->
       """WITH ex AS (
         |  SELECT source,
