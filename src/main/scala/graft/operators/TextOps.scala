@@ -1720,7 +1720,7 @@ object TextOps {
     * score z — factored so q_domain_cap can rank on the SAME z without
     * re-stating the feature pipeline (its SQL twin is
     * [[qualityZSql]]). */
-  private def withQualityZ(df: DataFrame): DataFrame = {
+  private[graft] def withQualityZ(df: DataFrame): DataFrame = {
     val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
     df
       .withColumn("n_tokens", size(tokens()).cast("long"))

@@ -238,6 +238,32 @@ object EventPipeline {
       .dropDuplicatesWithinWatermark("simhash")
   }
 
+  /** Streaming QUALITY ROUTER — the DQ gate in front of a corpus
+    * sink, the reference's valid/invalid split upgraded to the SHARED
+    * quality scorer: each micro-batch is scored ONCE with
+    * [[graft.operators.TextOps.withQualityZ]] (the exact z every
+    * batch consumer ranks by, so stream and batch can never disagree
+    * on the bar) and fanned out to an accept sink and a quarantine
+    * sink — the dual-sink discipline of [[writeBatch]]. Idempotence
+    * under at-least-once replay comes from epoch-keyed OVERWRITE
+    * (`batch=<id>` directories): a replayed micro-batch rewrites its
+    * own directory byte-for-byte instead of appending duplicates —
+    * the same upsert trade as [[upsertKeyedView]], in append-shaped
+    * directories a downstream compactor can sweep. `minZ` is the
+    * deployment's bar (the default 0.0 matches q_quality_score's
+    * is_keep). */
+  def routeDocumentsBatch(acceptDir: String, quarantineDir: String,
+      minZ: Double = 0.0)(batch: DataFrame, id: Long): Unit =
+    if (!batch.isEmpty) { // P9 empty-batch guard
+      val scored = graft.operators.TextOps.withQualityZ(batch).persist()
+      try {
+        scored.filter(col("z") >= minZ)
+          .write.mode("overwrite").parquet(s"$acceptDir/batch=$id")
+        scored.filter(col("z") < minZ)
+          .write.mode("overwrite").parquet(s"$quarantineDir/batch=$id")
+      } finally scored.unpersist()
+    }
+
   /** Streaming counterpart of the batch q_dedup_incremental: the
     * NOVEL-ONLY firehose. Arrivals stream in; anything whose content
     * digest already exists in the static corpus keeper set is dropped

@@ -554,6 +554,45 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 40)
   }
 
+  test("streaming quality router: split matches the batch scorer doc-for-doc, restart-safe") {
+    val src = tmp("qr-src")
+    val acc = tmp("qr-acc")
+    val quar = tmp("qr-quar")
+    val chk = tmp("qr-chk")
+    // z ∈ [0.19, 0.87] on these docs; 0.55 splits them 31/29, so both
+    // sinks do real work (the default 0.0 bar keeps everything here)
+    val minZ = 0.55
+    val docs = Tables.documents(spark, Sf0001).filter($"doc_id" < 60)
+      .select($"doc_id", $"text", $"lang", $"source")
+    docs.write.mode("overwrite").parquet(src)
+    def start() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(EventPipeline.routeDocumentsBatch(acc, quar, minZ) _)
+      .start()
+    val q = start(); q.awaitTermination(120000)
+    val a = spark.read.parquet(acc)
+    val r = spark.read.parquet(quar)
+    assert(a.count() + r.count() == 60)
+    assert(a.filter($"z" < minZ).count() == 0)
+    assert(r.filter($"z" >= minZ).count() == 0)
+    // the split agrees doc-for-doc with the batch scorer — same z
+    val acceptedIds = a.select($"doc_id").collect().map(_.getLong(0)).toSet
+    graft.operators.TextOps.withQualityZ(docs)
+      .select($"doc_id", ($"z" >= minZ).as("keep")).collect()
+      .foreach { rw =>
+        assert(acceptedIds.contains(rw.getLong(0)) == rw.getBoolean(1))
+      }
+    assert(a.count() > 0 && r.count() > 0)
+    // restart on the same checkpoint with no new input: the epoch-keyed
+    // overwrite keeps both sinks duplicate-free
+    val q2 = start(); q2.awaitTermination(120000)
+    assert(spark.read.parquet(acc).count() == a.count())
+    assert(spark.read.parquet(quar).count() == r.count())
+  }
+
   test("end-to-end enrichment stream over files with checkpoint (EP1/T1-T4)") {
     val src = tmp("src")
     val history = tmp("hist2")
