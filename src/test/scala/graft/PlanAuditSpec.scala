@@ -56,6 +56,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
 
+  test("q_hard_negatives broadcasts the anchor side, never a shuffled cartesian") {
+    // the anchor set (vec_id < 10) is the bounded side: the non-equi
+    // join must plan as a BroadcastNestedLoopJoin building the anchors
+    // (corpus streams past them) — a CartesianProduct would shuffle
+    // the corpus against itself at scale
+    val p = plan("q_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"shuffled cartesian crept in:\n$p")
+  }
+
+  test("q_sim_ivfpq composes broadcast stages: no CartesianProduct anywhere") {
+    // the only cross joins allowed are the bounded K=16 centroid and
+    // PqM×PqK codebook broadcasts (BroadcastNestedLoopJoin Cross);
+    // candidate/LUT joins hash-broadcast; the probes×assigned cell
+    // join may SMJ (cell-keyed shuffle — correct at scale)
+    val p = plan("q_sim_ivfpq")
+    assert(!p.contains("CartesianProduct"), s"shuffled cartesian crept in:\n$p")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 4, s"expected >=4 broadcast hash joins, got $bhj:\n$p")
+  }
+
   test("q_asof_join is one window shuffle, no join operator, no range explosion") {
     val p = plan("q_asof_join")
     assert(!p.contains("Join"), s"as-of must be union+window, not a join:\n$p")
