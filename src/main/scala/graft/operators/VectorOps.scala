@@ -713,14 +713,21 @@ object VectorOps {
   // ---- Distributed PCA: power iteration, integer-exact -------------
   //
   // The top principal direction of the embedding matrix (uncentered
-  // Gram eigenvector) via power iteration w ← QᵀQ·w — the Lloyd-unroll
-  // move applied to eigenvector extraction. Each round is ONE narrow
-  // pass over the cached quantized matrix (per-row dot t_i = q_i·w
-  // fused with the per-dim sums y_j = Σ t_i·q_ij grouped on 64 keys)
-  // plus a 64-value model collect: nothing corpus-sized ever moves,
-  // and the cost is honestly O(rounds · n·dim) — what power iteration
-  // costs on a FLAT spectrum (this corpus measures λ₂/λ₁ = 0.935, so
-  // useful alignment needs ~60 rounds, not 2).
+  // Gram eigenvector) via power iteration w ← (QᵀQ)·w. The corpus is
+  // touched exactly ONCE: a single wide aggregate computes the 64×64
+  // integer Gram matrix G = QᵀQ as its 2 080 upper-triangle BIGINT
+  // sums G_jk = Σ_i q_ij·q_ik (explode→groupBy with map-side partials
+  // — 2 080 groups, so each partition pre-reduces to 2 080 rows before
+  // the shuffle), and all 60 power rounds then run driver-side on the
+  // 4 096 collected longs. Bit-identical to iterating over the corpus:
+  // y_j = Σ_i (Σ_k q_ik·w_k)·q_ij = Σ_k G_jk·w_k, and integer addition
+  // is associativity-free — the DuckDB oracle still replays the NAIVE
+  // per-round corpus form, so a green hash PROVES the identity
+  // cross-engine. At 100 TB this reads 100 TB once instead of 6 PB
+  // (the corpus-pass-per-round shape this replaced); the spectrum is
+  // FLAT here (λ₂/λ₁ = 0.935, so alignment needs ~60 rounds) but
+  // rounds are now free — O(rounds·dim²) driver flops, not
+  // O(rounds·n·dim) cluster scans.
   //
   // Cross-engine determinism is the hard part: decimal-pinned sums of
   // FLOAT products tie at the DECIMAL cast (the 1-ulp limit that keeps
@@ -729,9 +736,9 @@ object VectorOps {
   // corpus (the SAME pinned quantizer as q_embed_quantize) and the
   // vector w is RE-QUANTIZED to int16 after every round (w ←
   // ⌊y·32767/max|y|+0.5⌋, all IEEE-deterministic scalar arithmetic on
-  // exact ints). Bounds: |t_i| ≤ 64·127·32767 ≈ 2.7e8, |y_j| ≤
-  // |t|·127·n ≈ 3.4e10·(n/1000) — BIGINT-safe to n ≈ 2.7e8 rows
-  // (beyond that, the documented switch is DECIMAL(38,0) sums).
+  // exact ints). Bounds: |G_jk| ≤ 127²·n ≈ 1.6e4·n, |y_j| ≤
+  // 64·127²·32767·n ≈ 3.4e10·(n/1000) — BIGINT-safe to n ≈ 2.7e8 rows
+  // (beyond that, the documented switch is DECIMAL(38,0) Gram sums).
   // Quantization costs ~0.4%/round in direction noise vs a 6.5%/round
   // spectral-gap contraction, so the iteration converges to within
   // quantization noise of the true eigenvector (measured alignment
@@ -742,20 +749,32 @@ object VectorOps {
   private val PcaRounds = 60
   private val PcaWScale = 32767.0 // int16 re-quantization of w
 
-  /** One matvec y = QᵀQ·w over the cached quantized matrix; w enters
-    * as a 64-long literal, y returns as 64 exact longs. */
-  private def pcaMatvec(qm: DataFrame, w: Seq[Long]): Seq[Long] =
-    qm.withColumn("wv", typedlit(w))
-      .withColumn("t", expr(
-        "aggregate(zip_with(q, wv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
-      .select(col("t"), posexplode(col("q")))
-      .groupBy("pos").agg(sum(col("t") * col("col")).as("y"))
-      .collect().sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+  /** The one corpus pass: G = QᵀQ as 2 080 upper-triangle exact BIGINT
+    * sums, mirrored into a dense 64×64 driver-side array. */
+  private def pcaGram(qm: DataFrame): Array[Array[Long]] = {
+    val rows = qm.select(explode(expr(
+        "flatten(transform(sequence(0, 63), j -> " +
+          "transform(sequence(j, 63), k -> struct(j AS j, k AS k, q[j] * q[k] AS p))))"))
+        .as("e"))
+      .groupBy(col("e.j").as("j"), col("e.k").as("k"))
+      .agg(sum(col("e.p")).as("g"))
+      .collect() // 2 080 model values — never corpus-sized
+    val g = Array.ofDim[Long](64, 64)
+    rows.foreach { r =>
+      val j = r.getInt(0); val k = r.getInt(1); val v = r.getLong(2)
+      g(j)(k) = v
+      g(k)(j) = v
+    }
+    g
+  }
 
   /** ⌊y·32767/max|y|+0.5⌋ — the int16 re-quantization, identical
     * IEEE ops to the SQL replay. */
   private def pcaRequant(y: Seq[Long]): Seq[Long] = {
     val mx = y.map(v => math.abs(v).toDouble).max
+    require(mx > 0,
+      "zero matvec — w orthogonal to the corpus or empty input; " +
+        "refusing to requantize a degenerate direction")
     y.map(v => math.floor(v.toDouble * (PcaWScale / mx) + 0.5).toLong)
   }
 
@@ -769,13 +788,19 @@ object VectorOps {
       .withColumn("q", expr(
         "transform(vec, x -> CAST(floor(x * scale + 0.5d) AS BIGINT))"))
       .select(col("vec_id"), col("q"))
-      .localCheckpoint() // feeds every round's matvec
+    val g = pcaGram(qm) // the single corpus pass
     var w: Seq[Long] = Seq.fill(64)(1L)
     var y: Seq[Long] = null
     var wPrev: Seq[Long] = null
     for (_ <- 1 to PcaRounds) {
       wPrev = w
-      y = pcaMatvec(qm, w)
+      val wa = w.toArray
+      y = (0 until 64).map { j =>
+        var acc = 0L
+        var k = 0
+        while (k < 64) { acc += g(j)(k) * wa(k); k += 1 }
+        acc
+      }
       w = pcaRequant(y)
     }
     // norms as sequential left folds over the pos-ordered exact values
