@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -10,54 +14,93 @@ import graft.sources.Tables
   * a typed Dataset (`mapPartitions` — the Scala analog of
   * `mapInPandas`: one invocation per batch/partition, not per row).
   *
-  * The container has no image/audio codecs, so `decodeStub` below is a
-  * STUB: a deterministic fake decoder that derives "media metadata"
-  * from the bytes themselves. The Spark-side plumbing — binary column
-  * handling, schema of the feature struct, partition-batched UDF
-  * shape, and partitioning — is real and tested; swapping the stub
-  * body for a JNI/libav call changes no plan shape.
+  * The decode stage is REAL: `javax.imageio` (ships with every JDK,
+  * zero external deps) decodes PNG payloads and features are computed
+  * from the decoded raster. Because the fixture corpus carries no
+  * genuine media, the payloads are deterministic synthetic grayscale
+  * PNGs — pixel p(x,y) = (7x + 13y + doc_id) mod 256 at dims derived
+  * from doc_id — ENCODED with the same codec. That makes the whole
+  * encode→bytes→decode→features path hash-gated: the DuckDB oracle
+  * computes the identical features analytically from the pixel
+  * formula, so a green hash proves the codec roundtrip is lossless
+  * and the raster readout exact. (PNG byte length is deliberately NOT
+  * an output column — compressed size is codec-version-specific, the
+  * one thing about the roundtrip that is not portable.)
   *
   * Scale note: binary payloads ride in the row (parquet BYTE_ARRAY);
-  * the decode stage is a narrow map (no shuffle), so it scales
-  * linearly with input splits. Feature extraction keeps only the
-  * small typed struct, dropping the heavy bytes as early as possible.
+  * encode and decode are narrow maps (no shuffle), so the stage
+  * scales linearly with input splits. Feature extraction keeps only
+  * the small typed struct, dropping the heavy bytes as early as
+  * possible.
   */
 object Multimodal {
 
-  /** Typed media row: the binary payload is the "image"; metadata
-    * travels alongside (FIXTURES.md: documents.text bytes stand in
-    * for media bytes).
-    */
+  /** Typed media row: the binary payload IS a decodable PNG image. */
   final case class MediaRow(doc_id: Long, media: Array[Byte])
 
-  /** Extracted features — the schema a real decoder would fill. */
+  /** Features extracted from the DECODED raster. */
   final case class MediaFeatures(
       doc_id: Long,
-      byte_len: Long,
       width: Long,
       height: Long,
-      n_frames: Long,
-      brightness: Double)
+      n_px: Long,
+      brightness: Double,
+      pixel_md5: String)
 
-  /** STUB decoder — deterministic fake in place of a real codec
-    * (???-equivalent per the driver contract: no media libs in this
-    * container). Derives pseudo-metadata purely from the payload
-    * bytes, so results are reproducible anywhere.
-    */
-  def decodeStub(r: MediaRow): MediaFeatures = {
-    val n = r.media.length.toLong
-    // sum of the first 256 bytes — a stand-in for a luminance average
-    var i = 0
-    var acc = 0L
-    val lim = math.min(r.media.length, 256)
-    while (i < lim) { acc += (r.media(i) & 0xff); i += 1 }
-    MediaFeatures(
-      doc_id = r.doc_id,
-      byte_len = n,
-      width = 64L + n % 640L,
-      height = 64L + n % 480L,
-      n_frames = 1L + n % 30L,
-      brightness = if (lim == 0) 0.0 else acc.toDouble / lim.toDouble)
+  /** Deterministic synthetic grayscale image for a doc, encoded to
+    * real PNG bytes via the JDK codec. Dims 8..24 × 8..20 keep the
+    * fixture cheap; the pixel formula is what the oracle replays. */
+  def synthPng(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 17).toInt
+    val h = (8 + docId % 13).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((7L * x + 13L * y + docId) % 256L).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decoder: `ImageIO.read` the payload, then derive features
+    * from the decoded raster — mean luminance as the exact integer
+    * pixel sum over an exact count (one IEEE division, bit-identical
+    * to the SQL replay), plus an md5 fingerprint of the row-major
+    * pixel values ('-'-joined decimals, the cross-engine-stable
+    * serialization). Fails loud on an undecodable payload. */
+  def decode(r: MediaRow): MediaFeatures = {
+    val img = ImageIO.read(new ByteArrayInputStream(r.media))
+    require(img != null, s"undecodable media payload for doc ${r.doc_id}")
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val sb = new StringBuilder
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = raster.getSample(x, y, 0)
+        sum += v
+        if (sb.nonEmpty) sb.append('-')
+        sb.append(v)
+        x += 1
+      }
+      y += 1
+    }
+    val nPx = w.toLong * h.toLong
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(sb.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    MediaFeatures(r.doc_id, w.toLong, h.toLong, nPx,
+      sum.toDouble / nPx.toDouble, hex)
   }
 
   /** Binary-column metadata: pure Catalyst expressions over the bytes
@@ -75,16 +118,17 @@ object Multimodal {
         (lit(1L) + length(col("media")).cast("long") % 30L).as("n_frames"))
       .orderBy("doc_id")
 
-  // Partition-batched decode/feature-extract over the typed Dataset —
-  // the mapInPandas-shaped path. No oracle (imperative stage); the
-  // ScalaTest spec pins the stub's outputs and the batch shape.
+  // Partition-batched encode→decode→feature-extract over the typed
+  // Dataset — the mapInPandas-shaped path, with a REAL codec on both
+  // sides. ORACLED: DuckDB computes the same features analytically
+  // from the pixel formula (see the object doc).
   private def qMultimodalFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
-      .as[MediaRow]
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => MediaRow(id, synthPng(id))))
     media
-      .mapPartitions(it => it.map(decodeStub))
+      .mapPartitions(it => it.map(decode))
       .toDF()
       .orderBy("doc_id")
   }
@@ -133,6 +177,26 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_features" ->
+      // analytic replay of the pixel formula: the oracle never touches
+      // PNG bytes, so agreement proves the Spark-side codec roundtrip
+      // (synthPng → ImageIO.read → raster readout) is lossless
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 17 AS w, 8 + doc_id % 13 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, unnest(range(0, w*h)) AS idx FROM dims
+        |), v AS (
+        |  SELECT doc_id, w, h, idx,
+        |         (7*(idx % w) + 13*(idx // w) + doc_id) % 256 AS val
+        |  FROM px
+        |)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(w*h AS BIGINT) AS n_px,
+        |       CAST(SUM(val) AS DOUBLE) / (w*h) AS brightness,
+        |       md5(string_agg(CAST(val AS VARCHAR), '-' ORDER BY idx)) AS pixel_md5
+        |FROM v GROUP BY doc_id, w, h
+        |ORDER BY doc_id""".stripMargin,
     "q_multimodal_frames" ->
       """WITH f AS (
         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,

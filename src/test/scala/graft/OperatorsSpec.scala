@@ -462,13 +462,26 @@ class OperatorsSpec extends SparkSpec {
     assert(joined.filter($"rel_err" > 0.10).count() == 0)
   }
 
-  test("multimodal mapPartitions features match the expression-derived metadata") {
-    val feat = q("q_multimodal_features")
-      .select("doc_id", "byte_len", "width", "height", "n_frames")
-    val meta = q("q_multimodal_meta")
-      .select("doc_id", "byte_len", "width", "height", "n_frames")
-    assert(feat.exceptAll(meta).count() == 0)
-    assert(meta.exceptAll(feat).count() == 0)
+  test("multimodal decode is a real codec roundtrip: PNG magic, lossless raster") {
+    import graft.operators.Multimodal
+    // the synthesized payload is a genuine PNG (magic bytes + decodable)
+    val png = Multimodal.synthPng(42L)
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    // ImageIO roundtrip recovers the exact generated pixels
+    val f = Multimodal.decode(Multimodal.MediaRow(42L, png))
+    val (w, h) = (8 + 42 % 17, 8 + 42 % 13)
+    assert(f.width == w && f.height == h && f.n_px == w.toLong * h)
+    val vals = for (y <- 0 until h; x <- 0 until w)
+      yield ((7L * x + 13L * y + 42L) % 256L).toInt
+    assert(f.brightness == vals.map(_.toLong).sum.toDouble / (w * h).toDouble)
+    // an undecodable payload fails loud, never yields fake features
+    intercept[IllegalArgumentException] {
+      Multimodal.decode(Multimodal.MediaRow(1L, Array[Byte](1, 2, 3)))
+    }
+    // and the distributed path agrees with the single-row decode
+    val one = q("q_multimodal_features").filter($"doc_id" === 42L).collect().head
+    assert(one.getDouble(4) == f.brightness && one.getString(5) == f.pixel_md5)
   }
 
   test("exact dedup collapses the replayed corpus to n_copies = 2") {

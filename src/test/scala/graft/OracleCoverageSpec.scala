@@ -22,8 +22,7 @@ class OracleCoverageSpec extends AnyFunSuite {
     "q_approx_percentile" -> "KLL sketch is engine-specific by nature; accuracy-tested",
     "q_dedup_minhash" -> "xxhash64 family; formulation oracled via q_minhash_estimate",
     "q_dedup_simhash" -> "xxhash64 family; formulation oracled via q_simhash_estimate",
-    "q_simhash_clusters" -> "xxhash64 family; CC labels oracled via q_simhash_closure",
-    "q_multimodal_features" -> "sanctioned stub decoder (no codecs in container)")
+    "q_simhash_clusters" -> "xxhash64 family; CC labels oracled via q_simhash_closure")
 
   test("every query is oracled or explicitly weak-checked") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
