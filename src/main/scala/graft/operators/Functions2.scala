@@ -292,18 +292,30 @@ object Functions2 {
 
   // Approximate percentile sketch — the bounded-memory quantile path
   // for 100 TB (exact percentile must materialize the sorted column;
-  // the sketch is a fixed-size mergeable summary). Algorithm-specific
-  // → no DuckDB oracle; accuracy vs the exact q_percentile is pinned
-  // in OperatorsSpec.
+  // the sketch is a fixed-size mergeable summary). ORACLED via the
+  // error-bound-flag formulation: the sketch value is engine-specific,
+  // so the query emits the exact quantiles (quantile_cont twins, same
+  // machinery as q_percentile) plus `within_bound` — the in-plan
+  // check that every sketch quantile landed within ±1.5 units of the
+  // exact one (l_quantity is integer-valued: the sketch returns a
+  // real element while the exact form interpolates, so at most one
+  // neighboring value off). The oracle asserts TRUE: a sketch
+  // drifting out of bound is a hash failure, not a silent change.
   private def qApproxPercentile(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
-        .as("qs"))
+      .agg(
+        expr("percentile(l_quantity, array(0.25d, 0.5d, 0.75d))").as("ex"),
+        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
+          .as("ap"))
       .select(col("l_returnflag"),
-        element_at(col("qs"), 1).as("p25_approx"),
-        element_at(col("qs"), 2).as("median_approx"),
-        element_at(col("qs"), 3).as("p75_approx"))
+        element_at(col("ex"), 1).as("p25_qty"),
+        element_at(col("ex"), 2).as("median_qty"),
+        element_at(col("ex"), 3).as("p75_qty"),
+        (abs(element_at(col("ap"), 1) - element_at(col("ex"), 1)) <= lit(1.5) &&
+          abs(element_at(col("ap"), 2) - element_at(col("ex"), 2)) <= lit(1.5) &&
+          abs(element_at(col("ap"), 3) - element_at(col("ex"), 3)) <= lit(1.5))
+          .as("within_bound"))
       .orderBy("l_returnflag")
 
   // Aggregate breadth: argmin/argmax, boolean aggregates, FILTER
@@ -624,6 +636,17 @@ object Functions2 {
         |       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+    "q_approx_percentile" ->
+      // error-bound-flag formulation (see qApproxPercentile doc): the
+      // exact quantile_cont twins plus the asserted-in-bound flag
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.25) AS p25_qty,
+        |       quantile_cont(l_quantity, 0.5) AS median_qty,
+        |       quantile_cont(l_quantity, 0.75) AS p75_qty,
+        |       TRUE AS within_bound
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
         |       quantile_cont(l_quantity, 0.5) AS median_qty,

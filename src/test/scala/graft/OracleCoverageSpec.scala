@@ -18,8 +18,6 @@ class OracleCoverageSpec extends AnyFunSuite {
     * hash-family twin, recursive-CTE closure, generated SQL), oracle
     * it instead. */
   private val weakChecked: Map[String, String] = Map(
-    "q_approx_distinct" -> "HLL sketch is engine-specific by nature; accuracy-tested",
-    "q_approx_percentile" -> "KLL sketch is engine-specific by nature; accuracy-tested",
     "q_dedup_minhash" -> "xxhash64 family; formulation oracled via q_minhash_estimate",
     "q_dedup_simhash" -> "xxhash64 family; formulation oracled via q_simhash_estimate",
     "q_simhash_clusters" -> "xxhash64 family; CC labels oracled via q_simhash_closure")
