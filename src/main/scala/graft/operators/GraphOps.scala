@@ -196,7 +196,14 @@ object GraphOps {
     * (edge count stable — peeling is monotone decreasing, so count
     * equality IS convergence) and throws past `CoreMaxRounds` instead
     * of returning a half-peeled subgraph. */
-  def kcore(edges0: DataFrame, k: Int): DataFrame = {
+  def kcore(edges0: DataFrame, k: Int): DataFrame = kcoreWithDepth(edges0, k)._1
+
+  /** `kcore` plus the measured peel depth (rounds to reach the
+    * fixpoint, counting the final no-op confirmation round). Exposed
+    * so CoreDepthSpec can assert depth ≤ CoreOracleRounds — the
+    * invariant that keeps the 12-round unrolled DuckDB oracle an
+    * exact replay rather than a half-peeled graph. */
+  private[graft] def kcoreWithDepth(edges0: DataFrame, k: Int): (DataFrame, Int) = {
     var edges = edges0.localCheckpoint()
     var nEdges = edges.count()
     var converged = false
@@ -219,9 +226,19 @@ object GraphOps {
         s"k-core peeling did not converge in $CoreMaxRounds rounds — " +
           "K is near the core-collapse threshold for this graph; raise the " +
           "cap deliberately rather than shipping a half-peeled subgraph")
-    degrees(edges).filter(col("deg") >= k)
+    val core = degrees(edges).filter(col("deg") >= k)
       .select(col("node"), col("deg").as("core_deg"), lit(k.toLong).as("k"))
       .orderBy("node")
+    (core, round)
+  }
+
+  /** The derived-K q_kcore path with its measured peel depth — the
+    * oracle-validity probe for CoreDepthSpec. */
+  private[graft] def kcoreDepthAt(s: SparkSession, d: String): Int = {
+    val edges = coEdges(s, d).localCheckpoint()
+    val med = degrees(edges)
+      .agg(expr("percentile(deg, 0.5d)").as("med")).head.getDouble(0)
+    kcoreWithDepth(edges, math.floor(CoreFrac.toDouble * med).toInt)._2
   }
 
   private def qKcore(s: SparkSession, d: String): DataFrame = {

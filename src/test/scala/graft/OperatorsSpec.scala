@@ -867,6 +867,23 @@ class OperatorsSpec extends SparkSpec {
     assert(core == Seq((1L, 3L, 3L), (2L, 3L, 3L), (3L, 3L, 3L), (4L, 3L, 3L)))
   }
 
+  test("kcore peel depth stays within the unrolled oracle's 12 rounds") {
+    // the q_kcore DuckDB oracle unrolls CoreOracleRounds=12 peel
+    // rounds; extra rounds past the fixpoint are no-ops, so the oracle
+    // is an exact replay ONLY while the measured depth at the
+    // oracle-checked SFs stays <= 12. A fixture regen whose derived K
+    // lands near the core-collapse threshold (depth ~40) fails HERE
+    // with a diagnosis instead of silently hash-desyncing on a
+    // half-peeled oracle graph.
+    for (sf <- Seq(Sf0001, Sf001)) {
+      val depth = graft.operators.GraphOps.kcoreDepthAt(spark, sf)
+      assert(depth <= graft.operators.GraphOps.CoreOracleRounds,
+        s"$sf: measured peel depth $depth exceeds the oracle's " +
+          s"${graft.operators.GraphOps.CoreOracleRounds} unrolled rounds — " +
+          "raise CoreOracleRounds (and regenerate the oracle) or rederive K")
+    }
+  }
+
   test("every registered query is runnable and non-degenerate at sf0.001") {
     val counts = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> SparkEntry.queries(name)(spark, Sf0001).count()
