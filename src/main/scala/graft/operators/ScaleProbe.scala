@@ -139,6 +139,15 @@ object ScaleProbe {
       // graph's real exponent stays linear when the graph grows as
       // disjoint replicas (per-copy density constant)
       "q_triangles" -> GraphOps.queries("q_triangles"),
+      // the suite's #1 bench line: rides the same oriented wedge
+      // machinery as q_triangles plus the 3·T corner explode — probed
+      // directly so the artifact carries the measurement, not the
+      // shared-path argument
+      "q_local_cc" -> GraphOps.queries("q_local_cc"),
+      // keeper selection joins the dedup-cluster labels (the CC loop)
+      // against per-doc quality — the top bench line of the curation
+      // family, probed for the same carry-the-measurement reason
+      "q_keeper_quality" -> TextOps.queries("q_keeper_quality"),
       // k-core peeling: disjoint replicas keep the degree distribution
       // (hence the derived K and the peel depth) exactly the base
       // corpus's, so cost should scale as rounds × m — linear, with
