@@ -459,6 +459,34 @@ object TextOps {
       .select(col("doc_id"), explode(array_distinct(
         expr("transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))")))
         .as("sh"))
+    val cand = ppjoinCandidates(sh)
+    // Verify: exact intersection via per-doc sorted hash ARRAYS and a
+    // codegen'd array_intersect — the pair stream stays |candidates|
+    // rows (each carrying two ~|doc|-hash payloads) instead of
+    // re-exploding to |candidates|×|doc| narrow rows through two
+    // shuffle joins + a groupBy. Same exact counts, same output.
+    val sets = sh.groupBy(col("doc_id")).agg(
+      sort_array(collect_list(col("sh"))).as("shs"),
+      count(lit(1)).as("sz"))
+    cand
+      .join(sets.select(col("doc_id").as("a_id"),
+        col("shs").as("a_shs"), col("sz").as("a_sz")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"),
+        col("shs").as("b_shs"), col("sz").as("b_sz")), Seq("b_id"))
+      .withColumn("common",
+        expr("CAST(size(array_intersect(a_shs, b_shs)) AS BIGINT)"))
+      .withColumn("jaccard", col("common").cast("double")
+        / (col("a_sz") + col("b_sz") - col("common")).cast("double"))
+      .filter(col("jaccard") >= PrefixJaccard)
+      .select("a_id", "b_id", "a_sz", "b_sz", "common", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The PPJoin candidate stage on a (doc_id, sh) distinct-shingle
+    * stream: canonical order, prefix index, then the three lossless
+    * prunes (prefix theorem, length filter, all-matches positional
+    * filter). Exposed for the candidate-count probe in the spec. */
+  private[graft] def ppjoinCandidates(sh: DataFrame): DataFrame = {
     val dft = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
     val ord = sh.join(dft, Seq("sh"))
@@ -467,19 +495,24 @@ object TextOps {
     val pref = ord.filter(col("pos") <=
         col("sz") - expr(s"CAST(ceil($PrefixJaccard * CAST(sz AS DOUBLE)) AS BIGINT)") + 1)
       .select("doc_id", "sh", "pos", "sz")
-    // Two further LOSSLESS prunes before the expensive verify join
-    // (measured at sf0.1: candidates 1.64M → 505k, the verify stage's
-    // input cut 3.25×):
+    // Two further LOSSLESS prunes before the verify stage
+    // (measured at sf0.1: candidates 1.64M → 485k; the all-matches
+    // bound below buys the last ~4% over the first-match bound's 505k):
     //  - length filter: jaccard ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|)
-    //  - PPJoin positional filter at the pair's FIRST common prefix
-    //    token (the min-pos match — the global (df, sh) canonical
-    //    order makes min(a.pos) and min(b.pos) the SAME token, so the
-    //    per-pair MINs locate it): no common token precedes it, hence
-    //    overlap ≤ 1 + min(|A|−posA, |B|−posB), which must reach
-    //    α = ⌈t/(1+t)·(|A|+|B|)⌉. Any true pair has overlap ≥ α, so
-    //    its first-match bound passes — candidates dropped here can
-    //    never reach t (the losslessness spec checks this against the
-    //    all-pairs truth).
+    //  - PPJoin positional filter over ALL matched prefix tokens: the
+    //    global (df, sh) canonical order sorts every doc's set the
+    //    same way, so the pair's common tokens, in order, BEGIN with
+    //    the c tokens matched in both prefixes (a common token sorting
+    //    before the last prefix match would itself sit inside both
+    //    prefixes and be matched — contradiction). Every unmatched
+    //    common token therefore sorts after the LAST match, giving
+    //    overlap ≤ c + min(|A|−maxPosA, |B|−maxPosB), which must reach
+    //    α = ⌈t/(1+t)·(|A|+|B|)⌉. With c matches at spread-out
+    //    positions this is strictly tighter than the classical
+    //    first-match bound 1 + min(|A|−minPosA, |B|−minPosB) (they
+    //    coincide when the matches are contiguous), and never looser —
+    //    candidates dropped here can never reach t (the losslessness
+    //    spec checks this against the all-pairs truth).
     val a = pref.select(col("doc_id").as("a_id"), col("sh"),
       col("pos").as("a_pos"), col("sz").as("a_sz"))
     val b = pref.select(col("doc_id").as("b_id"), col("sh"),
@@ -489,23 +522,13 @@ object TextOps {
         lit(PrefixJaccard) * greatest(col("a_sz"), col("b_sz")).cast("double")
           <= least(col("a_sz"), col("b_sz")).cast("double"))
       .groupBy("a_id", "b_id")
-      .agg(min(col("a_pos")).as("am"), min(col("b_pos")).as("bm"),
+      .agg(count(lit(1)).as("c"),
+        max(col("a_pos")).as("amax"), max(col("b_pos")).as("bmax"),
         min(col("a_sz")).as("asz"), min(col("b_sz")).as("bsz"))
-      .filter(lit(1L) + least(col("asz") - col("am"), col("bsz") - col("bm"))
+      .filter(col("c") + least(col("asz") - col("amax"), col("bsz") - col("bmax"))
         >= ceil(lit(PrefixAlpha) * (col("asz") + col("bsz")).cast("double")).cast("long"))
       .select("a_id", "b_id")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     cand
-      .join(sh.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), Seq("a_id"))
-      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), Seq("b_id"))
-      .withColumn("jaccard", col("common").cast("double")
-        / (col("a_sz") + col("b_sz") - col("common")).cast("double"))
-      .filter(col("jaccard") >= PrefixJaccard)
-      .select("a_id", "b_id", "a_sz", "b_sz", "common", "jaccard")
-      .orderBy("a_id", "b_id")
   }
 
   /** Containment near-dup detection — the ASYMMETRIC complement of
