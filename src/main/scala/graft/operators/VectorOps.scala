@@ -643,6 +643,39 @@ object VectorOps {
       .orderBy("q_id", "rank")
   }
 
+  // ---- ANN recall evaluation ---------------------------------------
+  //
+  // Recall@k of every approximate path against the exact brute-force
+  // top-5 — the acceptance metric an ANN deployment is actually judged
+  // on, computed IN-ENGINE (the spec-level recall floors pin the same
+  // quantity, but a pipeline wants it as a queryable table per
+  // index-build). Each method's candidate chain is exactly the solo
+  // query's; the left join + k-explode keep the comparison one pass
+  // over the model-sized top-5 lists. hits/total are exact ints, so
+  // recall is one exact IEEE division — fully hash-gated; the oracle
+  // embeds the SAME per-method SQL chains as the solo queries, so the
+  // recall table and the per-method results can never drift apart.
+  private def qAnnRecall(s: SparkSession, d: String): DataFrame = {
+    val bf = qSimBruteforce(s, d).select(col("q_id"), col("c_id"), col("rank"))
+    val methods = Seq(
+      "ivf" -> qSimIvf(s, d), "ivfpq" -> qSimIvfpq(s, d),
+      "lsh" -> qSimLsh(s, d), "pq" -> qSimPq(s, d))
+    methods.map { case (m, ann) =>
+      bf.join(ann.select(col("q_id"), col("c_id"), col("rank").as("ann_rank")),
+          Seq("q_id", "c_id"), "left")
+        .select(col("rank").as("bf_rank"), col("ann_rank"),
+          explode(expr("array(1, 3, 5)")).as("k"))
+        .groupBy(col("k"))
+        .agg(
+          sum(when(col("bf_rank") <= col("k") && col("ann_rank") <= col("k"), 1L)
+            .otherwise(0L)).as("hits"),
+          sum(when(col("bf_rank") <= col("k"), 1L).otherwise(0L)).as("total"))
+        .select(lit(m).as("method"), col("k").cast("long").as("k"),
+          col("hits"), col("total"),
+          (col("hits").cast("double") / col("total").cast("double")).as("recall"))
+    }.reduce(_ unionAll _).orderBy("method", "k")
+  }
+
   // ---- Contrastive pair mining (hard negatives) --------------------
   //
   // Embedding-model training needs, per anchor, its closest SAME-label
@@ -914,6 +947,7 @@ object VectorOps {
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_pq" -> (qSimPq _),
     "q_sim_ivfpq" -> (qSimIvfpq _),
+    "q_ann_recall" -> (qAnnRecall _),
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_semdedup" -> (qSemdedup _),
     "q_hard_negatives" -> (qHardNegatives _),
@@ -1019,7 +1053,7 @@ object VectorOps {
        |)$chain""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "q_embed_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
@@ -1451,4 +1485,32 @@ object VectorOps {
          |ORDER BY s.vec_id""".stripMargin
     }
   )
+
+  /** q_ann_recall's oracle embeds the SAME per-method SQL chains as
+    * the solo ANN queries (each published oracle becomes a derived
+    * table), so the recall table is recomputed end-to-end from the
+    * raw embeddings — it can never drift from the per-method rows. */
+  val oracle: Map[String, String] = oracleBase + ("q_ann_recall" -> {
+    val anns = Seq("ivf" -> "q_sim_ivf", "ivfpq" -> "q_sim_ivfpq",
+      "lsh" -> "q_sim_lsh", "pq" -> "q_sim_pq")
+      .map { case (m, qn) =>
+        s"SELECT '$m' AS method, q_id, c_id, rank FROM (${oracleBase(qn)})"
+      }.mkString("\nUNION ALL\n")
+    s"""WITH bf AS (SELECT q_id, c_id, rank FROM (${oracleBase("q_sim_bruteforce")})),
+       |ann AS (
+       |$anns
+       |),
+       |ks AS (SELECT unnest([1, 3, 5]) AS k),
+       |j AS (
+       |  SELECT m.method, k.k, b.rank AS bf_rank, a.rank AS ann_rank
+       |  FROM bf b CROSS JOIN ks k CROSS JOIN (SELECT DISTINCT method FROM ann) m
+       |  LEFT JOIN ann a ON a.method = m.method AND a.q_id = b.q_id AND a.c_id = b.c_id
+       |)
+       |SELECT method, CAST(k AS BIGINT) AS k,
+       |       CAST(SUM(CASE WHEN bf_rank <= k AND ann_rank <= k THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |       CAST(SUM(CASE WHEN bf_rank <= k THEN 1 ELSE 0 END) AS BIGINT) AS total,
+       |       CAST(SUM(CASE WHEN bf_rank <= k AND ann_rank <= k THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(SUM(CASE WHEN bf_rank <= k THEN 1 ELSE 0 END) AS DOUBLE) AS recall
+       |FROM j GROUP BY method, k ORDER BY method, k""".stripMargin
+  })
 }
