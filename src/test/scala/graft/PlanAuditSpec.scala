@@ -195,6 +195,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"stats join fell back to SMJ:\n$p")
   }
 
+  test("q_pca_power touches the corpus once: Spark job count stays O(1), not O(rounds)") {
+    // the r7 Gram rewrite's scale property: 60 power rounds run
+    // driver-side on the collected 64x64 matrix, so executing the
+    // query schedules a handful of jobs (gram pass + result), never
+    // one-per-round. A refactor back to a corpus pass per round jumps
+    // this to 60+ — fail with the count.
+    spark.sparkContext.setJobGroup("pca-job-count", "pca job count probe")
+    try {
+      SparkEntry.queries("q_pca_power")(spark, Sf0001).collect()
+      // collect() returns only after every job it scheduled completed,
+      // and setJobGroup tags each at submission — the tracker is exact
+      val jobs = spark.sparkContext.statusTracker
+        .getJobIdsForGroup("pca-job-count").length
+      assert(jobs > 0 && jobs <= 10,
+        s"q_pca_power scheduled $jobs jobs — the one-pass Gram build " +
+          "regressed toward a corpus pass per power round")
+    } finally spark.sparkContext.clearJobGroup()
+  }
+
   test("AQE splits a genuinely skewed shuffle-join partition (OptimizeSkewedJoin)") {
     // the planner-visible half of the skew story: q_join_salted proves
     // MANUAL salting, this proves the RUNTIME re-plan — one hot key
