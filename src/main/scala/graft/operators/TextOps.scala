@@ -1933,6 +1933,69 @@ object TextOps {
       .orderBy("source", "k")
   }
 
+  // q_calibration: the reliability table of the same detector — bucket
+  // cover_frac into 10 equal-width bins and report per-bin volume and
+  // observed positive rate. AUC says whether the scorer RANKS well;
+  // the calibration table says whether its absolute values can be
+  // trusted as probabilities (the question a quality-threshold picker
+  // actually asks). Bin ids and counts are exact ints (floor of an
+  // IEEE multiply is deterministic cross-engine); the two emitted
+  // doubles are one exact division each — fully hash-gated. Scale:
+  // one hash aggregate over ≤10 groups, map-side partials.
+  private def qCalibration(s: SparkSession, d: String): DataFrame =
+    spanCoverage(s, d)
+      .withColumn("pos", when(col("doc_id") % 7 === 0, 1L).otherwise(0L))
+      .withColumn("bin",
+        least(floor(col("cover_frac") * lit(10.0)).cast("long"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      .select(col("bin"), (col("bin").cast("double") / lit(10.0)).as("bin_lo"),
+        col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
+      .orderBy("bin")
+
+  // ---- URL canonicalization (crawl-dedup key) -----------------------
+  //
+  // Crawl curation dedups by CANONICAL URL before any content pass:
+  // scheme/host case, default ports, www prefixes, tracking params and
+  // fragments all produce distinct raw strings for the same resource.
+  // The fixture has no URL column, so a messy deterministic URL is
+  // synthesized per doc (mixed-case scheme+host, :443, www., utm_*
+  // params around a real one, a fragment) and then canonicalized with
+  // the rule chain a crawler ships: lowercase scheme+host, strip the
+  // default https port and www., drop the fragment, remove utm_*
+  // params while preserving the rest. Pure per-row regex/string
+  // expressions (narrow map, codegen'd, no shuffle); the oracle runs
+  // the identical rule chain, and the construction was cross-checked
+  // against python urllib parsing. Patterns stay in the RE2 ∩ Java
+  // regex common subset (no lookaround/backrefs) — the cross-engine
+  // contract for every regexp in this file.
+  private def qUrlCanonicalize(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("url", concat(
+        lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/"),
+        col("source"), lit("/Doc/"), col("doc_id"),
+        lit("/?utm_source=agg&ref="), col("lang"),
+        lit("&utm_medium=rss#sec"), col("doc_id") % 5))
+    docs
+      .withColumn("scheme",
+        lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)))
+      .withColumn("host",
+        regexp_replace(regexp_replace(
+          lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)),
+          ":443$", ""), "^www\\.", ""))
+      .withColumn("rest",
+        regexp_replace(regexp_replace(regexp_replace(
+          regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^#]*)", 1),
+          "&utm_[A-Za-z0-9_]*=[^&]*", ""),
+          "[?]utm_[A-Za-z0-9_]*=[^&]*&", "?"),
+          "[?]utm_[A-Za-z0-9_]*=[^&]*$", ""))
+      .select(col("doc_id"), col("url"),
+        concat(col("scheme"), lit("://"), col("host"), col("rest")).as("canon_url"),
+        col("host"))
+      .orderBy("doc_id")
+  }
+
   // ---- Cross-source overlap (container-level mirroring) ------------
   //
   // The "which domains mirror each other" curation diagnostic: exact
@@ -2158,6 +2221,8 @@ object TextOps {
     "q_span_dedup" -> (qSpanDedup _),
     "q_auc" -> (qAuc _),
     "q_pr_curve" -> (qPrCurve _),
+    "q_calibration" -> (qCalibration _),
+    "q_url_canonicalize" -> (qUrlCanonicalize _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_novelty_curve" -> (qNoveltyCurve _),
     "q_keeper_quality" -> (qKeeperQuality _),
@@ -2745,6 +2810,42 @@ object TextOps {
          |       cover_frac >= 0.2 AS is_flagged
          |FROM sc
          |ORDER BY doc_id""".stripMargin,
+    "q_calibration" ->
+      s"""WITH $spanCoverageSql,
+         |cal AS (
+         |  SELECT least(CAST(floor(cover_frac * 10) AS BIGINT), 9) AS bin,
+         |         CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS pos
+         |  FROM sc
+         |)
+         |SELECT bin, CAST(bin AS DOUBLE) / 10 AS bin_lo,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |       CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+         |FROM cal GROUP BY bin
+         |ORDER BY bin""".stripMargin,
+    "q_url_canonicalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'HTTPS://WWW.' || source || '.Example.COM:443/' || source
+        |           || '/Doc/' || doc_id || '/?utm_source=agg&ref=' || lang
+        |           || '&utm_medium=rss#sec' || (doc_id % 5) AS url
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, url,
+        |         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |         regexp_replace(regexp_replace(
+        |           lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+        |           ':443$', ''), '^www\.', '') AS host,
+        |         regexp_replace(regexp_replace(regexp_replace(
+        |           regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
+        |           '&utm_[A-Za-z0-9_]*=[^&]*', '', 'g'),
+        |           '[?]utm_[A-Za-z0-9_]*=[^&]*&', '?', 'g'),
+        |           '[?]utm_[A-Za-z0-9_]*=[^&]*$', '', 'g') AS rest
+        |  FROM u
+        |)
+        |SELECT doc_id, url, scheme || '://' || host || rest AS canon_url, host
+        |FROM p
+        |ORDER BY doc_id""".stripMargin,
     "q_auc" ->
       s"""WITH $spanCoverageSql,
          |g AS (
