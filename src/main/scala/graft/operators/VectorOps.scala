@@ -156,6 +156,28 @@ object VectorOps {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .drop("pl", "bb")
 
+  /** The full per-row LSH band signature as ONE key column `lsh_sig`
+    * (the `bands` bucket ids of [[withBandBuckets]], same planes and
+    * same fold, joined into a string) — the streaming dedup key: two
+    * vectors agreeing on EVERY band's bucket are near-certain
+    * duplicates. Per-row expressions only, no generator and no
+    * aggregation, so it sits upstream of streaming stateful operators
+    * the way perRowSimhash does for text. */
+  private[graft] def withBandSignature(df: DataFrame, p: LshParams,
+      dim: Int = 64): DataFrame =
+    df.withColumn("vec", expr(
+        s"""CASE WHEN size(vec) = $dim THEN vec
+              ELSE CAST(raise_error(concat(
+                'graft LSH: expected dim $dim, got ', CAST(size(vec) AS STRING),
+                ' — plane count must match the vector dimension'))
+                AS ARRAY<DOUBLE>) END"""))
+      .withColumn("pl", typedlit(planes(p.nPlanes, dim)))
+      .withColumn("lsh_sig", expr(
+        s"""concat_ws('-', transform(sequence(0, ${p.bands - 1}), b ->
+              aggregate(sequence(0, ${p.planesPerBand - 1}), 0L, (acc, q) ->
+                acc * 2 + IF(graft_dot(vec, element_at(pl, b * ${p.planesPerBand} + q + 1)) > 0, 1L, 0L))))"""))
+      .drop("pl")
+
   /** One band's bucket as a DuckDB expression: the band's plane q
     * contributes bit 2^(ppb-1-q) — matching the Spark-side left fold —
     * with the ±1 planes interpolated as SQL literals so the banded

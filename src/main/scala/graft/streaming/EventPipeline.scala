@@ -238,6 +238,31 @@ object EventPipeline {
       .dropDuplicatesWithinWatermark("simhash")
   }
 
+  /** Streaming EMBEDDING near-dup dedup — the vector-side counterpart
+    * of [[nearDedupedDocuments]]: each arriving embedding gets its
+    * full LSH band signature (SAME hyperplanes and bucket fold as the
+    * batch q_embed_dedup blocking, via
+    * [[graft.operators.VectorOps.withBandSignature]]) and anything
+    * whose signature was already seen inside the watermark horizon is
+    * dropped. Agreement on EVERY band's bucket is the exact-signature
+    * filter — it collapses replays and near-identical vectors (any
+    * rescaled copy has identical projection signs, hence identical
+    * buckets) at one string of state per in-horizon distinct
+    * signature, bounded by inflow × horizon. Partial-band (ANY-band)
+    * matching is the batch band join's concern (q_embed_dedup); this
+    * is the stream-side gate in front of it — the same split as
+    * SimHash streaming vs q_simhash_clusters. Input needs a `vec`
+    * ARRAY<DOUBLE> column of dim 64 and an `ingest_ts` timestamp.
+    */
+  def nearDedupedEmbeddings(vecs: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    graft.functions.VectorExpressions.register(vecs.sparkSession)
+    graft.operators.VectorOps
+      .withBandSignature(vecs, graft.operators.VectorOps.DedupLsh)
+      .withWatermark("ingest_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("lsh_sig")
+  }
+
   /** Streaming QUALITY ROUTER — the DQ gate in front of a corpus
     * sink, the reference's valid/invalid split upgraded to the SHARED
     * quality scorer: each micro-batch is scored ONCE with

@@ -167,6 +167,45 @@ class StreamingSpec extends SparkSpec {
       .head().getBoolean(0) == false)
   }
 
+  test("streaming embedding near-dup collapses replays and rescaled copies via the LSH signature") {
+    implicit val ctx = spark.sqlContext
+    graft.functions.VectorExpressions.register(spark)
+    // deterministic 64-dim vectors: v1 and its 2x-rescaled copy share
+    // every projection SIGN, hence every band bucket; v2 points at a
+    // genuinely different direction
+    def mk(f: Int => Double): Seq[Double] = (0 until 64).map(f)
+    val v1 = mk(i => math.sin(i * 1.7) + 0.3)
+    val v1scaled = v1.map(_ * 2.0)
+    val v2 = mk(i => math.cos(i * 2.3) - 0.4)
+    val ms = MemoryStream[StreamingSpec.VecIn]
+    val q = EventPipeline.nearDedupedEmbeddings(ms.toDF())
+      .writeStream.format("memory").queryName("vec_dedup_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(StreamingSpec.VecIn(1L, ts("2024-01-01 10:00:00"), v1))
+      q.processAllAvailable()
+      // exact replay (new id), rescaled near-copy, and a new vector
+      ms.addData(
+        StreamingSpec.VecIn(2L, ts("2024-01-01 10:00:05"), v1),
+        StreamingSpec.VecIn(3L, ts("2024-01-01 10:00:06"), v1scaled),
+        StreamingSpec.VecIn(4L, ts("2024-01-01 10:00:07"), v2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("vec_dedup_out")
+    assert(out.select("vec_id").as[Long].collect().toSet == Set(1L, 4L),
+      "replay + rescaled copy must collapse; the distinct vector must survive")
+    // premise guard: the streaming signature is exactly the batch
+    // band/bucket blocking folded to one key — recompute via
+    // withBandBuckets and compare
+    val batchBuckets = graft.operators.VectorOps.withBandBuckets(
+      Seq((1L, v1)).toDF("vec_id", "vec"), graft.operators.VectorOps.DedupLsh)
+      .orderBy("band").select("bucket").as[Long].collect().mkString("-")
+    val streamSig = out.filter($"vec_id" === 1L)
+      .select("lsh_sig").as[String].head()
+    assert(streamSig == batchBuckets,
+      s"streaming signature $streamSig != batch band buckets $batchBuckets")
+  }
+
   test("per-row streaming simhash is bit-identical to the batch signature path") {
     graft.functions.TextExpressions.register(spark)
     val docs = graft.sources.Tables.documents(spark, Sf0001)
@@ -617,4 +656,5 @@ object StreamingSpec {
   final case class EvIn(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
   final case class DocIn(doc_id: Long, ingest_ts: Timestamp, text: String)
+  final case class VecIn(vec_id: Long, ingest_ts: Timestamp, vec: Seq[Double])
 }
