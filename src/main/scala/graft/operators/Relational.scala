@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -729,7 +730,49 @@ object Relational {
           <= col("uniq_users").cast("double") * lit(0.15)).as("within_bound"))
       .orderBy("event_type")
 
+  /** Key-distribution skew diagnostics — the pre-flight question every
+    * 100 TB shuffle plan asks before choosing salting / AQE skew
+    * handling: per event_type (plus an ALL row over per-user totals),
+    * the per-key count distribution (max, nearest-rank p50/p90/p99),
+    * the hottest key's share, skew ratio (max/mean), and a salt hint
+    * (ceil(max/p50) — the shard count that flattens the hottest key
+    * to median volume). Percentiles are NEAREST-RANK (value at row
+    * ceil(q*n) of the cnt-sorted keys) — pure integer selection, no
+    * interpolation, so both engines agree bit-for-bit; every exposed
+    * double is one IEEE division/product of exact integers. Scale
+    * shape: two hash aggregations plus one grp-keyed window — the
+    * diagnostic itself can never be the skewed job. */
+  private def qKeySkew(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val perTU = ev.groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("cnt"))
+    val perU = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val lvl = perTU.select(col("event_type").as("grp"), col("user_id"), col("cnt"))
+      .union(perU.select(lit("ALL").as("grp"), col("user_id"), col("cnt")))
+    val ranked = lvl
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("grp").orderBy(col("cnt"), col("user_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")).cast("long"))
+    def atQ(q: Double, name: String) =
+      max(when(col("rn") === expr(s"CAST(ceil($q * n) AS BIGINT)"), col("cnt"))).as(name)
+    ranked.groupBy("grp")
+      .agg(count(lit(1)).cast("long").as("n_keys"),
+        sum(col("cnt")).cast("long").as("n_rows"),
+        max(col("cnt")).cast("long").as("max_cnt"),
+        atQ(0.5, "p50_cnt"), atQ(0.9, "p90_cnt"), atQ(0.99, "p99_cnt"))
+      .withColumn("mean_cnt",
+        col("n_rows").cast("double") / col("n_keys").cast("double"))
+      .withColumn("top1_share",
+        col("max_cnt").cast("double") / col("n_rows").cast("double"))
+      .withColumn("skew_ratio",
+        col("max_cnt").cast("double") * col("n_keys").cast("double")
+          / col("n_rows").cast("double"))
+      .withColumn("salt_hint",
+        expr("CAST(ceil(CAST(max_cnt AS DOUBLE) / CAST(p50_cnt AS DOUBLE)) AS BIGINT)"))
+      .orderBy("grp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_key_skew" -> (qKeySkew _),
     "q_filter_project" -> (qFilterProject _),
     "q_agg_pricing" -> (qAggPricing _),
     "q_agg_having" -> (qAggHaving _),
@@ -776,6 +819,39 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_key_skew" ->
+      """WITH per_tu AS (
+        |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY event_type, user_id
+        |), per_u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+        |), lvl AS (
+        |  SELECT event_type AS grp, user_id, cnt FROM per_tu
+        |  UNION ALL
+        |  SELECT 'ALL' AS grp, user_id, cnt FROM per_u
+        |), ranked AS (
+        |  SELECT grp, cnt,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cnt, user_id) AS BIGINT) AS rn,
+        |         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+        |  FROM lvl
+        |), agg AS (
+        |  SELECT grp,
+        |         CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |         CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+        |         CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN cnt END) AS BIGINT) AS p50_cnt,
+        |         CAST(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN cnt END) AS BIGINT) AS p90_cnt,
+        |         CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN cnt END) AS BIGINT) AS p99_cnt
+        |  FROM ranked GROUP BY grp
+        |)
+        |SELECT grp, n_keys, n_rows, max_cnt, p50_cnt, p90_cnt, p99_cnt,
+        |       CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS mean_cnt,
+        |       CAST(max_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top1_share,
+        |       CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |         / CAST(n_rows AS DOUBLE) AS skew_ratio,
+        |       CAST(ceil(CAST(max_cnt AS DOUBLE) / CAST(p50_cnt AS DOUBLE)) AS BIGINT) AS salt_hint
+        |FROM agg
+        |ORDER BY grp""".stripMargin,
     // twin of qMonthSpine's Spark SQL — see the DIALECT PIN comment
     // there; only the INTERVAL step syntax and output casts differ
     "q_month_spine" ->

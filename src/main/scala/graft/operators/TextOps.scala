@@ -2076,13 +2076,19 @@ object TextOps {
     * |Q| terms per doc), df is an agg over tf, and the score join
     * broadcasts the 2-row corpus stats — no shuffle carries more than
     * (doc, term ∈ Q) rows. */
+  /** Per-(doc, query-term) counts — the tf frame shared by the BM25
+    * scorer and the retrieval-evaluation queries (graded relevance is
+    * defined over the SAME counts the ranker consumes). */
+  private def bm25Tf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens()).as("term"))
+      .filter(col("term").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
   private def bm25Frame(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .withColumn("dl", size(tokens()).cast("long"))
     val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val tf = docs.select(col("doc_id"), explode(tokens()).as("term"))
-      .filter(col("term").isin(Bm25Query: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = bm25Tf(docs)
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dft, Seq("term"))
       .join(docs.select("doc_id", "dl"), Seq("doc_id"))
@@ -2209,8 +2215,181 @@ object TextOps {
           .as("postings_head"))
       .orderBy("term")
 
+  /** Rank cutoffs shared by the retrieval-evaluation queries. */
+  private val EvalCutoffs = Seq(1L, 3L, 5L, 10L, 20L)
+
+  /** Binary-relevance bar for q_retrieval_metrics: a doc is relevant
+    * when its graded relevance (total query-term occurrences) reaches
+    * this threshold — strict enough (66 of 500 docs at sf0.01) that
+    * BM25's tf-saturation actually disagrees with the raw counts and
+    * P@k / MRR are non-trivial. */
+  private val RelevanceBar = 10L
+
+  /** BM25 ranking relevance-joined: (doc_id, rel, rank) — graded rel
+    * from the shared tf frame, system rank from the shared scorer. */
+  private def rankedRelevance(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val rel = bm25Tf(docs).groupBy("doc_id").agg(sum(col("tf")).as("rel"))
+    bm25Frame(s, d).join(rel, Seq("doc_id"), "left_outer")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)).cast("long"))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rel", "rank")
+  }
+
+  /** NDCG@k of the BM25 ranking against graded relevance (query-term
+    * occurrence counts — the relevance signal available without human
+    * judgments), at cutoffs 1/3/5/10/20. Linear-gain DCG with the
+    * standard 1/log2(rank+1) discount; IDCG from the ideal (rel desc)
+    * ordering of the same docs; each per-rank term is pinned to
+    * DECIMAL(18,9) before the sum (the BM25 device) so the exposed
+    * doubles are cross-engine identical, and ndcg = dcg/idcg is one
+    * IEEE division of two identical doubles. Scale shape: the global
+    * rank windows are the same single-query evaluation shape as
+    * q_bm25 (production shards by query id); the cutoff join
+    * broadcasts a 5-row frame; everything else is hash aggregation. */
+  private def qNdcg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ranked = rankedRelevance(s, d)
+    val ideal = ranked
+      .withColumn("irank", row_number()
+        .over(Window.orderBy(col("rel").desc, col("doc_id"))).cast("long"))
+    val ks = broadcast(EvalCutoffs.toDF("k"))
+    val gain =
+      """CAST(SUM(CAST(CAST(rel AS DOUBLE)
+        |  / (ln(CAST(%s + 1 AS DOUBLE)) / ln(2.0))
+        |  AS DECIMAL(18,9))) AS DOUBLE)""".stripMargin
+    val dcg = ks.join(ranked, col("rank") <= col("k"))
+      .groupBy("k")
+      .agg(sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_scored"),
+        expr(gain.format("rank")).as("dcg"))
+    val idcg = ks.join(ideal, col("irank") <= col("k"))
+      .groupBy("k").agg(expr(gain.format("irank")).as("idcg"))
+    dcg.join(idcg, Seq("k"))
+      .withColumn("ndcg", col("dcg") / col("idcg"))
+      .select("k", "n_scored", "dcg", "idcg", "ndcg")
+      .orderBy("k")
+  }
+
+  /** Binary retrieval metrics of the BM25 ranking — precision@k,
+    * recall@k at cutoffs 1/3/5/10/20, plus rank-wide average
+    * precision (AP: mean of P@rank at each relevant hit) and MRR —
+    * relevant = graded rel >= RelevanceBar. All metrics are rational
+    * arithmetic over integer ranks/counts: the P@i AP terms are
+    * DECIMAL(18,9)-pinned before the sum, every other exposed double
+    * is a single IEEE division of exact integers. Scale shape: one
+    * global rank window (per-query in production), one running-sum
+    * window over it, 5-row broadcast cutoff join, 1-row broadcast of
+    * the AP/MRR/total aggregates. */
+  private def qRetrievalMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cum = rankedRelevance(s, d)
+      .withColumn("is_rel", when(col("rel") >= RelevanceBar, 1L).otherwise(0L))
+      .withColumn("cum_rel", sum(col("is_rel"))
+        .over(Window.orderBy(col("rank")).rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"))
+    val tot = cum.agg(sum(col("is_rel")).cast("long").as("n_rel"),
+      expr("""CAST(SUM(CASE WHEN is_rel = 1 THEN
+                CAST(CAST(cum_rel AS DOUBLE) / CAST(rank AS DOUBLE) AS DECIMAL(18,9))
+              END) AS DOUBLE)""").as("ap_sum"),
+      min(when(col("is_rel") === 1L, col("rank"))).as("first_rel"))
+    val ks = broadcast(EvalCutoffs.toDF("k"))
+    ks.join(cum, col("rank") <= col("k"))
+      .groupBy("k")
+      .agg(max(when(col("rank") === col("k"), col("cum_rel"))).as("rel_at_k"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("rel_at_k"),
+        (col("rel_at_k").cast("double") / col("k").cast("double")).as("p_at_k"),
+        (col("rel_at_k").cast("double") / col("n_rel").cast("double")).as("r_at_k"),
+        (col("ap_sum") / col("n_rel").cast("double")).as("avg_prec"),
+        (lit(1.0) / col("first_rel").cast("double")).as("mrr"),
+        col("n_rel"))
+      .orderBy("k")
+  }
+
+  /** Winnowing window size (consecutive k-grams per window) — w=5
+    * with 4-token grams guarantees any shared run of >= w+k-1 = 8
+    * tokens between two docs shares a fingerprint (Schleimer et al.'s
+    * winnowing theorem), at expected density 2/(w+1) ~ 1/3. */
+  private val WinnowW = 5
+
+  /** Fingerprint df-cap for q_winnow_pairs: fingerprints selected by
+    * more than this many docs (boilerplate at corpus scale) are
+    * dropped before the pair join — the same hot-key guard as the
+    * shingle ShingleDfCap; inert at sf0.01 (max df 6) but the reason
+    * the pair join stays bounded at 100 TB. */
+  private val WinnowDfCap = 16L
+
+  /** Per-doc winnowing fingerprints, computed entirely as narrow
+    * per-row array expressions: gram hashes = 15-hex-char md5 prefix
+    * of each 4-token gram (fixed-width lowercase hex, so string MIN
+    * is numeric MIN in both engines — the md5-family device); the
+    * selected set = distinct minima of each w-wide window. ZERO
+    * shuffle — fingerprint extraction is embarrassingly parallel. */
+  private def winnowFrame(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", tokens())
+      .withColumn("m", size(col("toks")).cast("long"))
+      .withColumn("hs",
+        when(col("m") < 4L, expr("CAST(array() AS ARRAY<STRING>)"))
+          .otherwise(expr(
+            """transform(sequence(1, CAST(m - 3 AS INT)),
+               i -> substring(md5(concat_ws(' ', slice(toks, i, 4))), 1, 15))""")))
+      .withColumn("fps",
+        when(col("m") < lit(3L + WinnowW), expr("CAST(array() AS ARRAY<STRING>)"))
+          .otherwise(expr(
+            s"""array_distinct(transform(sequence(1, CAST(m - ${2 + WinnowW} AS INT)),
+                p -> array_min(slice(hs, p, $WinnowW))))""")))
+      .select(col("doc_id"),
+        greatest(col("m") - 3L, lit(0L)).as("n_grams"),
+        greatest(col("m") - lit(2L + WinnowW), lit(0L)).as("n_windows"),
+        size(col("fps")).cast("long").as("n_fps"),
+        col("fps"))
+
+  /** Per-doc winnowing fingerprint report — gram/window/fingerprint
+    * counts, selection density (~2/(w+1) by the winnowing theorem;
+    * DECIMAL-pinned), and the minimum fingerprint as a spot value so
+    * the hash gate pins the actual selected hashes, not just counts. */
+  private def qWinnow(s: SparkSession, d: String): DataFrame =
+    winnowFrame(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_grams"), col("n_windows"), col("n_fps"),
+        when(col("n_windows") === 0L, lit(0.0)).otherwise(
+          expr("""CAST(CAST(CAST(n_fps AS DOUBLE) / CAST(n_windows AS DOUBLE)
+                  AS DECIMAL(18,9)) AS DOUBLE)""")).as("density"),
+        coalesce(array_min(col("fps")), lit("")).as("min_fp"))
+      .orderBy("doc_id")
+
+  /** Winnowing-fingerprint near-dup pairs over the doubled corpus —
+    * the MOSS move: two docs sharing >= 2 selected fingerprints have
+    * (with w=5, k=4) shared 8-token runs; containment = shared /
+    * min(|fps|). Scale shape: extraction is shuffle-free (above), the
+    * candidate join is keyed by fingerprint with the df-cap bounding
+    * any hot fingerprint's fan-out — the exact posture of the shingle
+    * and LSH dedup paths, never all-pairs. */
+  private def qWinnowPairs(s: SparkSession, d: String): DataFrame = {
+    val sel = winnowFrame(doubled(s, d))
+      .select(col("doc_id"), col("n_fps"), explode(col("fps")).as("fp"))
+    val fpd = sel.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowDfCap)
+    val cap = sel.join(fpd.select("fp"), Seq("fp"))
+    val a = cap.select(col("fp"), col("doc_id").as("a_id"), col("n_fps").as("a_fps"))
+    val b = cap.select(col("fp"), col("doc_id").as("b_id"), col("n_fps").as("b_fps"))
+    a.join(b, Seq("fp")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "a_fps", "b_fps")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2L)
+      .withColumn("containment",
+        col("n_shared").cast("double") / least(col("a_fps"), col("b_fps")).cast("double"))
+      .select("a_id", "b_id", "a_fps", "b_fps", "n_shared", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> (qBm25 _),
+    "q_ndcg" -> (qNdcg _),
+    "q_retrieval_metrics" -> (qRetrievalMetrics _),
+    "q_winnow" -> (qWinnow _),
+    "q_winnow_pairs" -> (qWinnowPairs _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_line_dedup" -> (qLineDedup _),
@@ -2752,6 +2931,131 @@ object TextOps {
          |       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          |FROM bm
          |ORDER BY doc_id""".stripMargin,
+    "q_ndcg" ->
+      s"""WITH $bm25Sql,
+         |relv AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS rel FROM tft GROUP BY doc_id),
+         |ranked AS (
+         |  SELECT b.doc_id, CAST(COALESCE(r.rel, 0) AS BIGINT) AS rel,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY b.score DESC, b.doc_id) AS BIGINT) AS rank
+         |  FROM bm b LEFT JOIN relv r USING (doc_id)
+         |), ideal AS (
+         |  SELECT rel, CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS BIGINT) AS irank
+         |  FROM ranked
+         |), ks AS (SELECT CAST(unnest([1, 3, 5, 10, 20]) AS BIGINT) AS k),
+         |dcg AS (
+         |  SELECT k.k,
+         |         CAST(SUM(CASE WHEN r.rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+         |         CAST(SUM(CAST(CAST(r.rel AS DOUBLE)
+         |           / (ln(CAST(r.rank + 1 AS DOUBLE)) / ln(2.0))
+         |           AS DECIMAL(18,9))) AS DOUBLE) AS dcg
+         |  FROM ks k JOIN ranked r ON r.rank <= k.k GROUP BY k.k
+         |), idcg AS (
+         |  SELECT k.k,
+         |         CAST(SUM(CAST(CAST(i.rel AS DOUBLE)
+         |           / (ln(CAST(i.irank + 1 AS DOUBLE)) / ln(2.0))
+         |           AS DECIMAL(18,9))) AS DOUBLE) AS idcg
+         |  FROM ks k JOIN ideal i ON i.irank <= k.k GROUP BY k.k
+         |)
+         |SELECT d.k, d.n_scored, d.dcg, i.idcg, d.dcg / i.idcg AS ndcg
+         |FROM dcg d JOIN idcg i USING (k)
+         |ORDER BY k""".stripMargin,
+    "q_retrieval_metrics" ->
+      s"""WITH $bm25Sql,
+         |relv AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS rel FROM tft GROUP BY doc_id),
+         |cum AS (
+         |  SELECT rank, is_rel,
+         |         CAST(SUM(is_rel) OVER (ORDER BY rank) AS BIGINT) AS cum_rel
+         |  FROM (
+         |    SELECT CASE WHEN COALESCE(r.rel, 0) >= 10 THEN 1 ELSE 0 END AS is_rel,
+         |           CAST(ROW_NUMBER() OVER (ORDER BY b.score DESC, b.doc_id) AS BIGINT) AS rank
+         |    FROM bm b LEFT JOIN relv r USING (doc_id))
+         |), tot AS (
+         |  SELECT CAST(SUM(is_rel) AS BIGINT) AS n_rel,
+         |         CAST(SUM(CASE WHEN is_rel = 1 THEN
+         |           CAST(CAST(cum_rel AS DOUBLE) / CAST(rank AS DOUBLE) AS DECIMAL(18,9))
+         |         END) AS DOUBLE) AS ap_sum,
+         |         MIN(CASE WHEN is_rel = 1 THEN rank END) AS first_rel
+         |  FROM cum
+         |), ks AS (SELECT CAST(unnest([1, 3, 5, 10, 20]) AS BIGINT) AS k)
+         |SELECT k.k,
+         |       CAST(MAX(CASE WHEN c.rank = k.k THEN c.cum_rel END) AS BIGINT) AS rel_at_k,
+         |       CAST(MAX(CASE WHEN c.rank = k.k THEN c.cum_rel END) AS DOUBLE)
+         |         / CAST(k.k AS DOUBLE) AS p_at_k,
+         |       CAST(MAX(CASE WHEN c.rank = k.k THEN c.cum_rel END) AS DOUBLE)
+         |         / CAST(t.n_rel AS DOUBLE) AS r_at_k,
+         |       t.ap_sum / CAST(t.n_rel AS DOUBLE) AS avg_prec,
+         |       1.0 / CAST(t.first_rel AS DOUBLE) AS mrr,
+         |       t.n_rel
+         |FROM ks k JOIN cum c ON c.rank <= k.k CROSS JOIN tot t
+         |GROUP BY k.k, t.n_rel, t.ap_sum, t.first_rel
+         |ORDER BY k""".stripMargin,
+    "q_winnow" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS m
+         |  FROM documents
+         |), hsx AS (
+         |  SELECT doc_id, m,
+         |         greatest(m - 3, 0) AS n_grams,
+         |         greatest(m - 7, 0) AS n_windows,
+         |         CASE WHEN m < 4 THEN [] ELSE
+         |           list_transform(range(1, CAST(m - 3 AS INTEGER) + 1), i ->
+         |             substring(md5(array_to_string(toks[i:i+3], ' ')), 1, 15))
+         |         END AS hs
+         |  FROM tk
+         |), fpx AS (
+         |  SELECT doc_id, n_grams, n_windows,
+         |         CASE WHEN m < 8 THEN [] ELSE
+         |           list_distinct(list_transform(range(1, CAST(m - 7 AS INTEGER) + 1), p ->
+         |             list_min(hs[p:p+4])))
+         |         END AS fps
+         |  FROM hsx
+         |)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |       CAST(n_windows AS BIGINT) AS n_windows,
+         |       CAST(len(fps) AS BIGINT) AS n_fps,
+         |       CASE WHEN n_windows = 0 THEN 0.0 ELSE
+         |         CAST(CAST(CAST(len(fps) AS DOUBLE) / CAST(n_windows AS DOUBLE)
+         |              AS DECIMAL(18,9)) AS DOUBLE)
+         |       END AS density,
+         |       COALESCE(list_min(fps), '') AS min_fp
+         |FROM fpx
+         |ORDER BY doc_id""".stripMargin,
+    "q_winnow_pairs" ->
+      s"""WITH $doubledSql,
+         |tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS m
+         |  FROM doubled
+         |), hsx AS (
+         |  SELECT doc_id, m,
+         |         CASE WHEN m < 4 THEN [] ELSE
+         |           list_transform(range(1, CAST(m - 3 AS INTEGER) + 1), i ->
+         |             substring(md5(array_to_string(toks[i:i+3], ' ')), 1, 15))
+         |         END AS hs
+         |  FROM tk
+         |), fpx AS (
+         |  SELECT doc_id,
+         |         CASE WHEN m < 8 THEN [] ELSE
+         |           list_distinct(list_transform(range(1, CAST(m - 7 AS INTEGER) + 1), p ->
+         |             list_min(hs[p:p+4])))
+         |         END AS fps
+         |  FROM hsx
+         |), sel AS (
+         |  SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, unnest(fps) AS fp FROM fpx
+         |), fpd AS (
+         |  SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) <= 16
+         |), cap AS (
+         |  SELECT s.doc_id, s.n_fps, s.fp FROM sel s JOIN fpd USING (fp)
+         |)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       a.n_fps AS a_fps, b.n_fps AS b_fps,
+         |       CAST(COUNT(*) AS BIGINT) AS n_shared,
+         |       CAST(COUNT(*) AS DOUBLE) / CAST(least(a.n_fps, b.n_fps) AS DOUBLE) AS containment
+         |FROM cap a JOIN cap b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id, a.n_fps, b.n_fps
+         |HAVING COUNT(*) >= 2
+         |ORDER BY a_id, b_id""".stripMargin,
     "q_hybrid_rrf" ->
       s"""WITH $bm25Sql,
          |lr AS (
