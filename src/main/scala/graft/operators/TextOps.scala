@@ -2326,7 +2326,7 @@ object TextOps {
     * is numeric MIN in both engines — the md5-family device); the
     * selected set = distinct minima of each w-wide window. ZERO
     * shuffle — fingerprint extraction is embarrassingly parallel. */
-  private def winnowFrame(docs: DataFrame): DataFrame =
+  private[graft] def winnowFrame(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", tokens())
       .withColumn("m", size(col("toks")).cast("long"))

@@ -884,6 +884,66 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("winnowing pairs: every replay pair is found at containment 1.0") {
+    // a doc and its id-shifted replay have IDENTICAL fingerprint
+    // sets, so every original with >= 2 fingerprints must surface as
+    // a pair sharing its whole set — and a df-cap hot enough to eat a
+    // replay pair's every fingerprint fails HERE with a diagnosis
+    val eligible = q("q_winnow").filter($"n_fps" >= 2).count()
+    val replays = q("q_winnow_pairs").filter($"b_id" - $"a_id" === 1000000L)
+    assert(replays.count() == eligible,
+      s"expected $eligible replay pairs (docs with >=2 fingerprints)")
+    assert(replays.filter($"containment" =!= 1.0 || $"n_shared" =!= $"a_fps")
+      .count() == 0, "replay pairs must share their full fingerprint set")
+  }
+
+  test("ndcg: dcg bounded by idcg (rearrangement), ndcg in (0,1]") {
+    val rows = q("q_ndcg").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (dcg, idcg, ndcg) =
+        (r.getAs[Double]("dcg"), r.getAs[Double]("idcg"), r.getAs[Double]("ndcg"))
+      assert(dcg > 0.0 && dcg <= idcg,
+        s"k=${r.getAs[Long]("k")}: dcg $dcg must be in (0, idcg=$idcg]")
+      assert(ndcg > 0.0 && ndcg <= 1.0)
+    }
+  }
+
+  test("retrieval metrics: counts bounded by k, recall monotone, scalars sane") {
+    val rows = q("q_retrieval_metrics").orderBy($"k").collect()
+    assert(rows.length == 5)
+    var prevRecall = -1.0
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      assert(r.getAs[Long]("rel_at_k") <= k)
+      assert(r.getAs[Double]("p_at_k") ==
+        r.getAs[Long]("rel_at_k").toDouble / k.toDouble)
+      val recall = r.getAs[Double]("r_at_k")
+      assert(recall >= prevRecall, "recall@k must be nondecreasing in k")
+      prevRecall = recall
+      val (ap, mrr) = (r.getAs[Double]("avg_prec"), r.getAs[Double]("mrr"))
+      assert(ap > 0.0 && ap <= 1.0)
+      assert(mrr > 0.0 && mrr <= 1.0)
+      assert(r.getAs[Long]("n_rel") > 0L)
+    }
+  }
+
+  test("key-skew: nearest-rank percentiles ordered, ALL row reconciles") {
+    val rows = q("q_key_skew").collect()
+    rows.foreach { r =>
+      val (p50, p90, p99, mx) = (r.getAs[Long]("p50_cnt"), r.getAs[Long]("p90_cnt"),
+        r.getAs[Long]("p99_cnt"), r.getAs[Long]("max_cnt"))
+      assert(p50 <= p90 && p90 <= p99 && p99 <= mx,
+        s"${r.getAs[String]("grp")}: percentiles must be ordered: $p50/$p90/$p99/$mx")
+      assert(r.getAs[Long]("salt_hint") >= 1L)
+      assert(r.getAs[Double]("top1_share") > 0.0 && r.getAs[Double]("top1_share") <= 1.0)
+      assert(r.getAs[Double]("skew_ratio") >= 1.0) // max >= mean always
+    }
+    val all = rows.filter(_.getAs[String]("grp") == "ALL").head.getAs[Long]("n_rows")
+    val typed = rows.filter(_.getAs[String]("grp") != "ALL").map(_.getAs[Long]("n_rows")).sum
+    assert(all == typed, s"ALL row ($all events) must equal the sum over types ($typed)")
+  }
+
   test("every registered query is runnable and non-degenerate at sf0.001") {
     val counts = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> SparkEntry.queries(name)(spark, Sf0001).count()

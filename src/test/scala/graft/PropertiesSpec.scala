@@ -201,4 +201,34 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("winnowing theorem: any shared run of >= w+k-1 tokens shares a fingerprint") {
+    // q_winnow_pairs' recall guarantee (Schleimer et al., winnowing
+    // §3): with 4-token grams and w=5 windows, two docs sharing ANY
+    // contiguous run of >= 8 tokens contain one identical full window
+    // of grams, whose minimum is selected into both fingerprint sets.
+    // Exercised on random docs with a random shared run spliced in at
+    // random offsets — the property the fingerprint-keyed pair join's
+    // completeness rests on (the df-cap is the only sanctioned loss).
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docGen = for {
+      runLen <- Gen.choose(8, 16)
+      run <- Gen.listOfN(runLen, Gen.oneOf(vocab))
+      aLen <- Gen.choose(0, 30)
+      bLen <- Gen.choose(0, 30)
+      a <- Gen.listOfN(aLen, Gen.oneOf(vocab))
+      b <- Gen.listOfN(bLen, Gen.oneOf(vocab))
+      ai <- Gen.choose(0, aLen)
+      bi <- Gen.choose(0, bLen)
+    } yield (a.take(ai) ++ run ++ a.drop(ai), b.take(bi) ++ run ++ b.drop(bi))
+    forAllSampled(docGen, trials = 8) { case (a, b) =>
+      val df = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")))
+        .toDF("doc_id", "text")
+      val fps = graft.operators.TextOps.winnowFrame(df)
+        .select("doc_id", "fps").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      assert((fps(1L) intersect fps(2L)).nonEmpty,
+        s"no shared fingerprint despite shared run:\na=${a.mkString(" ")}\nb=${b.mkString(" ")}")
+    }
+  }
 }
