@@ -31,7 +31,9 @@ object Explain {
         "q_sample_weighted", "q_zorder", "q_kcore", "q_sim_ivfpq",
         "q_hard_negatives", "q_rebalance", "q_quality_tiers", "q_auc",
         "q_pr_curve", "q_source_overlap", "q_centroid_outliers",
-        "q_knn_classify", "q_novelty_curve")
+        "q_knn_classify", "q_novelty_curve", "q_ann_recall", "q_calibration",
+        "q_url_canonicalize", "q_ndcg", "q_retrieval_metrics", "q_winnow",
+        "q_winnow_pairs", "q_key_skew")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -253,11 +253,70 @@ object GraphOps {
     kcore(edges, math.floor(CoreFrac.toDouble * med).toInt)
   }
 
+  /** Minimum shared-order support for a strong-tie LPA edge — the
+    * support-1 noise floor (112k of 116k pairs at sf0.01) carries no
+    * community signal and would densify the graph into one giant
+    * label; >= 2 keeps the 3.4k edges that actually recur. */
+  private val LpaSupport = 2L
+
+  /** Fixed synchronous label-propagation rounds. Unlike k-core the
+    * oracle needs no depth probe: both engines run EXACTLY this many
+    * synchronous rounds, so the unrolled SQL is a replay by
+    * construction, converged or not. */
+  private[graft] val LpaRounds = 4
+
+  /** Strong-tie co-occurrence edges: (u < v) appearing together in at
+    * least LpaSupport distinct orders. Same intra-order pair join as
+    * coEdges plus a support count — one l_orderkey shuffle, one
+    * (u, v) hash agg. */
+  private def strongEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+    val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+    a.join(b, Seq("k")).filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(countDistinct(col("k")).as("support"))
+      .filter(col("support") >= LpaSupport).select("u", "v")
+  }
+
+  /** Community detection by synchronous label propagation over the
+    * strong-tie graph — LpaRounds rounds of "adopt the most frequent
+    * neighbor label, ties to the smallest", which is deterministic
+    * (synchronous updates + total tie order) unlike classic
+    * asynchronous LPA, so it can be hash-gated. Scale shape: each
+    * round is one edge-keyed join + one (node, label) hash agg + one
+    * per-node top-1 window — all node/edge-keyed shuffles, rounds
+    * bounded by the constant LpaRounds, lineage cut per round the
+    * same way the k-core peel does. 349 communities (max 81 members)
+    * over 1 880 nodes at sf0.01. */
+  private def qCommunities(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = strongEdges(s, d).localCheckpoint()
+    val und = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint()
+    var lbl = und.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    for (_ <- 1 to LpaRounds) {
+      val cnt = und.join(lbl.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      lbl = cnt.withColumn("rn", row_number().over(
+          Window.partitionBy("node").orderBy(col("c").desc, col("lbl"))))
+        .filter(col("rn") === 1).select("node", "lbl")
+        .localCheckpoint()
+    }
+    val sz = lbl.groupBy("lbl").agg(count(lit(1)).as("comm_size"))
+    lbl.join(sz, Seq("lbl"))
+      .select(col("node"), col("lbl").as("community"), col("comm_size"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> (qTriangles _),
     "q_local_cc" -> (qLocalCc _),
     "q_basket_lift" -> (qBasketLift _),
-    "q_kcore" -> (qKcore _)
+    "q_kcore" -> (qKcore _),
+    "q_communities" -> (qCommunities _)
   )
 
   private val pairsSql =
@@ -312,8 +371,46 @@ object GraphOps {
        |ORDER BY node""".stripMargin
   }
 
+  /** Unrolled synchronous-LPA chain — `rounds` repetitions of
+    * (neighbor-label counts) → (top-1 by count desc, label asc). Same
+    * MATERIALIZED discipline as kcoreSql: each round reads its
+    * predecessor once in a join, but DuckDB's per-reference inlining
+    * would still stack the chain multiplicatively without it. */
+  private def lpaSql(rounds: Int): String = {
+    val chain = (0 until rounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.a AS node, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM und e JOIN l$i l ON l.node = e.b GROUP BY e.a, l.lbl
+         |), l${i + 1} AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         |    FROM c$i) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS support
+       |    FROM lineitem a JOIN lineitem b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |    GROUP BY 1, 2)
+       |  WHERE support >= $LpaSupport
+       |), und AS MATERIALIZED (
+       |  SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v AS a, u AS b FROM e0
+       |), l0 AS MATERIALIZED (
+       |  SELECT DISTINCT a AS node, a AS lbl FROM und
+       |),
+       |$chain,
+       |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS comm_size FROM l$rounds GROUP BY lbl)
+       |SELECT l.node, l.lbl AS community, sz.comm_size
+       |FROM l$rounds l JOIN sz ON sz.lbl = l.lbl
+       |ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_kcore" -> kcoreSql(CoreOracleRounds),
+    "q_communities" -> lpaSql(LpaRounds),
     // the oracle counts ordered triples u<v<w by part id — a hash-family
     // -free formulation that is independent of the degree orientation
     // the engine uses, so it cross-checks the orientation logic itself

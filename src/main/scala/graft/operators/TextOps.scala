@@ -1954,6 +1954,35 @@ object TextOps {
         (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
       .orderBy("bin")
 
+  /** Expected calibration error of the span-coverage detector — the
+    * scalar summary of q_calibration's reliability table: ece =
+    * Σ_b (n_b/N)·|pos_rate_b − mean_conf_b| over the same 10
+    * equal-width confidence bins. Mean confidence per bin is a sum of
+    * doubles, so each cover_frac is DECIMAL(18,9)-pinned before the
+    * bin sum (tie-safe: cover_frac is p/q with q = n_tokens ≤ ~112,
+    * which can never land on a half-ulp decimal boundary), and each
+    * bin's weighted gap is pinned again before the final sum. Scale
+    * shape: rides the shared spanCoverage chain, then two hash
+    * aggregations over ≤ 10 bin rows. */
+  private def qEce(s: SparkSession, d: String): DataFrame = {
+    val bins = spanCoverage(s, d)
+      .withColumn("pos", when(col("doc_id") % 7 === 0, 1L).otherwise(0L))
+      .withColumn("bin",
+        least(floor(col("cover_frac") * lit(10.0)).cast("long"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        expr("CAST(SUM(CAST(cover_frac AS DECIMAL(18,9))) AS DOUBLE)").as("conf_sum"))
+    bins.agg(
+      count(lit(1)).cast("long").as("n_bins"),
+      sum(col("n")).cast("long").as("n_docs"),
+      expr("""CAST(SUM(CAST(
+                CAST(n AS DOUBLE) * abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                  - conf_sum / CAST(n AS DOUBLE))
+              AS DECIMAL(18,9))) AS DOUBLE)""").as("wsum"))
+      .withColumn("ece", col("wsum") / col("n_docs").cast("double"))
+      .select("n_bins", "n_docs", "ece")
+  }
+
   // ---- URL canonicalization (crawl-dedup key) -----------------------
   //
   // Crawl curation dedups by CANONICAL URL before any content pass:
@@ -2401,6 +2430,7 @@ object TextOps {
     "q_auc" -> (qAuc _),
     "q_pr_curve" -> (qPrCurve _),
     "q_calibration" -> (qCalibration _),
+    "q_ece" -> (qEce _),
     "q_url_canonicalize" -> (qUrlCanonicalize _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_novelty_curve" -> (qNoveltyCurve _),
@@ -3127,6 +3157,25 @@ object TextOps {
          |       CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
          |FROM cal GROUP BY bin
          |ORDER BY bin""".stripMargin,
+    "q_ece" ->
+      s"""WITH $spanCoverageSql,
+         |binned AS (
+         |  SELECT least(CAST(floor(cover_frac * 10.0) AS BIGINT), 9) AS bin,
+         |         CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS pos,
+         |         cover_frac
+         |  FROM sc
+         |), bins AS (
+         |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |         CAST(SUM(CAST(cover_frac AS DECIMAL(18,9))) AS DOUBLE) AS conf_sum
+         |  FROM binned GROUP BY bin
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+         |       CAST(SUM(n) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CAST(
+         |         CAST(n AS DOUBLE) * abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+         |           - conf_sum / CAST(n AS DOUBLE))
+         |       AS DECIMAL(18,9))) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS ece
+         |FROM bins""".stripMargin,
     "q_url_canonicalize" ->
       """WITH u AS (
         |  SELECT doc_id,

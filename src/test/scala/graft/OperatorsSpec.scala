@@ -944,6 +944,33 @@ class OperatorsSpec extends SparkSpec {
     assert(all == typed, s"ALL row ($all events) must equal the sum over types ($typed)")
   }
 
+  test("communities: labels are member nodes, sizes reconcile, rerun is identical") {
+    val rows = q("q_communities").collect()
+    val nodes = rows.map(_.getAs[Long]("node")).toSet
+    val labels = rows.map(_.getAs[Long]("community")).toSet
+    assert(labels.subsetOf(nodes), "every community label must be a graph node")
+    val byComm = rows.groupBy(_.getAs[Long]("community"))
+    byComm.foreach { case (c, members) =>
+      assert(members.forall(_.getAs[Long]("comm_size") == members.length),
+        s"community $c: comm_size must equal the member count")
+    }
+    assert(byComm.values.map(_.length).sum == rows.length)
+    // synchronous rounds + total tie order ⇒ bit-identical reruns —
+    // the determinism claim the hash gate rests on, asserted in-engine
+    val rerun = q("q_communities").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      rerun.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("ece: scalar in [0,1] over all docs, bins bounded by 10") {
+    val r = q("q_ece").head()
+    assert(r.getAs[Long]("n_bins") >= 1L && r.getAs[Long]("n_bins") <= 10L)
+    assert(r.getAs[Long]("n_docs") ==
+      graft.sources.Tables.documents(spark, Sf0001).count())
+    val ece = r.getAs[Double]("ece")
+    assert(ece >= 0.0 && ece <= 1.0, s"ece $ece out of range")
+  }
+
   test("every registered query is runnable and non-degenerate at sf0.001") {
     val counts = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> SparkEntry.queries(name)(spark, Sf0001).count()

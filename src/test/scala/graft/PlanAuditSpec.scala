@@ -151,6 +151,25 @@ class PlanAuditSpec extends SparkSpec {
       s"scan reads unreferenced columns: $readSchema")
   }
 
+  test("q_winnow fingerprint extraction is shuffle-free narrow maps") {
+    // the 100 TB property: winnowing fingerprints are computed
+    // entirely per-row (gram hashes + window minima as array ops) —
+    // the only Exchange is the harness ORDER BY, and the scan reads
+    // only the two referenced columns
+    val p = plan("q_winnow")
+    val shuffles = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(shuffles == 1, s"extraction must not shuffle, got $shuffles:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("source"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("q_winnow_pairs joins only on fingerprint keys — never all-pairs") {
+    val p = plan("q_winnow_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay fingerprint-keyed:\n$p")
+  }
+
   test("q_pack_sequences reuses the per-lang window partitioning for the aggregate") {
     // HashPartitioning(lang) from the running-sum window must satisfy
     // the (lang, seq_id) group clustering — a second exchange before
