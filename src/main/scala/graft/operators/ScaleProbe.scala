@@ -152,7 +152,17 @@ object ScaleProbe {
       // (hence the derived K and the peel depth) exactly the base
       // corpus's, so cost should scale as rounds × m — linear, with
       // the driver-coordinated loop overhead the probe prices in
-      "q_kcore" -> GraphOps.queries("q_kcore")
+      "q_kcore" -> GraphOps.queries("q_kcore"),
+      // winnowing pairs: copy-rewritten texts keep fingerprints
+      // copy-local, so the fp-keyed join should scale m× — the probe
+      // prices the df-capped fan-out claim the same way it does the
+      // shingle and LSH paths
+      "q_winnow_pairs" -> TextOps.queries("q_winnow_pairs"),
+      // synchronous LPA: rounds are constant, each round is one
+      // edge-keyed join + agg — the second driver-coordinated loop
+      // (after the CC/k-core family) whose exponent is worth
+      // measuring rather than arguing
+      "q_communities" -> GraphOps.queries("q_communities")
     )
   }
 

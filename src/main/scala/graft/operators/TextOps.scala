@@ -1983,6 +1983,50 @@ object TextOps {
       .select("n_bins", "n_docs", "ece")
   }
 
+  /** Dirichlet prior scale for q_source_terms (Monroe et al.'s
+    * informative prior: α_w = α0·y_w/n). Shared literal so both
+    * engines parse the same double. */
+  private val LogOddsAlpha0 = "20.0"
+
+  /** Per-source distinctive terms by log-odds-ratio with informative
+    * Dirichlet prior (Monroe, Colaresi & Quinn 2008) — the curation
+    * question "what characterizes this source vs the rest of the
+    * corpus", answered more robustly than tf-idf (the prior shrinks
+    * rare-term noise). δ_sw compares the term's odds within source s
+    * against its odds in the remaining corpus, both smoothed by
+    * α0·y_w/n. All ln inputs are exact-integer-derived doubles, each
+    * δ is a PER-ROW expression pinned to DECIMAL(18,9) (no sums of
+    * doubles anywhere), and the per-source top-5 ranks on the pinned
+    * value with a term tiebreak. Scale shape: one (source, term)
+    * hash agg, term-keyed and source-keyed model joins, a 1-row
+    * broadcast of corpus totals, and a per-source top-k window —
+    * nothing wider than the vocabulary ever shuffles. */
+  private def qSourceTerms(s: SparkSession, d: String): DataFrame = {
+    val a0 = LogOddsAlpha0
+    val ysw = Tables.documents(s, d)
+      .select(col("source"), explode(tokens()).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("y_sw"))
+    val yw = ysw.groupBy("term").agg(sum(col("y_sw")).as("y_w"))
+    val ns = ysw.groupBy("source").agg(sum(col("y_sw")).as("n_s"))
+    val n = yw.agg(sum(col("y_w")).as("n_tot"))
+    ysw.join(yw, Seq("term")).join(ns, Seq("source"))
+      .crossJoin(broadcast(n))
+      .withColumn("delta", expr(
+        s"""CAST(CAST(
+              ln((CAST(y_sw AS DOUBLE) + $a0 * CAST(y_w AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                 / (CAST(n_s AS DOUBLE) + $a0 - CAST(y_sw AS DOUBLE)
+                    - $a0 * CAST(y_w AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+              - ln((CAST(y_w - y_sw AS DOUBLE) + $a0 * CAST(y_w AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                 / (CAST(n_tot - n_s AS DOUBLE) + $a0 - CAST(y_w - y_sw AS DOUBLE)
+                    - $a0 * CAST(y_w AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+            AS DECIMAL(18,9)) AS DOUBLE)"""))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("delta").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("source", "rank", "term", "y_sw", "delta")
+      .orderBy("source", "rank")
+  }
+
   // ---- URL canonicalization (crawl-dedup key) -----------------------
   //
   // Crawl curation dedups by CANONICAL URL before any content pass:
@@ -2431,6 +2475,7 @@ object TextOps {
     "q_pr_curve" -> (qPrCurve _),
     "q_calibration" -> (qCalibration _),
     "q_ece" -> (qEce _),
+    "q_source_terms" -> (qSourceTerms _),
     "q_url_canonicalize" -> (qUrlCanonicalize _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_novelty_curve" -> (qNoveltyCurve _),
@@ -3176,6 +3221,36 @@ object TextOps {
          |           - conf_sum / CAST(n AS DOUBLE))
          |       AS DECIMAL(18,9))) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS ece
          |FROM bins""".stripMargin,
+    "q_source_terms" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+         |), ysw AS (
+         |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS y_sw FROM tok GROUP BY source, term
+         |), yw AS (
+         |  SELECT term, CAST(SUM(y_sw) AS BIGINT) AS y_w FROM ysw GROUP BY term
+         |), ns AS (
+         |  SELECT source, CAST(SUM(y_sw) AS BIGINT) AS n_s FROM ysw GROUP BY source
+         |), n AS (
+         |  SELECT CAST(SUM(y_w) AS BIGINT) AS n_tot FROM yw
+         |), d AS (
+         |  SELECT s.source, s.term, s.y_sw,
+         |         CAST(CAST(
+         |           ln((CAST(s.y_sw AS DOUBLE) + $LogOddsAlpha0 * CAST(w.y_w AS DOUBLE) / CAST(t.n_tot AS DOUBLE))
+         |              / (CAST(g.n_s AS DOUBLE) + $LogOddsAlpha0 - CAST(s.y_sw AS DOUBLE)
+         |                 - $LogOddsAlpha0 * CAST(w.y_w AS DOUBLE) / CAST(t.n_tot AS DOUBLE)))
+         |           - ln((CAST(w.y_w - s.y_sw AS DOUBLE) + $LogOddsAlpha0 * CAST(w.y_w AS DOUBLE) / CAST(t.n_tot AS DOUBLE))
+         |              / (CAST(t.n_tot - g.n_s AS DOUBLE) + $LogOddsAlpha0 - CAST(w.y_w - s.y_sw AS DOUBLE)
+         |                 - $LogOddsAlpha0 * CAST(w.y_w AS DOUBLE) / CAST(t.n_tot AS DOUBLE)))
+         |         AS DECIMAL(18,9)) AS DOUBLE) AS delta
+         |  FROM ysw s JOIN yw w USING (term) JOIN ns g USING (source) CROSS JOIN n t
+         |)
+         |SELECT source, rank, term, y_sw, delta FROM (
+         |  SELECT source, term, y_sw, delta,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |                                 ORDER BY delta DESC, term) AS BIGINT) AS rank
+         |  FROM d)
+         |WHERE rank <= 5
+         |ORDER BY source, rank""".stripMargin,
     "q_url_canonicalize" ->
       """WITH u AS (
         |  SELECT doc_id,
