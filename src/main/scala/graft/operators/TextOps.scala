@@ -2027,6 +2027,42 @@ object TextOps {
       .orderBy("source", "rank")
   }
 
+  /** Per-source Zipf slope — the corpus-health diagnostic (natural
+    * text shows slope ≈ −1 on the log-log rank/frequency line; a
+    * too-flat slope flags synthetic or templated text, exactly what a
+    * crawl-curation pass screens for). OLS over (ln rank, ln freq)
+    * with every summand pinned to DECIMAL(18,9) before the per-source
+    * sums (x, y ≤ ln(vocab) so the pin is far from the decimal
+    * boundary), slope/intercept then closed-form divisions of
+    * identical doubles. Rank ties break on the term for a total
+    * order. Scale shape: one (source, term) hash agg, a per-source
+    * rank window over vocabulary-sized partitions, one per-source
+    * aggregation — the whole query is vocabulary-bounded after the
+    * token explode. */
+  private def qZipf(s: SparkSession, d: String): DataFrame = {
+    val xy = Tables.documents(s, d)
+      .select(col("source"), explode(tokens()).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("freq").desc, col("term"))).cast("long"))
+      .select(col("source"),
+        expr("CAST(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)").as("x"),
+        expr("CAST(CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)").as("y"))
+    xy.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        expr("CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE)").as("sx"),
+        expr("CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE)").as("sy"),
+        expr("CAST(SUM(CAST(x * y AS DECIMAL(18,9))) AS DOUBLE)").as("sxy"),
+        expr("CAST(SUM(CAST(x * x AS DECIMAL(18,9))) AS DOUBLE)").as("sxx"))
+      .withColumn("zipf_slope",
+        (col("sxy") - col("sx") * col("sy") / col("n_terms").cast("double"))
+          / (col("sxx") - col("sx") * col("sx") / col("n_terms").cast("double")))
+      .withColumn("intercept",
+        (col("sy") - col("zipf_slope") * col("sx")) / col("n_terms").cast("double"))
+      .select("source", "n_terms", "zipf_slope", "intercept")
+      .orderBy("source")
+  }
+
   // ---- URL canonicalization (crawl-dedup key) -----------------------
   //
   // Crawl curation dedups by CANONICAL URL before any content pass:
@@ -2476,6 +2512,7 @@ object TextOps {
     "q_calibration" -> (qCalibration _),
     "q_ece" -> (qEce _),
     "q_source_terms" -> (qSourceTerms _),
+    "q_zipf" -> (qZipf _),
     "q_url_canonicalize" -> (qUrlCanonicalize _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_novelty_curve" -> (qNoveltyCurve _),
@@ -3251,6 +3288,38 @@ object TextOps {
          |  FROM d)
          |WHERE rank <= 5
          |ORDER BY source, rank""".stripMargin,
+    "q_zipf" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY source, term
+        |), rk AS (
+        |  SELECT source, freq,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |                                 ORDER BY freq DESC, term) AS BIGINT) AS rank
+        |  FROM tf
+        |), xy AS (
+        |  SELECT source,
+        |         CAST(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE) AS x,
+        |         CAST(CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE) AS y
+        |  FROM rk
+        |), agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |         CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(x * y AS DECIMAL(18,9))) AS DOUBLE) AS sxy,
+        |         CAST(SUM(CAST(x * x AS DECIMAL(18,9))) AS DOUBLE) AS sxx
+        |  FROM xy GROUP BY source
+        |), sl AS (
+        |  SELECT source, n_terms, sx, sy,
+        |         (sxy - sx * sy / CAST(n_terms AS DOUBLE))
+        |           / (sxx - sx * sx / CAST(n_terms AS DOUBLE)) AS zipf_slope
+        |  FROM agg
+        |)
+        |SELECT source, n_terms, zipf_slope,
+        |       (sy - zipf_slope * sx) / CAST(n_terms AS DOUBLE) AS intercept
+        |FROM sl
+        |ORDER BY source""".stripMargin,
     "q_url_canonicalize" ->
       """WITH u AS (
         |  SELECT doc_id,
