@@ -246,8 +246,43 @@ object Sampling {
       .orderBy("shard")
   }
 
+  /** Temporal train/val split at the 80th time percentile with the
+    * leakage diagnostic a forecasting or next-event-prediction
+    * pipeline needs: hash splits (q_split_assign) prevent CONTENT
+    * leakage, but time-series training must split on TIME, and the
+    * thing to audit is how many users straddle the cut (their val
+    * behavior is partially observed in train). Determinism: the cut
+    * is floor(percentile(epoch_us, 0.8)) — exact linear interpolation
+    * over BIGINTs in double, identical cross-engine — and every other
+    * output is an integer count plus one exact division. Scale shape:
+    * one percentile aggregate (partial-merged, no sort), one
+    * broadcast of the 1-row cut, two hash aggregates. */
+  private def qTimeSplit(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val cut = ev.agg(
+      floor(expr("percentile(us, 0.8d)")).cast("long").as("cut_us"))
+    val marked = ev.crossJoin(broadcast(cut))
+      .withColumn("split",
+        when(col("us") <= col("cut_us"), "train").otherwise("val"))
+    val totals = marked.agg(
+      max(col("cut_us")).as("cut_us"),
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+      countDistinct(when(col("split") === "train", col("user_id"))).as("users_train"),
+      countDistinct(when(col("split") === "val", col("user_id"))).as("users_val"))
+    val both = marked.groupBy(col("user_id"))
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") === 2)
+      .agg(count(lit(1)).as("users_both"))
+    totals.crossJoin(broadcast(both))
+      .withColumn("user_leak_frac",
+        col("users_both").cast("double") / col("users_val"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_shard_plan" -> (qShardPlan _),
+    "q_time_split" -> (qTimeSplit _),
     "q_split_assign" -> (qSplitAssign _),
     "q_split_stats" -> (qSplitStats _),
     "q_sample_hash" -> (qSampleHash _),
@@ -264,6 +299,31 @@ object Sampling {
       |     ELSE 'test' END""".stripMargin.replace("\n", " ")
 
   val oracle: Map[String, String] = Map(
+    "q_time_split" ->
+      """WITH cut AS (
+        |  SELECT CAST(floor(percentile_cont(0.8) WITHIN GROUP (ORDER BY epoch_us(ts))) AS BIGINT) AS cut_us
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id,
+        |         CASE WHEN epoch_us(ts) <= cut_us THEN 'train' ELSE 'val' END AS split
+        |  FROM events, cut),
+        |per AS (
+        |  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM marked GROUP BY 1),
+        |leak AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS users_both FROM (
+        |    SELECT user_id FROM marked GROUP BY user_id
+        |    HAVING COUNT(DISTINCT split) = 2))
+        |SELECT cut.cut_us,
+        |       (SELECT n_events FROM per WHERE split = 'train') AS n_train,
+        |       (SELECT n_events FROM per WHERE split = 'val') AS n_val,
+        |       (SELECT n_users FROM per WHERE split = 'train') AS users_train,
+        |       (SELECT n_users FROM per WHERE split = 'val') AS users_val,
+        |       leak.users_both,
+        |       CAST(leak.users_both AS DOUBLE)
+        |         / (SELECT n_users FROM per WHERE split = 'val') AS user_leak_frac
+        |FROM cut, leak""".stripMargin,
     "q_shard_plan" ->
       s"""WITH sharded AS (
          |  SELECT CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)

@@ -2039,6 +2039,40 @@ object TextOps {
     * rank window over vocabulary-sized partitions, one per-source
     * aggregation — the whole query is vocabulary-bounded after the
     * token explode. */
+  /** Boilerplate n-gram detection — the C4/RefinedWeb curation step
+    * that finds template text (nav bars, license footers, cookie
+    * banners) by DOCUMENT frequency: a 3-gram occurring in ≥1 % of
+    * the corpus is template, not content. Emits the flagged gram
+    * table (df = distinct docs, n_occ = total occurrences) a cleaning
+    * pass would subtract. Scale shape: the gram explode is a narrow
+    * per-doc map (≤ n_tokens rows each); the distinct-per-doc cut
+    * happens inside the same aggregation (count + count(DISTINCT
+    * doc_id) share one shuffle on gram); the ≥1 % filter makes the
+    * output tiny before the final rank sort. The n_docs scalar is a
+    * broadcast. */
+  private def qBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens().as("t"))
+      .filter(size(col("t")) >= 3)
+    val nDocs = Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_docs"))
+    docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))")).as("gram"))
+      .groupBy(col("gram"))
+      .agg(
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * lit(100L) >= col("n_docs"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("df").desc, col("gram"))).cast("long"))
+      .select(
+        col("rank"), col("gram"), col("df"), col("n_occ"), col("n_docs"),
+        (col("df").cast("double") / col("n_docs")).as("df_frac"))
+      .orderBy("rank")
+  }
+
   private def qZipf(s: SparkSession, d: String): DataFrame = {
     val xy = Tables.documents(s, d)
       .select(col("source"), explode(tokens()).as("term"))
@@ -2513,6 +2547,7 @@ object TextOps {
     "q_ece" -> (qEce _),
     "q_source_terms" -> (qSourceTerms _),
     "q_zipf" -> (qZipf _),
+    "q_boilerplate" -> (qBoilerplate _),
     "q_url_canonicalize" -> (qUrlCanonicalize _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_novelty_curve" -> (qNoveltyCurve _),
@@ -3320,6 +3355,24 @@ object TextOps {
         |       (sy - zipf_slope * sx) / CAST(n_terms AS DOUBLE) AS intercept
         |FROM sl
         |ORDER BY source""".stripMargin,
+    "q_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), g AS (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+        |  FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i)
+        |  WHERE i + 2 <= len(t)
+        |), agg AS (
+        |  SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM g GROUP BY gram
+        |), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY df DESC, gram) AS BIGINT) AS rank,
+        |       gram, df, n_occ, n_docs,
+        |       CAST(df AS DOUBLE) / n_docs AS df_frac
+        |FROM agg, nd
+        |WHERE df * 100 >= n_docs
+        |ORDER BY rank""".stripMargin,
     "q_url_canonicalize" ->
       """WITH u AS (
         |  SELECT doc_id,

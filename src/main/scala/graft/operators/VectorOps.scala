@@ -957,8 +957,119 @@ object VectorOps {
       .orderBy("q_id")
   }
 
+  // ---- Johnson–Lindenstrauss ±1 random projection ------------------
+  //
+  // Achlioptas-style database-friendly JL: project the int8-quantized
+  // corpus (the SAME pinned quantizer as q_embed_quantize) through a
+  // deterministic ±1 sign matrix to 16 dims. The sign for (d, j) is
+  // the parity of the first hex digit of md5("d_j") — computed
+  // driver-side here and RE-DERIVED inside the oracle SQL with
+  // DuckDB's own md5, so the matrix is pinned cross-engine by
+  // construction, not by trusting an RNG. All arithmetic is exact:
+  // |y_j| ≤ 64·127 = 8128, BIGINT everywhere. Scale shape: a narrow
+  // per-row map (no shuffle — the projection of 100 TB of embeddings
+  // is embarrassingly parallel), 4× dimension cut before any ANN or
+  // clustering pass downstream.
+  private val JlOut = 16
+  private val JlHexOrder = "0123456789abcdef"
+
+  /** Literal Spark-SQL array(array(...)) of the [j][d] sign matrix —
+    * baked into the plan as a constant, so codegen sees ±1 literals
+    * rather than 1 024 per-row md5 calls. */
+  private lazy val jlSignSql: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = (0 until JlOut).map { j =>
+      val signs = (1 to 64).map { dd =>
+        val hex = md.digest(s"${dd}_$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        // strpos('0123456789abcdef', c) % 2 = 1 → +1, same as the oracle
+        if ((JlHexOrder.indexOf(hex.charAt(0)) + 1) % 2 == 1) "1L" else "-1L"
+      }
+      s"array(${signs.mkString(",")})"
+    }
+    s"array(${rows.mkString(",")})"
+  }
+
+  private def qEmbedProject(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("vec", asDouble("embedding"))
+      .withColumn("max_abs", expr(
+        "aggregate(vec, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
+      .withColumn("q", expr(
+        "transform(vec, x -> CAST(floor(x * (127.0 / max_abs) + 0.5) AS BIGINT))"))
+      .withColumn("jl_signs", expr(jlSignSql))
+      .withColumn("ys", expr(
+        s"transform(sequence(0, ${JlOut - 1}), j -> aggregate(sequence(1, 64), 0L, " +
+          "(acc, dd) -> acc + element_at(q, dd) * element_at(element_at(jl_signs, j + 1), dd)))"))
+      .select(col("vec_id"), posexplode(col("ys")).as(Seq("j", "y")))
+      .select(col("vec_id"), col("j").cast("long").as("j"), col("y"))
+      .orderBy("vec_id", "j")
+
+  // ---- Maximal marginal relevance (Carbonell & Goldstein 1998) -----
+  //
+  // Diversified top-k: greedily pick the candidate maximizing
+  // λ·rel − (1−λ)·max-sim-to-selected with λ = 2/3, scaled ×3 so the
+  // score is the exact BIGINT 2·rel − max_sim (rel and sim are
+  // quantized-int dots — the same pinned quantizer as everywhere).
+  // The retrieval half is distributed (per-query top-MmrCand by exact
+  // dot through one ranking window); the greedy half runs driver-side
+  // over the collected candidate set — bounded model state
+  // (MmrQueries × MmrCand rows of 64 ints), the sanctioned pattern.
+  // At 100 TB the candidate generation is the cost; the greedy is
+  // O(K·C²) on 60 rows regardless of corpus size. The oracle replays
+  // the greedy as MmrK unrolled MATERIALIZED selection rounds with the
+  // identical (score DESC, vec_id) argmax order.
+  private val MmrQueries = 3
+  private val MmrCand = 20
+  private val MmrK = 8
+
+  private def qMmr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qm = Tables.embeddings(s, d)
+      .withColumn("vec", asDouble("embedding"))
+      .withColumn("max_abs", expr(
+        "aggregate(vec, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
+      .withColumn("q", expr(
+        "transform(vec, x -> CAST(floor(x * (127.0 / max_abs) + 0.5) AS BIGINT))"))
+      .select(col("vec_id"), col("q"))
+    val queryVecs = qm.filter(col("vec_id") < MmrQueries)
+      .select(col("vec_id").as("q_id"), col("q").as("qv"))
+    val cands = qm.join(broadcast(queryVecs), col("vec_id") =!= col("q_id"))
+      .withColumn("rel", expr(
+        "aggregate(zip_with(q, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("rel").desc, col("vec_id"))))
+      .filter(col("rn") <= MmrCand)
+      .select(col("q_id"), col("vec_id"), col("rel"), col("q"))
+      .collect() // bounded: MmrQueries × MmrCand candidate rows
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var i = 0; var acc = 0L
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val out = cands.groupBy(_.getLong(0)).toSeq.flatMap { case (qid, rows) =>
+      val cs = rows.map(r => (r.getLong(1), r.getLong(2), r.getSeq[Long](3).toArray))
+      val selected = scala.collection.mutable.ArrayBuffer[(Long, Long, Array[Long], Long)]()
+      while (selected.size < MmrK) {
+        val best = cs.filterNot(c => selected.exists(_._1 == c._1)).map { c =>
+          val maxSim = if (selected.isEmpty) 0L
+            else selected.map(sd => dot(c._3, sd._3)).max
+          (c._1, c._2, c._3, 2L * c._2 - maxSim)
+        }.minBy(t => (-t._4, t._1))
+        selected += best
+      }
+      selected.zipWithIndex.map { case ((vid, rel, _, score), i) =>
+        (qid, (i + 1).toLong, vid, rel, score)
+      }
+    }
+    out.sortBy(t => (t._1, t._2)).toDF("q_id", "rank", "vec_id", "rel", "mmr_score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_quantize" -> (qEmbedQuantize _),
+    "q_embed_project" -> (qEmbedProject _),
+    "q_mmr" -> (qMmr _),
     "q_pca_power" -> (qPcaPower _),
     "q_centroid_outliers" -> (qCentroidOutliers _),
     "q_knn_classify" -> (qKnnClassify _),
@@ -1076,6 +1187,24 @@ object VectorOps {
   }
 
   private val oracleBase: Map[String, String] = Map(
+    "q_embed_project" ->
+      """WITH signs AS (
+        |  SELECT d, j,
+        |         CASE WHEN strpos('0123456789abcdef',
+        |                          substr(md5(CAST(d AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) % 2 = 1
+        |              THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(generate_series(1, 64)) AS d),
+        |       (SELECT unnest(generate_series(0, 15)) AS j)
+        |), v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        |), quant AS (
+        |  SELECT vec_id,
+        |         list_transform(vec, x -> CAST(floor(x * (127.0 / list_reduce(list_transform(vec, y -> abs(y)), (a, b) -> greatest(a, b))) + 0.5) AS BIGINT)) AS q
+        |  FROM v)
+        |SELECT t.vec_id, CAST(s.j AS BIGINT) AS j, CAST(SUM(t.q[s.d] * s.s) AS BIGINT) AS y
+        |FROM quant t, signs s
+        |GROUP BY t.vec_id, s.j
+        |ORDER BY t.vec_id, j""".stripMargin,
     "q_embed_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
@@ -1512,7 +1641,57 @@ object VectorOps {
     * the solo ANN queries (each published oracle becomes a derived
     * table), so the recall table is recomputed end-to-end from the
     * raw embeddings — it can never drift from the per-method rows. */
-  val oracle: Map[String, String] = oracleBase + ("q_ann_recall" -> {
+  /** The MMR oracle: candidates + pairwise sims, then MmrK unrolled
+    * MATERIALIZED greedy rounds replaying the driver-side argmax with
+    * the identical (score DESC, vec_id) order. */
+  private def mmrOracle: String = {
+    val rounds = (2 to MmrK).map { k =>
+      s"""sel$k AS MATERIALIZED (
+         |  SELECT * FROM sel${k - 1}
+         |  UNION ALL
+         |  SELECT q_id, vec_id, rel, score, CAST($k AS BIGINT) AS rank FROM (
+         |    SELECT q_id, vec_id, rel, score,
+         |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+         |    FROM (
+         |      SELECT c.q_id, c.vec_id, c.rel,
+         |             CAST(2 * c.rel - (SELECT MAX(s.sim) FROM sims s
+         |                               WHERE s.q_id = c.q_id AND s.a_id = c.vec_id
+         |                                 AND s.b_id IN (SELECT vec_id FROM sel${k - 1} p2 WHERE p2.q_id = c.q_id)) AS BIGINT) AS score
+         |      FROM cand c
+         |      WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} p WHERE p.q_id = c.q_id AND p.vec_id = c.vec_id)))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |quant AS (
+       |  SELECT vec_id,
+       |         list_transform(vec, x -> CAST(floor(x * (127.0 / list_reduce(list_transform(vec, y -> abs(y)), (a, b) -> greatest(a, b))) + 0.5) AS BIGINT)) AS q
+       |  FROM v),
+       |qs AS (SELECT vec_id AS q_id, q AS qv FROM quant WHERE vec_id < $MmrQueries),
+       |cand AS MATERIALIZED (
+       |  SELECT q_id, vec_id, rel, q FROM (
+       |    SELECT qs.q_id, t.vec_id,
+       |           CAST(list_dot_product(t.q, qs.qv) AS BIGINT) AS rel, t.q,
+       |           ROW_NUMBER() OVER (PARTITION BY qs.q_id
+       |                              ORDER BY CAST(list_dot_product(t.q, qs.qv) AS BIGINT) DESC, t.vec_id) AS rn
+       |    FROM quant t, qs WHERE t.vec_id <> qs.q_id)
+       |  WHERE rn <= $MmrCand),
+       |sims AS MATERIALIZED (
+       |  SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
+       |         CAST(list_dot_product(a.q, b.q) AS BIGINT) AS sim
+       |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT q_id, vec_id, rel, CAST(2 * rel AS BIGINT) AS score, CAST(1 AS BIGINT) AS rank FROM (
+       |    SELECT q_id, vec_id, rel,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+       |    FROM cand)
+       |  WHERE rn = 1),
+       |$rounds
+       |SELECT q_id, rank, vec_id, rel, score AS mmr_score
+       |FROM sel$MmrK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  val oracle: Map[String, String] = oracleBase + ("q_mmr" -> mmrOracle) + ("q_ann_recall" -> {
     val anns = Seq("ivf" -> "q_sim_ivf", "ivfpq" -> "q_sim_ivfpq",
       "lsh" -> "q_sim_lsh", "pq" -> "q_sim_pq")
       .map { case (m, qn) =>

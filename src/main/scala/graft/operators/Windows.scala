@@ -371,6 +371,101 @@ object Windows {
     ev.union(ev).distinct().orderBy("event_id")
   }
 
+  /** Last-touch revenue attribution — the marketing-analytics read of
+    * the event stream: each purchase is credited to the user's most
+    * recent non-purchase event (the "touch") if it happened within the
+    * 1-hour attribution window, and revenue rolls up per channel.
+    * last(ignoreNulls) over ROWS UNBOUNDED PRECEDING..1 PRECEDING
+    * carries the touch forward without a self-join — one shuffle on
+    * user_id (the same per-user clustering every session query uses),
+    * then a tiny per-channel aggregate. Revenue sums go through the
+    * DECIMAL(18,2) pin (values are 2-decimal currency — exact, no
+    * float-tie hazard). */
+  private def qAttribution(s: SparkSession, d: String): DataFrame = {
+    val carry = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("touch_type",
+        when(col("event_type") =!= "purchase", col("event_type")))
+      .withColumn("touch_us",
+        when(col("event_type") =!= "purchase", unix_micros(col("ts"))))
+      .withColumn("last_touch", last(col("touch_type"), ignoreNulls = true).over(carry))
+      .withColumn("last_touch_us", last(col("touch_us"), ignoreNulls = true).over(carry))
+      .filter(col("event_type") === "purchase" && col("last_touch").isNotNull
+        && unix_micros(col("ts")) - col("last_touch_us") <= lit(3600000000L))
+      .groupBy(col("last_touch").as("channel"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("revenue"))
+      .orderBy("channel")
+  }
+
+  /** Event-type transition matrix — the first-order Markov view of
+    * per-user clickstreams (what follows what, and how often). Lag
+    * over the per-user (ts, event_id) order yields (prev, next)
+    * pairs; row-normalized counts give the transition probabilities a
+    * next-event predictor or anomaly scorer consumes. Determinism:
+    * p_next = n / row_total is one IEEE division of two exact BIGINTs
+    * (both < 2^53), bit-identical cross-engine. Scale shape: the lag
+    * window shuffles once on user_id (same partitioning every
+    * sessionization query reuses); the transition table is at most
+    * |types|² rows, so the row-total join is a broadcast. */
+  private def qMarkov(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("row_total"))
+    pairs
+      .join(broadcast(totals), Seq("prev_type"))
+      .select(
+        col("prev_type"), col("next_type"), col("n"), col("row_total"),
+        (col("n").cast("double") / col("row_total")).as("p_next"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Inter-arrival burstiness per event type — the Goh–Barabási
+    * B = (σ−μ)/(σ+μ) index over whole-second gaps between consecutive
+    * events of a type (B→−1 periodic, ≈0 Poisson, →+1 bursty): the
+    * capacity-planning diagnostic for a streaming ingest (does this
+    * topic need peak-provisioned partitions or is it memoryless?).
+    * Determinism: gaps are exact BIGINT seconds (floor of an exact
+    * µs-difference/1e6 double division, operands < 2^53); Σd and Σd²
+    * are exact BIGINT sums; mean/σ/B are then a fixed chain of scalar
+    * IEEE ops (one sqrt) both engines evaluate identically. Scale
+    * shape: one shuffle on event_type for the lag window, then a
+    * partial-aggregating groupBy on the same key — no second
+    * exchange. Σd² ≤ n·max_gap² stays BIGINT-safe to ~10¹⁴ gaps at
+    * the observed ~10⁴ s max gap. */
+  private def qInterarrival(s: SparkSession, d: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byType))
+      .filter(col("prev_ts").isNotNull)
+      .withColumn("d",
+        floor((unix_micros(col("ts")) - unix_micros(col("prev_ts"))).cast("double")
+          / lit(1000000.0)).cast("long"))
+    val stats = gaps.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_gaps"),
+      sum(col("d")).as("sum_d"),
+      sum(col("d") * col("d")).as("sum_d2"),
+      max(col("d")).as("max_gap_s"))
+    val meanS = col("sum_d").cast("double") / col("n_gaps")
+    val stdS = sqrt(
+      (col("n_gaps").cast("double") * col("sum_d2")
+        - col("sum_d").cast("double") * col("sum_d"))
+        / (col("n_gaps").cast("double") * col("n_gaps")))
+    stats
+      .select(
+        col("event_type"), col("n_gaps"), col("sum_d"), col("sum_d2"),
+        col("max_gap_s"),
+        meanS.as("mean_s"), stdS.as("std_s"),
+        ((stdS - meanS) / (stdS + meanS)).as("burstiness"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_rank" -> (qWindowRank _),
     "q_window_running" -> (qWindowRunning _),
@@ -391,7 +486,10 @@ object Windows {
     "q_window_funcs2" -> (qWindowFuncs2 _),
     "q_retention" -> (qRetention _),
     "q_kafka_envelope" -> (qKafkaEnvelope _),
-    "q_dedup_replay" -> (qDedupReplay _)
+    "q_dedup_replay" -> (qDedupReplay _),
+    "q_markov" -> (qMarkov _),
+    "q_interarrival" -> (qInterarrival _),
+    "q_attribution" -> (qAttribution _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -625,6 +723,64 @@ object Windows {
     "q_dedup_replay" ->
       """SELECT DISTINCT event_id, ts, user_id, event_type, value, props
         |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "q_markov" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total FROM pairs GROUP BY 1)
+        |SELECT p.prev_type, p.next_type, p.n, t.row_total,
+        |       CAST(p.n AS DOUBLE) / t.row_total AS p_next
+        |FROM pairs p JOIN tot t ON p.prev_type = t.prev_type
+        |ORDER BY p.prev_type, p.next_type""".stripMargin,
+    "q_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(d_s AS BIGINT) AS d FROM (
+        |    SELECT event_type,
+        |           FLOOR((epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id))) / 1000000.0) AS d_s
+        |    FROM events)
+        |  WHERE d_s IS NOT NULL),
+        |s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |         CAST(SUM(d) AS BIGINT) AS sum_d,
+        |         CAST(SUM(d * d) AS BIGINT) AS sum_d2,
+        |         CAST(MAX(d) AS BIGINT) AS max_gap_s
+        |  FROM g GROUP BY 1)
+        |SELECT event_type, n_gaps, sum_d, sum_d2, max_gap_s,
+        |       CAST(sum_d AS DOUBLE) / n_gaps AS mean_s,
+        |       sqrt((CAST(n_gaps AS DOUBLE) * sum_d2 - CAST(sum_d AS DOUBLE) * sum_d)
+        |            / (CAST(n_gaps AS DOUBLE) * n_gaps)) AS std_s,
+        |       (sqrt((CAST(n_gaps AS DOUBLE) * sum_d2 - CAST(sum_d AS DOUBLE) * sum_d)
+        |             / (CAST(n_gaps AS DOUBLE) * n_gaps))
+        |        - CAST(sum_d AS DOUBLE) / n_gaps)
+        |       / (sqrt((CAST(n_gaps AS DOUBLE) * sum_d2 - CAST(sum_d AS DOUBLE) * sum_d)
+        |               / (CAST(n_gaps AS DOUBLE) * n_gaps))
+        |          + CAST(sum_d AS DOUBLE) / n_gaps) AS burstiness
+        |FROM s
+        |ORDER BY event_type""".stripMargin,
+    "q_attribution" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |         CASE WHEN event_type <> 'purchase' THEN event_type END AS touch_type,
+        |         CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END AS touch_us
+        |  FROM events),
+        |carried AS (
+        |  SELECT user_id, ts, event_type, value,
+        |         LAST_VALUE(touch_type IGNORE NULLS) OVER w AS last_touch,
+        |         LAST_VALUE(touch_us IGNORE NULLS) OVER w AS last_touch_us
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT last_touch AS channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM carried
+        |WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+        |  AND epoch_us(ts) - last_touch_us <= 3600000000
+        |GROUP BY last_touch
+        |ORDER BY channel""".stripMargin
   )
 }

@@ -164,6 +164,21 @@ class PlanAuditSpec extends SparkSpec {
       s"scan reads unreferenced columns: $readSchema")
   }
 
+  test("q_embed_project is a shuffle-free narrow map (JL of 100 TB is embarrassingly parallel)") {
+    val p = plan("q_embed_project")
+    val shuffles = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(shuffles == 1, s"projection must not shuffle before the harness sort, got $shuffles:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("label"), s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("q_markov broadcasts the |types|²-row totals — no cartesian, no shuffled totals join") {
+    val p = plan("q_markov")
+    assert(p.contains("BroadcastHashJoin"), s"totals join should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"tiny-side join regressed to a shuffle:\n$p")
+  }
+
   test("q_winnow_pairs joins only on fingerprint keys — never all-pairs") {
     val p = plan("q_winnow_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
