@@ -2478,11 +2478,19 @@ object TextOps {
           .otherwise(expr(
             """transform(sequence(1, CAST(m - 3 AS INT)),
                i -> substring(md5(concat_ws(' ', slice(toks, i, 4))), 1, 15))""")))
+      // `hs` is bound as the HOF ARGUMENT (evaluated once per row) and
+      // the window lambda references the bound variable `hsv`, NOT the
+      // attribute: CollapseProject inlines a once-referenced alias
+      // into the lambda body, where it would re-evaluate PER WINDOW —
+      // measured 9× on q_winnow (O(m²) md5 calls per doc, 5.2 s →
+      // 0.6 s at sf0.01). transform(array(x), v -> body)[1] is the
+      // Spark-SQL "let".
       .withColumn("fps",
         when(col("m") < lit(3L + WinnowW), expr("CAST(array() AS ARRAY<STRING>)"))
           .otherwise(expr(
-            s"""array_distinct(transform(sequence(1, CAST(m - ${2 + WinnowW} AS INT)),
-                p -> array_min(slice(hs, p, $WinnowW))))""")))
+            s"""element_at(transform(array(hs), hsv ->
+                  array_distinct(transform(sequence(1, CAST(m - ${2 + WinnowW} AS INT)),
+                    p -> array_min(slice(hsv, p, $WinnowW))))), 1)""")))
       .select(col("doc_id"),
         greatest(col("m") - 3L, lit(0L)).as("n_grams"),
         greatest(col("m") - lit(2L + WinnowW), lit(0L)).as("n_windows"),

@@ -36,6 +36,18 @@ object VectorOps {
 
   private def asDouble(c: String): Column = col(c).cast("array<double>")
 
+  /** The pinned int8 quantizer (q = ⌊x·127/max|vec| + 0.5⌋) as ONE
+    * expression over an input column named `vec`, with the scale
+    * bound as the HOF ARGUMENT — the transform(array(x), v -> …)
+    * Spark-SQL "let". A once-referenced scale alias would be inlined
+    * by CollapseProject INTO the per-element lambda, re-running the
+    * max-abs fold for every element: O(d²) per row instead of O(d)
+    * (the same duplication measured at 9–20× on the winnow path). */
+  private val quantLetSql: String =
+    "element_at(transform(" +
+      "array(127.0 / aggregate(vec, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))), " +
+      "sc -> transform(vec, x -> CAST(floor(x * sc + 0.5d) AS BIGINT))), 1)"
+
   // Brute-force cosine top-k: query set = vec_id < 10 (broadcast),
   // ranked per query with a unique tiebreaker.
   private def qSimBruteforce(s: SparkSession, d: String): DataFrame = {
@@ -837,11 +849,7 @@ object VectorOps {
     import s.implicits._
     val qm = Tables.embeddings(s, d)
       .withColumn("vec", asDouble("embedding"))
-      .withColumn("max_abs", expr(
-        "aggregate(vec, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
-      .withColumn("scale", lit(127.0) / col("max_abs"))
-      .withColumn("q", expr(
-        "transform(vec, x -> CAST(floor(x * scale + 0.5d) AS BIGINT))"))
+      .withColumn("q", expr(quantLetSql))
       .select(col("vec_id"), col("q"))
     val g = pcaGram(qm) // the single corpus pass
     var w: Seq[Long] = Seq.fill(64)(1L)
@@ -887,11 +895,7 @@ object VectorOps {
   private def qCentroidOutliers(s: SparkSession, d: String): DataFrame = {
     val qm = Tables.embeddings(s, d)
       .withColumn("vec", asDouble("embedding"))
-      .withColumn("max_abs", expr(
-        "aggregate(vec, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
-      .withColumn("scale", lit(127.0) / col("max_abs"))
-      .withColumn("q", expr(
-        "transform(vec, x -> CAST(floor(x * scale + 0.5d) AS BIGINT))"))
+      .withColumn("q", expr(quantLetSql))
       .select(col("vec_id"), col("label"), col("q"))
     val cent = qm.select(col("label"), posexplode(col("q")))
       .groupBy("label", "pos")
@@ -993,15 +997,20 @@ object VectorOps {
   private def qEmbedProject(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .withColumn("vec", asDouble("embedding"))
-      .withColumn("max_abs", expr(
-        "aggregate(vec, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
-      .withColumn("q", expr(
-        "transform(vec, x -> CAST(floor(x * (127.0 / max_abs) + 0.5) AS BIGINT))"))
+      .withColumn("q", expr(quantLetSql))
       .withColumn("jl_signs", expr(jlSignSql))
+      // bind `q` as the HOF argument (the transform(array(x), v -> …)
+      // "let") — referenced only inside the fold lambda it would be
+      // inlined by CollapseProject and re-quantized per (j, dd) term
       .withColumn("ys", expr(
-        s"transform(sequence(0, ${JlOut - 1}), j -> aggregate(sequence(1, 64), 0L, " +
-          "(acc, dd) -> acc + element_at(q, dd) * element_at(element_at(jl_signs, j + 1), dd)))"))
-      .select(col("vec_id"), posexplode(col("ys")).as(Seq("j", "y")))
+        s"element_at(transform(array(q), qb -> transform(sequence(0, ${JlOut - 1}), " +
+          "j -> aggregate(sequence(1, 64), 0L, " +
+          "(acc, dd) -> acc + element_at(qb, dd) * element_at(element_at(jl_signs, j + 1), dd)))), 1)"))
+      // posexplode_OUTER: plain posexplode plans a non-empty pre-filter
+      // that duplicates the whole `ys` expression into the scan's
+      // DataFilters — every projection would be computed twice. ys is
+      // always 16-wide here, so outer is semantically identical.
+      .select(col("vec_id"), posexplode_outer(col("ys")).as(Seq("j", "y")))
       .select(col("vec_id"), col("j").cast("long").as("j"), col("y"))
       .orderBy("vec_id", "j")
 
@@ -1027,10 +1036,7 @@ object VectorOps {
     import s.implicits._
     val qm = Tables.embeddings(s, d)
       .withColumn("vec", asDouble("embedding"))
-      .withColumn("max_abs", expr(
-        "aggregate(vec, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
-      .withColumn("q", expr(
-        "transform(vec, x -> CAST(floor(x * (127.0 / max_abs) + 0.5) AS BIGINT))"))
+      .withColumn("q", expr(quantLetSql))
       .select(col("vec_id"), col("q"))
     val queryVecs = qm.filter(col("vec_id") < MmrQueries)
       .select(col("vec_id").as("q_id"), col("q").as("qv"))

@@ -179,6 +179,22 @@ class PlanAuditSpec extends SparkSpec {
       s"tiny-side join regressed to a shuffle:\n$p")
   }
 
+  test("HOF-heavy paths keep the transform(array(x), v -> …) let binding") {
+    // CollapseProject inlines a once-referenced alias into lambda
+    // bodies, where it re-evaluates PER ELEMENT — measured 9–20× on
+    // the winnow path (5.2 s → 0.4 s, 47 s → 2.4 s at sf0.01) and
+    // O(d²) on every quantizer whose scale wasn't also an output
+    // column. The let idiom binds the expensive array/scalar as the
+    // HOF argument, so the plan must show it INSIDE transform(array(…)
+    // and the lambda must reference the bound variable.
+    for (q <- Seq("q_winnow", "q_embed_project", "q_centroid_outliers")) {
+      val p = SparkEntry.queries(q)(spark, Sf0001)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("transform(array("),
+        s"$q: the let binding was collapsed away — per-element rebuild is back:\n${p.take(2000)}")
+    }
+  }
+
   test("q_winnow_pairs joins only on fingerprint keys — never all-pairs") {
     val p = plan("q_winnow_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
