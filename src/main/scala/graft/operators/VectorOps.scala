@@ -164,7 +164,11 @@ object VectorOps {
         s"""transform(sequence(0, ${p.bands - 1}), b ->
               aggregate(sequence(0, ${p.planesPerBand - 1}), 0L, (acc, q) ->
                 acc * 2 + IF(graft_dot(vec, element_at(pl, b * ${p.planesPerBand} + q + 1)) > 0, 1L, 0L)))"""))
-      .select(col("*"), posexplode(col("bb")))
+      // posexplode_OUTER: `bb` always has exactly `bands` elements, and
+      // the plain variant plans a non-empty pre-filter that duplicates
+      // the whole signature fold (bands × ppb graft_dot calls) into the
+      // scan's DataFilters — every bucket would be computed twice
+      .select(col("*"), posexplode_outer(col("bb")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .drop("pl", "bb")
 
