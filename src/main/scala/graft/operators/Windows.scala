@@ -371,6 +371,32 @@ object Windows {
     ev.union(ev).distinct().orderBy("event_id")
   }
 
+  /** DAU / WAU / stickiness — the engagement rollup every real-time
+    * analytics deployment serves: daily actives, 7-day rolling actives
+    * (distinct users, so not a sum of DAUs), and the DAU/WAU
+    * stickiness ratio. Spark windows can't COUNT(DISTINCT) over a
+    * RANGE frame, so WAU goes through a day-spine range join — the
+    * spine is |days| rows (broadcast), and the join fans each
+    * (day, user) row to ≤7 spine days before one distinct-count
+    * shuffle; at 100 TB the fan-out is bounded by the frame width,
+    * never the corpus. stickiness is one exact-int IEEE division. */
+  private def qActiveUsers(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = daily.select(col("day")).distinct()
+    val dau = daily.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = broadcast(days.withColumnRenamed("day", "d"))
+      .join(daily, col("day").between(date_sub(col("d"), 6), col("d")))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("d"))
+      .select(
+        col("day").cast("timestamp").as("day"),
+        col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau")).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Last-touch revenue attribution — the marketing-analytics read of
     * the event stream: each purchase is credited to the user's most
     * recent non-purchase event (the "touch") if it happened within the
@@ -489,7 +515,8 @@ object Windows {
     "q_dedup_replay" -> (qDedupReplay _),
     "q_markov" -> (qMarkov _),
     "q_interarrival" -> (qInterarrival _),
-    "q_attribution" -> (qAttribution _)
+    "q_attribution" -> (qAttribution _),
+    "q_active_users" -> (qActiveUsers _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -781,6 +808,19 @@ object Windows {
         |WHERE event_type = 'purchase' AND last_touch IS NOT NULL
         |  AND epoch_us(ts) - last_touch_us <= 3600000000
         |GROUP BY last_touch
-        |ORDER BY channel""".stripMargin
+        |ORDER BY channel""".stripMargin,
+    "q_active_users" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM daily GROUP BY 1),
+        |wau AS (
+        |  SELECT d.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+        |  FROM days d JOIN daily a ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        |  GROUP BY 1)
+        |SELECT CAST(d.day AS TIMESTAMP) AS day, dau.dau, wau.wau,
+        |       CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+        |FROM days d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day
+        |ORDER BY day""".stripMargin
   )
 }

@@ -1148,6 +1148,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("active users: WAU bounds DAU, equals union of the 7-day window, stickiness sane") {
+    val rows = q("q_active_users").collect()
+    assert(rows.nonEmpty)
+    val daily = graft.sources.Tables.events(spark, Sf0001)
+      .select(to_date($"ts").as("day"), $"user_id").distinct().collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1))
+    rows.foreach { r =>
+      val day = r.getTimestamp(0).toLocalDateTime.toLocalDate
+      val (dau, wau, st) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(dau <= wau && st > 0.0 && st <= 1.0, s"$day: dau $dau wau $wau st $st")
+      // independent recount from the raw (day, user) pairs
+      val expDau = daily.count(_._1 == day)
+      val expWau = daily.filter { case (d2, _) =>
+        !d2.isAfter(day) && !d2.isBefore(day.minusDays(6))
+      }.map(_._2).distinct.length
+      assert(dau == expDau && wau == expWau, s"$day: recount mismatch")
+    }
+  }
+
   test("every registered query is runnable and non-degenerate at sf0.001") {
     val counts = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> SparkEntry.queries(name)(spark, Sf0001).count()
