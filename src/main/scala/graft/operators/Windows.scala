@@ -397,6 +397,32 @@ object Windows {
       .orderBy("day")
   }
 
+  /** Day-over-day top movers — the ops-dashboard anomaly surface: per
+    * day, event types ranked by absolute volume change vs the previous
+    * day (lag over the per-type daily series). delta is exact BIGINT;
+    * pct_change is one exact-int IEEE division. Scale shape: the daily
+    * rollup partial-aggregates before one shuffle; the lag/rank
+    * windows run over |types|×|days| rows — model-sized, never
+    * corpus-sized. */
+  private def qTopMovers(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val byDay = Window.partitionBy(col("day"))
+      .orderBy(abs(col("n") - col("prev_n")).desc, col("event_type"))
+    daily
+      .withColumn("prev_n", lag(col("n"), 1).over(byType))
+      .filter(col("prev_n").isNotNull)
+      .select(
+        col("day").cast("timestamp").as("day"),
+        col("event_type"), col("n"), col("prev_n"),
+        (col("n") - col("prev_n")).as("delta"),
+        ((col("n") - col("prev_n")).cast("double") / col("prev_n")).as("pct_change"),
+        row_number().over(byDay).cast("long").as("move_rank"))
+      .orderBy("day", "move_rank")
+  }
+
   /** Last-touch revenue attribution — the marketing-analytics read of
     * the event stream: each purchase is credited to the user's most
     * recent non-purchase event (the "touch") if it happened within the
@@ -516,7 +542,8 @@ object Windows {
     "q_markov" -> (qMarkov _),
     "q_interarrival" -> (qInterarrival _),
     "q_attribution" -> (qAttribution _),
-    "q_active_users" -> (qActiveUsers _)
+    "q_active_users" -> (qActiveUsers _),
+    "q_top_movers" -> (qTopMovers _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -821,6 +848,21 @@ object Windows {
         |SELECT CAST(d.day AS TIMESTAMP) AS day, dau.dau, wau.wau,
         |       CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
         |FROM days d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+    "q_top_movers" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ch AS (
+        |  SELECT event_type, day, n,
+        |         LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+        |  FROM d)
+        |SELECT CAST(day AS TIMESTAMP) AS day, event_type, n, prev_n,
+        |       n - prev_n AS delta,
+        |       CAST(n - prev_n AS DOUBLE) / prev_n AS pct_change,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY day
+        |                               ORDER BY abs(n - prev_n) DESC, event_type) AS BIGINT) AS move_rank
+        |FROM ch WHERE prev_n IS NOT NULL
+        |ORDER BY day, move_rank""".stripMargin
   )
 }

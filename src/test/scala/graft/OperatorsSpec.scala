@@ -1167,6 +1167,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("top movers: per-day rank covers every type, deltas reconcile with daily counts") {
+    val rows = q("q_top_movers").collect()
+    assert(rows.nonEmpty)
+    val byDay = rows.groupBy(_.getTimestamp(0))
+    byDay.foreach { case (day, rs) =>
+      assert(rs.map(_.getLong(6)).sorted.toSeq == (1L to rs.length), s"$day: ranks not contiguous")
+      // ranked by |delta| desc: verify the ordering invariant
+      val sorted = rs.sortBy(_.getLong(6)).map(r => math.abs(r.getLong(4)))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b }, s"$day: not |delta|-sorted")
+      rs.foreach(r => assert(r.getLong(4) == r.getLong(2) - r.getLong(3)))
+    }
+    // every (type, day>first-day-of-type) appears exactly once
+    val daily = graft.sources.Tables.events(spark, Sf0001)
+      .groupBy($"event_type", to_date($"ts").as("day")).count().collect()
+    val expected = daily.groupBy(_.getString(0)).map { case (_, ds) => ds.length - 1 }.sum
+    assert(rows.length == expected, s"${rows.length} rows vs expected $expected")
+  }
+
   test("every registered query is runnable and non-degenerate at sf0.001") {
     val counts = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> SparkEntry.queries(name)(spark, Sf0001).count()
