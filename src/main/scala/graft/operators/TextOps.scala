@@ -1983,6 +1983,47 @@ object TextOps {
       .select("n_bins", "n_docs", "ece")
   }
 
+  /** Thresholded confusion matrix + the derived classification
+    * metrics of the same span-coverage detector (predict positive at
+    * cover_frac ≥ 0.2 — q_span_dedup's flag threshold — truth the
+    * planted doc_id % 7 trailer): tp/fp/fn/tn as exact BIGINTs, then
+    * accuracy, precision, recall, F1, and Cohen's κ. Every double is
+    * derived from the four integer cells by the same literal IEEE
+    * expression on both engines — no sums of doubles anywhere, so no
+    * pinning needed. Scale shape: rides the shared spanCoverage
+    * chain, then ONE hash aggregate to four counters — the cheapest
+    * possible evaluation pass at any corpus size. */
+  private def qConfusion(s: SparkSession, d: String): DataFrame = {
+    val cells = spanCoverage(s, d)
+      .withColumn("pos", when(col("doc_id") % 7 === 0, 1L).otherwise(0L))
+      .withColumn("pred", when(col("cover_frac") >= 0.2, 1L).otherwise(0L))
+      .agg(
+        sum(col("pred") * col("pos")).as("tp"),
+        sum(col("pred") * (lit(1L) - col("pos"))).as("fp"),
+        sum((lit(1L) - col("pred")) * col("pos")).as("fn"),
+        sum((lit(1L) - col("pred")) * (lit(1L) - col("pos"))).as("tn"))
+    cells
+      .withColumn("n", col("tp") + col("fp") + col("fn") + col("tn"))
+      .withColumn("accuracy",
+        (col("tp") + col("tn")).cast("double") / col("n").cast("double"))
+      .withColumn("precision",
+        col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+      .withColumn("recall",
+        col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+      .withColumn("f1",
+        lit(2.0) * col("tp").cast("double")
+          / (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+      // κ = (po − pe)/(1 − pe) with pe from the exact marginal
+      // products — the ratio is formed from two exact BIGINT-derived
+      // doubles with one division each, identical cross-engine
+      .withColumn("pe",
+        ((col("tp") + col("fp")) * (col("tp") + col("fn"))
+          + (col("fn") + col("tn")) * (col("fp") + col("tn"))).cast("double")
+          / (col("n") * col("n")).cast("double"))
+      .withColumn("kappa", (col("accuracy") - col("pe")) / (lit(1.0) - col("pe")))
+      .select("tp", "fp", "fn", "tn", "n", "accuracy", "precision", "recall", "f1", "kappa")
+  }
+
   /** Dirichlet prior scale for q_source_terms (Monroe et al.'s
     * informative prior: α_w = α0·y_w/n). Shared literal so both
     * engines parse the same double. */
@@ -2553,6 +2594,7 @@ object TextOps {
     "q_pr_curve" -> (qPrCurve _),
     "q_calibration" -> (qCalibration _),
     "q_ece" -> (qEce _),
+    "q_confusion" -> (qConfusion _),
     "q_source_terms" -> (qSourceTerms _),
     "q_zipf" -> (qZipf _),
     "q_boilerplate" -> (qBoilerplate _),
@@ -3301,6 +3343,29 @@ object TextOps {
          |           - conf_sum / CAST(n AS DOUBLE))
          |       AS DECIMAL(18,9))) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS ece
          |FROM bins""".stripMargin,
+    "q_confusion" ->
+      s"""WITH $spanCoverageSql,
+         |cells AS (
+         |  SELECT CAST(SUM(pred * pos) AS BIGINT) AS tp,
+         |         CAST(SUM(pred * (1 - pos)) AS BIGINT) AS fp,
+         |         CAST(SUM((1 - pred) * pos) AS BIGINT) AS fn,
+         |         CAST(SUM((1 - pred) * (1 - pos)) AS BIGINT) AS tn
+         |  FROM (SELECT CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS pos,
+         |               CASE WHEN cover_frac >= 0.2 THEN 1 ELSE 0 END AS pred
+         |        FROM sc)
+         |), m AS (
+         |  SELECT tp, fp, fn, tn, tp + fp + fn + tn AS n,
+         |         CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS accuracy,
+         |         CAST((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn) AS DOUBLE)
+         |           / CAST((tp + fp + fn + tn) * (tp + fp + fn + tn) AS DOUBLE) AS pe
+         |  FROM cells
+         |)
+         |SELECT tp, fp, fn, tn, n, accuracy,
+         |       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+         |       CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+         |       2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1,
+         |       (accuracy - pe) / (1.0 - pe) AS kappa
+         |FROM m""".stripMargin,
     "q_source_terms" ->
       s"""WITH tok AS (
          |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
