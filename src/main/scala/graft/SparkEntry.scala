@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Enrich, Functions2, GraphOps, IdOps, Multimodal, Relational, Sampling, TextOps, VectorOps, Windows}
+import graft.operators.{Analytics, Enrich, Functions2, GraphOps, IdOps, Multimodal, Relational, Sampling, TextOps, VectorOps, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,7 +27,8 @@ object SparkEntry {
       (IdOps.queries, IdOps.oracle),
       (Functions2.queries, Functions2.oracle),
       (Sampling.queries, Sampling.oracle),
-      (GraphOps.queries, GraphOps.oracle)
+      (GraphOps.queries, GraphOps.oracle),
+      (Analytics.queries, Analytics.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,337 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Corpus- and series-analytics beyond the per-family modules: robust
+  * location statistics, exponentially-weighted series smoothing,
+  * distribution divergence between sources, out-of-vocabulary rates
+  * across data splits, and cross-split contamination — the checks a
+  * training-data pipeline runs between curation and training.
+  *
+  * Determinism contract (same as the rest of the engine): every
+  * compared double is either a single IEEE expression over exact
+  * integers/decimals (identical cross-engine) or a sum of
+  * DECIMAL(18,9)-pinned terms (exact, order-free). Rank-based
+  * statistics break ties on row identity so both engines elect the
+  * same row.
+  */
+object Analytics {
+
+  private def tokens(c: String = "text"): Column = split(col(c), " ")
+
+  // ---- q_robust_stats: median / MAD / trimmed mean per source ------
+  //
+  // Outlier-robust location stats over documents.n_chars. All three
+  // statistics are RANK-based (lower median at row (n+1) DIV 2 in the
+  // (value, doc_id) order; MAD the same over |x − med|; 10 % trimmed
+  // mean over ranks (n DIV 10, n − n DIV 10]) so every elected value
+  // is an exact BIGINT and the only doubles are final divisions.
+  // Scale shape: two source-partitioned window sorts plus a broadcast
+  // of the ≤|sources| per-source medians — range-partitionable by the
+  // group key; nothing global ever sorts.
+  private def qRobustStats(s: SparkSession, d: String): DataFrame = {
+    val bySrc = Window.partitionBy("source")
+    val byVal = bySrc.orderBy(col("n_chars"), col("doc_id"))
+    val ranked = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(byVal).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySrc))
+    val med = ranked.filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("source"), col("n_chars").as("median"))
+    val byDev = bySrc.orderBy(col("dev"), col("doc_id"))
+    val mad = ranked.join(broadcast(med), Seq("source"))
+      .withColumn("dev", abs(col("n_chars") - col("median")))
+      .withColumn("dn", row_number().over(byDev).cast("long"))
+      .filter(col("dn") === expr("(n + 1) DIV 2"))
+      .select(col("source"), col("dev").as("mad"))
+    val agg = ranked.groupBy("source").agg(
+      max(col("n")).as("n"),
+      sum(col("n_chars")).as("sx"),
+      sum(when(col("rn") > expr("n DIV 10") && col("rn") <= expr("n - n DIV 10"),
+        col("n_chars")).otherwise(0L)).as("sx_trim"),
+      sum(when(col("rn") > expr("n DIV 10") && col("rn") <= expr("n - n DIV 10"),
+        1L).otherwise(0L)).as("n_trim"))
+    agg.join(broadcast(med), Seq("source")).join(broadcast(mad), Seq("source"))
+      .select(col("source"), col("n"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mean"),
+        col("median"), col("mad"),
+        (col("sx_trim").cast("double") / col("n_trim").cast("double")).as("trimmed_mean"))
+      .orderBy("source")
+  }
+
+  // ---- q_ewma: exponentially-weighted daily order volume -----------
+  //
+  // 10-day adjusted EWMA (α = 0.1 ⇒ decay 0.9^lag) of the daily order
+  // count, the smoothing a volume monitor runs before spike-flagging.
+  // The decay weights 0.9^lag for lag ≤ 9 are EXACT decimals of scale
+  // ≤ 9, inlined as literals on both engines, so numerator and
+  // denominator are exact DECIMAL sums and the one division per day
+  // is deterministic. Shape: day-grain aggregate, then a 10-way lag
+  // explode equi-joined back on the day key — an equi shuffle join on
+  // a frame whose size is days×10, NOT a range nested-loop; at any
+  // corpus scale the day-grain frame is tiny.
+  private val EwmaWeights: IndexedSeq[java.math.BigDecimal] =
+    (0 to 9).map(l => new java.math.BigDecimal("0.9").pow(l))
+
+  private def ewmaWeightCase(lagCol: String): String =
+    (0 to 9).map(l => s"WHEN $l THEN CAST('${EwmaWeights(l).toPlainString}' AS DECIMAL(18,9))")
+      .mkString(s"CASE $lagCol ", " ", " END")
+
+  private def qEwma(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val probes = daily.select(col("day"), explode(expr("sequence(0, 9)")).as("lag"))
+      .withColumn("look_day", expr("date_add(day, -lag)"))
+      .withColumn("w", expr(ewmaWeightCase("lag")))
+    val hist = daily.select(col("day").as("look_day"), col("n_orders").as("h_n"))
+    probes.join(hist, Seq("look_day"))
+      .groupBy("day")
+      .agg(
+        expr("SUM(CAST(CAST(h_n AS DECIMAL(18,9)) * w AS DECIMAL(18,9)))").as("num"),
+        expr("SUM(w)").as("den"))
+      .join(daily, Seq("day"))
+      // day re-cast to TIMESTAMP for the cross-engine compare (the
+      // q_active_users convention: both engines emit µs timestamps)
+      .select(col("day").cast("timestamp").as("day"), col("n_orders"),
+        (col("num").cast("double") / col("den").cast("double")).as("ewma10"))
+      .withColumn("ratio", col("n_orders").cast("double") / col("ewma10"))
+      .orderBy("day")
+  }
+
+  // ---- q_js_divergence: pairwise source distribution divergence ----
+  //
+  // Jensen–Shannon divergence between every pair of per-source
+  // unigram distributions — the mixing-time answer to "which sources
+  // are interchangeable and which add diversity". Distributions are
+  // exact-count ratios p = f/total (one IEEE division each); each
+  // term's KL contribution p·ln(2p/(p+q)) is computed per-row and
+  // DECIMAL(18,9)-pinned before the pair sum, so the aggregation is
+  // order-free. Terms absent from one source contribute only on the
+  // present side (the zero side's limit is 0). Scale shape: one
+  // (source, term) hash agg, a vocab×K zero-filled grid, and a
+  // term-keyed self-join producing vocab×K(K−1)/2 rows — K is the
+  // catalog-bounded source count, so the join is linear in vocabulary.
+  private def qJsDivergence(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("source"), explode(tokens()).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("f"))
+    val tot = tf.groupBy("source").agg(sum(col("f")).as("tot"))
+    val vocab = tf.select("term").distinct()
+    val grid = vocab.crossJoin(broadcast(tot))
+      .join(tf, Seq("source", "term"), "left_outer")
+      .select(col("source"), col("term"),
+        (coalesce(col("f"), lit(0L)).cast("double") / col("tot").cast("double")).as("p"))
+    val a = grid.select(col("source").as("source_a"), col("term"), col("p").as("pa"))
+    val b = grid.select(col("source").as("source_b"), col("term"), col("p").as("pb"))
+    a.join(b, Seq("term"))
+      .filter(col("source_a") < col("source_b") && (col("pa") > 0.0 || col("pb") > 0.0))
+      .groupBy("source_a", "source_b")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(when(col("pa") > 0.0 && col("pb") > 0.0, 1L).otherwise(0L)).as("n_shared"),
+        expr("""CAST(SUM(CAST(
+                  CASE WHEN pa > 0 THEN pa * ln(2 * pa / (pa + pb)) ELSE 0 END
+                AS DECIMAL(18,9))) AS DOUBLE)""").as("kl_a"),
+        expr("""CAST(SUM(CAST(
+                  CASE WHEN pb > 0 THEN pb * ln(2 * pb / (pa + pb)) ELSE 0 END
+                AS DECIMAL(18,9))) AS DOUBLE)""").as("kl_b"))
+      .withColumn("js_div", lit(0.5) * (col("kl_a") + col("kl_b")))
+      .select("source_a", "source_b", "n_terms", "n_shared", "js_div")
+      .orderBy("source_a", "source_b")
+  }
+
+  // ---- q_oov: out-of-vocabulary rate of eval splits ----------------
+  //
+  // The vocabulary is every distinct token of the TRAIN split (the
+  // q_split_assign hash rule); each eval (val/test) document's token
+  // occurrences are scored against it and the OOV mass is reported
+  // per (source, split) — the "will my tokenizer see unknowns"
+  // pre-training check. Counts are exact BIGINTs; the one division is
+  // final. Scale shape: token explode → distinct vocab (term-keyed
+  // agg), then a term-keyed left join of eval occurrences against the
+  // vocab — both sides linear in corpus tokens, no pair joins.
+  private def qOov(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("split", Sampling.splitOf(Sampling.hexKey(col("doc_id"))))
+    val vocab = docs.filter(col("split") === "train")
+      .select(explode(tokens()).as("term")).distinct()
+      .withColumn("known", lit(1L))
+    docs.filter(col("split") =!= "train")
+      .select(col("source"), col("split"), col("doc_id"), explode(tokens()).as("term"))
+      .join(vocab, Seq("term"), "left_outer")
+      .groupBy("source", "split")
+      .agg(
+        count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("source", "split")
+  }
+
+  // ---- q_leakage: cross-split exact-text contamination -------------
+  //
+  // Exact duplicates whose copies land in DIFFERENT splits leak eval
+  // answers into training — the first contamination check after any
+  // split assignment. Run over the doubled corpus (the dedup family's
+  // planted-duplicate device: every doc re-appears under doc_id + 1e6,
+  // and the hash split of the twin is independent of the original's),
+  // it reports every text digest with a train copy AND an eval copy,
+  // with per-split counts and representative ids. Scale shape: one
+  // digest-keyed hash agg over the corpus — the q_dedup_exact shuffle
+  // — then a filter; no joins at all.
+  private def qLeakage(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val doubled = docs.unionAll(
+      docs.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+    doubled
+      .withColumn("split", Sampling.splitOf(Sampling.hexKey(col("doc_id"))))
+      .withColumn("dig", md5(col("text")))
+      .groupBy("dig")
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+        min(when(col("split") === "train", col("doc_id"))).as("min_train_id"),
+        min(when(col("split") =!= "train", col("doc_id"))).as("min_eval_id"))
+      .filter(col("n_train") > 0 && (col("n_val") > 0 || col("n_test") > 0))
+      .orderBy("dig")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_robust_stats" -> (qRobustStats _),
+    "q_ewma" -> (qEwma _),
+    "q_js_divergence" -> (qJsDivergence _),
+    "q_oov" -> (qOov _),
+    "q_leakage" -> (qLeakage _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_robust_stats" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |                                 ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+        |         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM documents
+        |), med AS (
+        |  SELECT source, n_chars AS median FROM ranked WHERE rn = (n + 1) // 2
+        |), mad AS (
+        |  SELECT source, dev AS mad FROM (
+        |    SELECT r.source, abs(r.n_chars - m.median) AS dev, r.doc_id, r.n,
+        |           CAST(ROW_NUMBER() OVER (PARTITION BY r.source
+        |                ORDER BY abs(r.n_chars - m.median), r.doc_id) AS BIGINT) AS dn
+        |    FROM ranked r JOIN med m USING (source))
+        |  WHERE dn = (n + 1) // 2
+        |), agg AS (
+        |  SELECT source, MAX(n) AS n, CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |         CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+        |                       THEN n_chars ELSE 0 END) AS BIGINT) AS sx_trim,
+        |         CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_trim
+        |  FROM ranked GROUP BY source
+        |)
+        |SELECT a.source, a.n,
+        |       CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE) AS mean,
+        |       m.median, d.mad,
+        |       CAST(a.sx_trim AS DOUBLE) / CAST(a.n_trim AS DOUBLE) AS trimmed_mean
+        |FROM agg a JOIN med m USING (source) JOIN mad d USING (source)
+        |ORDER BY source""".stripMargin,
+    "q_ewma" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_orders
+         |  FROM orders GROUP BY 1
+         |), probes AS (
+         |  SELECT day, CAST(lag AS BIGINT) AS lag, day - CAST(lag AS INTEGER) AS look_day,
+         |         ${ewmaWeightCase("lag")} AS w
+         |  FROM daily CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS lag)
+         |), j AS (
+         |  SELECT p.day,
+         |         SUM(CAST(CAST(h.n_orders AS DECIMAL(18,9)) * p.w AS DECIMAL(18,9))) AS num,
+         |         SUM(p.w) AS den
+         |  FROM probes p JOIN daily h ON h.day = p.look_day
+         |  GROUP BY p.day
+         |)
+         |SELECT CAST(d.day AS TIMESTAMP) AS day, d.n_orders,
+         |       CAST(j.num AS DOUBLE) / CAST(j.den AS DOUBLE) AS ewma10,
+         |       CAST(d.n_orders AS DOUBLE)
+         |         / (CAST(j.num AS DOUBLE) / CAST(j.den AS DOUBLE)) AS ratio
+         |FROM j JOIN daily d USING (day)
+         |ORDER BY day""".stripMargin,
+    "q_js_divergence" ->
+      """WITH tf AS (
+        |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY source, term
+        |), tot AS (
+        |  SELECT source, CAST(SUM(f) AS BIGINT) AS tot FROM tf GROUP BY source
+        |), vocab AS (SELECT DISTINCT term FROM tf),
+        |grid AS (
+        |  SELECT t.source, v.term,
+        |         CAST(COALESCE(tf.f, 0) AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+        |  FROM vocab v CROSS JOIN tot t
+        |  LEFT JOIN tf ON tf.source = t.source AND tf.term = v.term
+        |), pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, a.p AS pa, b.p AS pb
+        |  FROM grid a JOIN grid b ON a.term = b.term AND a.source < b.source
+        |  WHERE a.p > 0 OR b.p > 0
+        |), agg AS (
+        |  SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |         CAST(SUM(CASE WHEN pa > 0 AND pb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |         CAST(SUM(CAST(
+        |           CASE WHEN pa > 0 THEN pa * ln(2 * pa / (pa + pb)) ELSE 0 END
+        |         AS DECIMAL(18,9))) AS DOUBLE) AS kl_a,
+        |         CAST(SUM(CAST(
+        |           CASE WHEN pb > 0 THEN pb * ln(2 * pb / (pa + pb)) ELSE 0 END
+        |         AS DECIMAL(18,9))) AS DOUBLE) AS kl_b
+        |  FROM pairs GROUP BY source_a, source_b
+        |)
+        |SELECT source_a, source_b, n_terms, n_shared,
+        |       0.5 * (kl_a + kl_b) AS js_div
+        |FROM agg
+        |ORDER BY source_a, source_b""".stripMargin,
+    "q_oov" ->
+      s"""WITH marked AS (
+         |  SELECT doc_id, source, text, ${Sampling.splitSql} AS split FROM documents
+         |), vocab AS (
+         |  SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+         |  FROM marked WHERE split = 'train'
+         |), ev AS (
+         |  SELECT source, split, doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM marked WHERE split <> 'train'
+         |)
+         |SELECT ev.source, ev.split,
+         |       CAST(COUNT(DISTINCT ev.doc_id) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+         |FROM ev LEFT JOIN vocab v USING (term)
+         |GROUP BY ev.source, ev.split
+         |ORDER BY ev.source, ev.split""".stripMargin,
+    "q_leakage" ->
+      s"""WITH doubled AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |), marked AS (
+         |  SELECT doc_id, md5(text) AS dig, ${Sampling.splitSql} AS split FROM doubled
+         |)
+         |SELECT dig,
+         |       CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |       CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         |       CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+         |       MIN(CASE WHEN split = 'train' THEN doc_id END) AS min_train_id,
+         |       MIN(CASE WHEN split <> 'train' THEN doc_id END) AS min_eval_id
+         |FROM marked
+         |GROUP BY dig
+         |HAVING SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) > 0
+         |   AND (SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) > 0
+         |     OR SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) > 0)
+         |ORDER BY dig""".stripMargin
+  )
+}
