@@ -23,16 +23,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's timestamp
-    * type (µs) cannot hold — read it as a long (legacy conf) and
-    * convert with exact integer division to a µs timestamp. The
-    * testdata carries no sub-µs component, so this is lossless and
-    * matches DuckDB's µs view of the same column.
+  /** `events.ts` arrives in whatever precision the generator chose, so
+    * adapt to the schema actually on disk rather than assuming one:
+    *  - TIMESTAMP(NANOS) parquet (early testdata drops) exceeds
+    *    Spark's µs timestamp — read it as a long (legacy conf) and
+    *    convert with exact integer division to a µs timestamp
+    *    (lossless: the testdata carries no sub-µs component);
+    *  - TIMESTAMP(MICROS) without UTC adjustment reads as
+    *    TIMESTAMP_NTZ — cast to the session-zone timestamp (the
+    *    session zone is pinned to UTC everywhere, so values are
+    *    identical and match DuckDB's µs view of the same column).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
