@@ -289,6 +289,33 @@ object EventPipeline {
       } finally scored.unpersist()
     }
 
+  /** Composed streaming CORPUS CLEANER — dedup → quality → route in
+    * ONE job, the stream twin of q_corpus_clean's batch composition:
+    * each arriving doc gets the order-invariant SimHash signature and
+    * in-horizon duplicates (replays AND token-permuted rewrites) are
+    * dropped by [[nearDedupedDocuments]]' bounded state; every
+    * SURVIVOR is then scored once with the shared quality z and fanned
+    * out to the accept / quarantine sinks by [[routeDocumentsBatch]]'s
+    * epoch-keyed idempotent overwrite. One checkpoint governs the
+    * whole chain, so a restart resumes with the dedup state and the
+    * sink epochs in lockstep — a replayed micro-batch re-drops the
+    * same duplicates and rewrites the same `batch=<id>` directories
+    * byte-for-byte. At 100 TB this is the corpus-ingest front door:
+    * state is one 8-byte signature per in-horizon distinct doc, the
+    * scorer is narrow per-row arithmetic, and both sinks are blind
+    * epoch-partitioned writes. */
+  def startCorpusClean(docs: DataFrame, acceptDir: String,
+      quarantineDir: String, checkpointDir: String, minZ: Double = 0.0,
+      watermarkDelay: String = "10 minutes",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    nearDedupedDocuments(docs, watermarkDelay)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(routeDocumentsBatch(acceptDir, quarantineDir, minZ) _)
+      .start()
+
   /** Streaming counterpart of the batch q_dedup_incremental: the
     * NOVEL-ONLY firehose. Arrivals stream in; anything whose content
     * digest already exists in the static corpus keeper set is dropped

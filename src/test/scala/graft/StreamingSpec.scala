@@ -632,6 +632,70 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(quar).count() == r.count())
   }
 
+  test("composed corpus-clean stream: dedup → quality → route matches the batch composition, restart-safe") {
+    graft.functions.TextExpressions.register(spark)
+    val src = tmp("cc-src")
+    val acc = tmp("cc-acc")
+    val quar = tmp("cc-quar")
+    val chk = tmp("cc-chk")
+    val minZ = 0.55 // splits the keepers across both sinks
+    // originals: one doc per distinct SimHash signature (the testdata
+    // plants exact duplicates; electing the min-id doc per signature
+    // makes keeper identity deterministic on both sides)
+    val base = Tables.documents(spark, Sf0001).filter($"doc_id" < 80)
+      .select($"doc_id", $"text", $"lang", $"source")
+      .withColumn("sig", EventPipeline.perRowSimhash())
+    val originals = base
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"sig").orderBy($"doc_id")))
+      .filter($"rk" === 1).drop("rk", "sig")
+      .withColumn("ingest_ts", lit(ts("2024-01-01 10:00:00")))
+      .select($"doc_id", $"ingest_ts", $"text", $"lang", $"source")
+      .persist()
+    // replays: token-REVERSED copies of 10 originals — re-minted ids,
+    // different md5, same token bag → same signature; they arrive in a
+    // LATER epoch (distinct mod-times order the file source) and must
+    // all collapse against the in-horizon dedup state
+    val replays = originals.orderBy("doc_id").limit(10)
+      .withColumn("doc_id", $"doc_id" + 1000L)
+      .withColumn("text", concat_ws(" ", reverse(split($"text", " "))))
+      .withColumn("ingest_ts", lit(ts("2024-01-01 10:00:05")))
+      .select($"doc_id", $"ingest_ts", $"text", $"lang", $"source")
+    originals.coalesce(1).write.mode("overwrite").parquet(src)
+    Thread.sleep(1100)
+    replays.coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def start() = EventPipeline.startCorpusClean(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      acc, quar, chk, minZ, trigger = Trigger.AvailableNow())
+    val q = start(); q.awaitTermination(120000)
+    val a = spark.read.parquet(acc)
+    val r = spark.read.parquet(quar)
+    // dedup stage: every original survives exactly once, every
+    // token-permuted replay is collapsed
+    val keptIds = (a.select($"doc_id") union r.select($"doc_id"))
+      .as[Long].collect().sorted.toSeq
+    val originalIds = originals.select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(keptIds == originalIds)
+    // route stage: the split equals the BATCH composition doc-for-doc
+    // (same shared scorer, same bar)
+    val batchScored = graft.operators.TextOps.withQualityZ(
+      originals.drop("ingest_ts"))
+    val batchAccept = batchScored.filter($"z" >= minZ)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a.select($"doc_id").as[Long].collect().toSet == batchAccept)
+    assert(r.select($"doc_id").as[Long].collect().toSet ==
+      originalIds.toSet -- batchAccept)
+    assert(a.count() > 0 && r.count() > 0, "both sinks must do real work")
+    // restart on the same checkpoint with no new input: dedup state and
+    // sink epochs resume in lockstep — nothing reprocessed, no dupes
+    val q2 = start(); q2.awaitTermination(120000)
+    assert(spark.read.parquet(acc).count() == a.count())
+    assert(spark.read.parquet(quar).count() == r.count())
+    originals.unpersist()
+  }
+
   test("end-to-end enrichment stream over files with checkpoint (EP1/T1-T4)") {
     val src = tmp("src")
     val history = tmp("hist2")
