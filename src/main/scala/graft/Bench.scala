@@ -35,6 +35,7 @@ object Bench {
       // timed repetition COLD-path — the cross-query sharing speeds up
       // pipeline runs (graft.Verify), never the published numbers
       graft.operators.TextOps.clearGraphCache()
+      graft.operators.GraphOps.clearGraphCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
       val t0 = System.nanoTime()

@@ -35,6 +35,27 @@ import graft.sources.Tables
   */
 object GraphOps {
 
+  /** Cross-QUERY memo for the co-occurrence graph family — the twin of
+    * TextOps' md5 signature-graph memo: q_triangles, q_local_cc and
+    * q_kcore all start from the same (edges, degrees) frames and the
+    * two triangle queries each pay the same wedge join, so a
+    * pipeline-shaped run (graft.Verify, or a production multi-report
+    * job) builds each intermediate ONCE. Entries are localCheckpoint-
+    * materialized frames keyed by (session identity, data dir).
+    * graft.Bench and ScaleProbe CLEAR this memo before every timed
+    * repetition, so published per-query times stay COLD-path honest —
+    * the memo accelerates pipeline-shaped runs, never the benchmark. */
+  private val graphCache =
+    scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+
+  /** Drop all memoized graph intermediates (bench/probe isolation). */
+  def clearGraphCache(): Unit = graphCache.clear()
+
+  private def cachedGraph[T <: AnyRef](s: SparkSession, d: String,
+      kind: String)(build: => T): T =
+    graphCache.getOrElseUpdate(
+      s"$kind|${System.identityHashCode(s)}|$d", build).asInstanceOf[T]
+
   /** Distinct undirected co-occurrence edges (u < v) from lineitem. */
   private def coEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
@@ -43,6 +64,21 @@ object GraphOps {
     a.join(b, Seq("k")).filter(col("u") < col("v"))
       .select("u", "v").distinct()
   }
+
+  /** Memoized (edges, degrees) over `d`'s co-occurrence graph. */
+  private def coEdgesDegM(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    cachedGraph[(DataFrame, DataFrame)](s, d, "co") {
+      val e = coEdges(s, d).localCheckpoint()
+      (e, degrees(e).localCheckpoint())
+    }
+
+  /** Memoized triangle rows — the ~36 M-row wedge-join product both
+    * triangle queries consume. */
+  private def triangleRowsM(s: SparkSession, d: String): DataFrame =
+    cachedGraph[DataFrame](s, d, "tri") {
+      val (e, deg) = coEdgesDegM(s, d)
+      triangleRows(e, deg).localCheckpoint()
+    }
 
   /** Per-node degree over an undirected (u < v) edge list. */
   private def degrees(edges: DataFrame): DataFrame =
@@ -94,8 +130,18 @@ object GraphOps {
       .select("n_nodes", "n_edges", "n_wedges", "n_triangles", "global_cc")
   }
 
-  private def qTriangles(s: SparkSession, d: String): DataFrame =
-    triangleCensus(coEdges(s, d))
+  private def qTriangles(s: SparkSession, d: String): DataFrame = {
+    val (_, deg) = coEdgesDegM(s, d)
+    val tri = triangleRowsM(s, d).agg(count(lit(1)).as("n_triangles"))
+    val nodesEdges = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("CAST(SUM(deg) / 2 AS BIGINT)").as("n_edges"),
+      expr("CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT)").as("n_wedges"))
+    nodesEdges.crossJoin(tri)
+      .withColumn("global_cc",
+        lit(3.0) * col("n_triangles").cast("double") / col("n_wedges").cast("double"))
+      .select("n_nodes", "n_edges", "n_wedges", "n_triangles", "global_cc")
+  }
 
   // Per-node triangle participation + local clustering coefficient —
   // the "how clique-ish is each hub's neighborhood" profile. Triangle
@@ -103,9 +149,8 @@ object GraphOps {
   // census output), one hash aggregate per node, then a top-k that
   // compiles to TakeOrderedAndProject — no global sort at any scale.
   private def qLocalCc(s: SparkSession, d: String): DataFrame = {
-    val edges = coEdges(s, d)
-    val deg = degrees(edges)
-    val tri = triangleRows(edges, deg)
+    val (_, deg) = coEdgesDegM(s, d)
+    val tri = triangleRowsM(s, d)
     val corners = tri.select(col("n1").as("node"))
       .unionAll(tri.select(col("n2").as("node")))
       .unionAll(tri.select(col("n3").as("node")))
@@ -235,20 +280,20 @@ object GraphOps {
   /** The derived-K q_kcore path with its measured peel depth — the
     * oracle-validity probe for CoreDepthSpec. */
   private[graft] def kcoreDepthAt(s: SparkSession, d: String): Int = {
-    val edges = coEdges(s, d).localCheckpoint()
-    val med = degrees(edges)
+    val (edges, deg) = coEdgesDegM(s, d)
+    val med = deg
       .agg(expr("percentile(deg, 0.5d)").as("med")).head.getDouble(0)
     kcoreWithDepth(edges, math.floor(CoreFrac.toDouble * med).toInt)._2
   }
 
   private def qKcore(s: SparkSession, d: String): DataFrame = {
-    // checkpoint: the edge list feeds the median probe AND every peel
-    // round — recomputing the intra-order pair join per round would
-    // multiply the dominant shuffle by the peel depth
-    val edges = coEdges(s, d).localCheckpoint()
+    // memoized checkpoint: the edge list feeds the median probe AND
+    // every peel round — recomputing the intra-order pair join per
+    // round would multiply the dominant shuffle by the peel depth
+    val (edges, deg) = coEdgesDegM(s, d)
     // exact interpolated median of BIGINT degrees — a one-double model
     // fetch (like the Lloyd centroid collects), never a data collect
-    val med = degrees(edges)
+    val med = deg
       .agg(expr("percentile(deg, 0.5d)").as("med")).head.getDouble(0)
     kcore(edges, math.floor(CoreFrac.toDouble * med).toInt)
   }
@@ -311,12 +356,40 @@ object GraphOps {
       .orderBy("node")
   }
 
+  // Common-neighbor link similarity — the Jaccard link-prediction /
+  // edge-strength score over the co-occurrence graph: for each edge,
+  // |N(u)∩N(v)| is exactly the number of triangles the edge closes
+  // (read straight off the memoized triangle rows — each triangle
+  // contributes its three sides), and |N(u)∪N(v)\{u,v}| =
+  // deg(u)+deg(v)−2−common. Restricted to triangle-closing edges the
+  // denominator is ≥ 1, and the one division per edge runs over exact
+  // BIGINTs. Scale shape: the triangle stream explodes 3× (linear in
+  // the census output), one edge-keyed hash agg, two node-keyed degree
+  // joins, and a TakeOrderedAndProject top-k — no new wedge join.
+  private def qLinkJaccard(s: SparkSession, d: String): DataFrame = {
+    val (_, deg) = coEdgesDegM(s, d)
+    val tri = triangleRowsM(s, d)
+    val tedges = tri
+      .select(least(col("n1"), col("n2")).as("u"), greatest(col("n1"), col("n2")).as("v"))
+      .unionAll(tri.select(least(col("n1"), col("n3")).as("u"), greatest(col("n1"), col("n3")).as("v")))
+      .unionAll(tri.select(least(col("n2"), col("n3")).as("u"), greatest(col("n2"), col("n3")).as("v")))
+    tedges.groupBy("u", "v").agg(count(lit(1)).as("common"))
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .withColumn("jaccard", expr(
+        "CAST(common AS DOUBLE) / CAST(deg_u + deg_v - 2 - common AS DOUBLE)"))
+      .select("u", "v", "common", "deg_u", "deg_v", "jaccard")
+      .orderBy(col("jaccard").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> (qTriangles _),
     "q_local_cc" -> (qLocalCc _),
     "q_basket_lift" -> (qBasketLift _),
     "q_kcore" -> (qKcore _),
-    "q_communities" -> (qCommunities _)
+    "q_communities" -> (qCommunities _),
+    "q_link_jaccard" -> (qLinkJaccard _)
   )
 
   private val pairsSql =
@@ -411,6 +484,33 @@ object GraphOps {
   val oracle: Map[String, String] = Map(
     "q_kcore" -> kcoreSql(CoreOracleRounds),
     "q_communities" -> lpaSql(LpaRounds),
+    "q_link_jaccard" ->
+      s"""WITH pairs AS (
+         |$pairsSql
+         |), deg AS (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+         |  ) GROUP BY node
+         |), tri AS (
+         |  SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+         |  JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
+         |), tedges AS (
+         |  SELECT n1 AS u, n2 AS v FROM tri
+         |  UNION ALL SELECT n1 AS u, n3 AS v FROM tri
+         |  UNION ALL SELECT n2 AS u, n3 AS v FROM tri
+         |), common AS (
+         |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common FROM tedges GROUP BY u, v
+         |)
+         |SELECT c.u, c.v, c.common, du.deg AS deg_u, dv.deg AS deg_v,
+         |       CAST(c.common AS DOUBLE)
+         |         / CAST(du.deg + dv.deg - 2 - c.common AS DOUBLE) AS jaccard
+         |FROM common c
+         |JOIN deg du ON du.node = c.u
+         |JOIN deg dv ON dv.node = c.v
+         |ORDER BY jaccard DESC, u, v
+         |LIMIT 20""".stripMargin,
     // the oracle counts ordered triples u<v<w by part id — a hash-family
     // -free formulation that is independent of the degree orientation
     // the engine uses, so it cross-checks the orientation logic itself

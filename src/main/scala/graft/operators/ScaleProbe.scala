@@ -176,6 +176,7 @@ object ScaleProbe {
       // full COLD build per pass — a memo hit on pass 2+ would fake a
       // sub-linear exponent for the md5-family paths
       TextOps.clearGraphCache()
+      GraphOps.clearGraphCache()
       s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
       val t0 = System.nanoTime()
