@@ -202,12 +202,125 @@ object Analytics {
       .orderBy("dig")
   }
 
+  // ---- q_cusum: change-point scan over the daily volume series -----
+  //
+  // CUSUM drift detection: the cumulative deviation of the daily order
+  // count from the series mean, C_k = S_k − k·(N/D), peaking at the
+  // day where the level shifts — the first thing a volume monitor
+  // computes when "did ingest change regime?" comes up. S_k and k are
+  // EXACT BIGINT window sums over the day order, N and D exact corpus
+  // totals, so every C_k is ONE IEEE expression over exact integers,
+  // parenthesized identically in both engines; the peak flag compares
+  // those bit-identical doubles. Scale shape: day-grain aggregate
+  // (tiny at any corpus size) + one window pass over days.
+  private def qCusum(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val byDay = Window.orderBy(col("day"))
+    val all = Window.partitionBy()
+    daily
+      .withColumn("k", row_number().over(byDay).cast("long"))
+      .withColumn("run_sum", sum(col("n_orders")).over(byDay))
+      .withColumn("tot", sum(col("n_orders")).over(all))
+      .withColumn("n_days", count(lit(1)).over(all))
+      .withColumn("cusum",
+        expr("""CAST(run_sum AS DOUBLE)
+                - (CAST(k AS DOUBLE) * CAST(tot AS DOUBLE)) / CAST(n_days AS DOUBLE)"""))
+      .withColumn("is_peak",
+        abs(col("cusum")) === max(abs(col("cusum"))).over(all))
+      .select(col("day").cast("timestamp").as("day"), col("n_orders"),
+        col("run_sum"), col("cusum"), col("is_peak"))
+      .orderBy("day")
+  }
+
+  // ---- q_autocorr: lag-1 autocorrelation of daily volumes ----------
+  //
+  // Per-priority lag-1 autocorrelation of the daily order count — the
+  // "is today's volume predictive of tomorrow's" seasonality probe.
+  // Pairs (x_t, x_{t+1}) come from one lead() over the observed day
+  // sequence; Pearson r is assembled from SIX exact BIGINT sums
+  // (n, Σx, Σy, Σxy, Σx², Σy²) in a single IEEE expression — the
+  // integer sums are far below 2^53 at any tested SF (and the 100 TB
+  // variant would swap the same sums to DECIMAL(38,0) unchanged).
+  // Scale shape: day-grain aggregate + one window lead + one
+  // per-priority hash agg — never a self-join.
+  private def qAutocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val byDay = Window.partitionBy("priority").orderBy("day")
+    daily
+      .withColumn("y", lead(col("x"), 1).over(byDay))
+      .filter(col("y").isNotNull)
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("r", expr(
+        """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""))
+      .select("priority", "n", "sx", "sy", "sxy", "sxx", "syy", "r")
+      .orderBy("priority")
+  }
+
+  // ---- q_vocab_growth: Heaps-law vocabulary curve ------------------
+  //
+  // Cumulative vocabulary size vs cumulative token count over corpus
+  // PREFIXES (deciles of the doc_id order) — the curve that answers
+  // "does more of this source still add new types, or is the
+  // vocabulary saturated?" (Heaps' law V ≈ K·nᵝ; a flattening curve
+  // means diminishing lexical return). Each term is attributed to the
+  // decile of its FIRST occurrence (min doc rank over the corpus
+  // order), each doc's token count to its own decile, and both roll
+  // up through a 10-row running sum — all counts exact BIGINTs, the
+  // doubles are two final per-row ln() calls. Scale shape: one token
+  // explode → term-keyed min-agg (linear in corpus tokens), one
+  // doc-grain agg, and a 10-row window. The doc rank is one global
+  // window sort at profile time — the exact-prefix price, same trade
+  // as q_deciles (and on an ingest-ordered corpus whose ids are
+  // monotone the rank collapses to arithmetic on doc_id).
+  private def qVocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val ranked = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("decile", expr("(rn * 10 + n - 1) DIV n"))
+    val docTok = ranked
+      .withColumn("n_toks", size(tokens()).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val firstSeen = ranked
+      .select(col("rn"), col("n"), explode(tokens()).as("term"))
+      .groupBy("term").agg(min(col("rn")).as("first_rn"), max(col("n")).as("n"))
+      .withColumn("decile", expr("(first_rn * 10 + n - 1) DIV n"))
+      .groupBy("decile").agg(count(lit(1)).as("new_terms"))
+    val byDecile = Window.orderBy(col("decile"))
+    docTok.join(firstSeen, Seq("decile"), "left_outer")
+      .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
+      .withColumn("cum_docs", sum(col("n_docs")).over(byDecile))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(byDecile))
+      .withColumn("cum_vocab", sum(col("new_terms")).over(byDecile))
+      .withColumn("heaps_beta", expr(
+        "ln(CAST(cum_vocab AS DOUBLE)) / ln(CAST(cum_tokens AS DOUBLE))"))
+      .select("decile", "n_docs", "new_terms", "cum_docs", "cum_tokens",
+        "cum_vocab", "heaps_beta")
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_robust_stats" -> (qRobustStats _),
     "q_ewma" -> (qEwma _),
     "q_js_divergence" -> (qJsDivergence _),
     "q_oov" -> (qOov _),
-    "q_leakage" -> (qLeakage _)
+    "q_leakage" -> (qLeakage _),
+    "q_cusum" -> (qCusum _),
+    "q_autocorr" -> (qAutocorr _),
+    "q_vocab_growth" -> (qVocabGrowth _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -332,6 +445,83 @@ object Analytics {
          |HAVING SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) > 0
          |   AND (SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) > 0
          |     OR SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) > 0)
-         |ORDER BY dig""".stripMargin
+         |ORDER BY dig""".stripMargin,
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1
+        |), c AS (
+        |  SELECT day, n_orders,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k,
+        |         CAST(SUM(n_orders) OVER (ORDER BY day) AS BIGINT) AS run_sum,
+        |         CAST(SUM(n_orders) OVER () AS BIGINT) AS tot,
+        |         CAST(COUNT(*) OVER () AS BIGINT) AS n_days
+        |  FROM daily
+        |), cc AS (
+        |  SELECT day, n_orders, run_sum,
+        |         CAST(run_sum AS DOUBLE)
+        |           - (CAST(k AS DOUBLE) * CAST(tot AS DOUBLE)) / CAST(n_days AS DOUBLE)
+        |           AS cusum
+        |  FROM c
+        |)
+        |SELECT CAST(day AS TIMESTAMP) AS day, n_orders, run_sum, cusum,
+        |       abs(cusum) = MAX(abs(cusum)) OVER () AS is_peak
+        |FROM cc
+        |ORDER BY day""".stripMargin,
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT priority, x,
+        |         LEAD(x, 1) OVER (PARTITION BY priority ORDER BY day) AS y
+        |  FROM daily
+        |), agg AS (
+        |  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |         CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM pairs WHERE y IS NOT NULL GROUP BY priority
+        |)
+        |SELECT priority, n, sx, sy, sxy, sxx, syy,
+        |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |         AS r
+        |FROM agg
+        |ORDER BY priority""".stripMargin,
+    "q_vocab_growth" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, text,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS rn,
+        |         CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM documents
+        |), doc_tok AS (
+        |  SELECT (rn * 10 + n - 1) // n AS decile,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM ranked GROUP BY 1
+        |), first_seen AS (
+        |  SELECT ((MIN(rn) * 10 + MAX(n) - 1) // MAX(n)) AS decile,
+        |         term
+        |  FROM (SELECT rn, n, unnest(string_split(text, ' ')) AS term FROM ranked)
+        |  GROUP BY term
+        |), new_terms AS (
+        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_terms
+        |  FROM first_seen GROUP BY decile
+        |), cum AS (
+        |  SELECT d.decile, d.n_docs,
+        |         CAST(COALESCE(t.new_terms, 0) AS BIGINT) AS new_terms,
+        |         CAST(SUM(d.n_docs) OVER (ORDER BY d.decile) AS BIGINT) AS cum_docs,
+        |         CAST(SUM(d.n_tokens) OVER (ORDER BY d.decile) AS BIGINT) AS cum_tokens,
+        |         CAST(SUM(COALESCE(t.new_terms, 0)) OVER (ORDER BY d.decile) AS BIGINT) AS cum_vocab
+        |  FROM doc_tok d LEFT JOIN new_terms t ON t.decile = d.decile
+        |)
+        |SELECT decile, n_docs, new_terms, cum_docs, cum_tokens, cum_vocab,
+        |       ln(CAST(cum_vocab AS DOUBLE)) / ln(CAST(cum_tokens AS DOUBLE)) AS heaps_beta
+        |FROM cum
+        |ORDER BY decile""".stripMargin
   )
 }
