@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the Analytics module (and the graph link-
+  * similarity query) — each test recomputes the statistic a second,
+  * independent way on the driver from the raw sf0.001 tables, so the
+  * oracle gate's hash compare is backed by a meaning check: the hash
+  * proves Spark and DuckDB agree, these prove they agree on the RIGHT
+  * number.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, Sf0001)
+
+  test("q_cusum: telescopes to zero, one peak elected, running sum reconciles") {
+    val rows = q("q_cusum").collect()
+    assert(rows.nonEmpty)
+    // C_D = S_D − D·(N/D) must telescope to (numerically) zero
+    assert(math.abs(rows.last.getAs[Double]("cusum")) < 1e-6)
+    // the peak flag marks exactly the max-|C| rows (≥ 1)
+    val maxAbs = rows.map(r => math.abs(r.getAs[Double]("cusum"))).max
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_peak") ==
+        (math.abs(r.getAs[Double]("cusum")) == maxAbs))
+    }
+    assert(rows.count(_.getAs[Boolean]("is_peak")) >= 1)
+    // run_sum is the cumulative n_orders and ends at the table total
+    val cums = rows.map(_.getAs[Long]("n_orders")).scanLeft(0L)(_ + _).drop(1)
+    assert(rows.map(_.getAs[Long]("run_sum")).toSeq == cums.toSeq)
+    assert(cums.last == graft.sources.Tables.orders(spark, Sf0001).count())
+  }
+
+  test("q_autocorr: r bounded, pair count recounted for one priority") {
+    val rows = q("q_autocorr").collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      val rr = r.getAs[Double]("r")
+      assert(rr >= -1.0 - 1e-12 && rr <= 1.0 + 1e-12, s"r out of range: $rr")
+    }
+    // n = observed days − 1 for the recounted priority
+    val p = rows.head.getAs[String]("priority")
+    val days = graft.sources.Tables.orders(spark, Sf0001)
+      .filter($"o_orderpriority" === p)
+      .select(to_date($"o_orderdate")).distinct().count()
+    assert(rows.head.getAs[Long]("n") == days - 1)
+  }
+
+  test("q_vocab_growth: deciles partition the corpus, vocab saturates at the true type count") {
+    val rows = q("q_vocab_growth").collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    // cumulative columns are monotone non-decreasing
+    Seq("cum_docs", "cum_tokens", "cum_vocab").foreach { c =>
+      val xs = rows.map(_.getAs[Long](c))
+      assert(xs.zip(xs.tail).forall { case (a, b) => a <= b }, c)
+    }
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+    assert(rows.last.getAs[Long]("cum_docs") == docs.count())
+    val toks = docs.select(explode(split($"text", " ")).as("t"))
+    assert(rows.last.getAs[Long]("cum_tokens") == toks.count())
+    assert(rows.last.getAs[Long]("cum_vocab") == toks.distinct().count())
+  }
+
+  test("q_link_jaccard: common-neighbor count recounted from raw adjacency") {
+    val rows = q("q_link_jaccard").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c, du, dv) = (r.getAs[Long]("common"),
+        r.getAs[Long]("deg_u"), r.getAs[Long]("deg_v"))
+      val j = r.getAs[Double]("jaccard")
+      assert(c >= 1 && c <= math.min(du, dv) - 1,
+        s"common $c vs degrees $du/$dv")
+      assert(j > 0.0 && j <= 1.0)
+      assert(math.abs(j - c.toDouble / (du + dv - 2 - c)) < 1e-12)
+    }
+    // independent recount of the top edge's intersection from lineitem
+    val li = graft.sources.Tables.lineitem(spark, Sf0001)
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    li.groupBy(_._1).values.foreach { grp =>
+      val parts = grp.map(_._2).distinct
+      for (a <- parts; b <- parts if a != b)
+        adj(a) = adj.getOrElse(a, Set.empty) + b
+    }
+    val top = rows.head
+    val (u, v) = (top.getAs[Long]("u"), top.getAs[Long]("v"))
+    val expected = (adj(u) & adj(v)).size
+    assert(top.getAs[Long]("common") == expected,
+      s"edge ($u,$v): common ${top.getAs[Long]("common")} vs recount $expected")
+    assert(top.getAs[Long]("deg_u") == adj(u).size)
+    assert(top.getAs[Long]("deg_v") == adj(v).size)
+  }
+
+  test("q_robust_stats: median/MAD/trimmed mean recounted per source") {
+    val rows = q("q_robust_stats").collect()
+    val bySrc = graft.sources.Tables.documents(spark, Sf0001)
+      .select($"source", $"n_chars", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(rows.map(_.getAs[String]("source")).toSet == bySrc.keySet)
+    rows.foreach { r =>
+      val xs = bySrc(r.getAs[String]("source"))
+        .sortBy(t => (t._2, t._3)).map(_._2)
+      val n = xs.length
+      val med = xs((n + 1) / 2 - 1)
+      assert(r.getAs[Long]("median") == med)
+      val devs = bySrc(r.getAs[String]("source"))
+        .map(t => (math.abs(t._2 - med), t._3)).sorted.map(_._1)
+      assert(r.getAs[Long]("mad") == devs((n + 1) / 2 - 1))
+      val trim = xs.slice(n / 10, n - n / 10)
+      assert(math.abs(r.getAs[Double]("trimmed_mean")
+        - trim.sum.toDouble / trim.length) < 1e-9)
+    }
+  }
+
+  test("q_ewma: hand-recomputed weighted average for a mid-series day") {
+    val rows = q("q_ewma").collect()
+    assert(rows.length > 20)
+    val daily = rows.map(r =>
+      r.getTimestamp(0).toLocalDateTime.toLocalDate -> r.getAs[Long]("n_orders")).toMap
+    val probe = rows(15)
+    val day = probe.getTimestamp(0).toLocalDateTime.toLocalDate
+    val terms = (0 to 9).flatMap { l =>
+      daily.get(day.minusDays(l)).map(n => (math.pow(0.9, l), n))
+    }
+    val expected = terms.map { case (w, n) => w * n }.sum / terms.map(_._1).sum
+    assert(math.abs(probe.getAs[Double]("ewma10") - expected) < 1e-6)
+  }
+
+  test("q_js_divergence: symmetric-bounded divergence, shared-term accounting") {
+    val rows = q("q_js_divergence").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val js = r.getAs[Double]("js_div")
+      assert(js >= -1e-9 && js <= math.log(2.0) + 1e-9, s"js out of [0, ln2]: $js")
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_terms"))
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+    }
+  }
+
+  test("q_oov: rates bounded and eval-only splits reported") {
+    val rows = q("q_oov").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(Set("val", "test").contains(r.getAs[String]("split")))
+      val (oov, tok) = (r.getAs[Long]("n_oov"), r.getAs[Long]("n_tokens"))
+      assert(oov >= 0 && oov <= tok)
+      assert(math.abs(r.getAs[Double]("oov_rate") - oov.toDouble / tok) < 1e-12)
+    }
+  }
+
+  test("q_leakage: every reported digest truly spans train and eval") {
+    val rows = q("q_leakage").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_train") > 0)
+      assert(r.getAs[Long]("n_val") + r.getAs[Long]("n_test") > 0)
+      assert(r.getAs[Long]("min_train_id") != r.getAs[Long]("min_eval_id"))
+    }
+    // the doubled corpus plants every text twice under independent
+    // split hashes, so SOME cross-split collision is all but certain
+    assert(rows.nonEmpty)
+  }
+}
