@@ -2559,8 +2559,13 @@ object TextOps {
     * any hot fingerprint's fan-out — the exact posture of the shingle
     * and LSH dedup paths, never all-pairs. */
   private def qWinnowPairs(s: SparkSession, d: String): DataFrame = {
+    // checkpoint: the fingerprint stream feeds the df agg AND both
+    // sides of the pair join — without the pin the O(tokens) md5
+    // extraction re-runs per consumer (same device as qKcore's edge
+    // pin; priced inside this query's own clock, never memoized)
     val sel = winnowFrame(doubled(s, d))
       .select(col("doc_id"), col("n_fps"), explode(col("fps")).as("fp"))
+      .localCheckpoint()
     val fpd = sel.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= WinnowDfCap)
     val cap = sel.join(fpd.select("fp"), Seq("fp"))
