@@ -317,4 +317,26 @@ class PlanAuditSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q_link_jaccard tops out via TakeOrderedAndProject with no cartesian") {
+    val p = plan("q_link_jaccard")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("q_cusum reads only the order-date column") {
+    val p = plan("q_cusum")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderdate") && !readSchema.contains("o_totalprice")
+      && !readSchema.contains("o_custkey"),
+      s"scan should read only o_orderdate: $readSchema")
+  }
+
+  test("q_vocab_growth scans only (doc_id, text)") {
+    val p = plan("q_vocab_growth")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text")
+      && !readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
 }
