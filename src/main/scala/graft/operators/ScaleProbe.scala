@@ -162,7 +162,12 @@ object ScaleProbe {
       // edge-keyed join + agg — the second driver-coordinated loop
       // (after the CC/k-core family) whose exponent is worth
       // measuring rather than arguing
-      "q_communities" -> GraphOps.queries("q_communities")
+      "q_communities" -> GraphOps.queries("q_communities"),
+      // link Jaccard: the wedge machinery again (the probe clears the
+      // graph memo, so this prices the full cold build) plus the 3·T
+      // corner explode and an edge-keyed agg — probed directly so the
+      // new bench line carries its own measurement
+      "q_link_jaccard" -> GraphOps.queries("q_link_jaccard")
     )
   }
 
@@ -186,15 +191,23 @@ object ScaleProbe {
     ts.sorted.apply(passes / 2)
   }
 
-  /** Synthesize each multiplier under `workDir` and time every path.
+  /** Synthesize each multiplier under `workDir` and time every path
+    * (or just the ones named by `only` — the Scaling merge mode).
     * @return multiplier → (path → median seconds) */
   def run(s: SparkSession, baseDir: String, workDir: String,
-      multipliers: Seq[Int], passes: Int = 3): Map[Int, Map[String, Double]] =
+      multipliers: Seq[Int], passes: Int = 3,
+      only: Option[Set[String]] = None): Map[Int, Map[String, Double]] =
     multipliers.map { m =>
       val dir = s"$workDir/x$m"
       writeScaled(s, baseDir, dir, m)
       val nEmb = s.read.parquet(s"$dir/embeddings.parquet").count()
-      m -> paths(nEmb).map { case (name, q) =>
+      val selected = only.fold(paths(nEmb)) { names =>
+        val ps = paths(nEmb).filter(p => names(p._1))
+        require(ps.map(_._1).toSet == names,
+          s"unknown probe paths: ${(names -- ps.map(_._1)).mkString(", ")}")
+        ps
+      }
+      m -> selected.map { case (name, q) =>
         name -> timeMedian(s, passes)(q(s, dir))
       }.toMap
     }.toMap

@@ -374,6 +374,59 @@ object TextOps {
         min(col("lang")).as("lang"))
       .orderBy("text_md5")
 
+  /** Per-source duplication report over the doubled corpus — the
+    * rollup a curation dashboard shows before/after dedup: docs
+    * contributed, distinct texts, redundant-copy share, and the
+    * largest clone group, per source. Two cascaded hash aggregates
+    * ((source, digest) then source — both map-side-partial); the one
+    * double is a single IEEE division of exact BIGINTs, and the
+    * second agg's input is ≤ |distinct texts| rows. */
+  private def qDedupStats(s: SparkSession, d: String): DataFrame =
+    doubled(s, d)
+      .groupBy(col("source"), md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n_copies")).as("n_docs"),
+        count(lit(1)).as("n_texts"),
+        max(col("n_copies")).as("max_clone"),
+        sum(col("n_copies") - 1L).as("n_dup_docs"))
+      .withColumn("dup_ratio",
+        col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source")
+
+  /** Blocklist terms — stand-ins for a C4-style badword list (two
+    * corpus-hot tokens plus one absent control). A real deployment
+    * swaps in its own list; the mechanics don't change: the list
+    * rides the plan as an `isin` literal set (codegen'd, no join), so
+    * cost is one narrow token explode + a doc-keyed aggregate. */
+  private[graft] val Blocklist = Seq("slow", "big", "leak")
+
+  /** Wordlist document filter (the C4-style blocklist cut): every doc
+    * containing a blocked term, with occurrence count, distinct terms
+    * matched, and hit rate. `blocked` (rate ≥ 0.08) is decided in
+    * INTEGER arithmetic (25·hits ≥ 2·tokens ⇔ rate ≥ 2/25) so the
+    * boundary can't hinge on a float compare; hit_rate itself is one
+    * IEEE division of the same exact BIGINTs. Docs with zero hits are
+    * absent by construction — the clean corpus is the anti-join. */
+  private def qBlocklist(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tokens()).cast("long").as("n_tokens"),
+        explode(tokens()).as("tok"))
+      .filter(col("tok").isin(Blocklist: _*))
+      .groupBy("doc_id", "n_tokens")
+      .agg(
+        count(lit(1)).as("n_hits"),
+        countDistinct(col("tok")).as("n_terms_hit"),
+        concat_ws(",", sort_array(collect_set(col("tok")))).as("terms"))
+      .withColumn("hit_rate",
+        col("n_hits").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("blocked", col("n_hits") * 25L >= col("n_tokens") * 2L)
+      .select("doc_id", "n_tokens", "n_hits", "n_terms_hit", "terms",
+        "hit_rate", "blocked")
+      .orderBy("doc_id")
+
   /** Document-frequency cap for shingle-based pair joins: a shingle
     * shared by d documents emits d² candidate rows through the
     * self-join, so one ubiquitous 3-gram ("of the and"-class) is both
@@ -2626,6 +2679,8 @@ object TextOps {
     "q_lang_id" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_stats" -> (qDedupStats _),
+    "q_blocklist" -> (qBlocklist _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_prefix" -> (qDedupPrefix _),
     "q_containment" -> (qContainment _),
@@ -2910,6 +2965,38 @@ object TextOps {
          |FROM doubled
          |GROUP BY md5(text)
          |ORDER BY text_md5""".stripMargin,
+    "q_dedup_stats" ->
+      s"""WITH $doubledSql,
+         |g AS (
+         |  SELECT source, md5(text) AS text_md5, COUNT(*) AS n_copies
+         |  FROM doubled GROUP BY source, md5(text)
+         |)
+         |SELECT source,
+         |       CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+         |       COUNT(*) AS n_texts,
+         |       CAST(MAX(n_copies) AS BIGINT) AS max_clone,
+         |       CAST(SUM(n_copies - 1) AS BIGINT) AS n_dup_docs,
+         |       CAST(SUM(n_copies - 1) AS DOUBLE) / CAST(SUM(n_copies) AS DOUBLE) AS dup_ratio
+         |FROM g GROUP BY source
+         |ORDER BY source""".stripMargin,
+    "q_blocklist" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), e AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         unnest(toks) AS tok
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens,
+         |       COUNT(*) AS n_hits,
+         |       COUNT(DISTINCT tok) AS n_terms_hit,
+         |       array_to_string(list_sort(list(DISTINCT tok)), ',') AS terms,
+         |       CAST(COUNT(*) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS hit_rate,
+         |       COUNT(*) * 25 >= n_tokens * 2 AS blocked
+         |FROM e
+         |WHERE tok IN (${Blocklist.map(t => s"'$t'").mkString(", ")})
+         |GROUP BY doc_id, n_tokens
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH $doubledSql,
          |sh AS (

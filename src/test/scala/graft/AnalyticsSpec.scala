@@ -162,4 +162,48 @@ class AnalyticsSpec extends SparkSpec {
     // split hashes, so SOME cross-split collision is all but certain
     assert(rows.nonEmpty)
   }
+
+  test("q_dedup_stats: per-source rollup reconciles with a raw recount") {
+    val rows = q("q_dedup_stats").collect()
+    val raw = graft.sources.Tables.documents(spark, Sf0001)
+      .groupBy($"source", $"text").count()
+      .groupBy($"source")
+      .agg(sum($"count").as("n"), count(lit(1)).as("texts"),
+        max($"count").as("mx"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("texts"), r.getAs[Long]("mx"))).toMap
+    assert(rows.map(_.getAs[String]("source")).toSet == raw.keySet)
+    rows.foreach { r =>
+      val (n, texts, mx) = raw(r.getAs[String]("source"))
+      // doubling: every doc appears twice, no cross-source text moves
+      assert(r.getAs[Long]("n_docs") == 2 * n)
+      assert(r.getAs[Long]("n_texts") == texts)
+      assert(r.getAs[Long]("max_clone") == 2 * mx)
+      assert(r.getAs[Long]("n_dup_docs") == 2 * n - texts)
+      // every text has >= 2 copies in the doubled corpus
+      assert(r.getAs[Double]("dup_ratio") >= 0.5)
+    }
+  }
+
+  test("q_blocklist: hits recounted per doc, control term never fires") {
+    val rows = q("q_blocklist").collect()
+    assert(rows.nonEmpty)
+    val byId = graft.sources.Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val listed = graft.operators.TextOps.Blocklist.toSet
+    rows.foreach { r =>
+      val toks = byId(r.getAs[Long]("doc_id")).split(" ", -1)
+      val hits = toks.count(listed)
+      assert(hits > 0 && r.getAs[Long]("n_hits") == hits)
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      val terms = r.getAs[String]("terms").split(",").toSet
+      assert(terms == toks.filter(listed).toSet)
+      assert(!terms.contains("leak"), "control term must be absent from the corpus")
+      assert(r.getAs[Boolean]("blocked") ==
+        (25 * hits >= 2 * toks.length))
+    }
+    // completeness: every doc with a hit is reported
+    val expected = byId.count { case (_, t) => t.split(" ", -1).exists(listed) }
+    assert(rows.length == expected)
+  }
 }
