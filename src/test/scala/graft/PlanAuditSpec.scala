@@ -339,4 +339,25 @@ class PlanAuditSpec extends SparkSpec {
       && !readSchema.contains("lang") && !readSchema.contains("source"),
       s"scan reads unreferenced columns: $readSchema")
   }
+
+  test("q_blocklist matches terms with a literal set, not a join") {
+    // the blocklist rides the plan as an isin literal — any Join node
+    // means the term list started shuffling corpus-sized streams
+    val p = plan("q_blocklist")
+    assert(!p.contains("Join"), s"blocklist must not plan a join:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"expected hash aggregate:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("q_dedup_stats aggregates with map-side partials and no join") {
+    val p = plan("q_dedup_stats")
+    assert(!p.contains("Join"), s"rollup must not plan a join:\n$p")
+    // two cascaded aggregates, each with a partial stage before the
+    // exchange (4 HashAggregate nodes total)
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 4, s"expected partial+final for both aggregates, got $aggs:\n$p")
+  }
 }
