@@ -33,7 +33,12 @@ object Explain {
         "q_pr_curve", "q_source_overlap", "q_centroid_outliers",
         "q_knn_classify", "q_novelty_curve", "q_ann_recall", "q_calibration",
         "q_url_canonicalize", "q_ndcg", "q_retrieval_metrics", "q_winnow",
-        "q_winnow_pairs", "q_key_skew")
+        "q_winnow_pairs", "q_key_skew", "q_communities", "q_link_jaccard",
+        "q_markov", "q_attribution", "q_boilerplate", "q_embed_project",
+        "q_time_split", "q_mmr", "q_active_users", "q_top_movers",
+        "q_robust_stats", "q_ewma", "q_js_divergence", "q_oov", "q_leakage",
+        "q_confusion", "q_cusum", "q_autocorr", "q_vocab_growth",
+        "q_blocklist", "q_dedup_stats")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
