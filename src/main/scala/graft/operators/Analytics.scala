@@ -312,7 +312,53 @@ object Analytics {
       .orderBy("decile")
   }
 
+  // ---- q_rfm: recency / frequency / monetary segmentation ---------
+  //
+  // The classic customer-value rollup: per customer, days since last
+  // order (vs the corpus max day, so the query is self-contained and
+  // deterministic), order count, and DECIMAL-exact spend, each scored
+  // into quintiles (5 = best) by ntile(5) over a deterministic total
+  // order (metric, then custkey — both engines define ntile's uneven
+  // buckets identically, the q_deciles precedent), then a fixed CASE
+  // segment label. Scale shape: one custkey aggregate over the fact
+  // table, then three global window sorts over the MODEL-SIZED
+  // per-customer frame (|customers| ≪ |orders| — the documented
+  // q_deciles trade; a 100 TB deployment would sample quintile
+  // thresholds instead of sorting, trading exactness it doesn't need).
+  private val RfmSegmentCase =
+    """CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+      |     WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'
+      |     WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+      |     WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+      |     ELSE 'regular' END""".stripMargin
+
+  private def qRfm(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("n_orders"),
+        expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").as("spend_dec"))
+    val ref = Tables.orders(s, d)
+      .agg(max(to_date(col("o_orderdate"))).as("ref_day"))
+    cust.crossJoin(broadcast(ref))
+      .withColumn("recency_days",
+        datediff(col("ref_day"), col("last_day")).cast("long"))
+      .withColumn("r_score", (lit(6) - ntile(5).over(
+        Window.orderBy(col("recency_days"), col("custkey")))).cast("long"))
+      .withColumn("f_score", (lit(6) - ntile(5).over(
+        Window.orderBy(col("n_orders").desc, col("custkey")))).cast("long"))
+      .withColumn("m_score", (lit(6) - ntile(5).over(
+        Window.orderBy(col("spend_dec").desc, col("custkey")))).cast("long"))
+      .withColumn("segment", expr(RfmSegmentCase))
+      .select(col("custkey"), col("recency_days"), col("n_orders"),
+        col("spend_dec").cast("double").as("spend"),
+        col("r_score"), col("f_score"), col("m_score"), col("segment"))
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm" -> (qRfm _),
     "q_robust_stats" -> (qRobustStats _),
     "q_ewma" -> (qEwma _),
     "q_js_divergence" -> (qJsDivergence _),
@@ -324,6 +370,32 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rfm" ->
+      s"""WITH cust AS (
+         |  SELECT o_custkey AS custkey,
+         |         MAX(CAST(o_orderdate AS DATE)) AS last_day,
+         |         COUNT(*) AS n_orders,
+         |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+         |  FROM orders GROUP BY o_custkey
+         |), r AS (
+         |  SELECT *,
+         |         CAST(date_diff('day', last_day,
+         |           (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS BIGINT)
+         |           AS recency_days
+         |  FROM cust
+         |), sc AS (
+         |  SELECT custkey, recency_days, n_orders,
+         |         CAST(spend_dec AS DOUBLE) AS spend,
+         |         CAST(6 - ntile(5) OVER (ORDER BY recency_days, custkey) AS BIGINT) AS r_score,
+         |         CAST(6 - ntile(5) OVER (ORDER BY n_orders DESC, custkey) AS BIGINT) AS f_score,
+         |         CAST(6 - ntile(5) OVER (ORDER BY spend_dec DESC, custkey) AS BIGINT) AS m_score
+         |  FROM r
+         |)
+         |SELECT custkey, recency_days, n_orders, spend,
+         |       r_score, f_score, m_score,
+         |       $RfmSegmentCase AS segment
+         |FROM sc
+         |ORDER BY custkey""".stripMargin,
     "q_robust_stats" ->
       """WITH ranked AS (
         |  SELECT source, doc_id, n_chars,

@@ -163,6 +163,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("q_rfm: quintiles balanced, scores bounded, segment matches its rule") {
+    val rows = q("q_rfm").collect()
+    val n = rows.length
+    assert(n == graft.sources.Tables.orders(spark, Sf0001)
+      .select($"o_custkey").distinct().count())
+    // ntile(5) bucket sizes differ by at most 1
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val sizes = rows.groupBy(_.getAs[Long](c)).view.mapValues(_.length)
+      assert(sizes.keySet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)), c)
+      assert(sizes.values.max - sizes.values.min <= 1, s"$c skewed: $sizes")
+    }
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+        r.getAs[Long]("m_score"))
+      val expected =
+        if (rs >= 4 && fs >= 4 && ms >= 4) "champion"
+        else if (rs >= 4 && fs <= 2) "recent"
+        else if (rs <= 2 && fs >= 4) "at_risk"
+        else if (rs <= 2 && fs <= 2) "hibernating"
+        else "regular"
+      assert(r.getAs[String]("segment") == expected)
+      assert(r.getAs[Long]("recency_days") >= 0)
+    }
+    // the most recent customer scores r=5; the highest spender m=5
+    val minRec = rows.map(_.getAs[Long]("recency_days")).min
+    assert(rows.filter(_.getAs[Long]("recency_days") == minRec)
+      .exists(_.getAs[Long]("r_score") == 5))
+    val maxSpend = rows.map(_.getAs[Double]("spend")).max
+    assert(rows.filter(_.getAs[Double]("spend") == maxSpend)
+      .forall(_.getAs[Long]("m_score") == 5))
+  }
+
   test("q_dedup_stats: per-source rollup reconciles with a raw recount") {
     val rows = q("q_dedup_stats").collect()
     val raw = graft.sources.Tables.documents(spark, Sf0001)
