@@ -461,6 +461,56 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  // TPC-H Q13 shape (custdist): the order-count distribution over ALL
+  // customers — the left outer join keeps zero-order customers (their
+  // COUNT(o_orderkey) is 0, counting non-null values only), the first
+  // aggregate is per-customer, and the second collapses onto the tiny
+  // count domain. Scale shape: one custkey-keyed outer join + agg
+  // (AQE picks broadcast or SMJ by side size), then a model-sized
+  // second aggregate; (custdist, c_count) pairs are unique by
+  // construction so the ORDER BY is total.
+  private def qCustdist(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  // TPC-H Q22 shape, recency variant: high-balance customers with no
+  // order in the trailing 90 days of the corpus date range, rolled up
+  // by nation (the fixture gives every customer SOME order, so the
+  // literal "never ordered" predicate is empty — dormancy is the
+  // non-degenerate form of the same anti-join plan). The "above
+  // average positive balance" cutoff is DIVISION-FREE: avg < bal ⇔
+  // bal·n_pos > Σbal (both sides exact DECIMALs — decimal division
+  // scale rules differ across engines, multiplication doesn't),
+  // broadcast as a 1-row aggregate next to the anti join on the
+  // recent distinct order keys (both 1-row frames broadcast; the only
+  // shuffles are the custkey anti join and the tiny nation agg).
+  private def qDormantCustomers(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val orders = Tables.orders(s, d)
+    val pos = cust.filter(col("c_acctbal") > 0.0)
+      .agg(count(lit(1)).as("n_pos"),
+        expr("SUM(CAST(c_acctbal AS DECIMAL(18,2)))").as("total_pos"))
+    val ref = orders.agg(
+      date_sub(max(to_date(col("o_orderdate"))), 90).as("cutoff"))
+    val recent = orders.crossJoin(broadcast(ref))
+      .filter(to_date(col("o_orderdate")) >= col("cutoff"))
+      .select(col("o_custkey")).distinct()
+    cust
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(pos))
+      .filter(expr("CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > total_pos"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   // TPC-H Q2 shape: rows matching their group minimum via a
   // correlated subquery (Catalyst rewrites to an aggregate join).
   private def qMinPerGroup(s: SparkSession, d: String): DataFrame = {
@@ -812,6 +862,8 @@ object Relational {
     "q_join_nullsafe" -> (qJoinNullsafe _),
     "q_revenue_filter" -> (qRevenueFilter _),
     "q_exists_count" -> (qExistsCount _),
+    "q_custdist" -> (qCustdist _),
+    "q_dormant_customers" -> (qDormantCustomers _),
     "q_min_per_group" -> (qMinPerGroup _),
     "q_join_volume_flow" -> (qJoinVolumeFlow _),
     "q_market_share" -> (qMarketShare _),
@@ -1256,6 +1308,32 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey
+        |)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_dormant_customers" ->
+      """WITH pos AS (
+        |  SELECT COUNT(*) AS n_pos,
+        |         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_pos
+        |  FROM customer WHERE c_acctbal > 0.0
+        |), ref AS (
+        |  SELECT CAST(MAX(o_orderdate) AS DATE) - 90 AS cutoff FROM orders
+        |)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c, pos, ref
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > total_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND CAST(o.o_orderdate AS DATE) >= ref.cutoff)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "q_min_per_group" ->
       """SELECT p_partkey, p_brand, p_type, p_retailprice
         |FROM part p

@@ -1193,6 +1193,44 @@ class OperatorsSpec extends SparkSpec {
     assert(empty.isEmpty, s"degenerate queries: $empty")
   }
 
+  test("q_custdist: distribution reconciles to customer and order totals") {
+    val rows = q("q_custdist").collect()
+    val customers = graft.sources.Tables.customer(spark, Sf0001).count()
+    val orders = graft.sources.Tables.orders(spark, Sf0001).count()
+    // every customer lands in exactly one count bucket
+    assert(rows.map(_.getAs[Long]("custdist")).sum == customers)
+    // Σ c_count·custdist replays every order exactly once
+    assert(rows.map(r => r.getAs[Long]("c_count") * r.getAs[Long]("custdist")).sum == orders)
+    // ordering is (custdist desc, c_count desc)
+    val ord = rows.map(r => (r.getAs[Long]("custdist"), r.getAs[Long]("c_count")))
+    assert(ord.zip(ord.tail).forall { case ((d1, c1), (d2, c2)) =>
+      d1 > d2 || (d1 == d2 && c1 > c2) })
+  }
+
+  test("q_dormant_customers: totals reconcile with a driver-side recount") {
+    val rows = q("q_dormant_customers").collect()
+    assert(rows.nonEmpty)
+    val cust = graft.sources.Tables.customer(spark, Sf0001)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+      .as[(Long, Int, Double)].collect()
+    val ords = graft.sources.Tables.orders(spark, Sf0001)
+      .select($"o_custkey", to_date($"o_orderdate").as("day"))
+      .as[(Long, java.sql.Date)].collect()
+    val cutoff = java.sql.Date.valueOf(
+      ords.map(_._2.toLocalDate).max(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+        .minusDays(90))
+    val recentCust = ords.filter(!_._2.before(cutoff)).map(_._1).toSet
+    val pos = cust.filter(_._3 > 0.0)
+    val (nPos, totPos) = (pos.length,
+      pos.map(c => BigDecimal(c._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum)
+    val expected = cust
+      .filter(c => !recentCust(c._1))
+      .filter(c => BigDecimal(c._3).setScale(2, BigDecimal.RoundingMode.HALF_UP) * nPos > totPos)
+      .groupBy(_._2).view.mapValues(_.length).toMap
+    val got = rows.map(r => r.getAs[Int]("c_nationkey") -> r.getAs[Long]("numcust").toInt).toMap
+    assert(got == expected, s"got $got vs recount $expected")
+  }
+
   test("oracleSql keys are a subset of queries keys (driver contract)") {
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracle entries without queries: $extra")
