@@ -28,7 +28,8 @@ object SparkEntry {
       (Functions2.queries, Functions2.oracle),
       (Sampling.queries, Sampling.oracle),
       (GraphOps.queries, GraphOps.oracle),
-      (Analytics.queries, Analytics.oracle)
+      (Analytics.queries, Analytics.oracle),
+      (graft.sources.JdbcSource.queries, graft.sources.JdbcSource.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

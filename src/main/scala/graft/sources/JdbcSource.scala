@@ -53,9 +53,85 @@ object JdbcSource {
       cfg: ScanConfig = ScanConfig()): DataFrameReader =
     reader.format("jdbc").options(scanOptions(url, table, cfg))
 
-  /** The dimension read a deployment would run (unreachable in the
-    * sandbox; parquet stands in — see `Tables.customer`). */
+  /** The dimension read a deployment would run (against any JDBC
+    * database; `q_jdbc_dim` below runs it for real against embedded
+    * Derby — see [[derbyUrl]]). */
   def readDim(spark: SparkSession, url: String, table: String,
       cfg: ScanConfig = ScanConfig()): DataFrame =
     configure(spark.read, url, table, cfg).load()
+
+  // ---- real JDBC end-to-end via embedded Derby --------------------
+  //
+  // Derby ships in Spark's jar directory (it backs the Hive
+  // metastore), so the sandbox CAN run a genuine JDBC scan with zero
+  // network: seed the dimension into a Derby database through
+  // Spark's JDBC WRITER, then read it back through [[readDim]] with
+  // the production scan options (bulk fetchsize + partitioned range
+  // scan). This turns the S2 row from "option surface only" into an
+  // executed read path: the plan is a real JDBCRelation with the
+  // acctbal predicate pushed into the database and numPartitions
+  // range-bounded queries issued in parallel.
+
+  private val DerbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  /** Embedded single-JVM URL — exactly what a deployment swaps for
+    * `jdbc:postgresql://...`; everything else stays the same. */
+  def derbyUrl(dbDir: String): String = s"jdbc:derby:$dbDir;create=true"
+
+  private def derbyDirFor(sfDir: String): String = {
+    // keep derby.log out of the repo working directory
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", "/tmp/graft-derby")
+    new java.io.File("/tmp/graft-derby").mkdirs()
+    "/tmp/graft-derby/db_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+  }
+
+  /** Seed `customer_dim` from the parquet dimension (overwrite — the
+    * write side of the JDBC surface, exercised per call; the table is
+    * dimension-sized by definition). VARCHARs are sized explicitly:
+    * Spark's Derby dialect otherwise maps StringType to CLOB, which
+    * Derby won't compare or push predicates against. */
+  def seedCustomerDim(spark: SparkSession, sfDir: String, dbDir: String): Unit =
+    Tables.customer(spark, sfDir).write
+      .mode("overwrite")
+      .format("jdbc")
+      .option("url", derbyUrl(dbDir))
+      .option("driver", DerbyDriver)
+      .option("dbtable", "customer_dim")
+      .option("createTableColumnTypes",
+        "c_name VARCHAR(64), c_mktsegment VARCHAR(32)")
+      .save()
+
+  /** S2 executed for real: parquet → Derby (JDBC write) → partitioned
+    * JDBC read with predicate pushdown → the same rows the parquet
+    * scan yields (the oracle compares against parquet `customer`).
+    * Range bounds derive from the seeded table's key space so the
+    * stripes stay balanced at any SF. */
+  def qJdbcDim(spark: SparkSession, sfDir: String): DataFrame = {
+    val dbDir = derbyDirFor(sfDir)
+    seedCustomerDim(spark, sfDir, dbDir)
+    val maxKey = Tables.customer(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.max("c_custkey")).head().getLong(0)
+    val cfg = ScanConfig(fetchSize = 10000, partitionColumn = "c_custkey",
+      lowerBound = 0L, upperBound = maxKey + 1, numPartitions = 8)
+    configure(spark.read, derbyUrl(dbDir), "customer_dim", cfg)
+      .option("driver", DerbyDriver)
+      .load()
+      .filter(org.apache.spark.sql.functions.col("c_acctbal") > 1000.0)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jdbc_dim" -> (qJdbcDim _))
+
+  /** The oracle reads the SAME dimension from parquet — identity up
+    * to the pushed predicate, which is the point: the JDBC path must
+    * be lossless. */
+  val oracle: Map[String, String] = Map(
+    "q_jdbc_dim" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE c_acctbal > 1000.0
+        |ORDER BY c_custkey""".stripMargin)
 }

@@ -78,9 +78,9 @@ class StorageSpec extends SparkSpec {
   }
 
   test("JDBC dimension-scan options pin the reference's S2 shape, made parallel") {
-    // no DB in the sandbox — the option SURFACE is the testable part:
-    // bulk fetchsize and a partitioned range scan (a bare JDBC read is
-    // one task through one connection)
+    // the option SURFACE a deployment hands any JDBC database: bulk
+    // fetchsize and a partitioned range scan (a bare JDBC read is one
+    // task through one connection)
     val opts = graft.sources.JdbcSource.scanOptions(
       "jdbc:postgresql://dbhost/engagement", "content")
     assert(opts("dbtable") == "content")
@@ -88,6 +88,27 @@ class StorageSpec extends SparkSpec {
     assert(opts("numPartitions").toInt > 1, "JDBC scan must parallelize")
     assert(opts.contains("partitionColumn")
       && opts.contains("lowerBound") && opts.contains("upperBound"))
+  }
+
+  test("embedded-Derby JDBC read is a real partitioned JDBCRelation with pushdown") {
+    // the executed S2 path: Derby ships with Spark, so the scan runs
+    // for real — seed, then assert the READ plan (not the harness)
+    // splits into the configured stripes and ships the predicate to
+    // the database
+    import graft.sources.JdbcSource
+    val dim = JdbcSource.qJdbcDim(spark, Sf0001)
+    val p = dim.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("JDBCRelation"), s"expected a JDBC scan:\n$p")
+    assert(p.contains("numPartitions=8"), s"expected 8 range stripes:\n$p")
+    assert(p.contains("GreaterThan(c_acctbal,1000.0)"),
+      s"acctbal predicate must push into the database:\n$p")
+    // and the rows are exactly the parquet dimension's, over JDBC
+    val viaParquet = Tables.customer(spark, Sf0001)
+      .filter($"c_acctbal" > 1000.0)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey").collect()
+    assert(dim.collect().sameElements(viaParquet))
   }
 
   test("range-clustered write yields per-file sorted data for min/max skipping") {
