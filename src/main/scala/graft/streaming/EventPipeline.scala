@@ -155,6 +155,46 @@ object EventPipeline {
       .foreachBatch(writeBatch(historyDir, viewDir) _)
       .start()
 
+  /** K2/K3 against a REAL database: per micro-batch, reduce to the
+    * latest row per key (same deterministic tie order as
+    * [[upsertKeyedView]]), stringify the payload (the reference's
+    * KV-fallback projection), and idempotently upsert over JDBC into
+    * embedded Derby — the executable stand-in for the reference's
+    * Cassandra/Redis serving writes. At-least-once replays rewrite
+    * identical rows, so the table converges (StreamingSpec proves it
+    * against the live database).
+    */
+  def writeJdbcServing(url: String)(batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      val keyed = batch.filter(col("event_id").isNotNull)
+      val tieBreakers = keyed.columns.filterNot(_ == "event_id")
+        .sorted.map(col(_).desc_nulls_last)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_id")).orderBy(tieBreakers.toSeq: _*)
+      val latest = keyed
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      val payloadCols = latest.columns.filterNot(_ == "event_id").sorted
+      val kv = latest.select(col("event_id"),
+        to_json(struct(payloadCols.map(col).toSeq: _*)).as("payload"))
+      graft.sources.JdbcSource.upsertServing(kv, url)
+    }
+
+  /** EP1 with the database serving sink: enrichment streamed straight
+    * into the Derby `serving_kv` table. */
+  def startJdbcServing(
+      events: DataFrame,
+      dim: DataFrame,
+      url: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    Enrich.transform(events, dim)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(writeJdbcServing(url) _)
+      .start()
+
   /** T8: watermarked tumbling-window aggregation (the capability gap
     * the reference's category demands — late data beyond 10 minutes is
     * dropped, state is bounded). Matches q_window_tumbling's grouping.

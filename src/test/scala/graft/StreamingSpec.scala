@@ -714,6 +714,52 @@ class StreamingSpec extends SparkSpec {
     assert(hist.columns.contains("engagement_pct"))
     assert(spark.read.parquet(view).count() == 100)
   }
+
+  test("JDBC serving sink: enrichment streams into a live Derby table, replays converge") {
+    import graft.sources.JdbcSource
+    implicit val ctx = spark.sqlContext
+    val dbDir = tmp("derby-serve") + "/db"
+    val url = JdbcSource.derbyUrl(dbDir)
+    val chk = tmp("derby-chk")
+    val dim = Tables.customer(spark, Sf0001)
+      .select($"c_custkey", $"c_name", $"c_mktsegment", $"c_acctbal")
+    val rows = Seq(
+      EvIn(1L, ts("2024-01-01 00:00:00"), 1L, "play", 10.0, """{"k": 1}"""),
+      EvIn(2L, ts("2024-01-01 00:01:00"), 2L, "pause", 20.0, """{"k": 2}"""),
+      // an in-batch replay of key 1: latest-per-key must pick ONE row
+      // deterministically before the upsert
+      EvIn(1L, ts("2024-01-01 00:05:00"), 1L, "play", 11.0, """{"k": 1}"""))
+    val ms = MemoryStream[EvIn]
+    ms.addData(rows)
+    val q = EventPipeline.startJdbcServing(
+      ms.toDF(), dim, url, chk, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    def served(): Map[Long, String] = spark.read.format("jdbc")
+      .option("url", url)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("dbtable", "serving_kv")
+      .load().collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("payload")).toMap
+    val first = served()
+    assert(first.keySet == Set(1L, 2L), s"keys: ${first.keySet}")
+    // payload carries the ENRICHED projection, not the raw event
+    assert(first(2L).contains("engagement_pct"), first(2L))
+    assert(first(2L).contains("pause"))
+
+    // at-least-once replay of the whole batch: the table converges
+    val replay = Enrich.transform(rows.toDF(), dim)
+    EventPipeline.writeJdbcServing(url)(replay, 99L)
+    assert(served() == first, "replay must rewrite identical rows")
+
+    // a later update wins for its key and leaves the rest untouched
+    val upd = Enrich.transform(Seq(
+      EvIn(2L, ts("2024-01-01 01:00:00"), 2L, "click", 50.0, """{"k": 9}""")).toDF(), dim)
+    EventPipeline.writeJdbcServing(url)(upd, 100L)
+    val after = served()
+    assert(after(1L) == first(1L))
+    assert(after(2L) != first(2L) && after(2L).contains("click"))
+  }
 }
 
 object StreamingSpec {
