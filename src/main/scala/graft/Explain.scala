@@ -38,7 +38,8 @@ object Explain {
         "q_time_split", "q_mmr", "q_active_users", "q_top_movers",
         "q_robust_stats", "q_ewma", "q_js_divergence", "q_oov", "q_leakage",
         "q_confusion", "q_cusum", "q_autocorr", "q_vocab_growth",
-        "q_blocklist", "q_dedup_stats")
+        "q_blocklist", "q_dedup_stats", "q_rfm", "q_custdist",
+        "q_dormant_customers", "q_jdbc_dim")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

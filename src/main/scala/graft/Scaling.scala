@@ -21,7 +21,7 @@ object Scaling {
 
   /** Parse the rows of a previously written SCALING.json (our own
     * emission format — fail loud if the base dir doesn't match). */
-  private def existingRows(path: java.nio.file.Path, baseDir: String): Seq[(String, (Double, Double, Double))] = {
+  private[graft] def existingRows(path: java.nio.file.Path, baseDir: String): Seq[(String, (Double, Double, Double))] = {
     if (!java.nio.file.Files.exists(path)) return Nil
     val s = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
     require(s.contains(s""""base":"$baseDir""""),

@@ -31,4 +31,23 @@ class ScalingSpec extends SparkSpec {
       assert(r < 6.0, f"$n grew super-linearly: t(16x)/t(4x) = $r%.2f >= 6.0")
     }
   }
+
+  test("Scaling merge mode parses its own artifact and refuses a base-dir mismatch") {
+    val f = java.nio.file.Files.createTempFile("scaling", ".json")
+    val json = """{"base":"/data/sf0.1","multipliers":[4,16],"linear_ratio":4.0,""" +
+      """"threshold":6.0,"paths":{"q_a":{"t4x":1.5,"t16x":6.0,"ratio":4.0},""" +
+      """"q_b":{"t4x":2.0E-1,"t16x":0.8,"ratio":4.0}}}"""
+    java.nio.file.Files.write(f, json.getBytes("UTF-8"))
+    val rows = Scaling.existingRows(f, "/data/sf0.1").toMap
+    assert(rows.keySet == Set("q_a", "q_b"))
+    assert(rows("q_a") == ((1.5, 6.0, 4.0)))
+    assert(rows("q_b")._1 == 0.2) // exponent form must parse
+    // a merge against a different corpus must fail loudly, not mix rows
+    intercept[IllegalArgumentException] {
+      Scaling.existingRows(f, "/data/sf0.01")
+    }
+    // absent artifact → clean slate, not an error
+    assert(Scaling.existingRows(
+      java.nio.file.Paths.get("/nonexistent/SCALING.json"), "/data/sf0.1").isEmpty)
+  }
 }
