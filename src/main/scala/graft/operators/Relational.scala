@@ -511,6 +511,26 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  // TPC-H Q11 shape: groups whose aggregate clears a FRACTION of the
+  // GLOBAL aggregate — the "concentration" HAVING that q_agg_having's
+  // local threshold doesn't exercise. Two aggregates over the same
+  // fact scan (per-key + 1-row global), the global broadcast back,
+  // and a DIVISION-FREE exact-decimal threshold: rev > total/1250 ⇔
+  // rev·1250 > total (DECIMAL·int is exact in both engines, decimal
+  // division scale rules are not shared).
+  private def qRevenueConcentration(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val dec = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    val per = li.groupBy(col("l_partkey"))
+      .agg(expr(s"SUM($dec)").as("part_rev_dec"), count(lit(1)).as("n_lines"))
+    val tot = li.agg(expr(s"SUM($dec)").as("total_rev"))
+    per.crossJoin(broadcast(tot))
+      .filter(expr("part_rev_dec * 1250 > total_rev"))
+      .select(col("l_partkey"), col("n_lines"),
+        expr("CAST(part_rev_dec AS DOUBLE)").as("part_rev"))
+      .orderBy(col("l_partkey"))
+  }
+
   // TPC-H Q2 shape: rows matching their group minimum via a
   // correlated subquery (Catalyst rewrites to an aggregate join).
   private def qMinPerGroup(s: SparkSession, d: String): DataFrame = {
@@ -863,6 +883,7 @@ object Relational {
     "q_revenue_filter" -> (qRevenueFilter _),
     "q_exists_count" -> (qExistsCount _),
     "q_custdist" -> (qCustdist _),
+    "q_revenue_concentration" -> (qRevenueConcentration _),
     "q_dormant_customers" -> (qDormantCustomers _),
     "q_min_per_group" -> (qMinPerGroup _),
     "q_join_volume_flow" -> (qJoinVolumeFlow _),
@@ -1308,6 +1329,20 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_revenue_concentration" ->
+      """WITH per AS (
+        |  SELECT l_partkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS part_rev_dec,
+        |         COUNT(*) AS n_lines
+        |  FROM lineitem GROUP BY l_partkey
+        |), tot AS (
+        |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_rev
+        |  FROM lineitem
+        |)
+        |SELECT l_partkey, n_lines, CAST(part_rev_dec AS DOUBLE) AS part_rev
+        |FROM per, tot
+        |WHERE part_rev_dec * 1250 > total_rev
+        |ORDER BY l_partkey""".stripMargin,
     "q_custdist" ->
       """SELECT c_count, COUNT(*) AS custdist
         |FROM (

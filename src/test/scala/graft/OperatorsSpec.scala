@@ -1207,6 +1207,22 @@ class OperatorsSpec extends SparkSpec {
       d1 > d2 || (d1 == d2 && c1 > c2) })
   }
 
+  test("q_revenue_concentration: threshold recounted from exact decimal sums") {
+    val rows = q("q_revenue_concentration").collect()
+    assert(rows.nonEmpty)
+    val per = graft.sources.Tables.lineitem(spark, Sf0001)
+      .select($"l_partkey", $"l_extendedprice").as[(Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(v =>
+        BigDecimal(v._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum).toMap
+    val total = per.values.sum
+    val expected = per.filter { case (_, rev) => rev * 1250 > total }.keySet
+    assert(rows.map(_.getAs[Long]("l_partkey")).toSet == expected)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("part_rev")
+        - per(r.getAs[Long]("l_partkey")).toDouble) < 1e-9)
+    }
+  }
+
   test("q_dormant_customers: totals reconcile with a driver-side recount") {
     val rows = q("q_dormant_customers").collect()
     assert(rows.nonEmpty)
