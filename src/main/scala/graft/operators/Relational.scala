@@ -531,6 +531,28 @@ object Relational {
       .orderBy(col("l_partkey"))
   }
 
+  // TPC-H Q15 shape: the group(s) whose aggregate EQUALS the global
+  // max of that aggregate (argmax-of-aggregate — distinct from Q11's
+  // fraction threshold and Q2's per-group correlated min). Revenue is
+  // exact decimal end-to-end: operands cast BEFORE the multiply
+  // ((18,2)·(4,2) decimal product, then an exact decimal sum), so the
+  // max-equality can't miss on a last-ulp double. One suppkey
+  // aggregate, a broadcast 1-row max, a broadcast supplier dim join.
+  private def qTopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+    val per = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(expr(s"SUM($rev)").as("rev_dec"), count(lit(1)).as("n_lines"))
+    val mx = per.agg(max(col("rev_dec")).as("max_rev"))
+    per.crossJoin(broadcast(mx))
+      .filter(col("rev_dec") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_lines"),
+        expr("CAST(rev_dec AS DOUBLE)").as("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
   // TPC-H Q2 shape: rows matching their group minimum via a
   // correlated subquery (Catalyst rewrites to an aggregate join).
   private def qMinPerGroup(s: SparkSession, d: String): DataFrame = {
@@ -884,6 +906,7 @@ object Relational {
     "q_exists_count" -> (qExistsCount _),
     "q_custdist" -> (qCustdist _),
     "q_revenue_concentration" -> (qRevenueConcentration _),
+    "q_top_supplier" -> (qTopSupplier _),
     "q_dormant_customers" -> (qDormantCustomers _),
     "q_min_per_group" -> (qMinPerGroup _),
     "q_join_volume_flow" -> (qJoinVolumeFlow _),
@@ -1329,6 +1352,20 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec,
+        |         COUNT(*) AS n_lines
+        |  FROM lineitem GROUP BY l_suppkey
+        |), mx AS (SELECT MAX(rev_dec) AS max_rev FROM rev)
+        |SELECT s_suppkey, s_name, n_lines,
+        |       CAST(rev_dec AS DOUBLE) AS total_rev
+        |FROM rev, mx
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = max_rev
+        |ORDER BY s_suppkey""".stripMargin,
     "q_revenue_concentration" ->
       """WITH per AS (
         |  SELECT l_partkey,

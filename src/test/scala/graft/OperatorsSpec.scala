@@ -1223,6 +1223,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_top_supplier: the reported supplier is the exact-decimal argmax") {
+    val rows = q("q_top_supplier").collect()
+    assert(rows.nonEmpty)
+    val per = graft.sources.Tables.lineitem(spark, Sf0001)
+      .select($"l_suppkey", $"l_extendedprice", $"l_discount")
+      .as[(Long, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues { ls =>
+        (ls.map { case (_, p, disc) =>
+          BigDecimal(p).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+            (BigDecimal(1) - BigDecimal(disc).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        }.sum, ls.length)
+      }.toMap
+    val maxRev = per.values.map(_._1).max
+    val winners = per.filter(_._2._1 == maxRev).keySet
+    assert(rows.map(_.getAs[Long]("s_suppkey")).toSet == winners)
+    rows.foreach { r =>
+      val (rev, n) = per(r.getAs[Long]("s_suppkey"))
+      assert(r.getAs[Long]("n_lines") == n)
+      assert(math.abs(r.getAs[Double]("total_rev") - rev.toDouble) < 1e-9)
+    }
+  }
+
   test("q_dormant_customers: totals reconcile with a driver-side recount") {
     val rows = q("q_dormant_customers").collect()
     assert(rows.nonEmpty)
