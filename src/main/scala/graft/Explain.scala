@@ -39,7 +39,8 @@ object Explain {
         "q_robust_stats", "q_ewma", "q_js_divergence", "q_oov", "q_leakage",
         "q_confusion", "q_cusum", "q_autocorr", "q_vocab_growth",
         "q_blocklist", "q_dedup_stats", "q_rfm", "q_custdist",
-        "q_dormant_customers", "q_jdbc_dim")
+        "q_dormant_customers", "q_jdbc_dim", "q_revenue_concentration",
+        "q_top_supplier")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
