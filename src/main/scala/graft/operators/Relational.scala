@@ -565,6 +565,132 @@ object Relational {
         |ORDER BY p_partkey""".stripMargin)
   }
 
+  // TPC-H Q14 shape: promo revenue as a share of the window's total —
+  // the conditional-aggregate-over-a-join idiom. Both sums are exact
+  // decimals over the same broadcast-joined scan; the share is ONE
+  // IEEE division of two exact-decimal-derived doubles (identical
+  // text both engines). Scale shape: month filter pushed to the scan,
+  // part dim broadcast, single partial+final aggregate — no shuffle
+  // wider than the 1-row result.
+  private def qPromoShare(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        expr(s"SUM(CASE WHEN p_type = 'PROMO' THEN $discPrice ELSE CAST(0 AS DECIMAL(18,2)) END)").as("promo_dec"),
+        expr(s"SUM($discPrice)").as("total_dec"),
+        count(lit(1)).as("n_lines"))
+      .select(
+        expr("CAST(promo_dec AS DOUBLE)").as("promo_rev"),
+        expr("CAST(total_dec AS DOUBLE)").as("total_rev"),
+        expr("100.0 * (CAST(promo_dec AS DOUBLE) / CAST(total_dec AS DOUBLE))").as("promo_share"),
+        col("n_lines"))
+
+  // TPC-H Q17 shape: rows under a FRACTION of their group's average —
+  // the correlated-avg predicate, expressed as a window over the
+  // dim-restricted scan (every line of a Brand#23 part survives the
+  // broadcast join, so the window sees the full per-part population —
+  // no self-join needed, one partkey-keyed shuffle total). The 20%
+  // cutoff is DIVISION-FREE: qty < 0.2·(sum/n) ⇔ qty·5·n < sum
+  // (decimal·int products are exact in both engines; decimal division
+  // scale rules are not shared).
+  private def qSmallQtyRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#23")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("sum_qty",
+        expr("SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey)"))
+      .withColumn("n_q",
+        count(lit(1)).over(Window.partitionBy(col("l_partkey"))))
+      .filter(expr("CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_q < sum_qty"))
+      .agg(
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0").as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+
+  // TPC-H Q18 shape: large-volume orders — a HAVING-filtered fact
+  // aggregate joined back to its parent dimension rows. The quantity
+  // threshold compares exact decimals; the join back to orders is
+  // keyed on the aggregate's own group key so AQE can pick broadcast
+  // (the surviving set is tiny by construction — that's the point of
+  // the idiom). Top-100 plans as TakeOrderedAndProject.
+  private def qBigOrders(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(expr("SUM(CAST(l_quantity AS DECIMAL(18,2)))").as("sum_qty_dec"))
+      .filter(col("sum_qty_dec") > expr("CAST(250 AS DECIMAL(18,2))"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        expr("CAST(sum_qty_dec AS DOUBLE)").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  // TPC-H Q19 shape: disjunctive multi-column predicates spanning the
+  // fact and the dimension — the OR-of-ANDs residual that tests the
+  // planner keeps the equi-join hash-shaped (predicate evaluated as a
+  // join residual / post-filter, NOT a cartesian expansion) while the
+  // per-table conjuncts Catalyst can factor out (l_quantity ≤ 30,
+  // p_size ≥ 1) still push to the scans.
+  private def qOrPredicates(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 5)
+          && col("l_quantity").between(1.0, 11.0)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+          && col("l_quantity").between(10.0, 20.0)) ||
+        (col("p_brand") === "Brand#19" && col("p_size").between(1, 15)
+          && col("l_quantity").between(20.0, 30.0)))
+      .agg(expr(s"CAST(SUM($discPrice) AS DOUBLE)").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  // TPC-H Q12 shape (shipmode→returnflag on this schema): the
+  // conditional two-way tally over a fact-fact equi-join — urgent
+  // orders counted against the rest per line class. One orderkey
+  // join, one tiny-domain aggregate; the CASE tallies ride the same
+  // partial+final hash agg as any sum.
+  private def qPriorityMix(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+
+  // TPC-H Q21 shape: the EXISTS + NOT-EXISTS pair with a same-table
+  // inequality correlation — "the only supplier whose line was
+  // returned in a finished multi-supplier order". Declared in SQL so
+  // Catalyst decorrelates both subqueries into a left-semi and a
+  // left-anti join on l_orderkey (inequality residual on suppkey);
+  // the numwait DESC + name tiebreak keeps the top-20 total-ordered.
+  private def qWaitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_ws")
+    Tables.orders(s, d).createOrReplaceTempView("orders_ws")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_ws")
+    s.sql(
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem_ws l1
+        |JOIN orders_ws o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        |JOIN supplier_ws s ON s.s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem_ws l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem_ws l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin)
+  }
+
   // Data-quality validation sweep (P10 as a first-class operator): the
   // reference's CHECK-constraint domains plus the referential /
   // null-safety invariants a pipeline would assert before training on
@@ -909,6 +1035,12 @@ object Relational {
     "q_top_supplier" -> (qTopSupplier _),
     "q_dormant_customers" -> (qDormantCustomers _),
     "q_min_per_group" -> (qMinPerGroup _),
+    "q_promo_share" -> (qPromoShare _),
+    "q_small_qty_revenue" -> (qSmallQtyRevenue _),
+    "q_big_orders" -> (qBigOrders _),
+    "q_or_predicates" -> (qOrPredicates _),
+    "q_priority_mix" -> (qPriorityMix _),
+    "q_waiting_suppliers" -> (qWaitingSuppliers _),
     "q_join_volume_flow" -> (qJoinVolumeFlow _),
     "q_market_share" -> (qMarketShare _),
     "q_month_spine" -> (qMonthSpine _)
@@ -1406,6 +1538,77 @@ object Relational {
         |                    AND CAST(o.o_orderdate AS DATE) >= ref.cutoff)
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+    "q_promo_share" ->
+      """WITH agg AS (
+        |  SELECT SUM(CASE WHEN p_type = 'PROMO'
+        |                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_dec,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_dec,
+        |         COUNT(*) AS n_lines
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |    AND l_shipdate < TIMESTAMP '1996-10-01'
+        |)
+        |SELECT CAST(promo_dec AS DOUBLE) AS promo_rev,
+        |       CAST(total_dec AS DOUBLE) AS total_rev,
+        |       100.0 * (CAST(promo_dec AS DOUBLE) / CAST(total_dec AS DOUBLE)) AS promo_share,
+        |       n_lines
+        |FROM agg""".stripMargin,
+    "q_small_qty_revenue" ->
+      """WITH lw AS (
+        |  SELECT l_quantity, l_extendedprice,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey) AS sum_qty,
+        |         COUNT(*) OVER (PARTITION BY l_partkey) AS n_q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23'
+        |)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |       COUNT(*) AS n_small
+        |FROM lw
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_q < sum_qty""".stripMargin,
+    "q_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_dec
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > CAST(250 AS DECIMAL(18,2))
+        |)
+        |SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q_or_predicates" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1.0 AND 11.0)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10.0 AND 20.0)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin,
+    "q_priority_mix" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_waiting_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
     "q_min_per_group" ->
       """SELECT p_partkey, p_brand, p_type, p_retailprice
         |FROM part p
