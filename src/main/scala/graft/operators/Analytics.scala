@@ -357,8 +357,48 @@ object Analytics {
       .orderBy("custkey")
   }
 
+  // ---- q_ab_lift: two-proportion experiment readout ----------------
+  //
+  // The A/B evaluation a data pipeline runs on its own event stream:
+  // users deterministically hash-split into two arms (first md5 hex
+  // char < '8' — the same reproducible-randomness device as the
+  // Sampling module, identical text in both engines), per-user
+  // conversion = "ever made a ≥200-value purchase" (the threshold
+  // keeps the rate off 0 and 1 at every fixture SF — a saturated
+  // pool has zero variance and the z-ratio correctly fails loud
+  // under ANSI), then the pooled two-proportion z-statistic. Every
+  // count is an exact BIGINT from one user-keyed
+  // aggregate; the rates, lift, and z are single IEEE expressions over
+  // those integers (no double ever summed). Scale shape: one
+  // user-keyed hash aggregate (map-side combined) collapsing straight
+  // to a 1-row frame — nothing else shuffles at any corpus size.
+  private def qAbLift(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 200.0, 1L)
+        .otherwise(0L)).as("conv"))
+      .withColumn("in_a",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", 1L).otherwise(0L))
+      .agg(
+        sum(col("in_a")).as("n_a"),
+        sum(lit(1L) - col("in_a")).as("n_b"),
+        sum(col("in_a") * col("conv")).as("conv_a"),
+        sum((lit(1L) - col("in_a")) * col("conv")).as("conv_b"))
+      .withColumn("rate_a", col("conv_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("rate_b", col("conv_b").cast("double") / col("n_b").cast("double"))
+      .withColumn("lift", col("rate_b") - col("rate_a"))
+      .withColumn("p_pool",
+        (col("conv_a") + col("conv_b")).cast("double")
+          / (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("z_stat",
+        col("lift") / sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+          * (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double"))))
+      .select("n_a", "n_b", "conv_a", "conv_b", "rate_a", "rate_b",
+        "lift", "p_pool", "z_stat")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rfm" -> (qRfm _),
+    "q_ab_lift" -> (qAbLift _),
     "q_robust_stats" -> (qRobustStats _),
     "q_ewma" -> (qEwma _),
     "q_js_divergence" -> (qJsDivergence _),
@@ -370,6 +410,32 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ab_lift" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |         MAX(CASE WHEN event_type = 'purchase' AND value >= 200.0 THEN 1 ELSE 0 END) AS conv,
+        |         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |              THEN 1 ELSE 0 END AS in_a
+        |  FROM events GROUP BY user_id
+        |), cells AS (
+        |  SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
+        |         CAST(SUM(1 - in_a) AS BIGINT) AS n_b,
+        |         CAST(SUM(in_a * conv) AS BIGINT) AS conv_a,
+        |         CAST(SUM((1 - in_a) * conv) AS BIGINT) AS conv_b
+        |  FROM per_user
+        |), m AS (
+        |  SELECT n_a, n_b, conv_a, conv_b,
+        |         CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |         CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p_pool
+        |  FROM cells
+        |)
+        |SELECT n_a, n_b, conv_a, conv_b, rate_a, rate_b,
+        |       rate_b - rate_a AS lift, p_pool,
+        |       (rate_b - rate_a)
+        |         / sqrt(p_pool * (1.0 - p_pool)
+        |                * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z_stat
+        |FROM m""".stripMargin,
     "q_rfm" ->
       s"""WITH cust AS (
          |  SELECT o_custkey AS custkey,

@@ -2077,6 +2077,64 @@ object TextOps {
       .select("tp", "fp", "fn", "tn", "n", "accuracy", "precision", "recall", "f1", "kappa")
   }
 
+  /** Brier score with Murphy's reliability/resolution/uncertainty
+    * decomposition of the same span-coverage detector (forecast p =
+    * cover_frac, outcome the planted doc_id % 7 trailer), 10 bins as
+    * in q_ece. INTEGER-EXACT throughout (the q_auc discipline): the
+    * forecast is quantized to a fixed 1e4 denominator with pure
+    * BIGINT round-half-up ((20000·covered + n_tokens) DIV 2n_tokens),
+    * the bin is integer floor-division, and every sum is a BIGINT of
+    * squared integers — no double is ever summed or pinned, because
+    * double→decimal casts of arbitrary reals round apart across
+    * engines (observed at the 9th decimal at sf0.01/sf0.001). Each
+    * output is then ONE IEEE division of exact integers. The per-bin
+    * DIV n in rel/res drops a sub-unit remainder (≤10 quanta of
+    * 1e-8·N total — quantization, not noise, and identical in both
+    * engines since all operands are nonnegative, where Spark's DIV
+    * and DuckDB's // agree). Magnitude envelope: squares ≤ 1e8·n_k²
+    * hold in BIGINT to ~1e9 docs per bin; past that the documented
+    * switch is DECIMAL(38,0) sums (ANSI keeps the overflow loud).
+    * (With non-constant forecasts inside a bin, rel − res + unc only
+    * approximates the raw score — the gap is the within-bin
+    * variance; both sides are reported, none asserted.) Scale shape:
+    * rides the shared spanCoverage chain, one 10-key aggregate, two
+    * 1-row broadcasts — a single evaluation pass at any corpus
+    * size. */
+  private def qBrier(s: SparkSession, d: String): DataFrame = {
+    val scp = spanCoverage(s, d)
+      .withColumn("pos", when(col("doc_id") % 7 === 0, 1L).otherwise(0L))
+      .withColumn("p4", expr(
+        "(CAST(covered AS BIGINT) * 20000 + n_tokens) DIV (2 * CAST(n_tokens AS BIGINT))"))
+      .withColumn("bin", expr(
+        "least((CAST(covered AS BIGINT) * 10) DIV CAST(n_tokens AS BIGINT), 9)"))
+    val raw = scp.agg(
+      count(lit(1)).as("n_docs"),
+      sum(expr("(p4 - 10000 * pos) * (p4 - 10000 * pos)")).as("sq_scaled"),
+      sum(col("pos")).as("tot_pos"))
+    val bins = scp.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("p4")).as("s4"))
+    val comp = bins.crossJoin(broadcast(raw))
+      .agg(
+        sum(expr("((s4 - 10000 * n_pos) * (s4 - 10000 * n_pos)) DIV n"))
+          .as("rel_scaled"),
+        sum(expr(
+          "((n_pos * n_docs - tot_pos * n) * (n_pos * n_docs - tot_pos * n)) DIV n"))
+          .as("res_scaled"))
+    raw.crossJoin(broadcast(comp))
+      .select(col("n_docs"),
+        (col("sq_scaled").cast("double")
+          / (lit(1.0e8) * col("n_docs").cast("double"))).as("brier"),
+        (col("rel_scaled").cast("double")
+          / (lit(1.0e8) * col("n_docs").cast("double"))).as("reliability"),
+        (col("res_scaled").cast("double")
+          / (col("n_docs").cast("double") * col("n_docs").cast("double")
+            * col("n_docs").cast("double"))).as("resolution"),
+        ((col("tot_pos").cast("double") / col("n_docs").cast("double"))
+          * (lit(1.0) - col("tot_pos").cast("double") / col("n_docs").cast("double")))
+          .as("uncertainty"))
+  }
+
   /** Dirichlet prior scale for q_source_terms (Monroe et al.'s
     * informative prior: α_w = α0·y_w/n). Shared literal so both
     * engines parse the same double. */
@@ -2653,6 +2711,7 @@ object TextOps {
     "q_calibration" -> (qCalibration _),
     "q_ece" -> (qEce _),
     "q_confusion" -> (qConfusion _),
+    "q_brier" -> (qBrier _),
     "q_source_terms" -> (qSourceTerms _),
     "q_zipf" -> (qZipf _),
     "q_boilerplate" -> (qBoilerplate _),
@@ -3435,6 +3494,36 @@ object TextOps {
          |           - conf_sum / CAST(n AS DOUBLE))
          |       AS DECIMAL(18,9))) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS ece
          |FROM bins""".stripMargin,
+    "q_brier" ->
+      s"""WITH $spanCoverageSql,
+         |scp AS (
+         |  SELECT CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS pos,
+         |         (CAST(covered AS BIGINT) * 20000 + n_tokens) // (2 * CAST(n_tokens AS BIGINT)) AS p4,
+         |         least((CAST(covered AS BIGINT) * 10) // CAST(n_tokens AS BIGINT), 9) AS bin
+         |  FROM sc
+         |), raw AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM((p4 - 10000 * pos) * (p4 - 10000 * pos)) AS BIGINT) AS sq_scaled,
+         |         CAST(SUM(pos) AS BIGINT) AS tot_pos
+         |  FROM scp
+         |), bins AS (
+         |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |         CAST(SUM(p4) AS BIGINT) AS s4
+         |  FROM scp GROUP BY bin
+         |), comp AS (
+         |  SELECT CAST(SUM(((s4 - 10000 * n_pos) * (s4 - 10000 * n_pos)) // n) AS BIGINT) AS rel_scaled,
+         |         CAST(SUM(((n_pos * n_docs - tot_pos * n) * (n_pos * n_docs - tot_pos * n)) // n) AS BIGINT) AS res_scaled
+         |  FROM bins, raw
+         |)
+         |SELECT n_docs,
+         |       CAST(sq_scaled AS DOUBLE) / (100000000.0 * CAST(n_docs AS DOUBLE)) AS brier,
+         |       CAST(rel_scaled AS DOUBLE) / (100000000.0 * CAST(n_docs AS DOUBLE)) AS reliability,
+         |       CAST(res_scaled AS DOUBLE)
+         |         / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) AS resolution,
+         |       (CAST(tot_pos AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         |         * (1.0 - CAST(tot_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS uncertainty
+         |FROM raw, comp""".stripMargin,
     "q_confusion" ->
       s"""WITH $spanCoverageSql,
          |cells AS (
