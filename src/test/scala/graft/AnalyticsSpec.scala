@@ -238,4 +238,51 @@ class AnalyticsSpec extends SparkSpec {
     val expected = byId.count { case (_, t) => t.split(" ", -1).exists(listed) }
     assert(rows.length == expected)
   }
+
+  test("q_ab_lift: counts and z recomputed exactly from the raw events") {
+    val row = SparkEntry.queries("q_ab_lift")(spark, Sf0001).collect().head
+    val perUser = graft.sources.Tables.events(spark, Sf0001)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase" && $"value" >= 200.0, 1L)
+        .otherwise(0L)).as("conv"))
+      .withColumn("h", substring(md5($"user_id".cast("string")), 1, 1))
+      .collect()
+    val (a, b) = perUser.partition(_.getAs[String]("h") < "8")
+    val (nA, nB) = (a.length.toLong, b.length.toLong)
+    val (cA, cB) = (a.map(_.getAs[Long]("conv")).sum, b.map(_.getAs[Long]("conv")).sum)
+    assert(row.getAs[Long]("n_a") == nA && row.getAs[Long]("n_b") == nB)
+    assert(row.getAs[Long]("conv_a") == cA && row.getAs[Long]("conv_b") == cB)
+    val (rA, rB) = (cA.toDouble / nA, cB.toDouble / nB)
+    val p = (cA + cB).toDouble / (nA + nB)
+    val z = (rB - rA) / math.sqrt(p * (1.0 - p) * (1.0 / nA + 1.0 / nB))
+    assert(row.getAs[Double]("lift") == rB - rA)
+    assert(row.getAs[Double]("z_stat") == z)
+    // both rates strictly inside (0,1): the threshold keeps the pool unsaturated
+    assert(rA > 0.0 && rA < 1.0 && rB > 0.0 && rB < 1.0)
+  }
+
+  test("q_brier: quantization within bound of the exact score; components coherent") {
+    val row = SparkEntry.queries("q_brier")(spark, Sf0001).collect().head
+    // exact (double) Brier from the oracled q_span_dedup per-doc frame
+    val sc = SparkEntry.queries("q_span_dedup")(spark, Sf0001)
+      .select($"doc_id", $"cover_frac").collect()
+    val exact = sc.map { r =>
+      val p = r.getAs[Double]("cover_frac")
+      val o = if (r.getAs[Long]("doc_id") % 7 == 0) 1.0 else 0.0
+      (p - o) * (p - o)
+    }.sum / sc.length
+    val brier = row.getAs[Double]("brier")
+    // |p4/1e4 - p| <= 5e-5 per doc => |quantized - exact| <= 2*5e-5 + (5e-5)^2
+    assert(math.abs(brier - exact) < 1.2e-4, s"quantized $brier vs exact $exact")
+    assert(row.getAs[Long]("n_docs") == sc.length)
+    val (rel, res, unc) = (row.getAs[Double]("reliability"),
+      row.getAs[Double]("resolution"), row.getAs[Double]("uncertainty"))
+    assert(rel >= 0.0 && res >= 0.0 && unc >= 0.0 && unc <= 0.25)
+    // Murphy identity up to within-bin variance (bins are 0.1 wide) + quantization
+    assert(math.abs(brier - (rel - res + unc)) < 0.01,
+      s"decomposition gap: brier=$brier rel=$rel res=$res unc=$unc")
+    // uncertainty recomputed from the planted outcome rate
+    val obar = sc.count(_.getAs[Long]("doc_id") % 7 == 0).toDouble / sc.length
+    assert(row.getAs[Double]("uncertainty") == obar * (1.0 - obar))
+  }
 }

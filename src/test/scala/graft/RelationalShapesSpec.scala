@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Independent recounts for the TPC-H idiom queries added in round 7
+  * (Q12/Q14/Q17/Q18/Q19/Q21 shapes). Each test recomputes the answer
+  * a second way on the driver from the raw sf0.001 tables, so the
+  * DuckDB hash gate is backed by a meaning check.
+  */
+class RelationalShapesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, Sf0001)
+
+  private def li = graft.sources.Tables.lineitem(spark, Sf0001)
+  private def part = graft.sources.Tables.part(spark, Sf0001)
+  private def orders = graft.sources.Tables.orders(spark, Sf0001)
+
+  test("q_promo_share: share recomputed from a driver-side BigDecimal walk") {
+    val row = q("q_promo_share").collect().head
+    val joined = li
+      .filter($"l_shipdate" >= lit("1996-09-01").cast("timestamp")
+        && $"l_shipdate" < lit("1996-10-01").cast("timestamp"))
+      .join(part, $"l_partkey" === $"p_partkey")
+      .select($"p_type", $"l_extendedprice", $"l_discount")
+      .collect()
+    def rev(r: org.apache.spark.sql.Row): BigDecimal =
+      BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+        (BigDecimal(1) - BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    val total = joined.map(rev).sum
+    val promo = joined.filter(_.getString(0) == "PROMO").map(rev).sum
+    assert(row.getAs[Long]("n_lines") == joined.length)
+    assert(math.abs(row.getAs[Double]("promo_rev") - promo.toDouble) < 1e-6)
+    assert(math.abs(row.getAs[Double]("total_rev") - total.toDouble) < 1e-6)
+    val share = row.getAs[Double]("promo_share")
+    assert(share > 0.0 && share < 100.0)
+    assert(math.abs(share - 100.0 * promo.toDouble / total.toDouble) < 1e-9)
+  }
+
+  test("q_small_qty_revenue: brute-force per-part small-line sweep agrees") {
+    val row = q("q_small_qty_revenue").collect().head
+    val lines = li.join(part.filter($"p_brand" === "Brand#23"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .collect()
+      .groupBy(_.getLong(0))
+    var nSmall = 0L
+    var price = BigDecimal(0)
+    lines.values.foreach { rs =>
+      val sumQty = rs.map(r => BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      rs.foreach { r =>
+        // qty·5·n < sum ⇔ qty < 0.2·avg — the query's division-free form
+        if (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 5 * rs.length < sumQty) {
+          nSmall += 1
+          price += BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }
+    }
+    assert(row.getAs[Long]("n_small") == nSmall)
+    assert(math.abs(row.getAs[Double]("avg_yearly") - price.toDouble / 7.0) < 1e-6)
+  }
+
+  test("q_big_orders: every order clears the threshold, recount matches, order total") {
+    val rows = q("q_big_orders").collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach(r => assert(r.getAs[Double]("sum_qty") > 250.0))
+    // recount the surviving order set independently
+    val expect = li.groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("q")).filter($"q" > 250.0)
+      .select($"l_orderkey").collect().map(_.getLong(0)).toSet
+    val got = rows.map(_.getAs[Long]("o_orderkey")).toSet
+    assert(got.subsetOf(expect))
+    if (expect.size <= 100) assert(got == expect)
+    // sorted by o_totalprice desc with orderkey tiebreak
+    val prices = rows.map(r => (-r.getAs[Double]("o_totalprice"), r.getAs[Long]("o_orderkey")))
+    assert(prices.sameElements(prices.sorted))
+  }
+
+  test("q_or_predicates: disjunct recount on the driver agrees") {
+    val row = q("q_or_predicates").collect().head
+    val joined = li.join(part, $"l_partkey" === $"p_partkey")
+      .select($"p_brand", $"p_size", $"l_quantity").collect()
+    val n = joined.count { r =>
+      val (b, sz, qt) = (r.getString(0), r.getInt(1), r.getDouble(2))
+      (b == "Brand#15" && sz >= 1 && sz <= 5 && qt >= 1.0 && qt <= 11.0) ||
+      (b == "Brand#23" && sz >= 1 && sz <= 10 && qt >= 10.0 && qt <= 20.0) ||
+      (b == "Brand#19" && sz >= 1 && sz <= 15 && qt >= 20.0 && qt <= 30.0)
+    }
+    assert(row.getAs[Long]("n_lines") == n)
+    assert(row.getAs[Double]("revenue") > 0.0)
+  }
+
+  test("q_priority_mix: tallies partition the joined line set") {
+    val rows = q("q_priority_mix").collect()
+    val total = li
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp")
+        && $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+    assert(rows.map(r => r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")).sum
+      == total.count())
+    val high = total.filter($"o_orderpriority".isin("1-URGENT", "2-HIGH")).count()
+    assert(rows.map(_.getAs[Long]("high_line_count")).sum == high)
+  }
+
+  test("q_waiting_suppliers: the only-returned-supplier set recounted from raw rows") {
+    val rows = q("q_waiting_suppliers").collect()
+    assert(rows.nonEmpty)
+    // driver-side recount at sf0.001
+    val finished = orders.filter($"o_orderstatus" === "F")
+      .select($"o_orderkey").collect().map(_.getLong(0)).toSet
+    val lines = li.select($"l_orderkey", $"l_suppkey", $"l_returnflag").collect()
+      .groupBy(_.getLong(0))
+    val supName = graft.sources.Tables.supplier(spark, Sf0001)
+      .select($"s_suppkey", $"s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val waits = scala.collection.mutable.Map.empty[String, Long]
+    lines.foreach { case (ok, rs) if finished(ok) =>
+      rs.filter(_.getString(2) == "R").foreach { r =>
+        val sk = r.getLong(1)
+        val others = rs.filter(_.getLong(1) != sk)
+        if (others.nonEmpty && !others.exists(_.getString(2) == "R")) {
+          val n = supName(sk)
+          waits(n) = waits.getOrElse(n, 0L) + 1
+        }
+      }
+    case _ => ()
+    }
+    val expect = waits.toSeq.sortBy { case (n, w) => (-w, n) }.take(20)
+    assert(rows.map(r => (r.getAs[String]("s_name"), r.getAs[Long]("numwait"))).toSeq == expect)
+  }
+}
