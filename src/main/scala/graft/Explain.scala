@@ -40,7 +40,9 @@ object Explain {
         "q_confusion", "q_cusum", "q_autocorr", "q_vocab_growth",
         "q_blocklist", "q_dedup_stats", "q_rfm", "q_custdist",
         "q_dormant_customers", "q_jdbc_dim", "q_revenue_concentration",
-        "q_top_supplier")
+        "q_top_supplier", "q_promo_share", "q_small_qty_revenue",
+        "q_big_orders", "q_or_predicates", "q_priority_mix",
+        "q_waiting_suppliers", "q_brier", "q_ab_lift")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
