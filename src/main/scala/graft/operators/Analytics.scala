@@ -396,7 +396,118 @@ object Analytics {
       .select("n_a", "n_b", "conv_a", "conv_b", "rate_a", "rate_b",
         "lift", "p_pool", "z_stat")
 
+  // ---- q_ks_test: two-sample Kolmogorov–Smirnov drift, per pair ----
+  //
+  // The distribution-drift check between every pair of sources over
+  // doc length: D = max_v |F_a(v) − F_b(v)|. INTEGER-EXACT: the
+  // deviation is maximized as |c_a·n_b − c_b·n_a| (cross-multiplied
+  // cumulative counts — BIGINTs, no division until the final 1-row-
+  // per-pair readout), evaluated at every distinct value AFTER ties
+  // are absorbed (one row per (pair, value)), which is exactly where
+  // the empirical CDFs can differ. at_value is the smallest value
+  // attaining the max, so the row is fully determined. Scale shape:
+  // one (source, value) aggregate, a broadcast nested-loop against
+  // the ≤|S|² pair frame (model-sized), one pair-keyed window — the
+  // corpus is touched once.
+  private def qKsTest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val srcs = docs.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("source_a"))
+      .crossJoin(srcs.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    val perVal = docs.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val byPair = perVal.join(broadcast(pairs),
+        col("source") === col("source_a") || col("source") === col("source_b"))
+      .groupBy("source_a", "source_b", "n_chars")
+      .agg(
+        sum(when(col("source") === col("source_a"), col("cnt")).otherwise(0L)).as("d1"),
+        sum(when(col("source") === col("source_b"), col("cnt")).otherwise(0L)).as("d2"))
+    val w = Window.partitionBy("source_a", "source_b").orderBy("n_chars")
+    val cum = byPair
+      .withColumn("c1", sum(col("d1")).over(w))
+      .withColumn("c2", sum(col("d2")).over(w))
+    val tot = cum.groupBy(col("source_a").as("t_a"), col("source_b").as("t_b"))
+      .agg(max(col("c1")).as("n_a"), max(col("c2")).as("n_b"))
+    cum.join(broadcast(tot),
+        col("source_a") === col("t_a") && col("source_b") === col("t_b"))
+      .withColumn("dev", abs(col("c1") * col("n_b") - col("c2") * col("n_a")))
+      .withColumn("dmax",
+        max(col("dev")).over(Window.partitionBy("source_a", "source_b")))
+      .filter(col("dev") === col("dmax"))
+      .groupBy("source_a", "source_b", "n_a", "n_b", "dmax")
+      .agg(min(col("n_chars")).cast("long").as("at_value"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("dmax").as("d_num"), col("at_value"),
+        (col("dmax").cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).as("d_stat"))
+      .orderBy("source_a", "source_b")
+  }
+
+  // ---- q_gini: length-share inequality per source --------------------
+  //
+  // The Lorenz/Gini concentration of characters over documents within
+  // each source — the "does a handful of docs carry the corpus"
+  // curation readout. Exact rank formula G = (2·Σi·xᵢ − (n+1)·Σx) /
+  // (n·Σx) over the (x, doc_id)-sorted ranks: every sum is a BIGINT,
+  // the single division is the output. Scale shape: one per-source
+  // window sort (range-partitionable by the group key) + one
+  // aggregate.
+  private def qGini(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("x"))
+    val w = Window.partitionBy("source").orderBy(col("x"), col("doc_id"))
+    docs.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_chars"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("source"), col("n"), col("sum_chars"),
+        ((lit(2L) * col("six") - (col("n") + lit(1L)) * col("sum_chars")).cast("double")
+          / (col("n") * col("sum_chars")).cast("double")).as("gini"))
+      .orderBy("source")
+  }
+
+  // ---- q_moments: binned skewness / kurtosis per priority ------------
+  //
+  // Distribution-shape diagnostics from raw power sums over a fixed
+  // $1000 price quantization (the q_auc integer-over-histograms
+  // discipline): k is exact cents arithmetic rounded half-up, the
+  // four power sums are exact BIGINTs (k ≤ ~600 keeps k⁴·n ≪ 2⁶³;
+  // ANSI faults the overflow loudly if a corpus ever breaks that),
+  // and mean/var/skew/kurtosis are fixed-shape IEEE expressions over
+  // those integers — identical text both engines, nothing summed in
+  // floating point. Scale shape: one partial+final hash aggregate.
+  private def qMoments(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("k", expr(
+        "(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) + 50000) DIV 100000"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("s1"),
+        sum(col("k") * col("k")).as("s2"),
+        sum(col("k") * col("k") * col("k")).as("s3"),
+        sum(col("k") * col("k") * col("k") * col("k")).as("s4"))
+      .withColumn("mean_k", col("s1").cast("double") / col("n").cast("double"))
+      .withColumn("var_k",
+        col("s2").cast("double") / col("n").cast("double")
+          - col("mean_k") * col("mean_k"))
+      .withColumn("skew",
+        (col("s3").cast("double") / col("n").cast("double")
+          - lit(3.0) * col("mean_k") * (col("s2").cast("double") / col("n").cast("double"))
+          + lit(2.0) * col("mean_k") * col("mean_k") * col("mean_k"))
+          / (col("var_k") * sqrt(col("var_k"))))
+      .withColumn("kurt",
+        (col("s4").cast("double") / col("n").cast("double")
+          - lit(4.0) * col("mean_k") * (col("s3").cast("double") / col("n").cast("double"))
+          + lit(6.0) * col("mean_k") * col("mean_k") * (col("s2").cast("double") / col("n").cast("double"))
+          - lit(3.0) * col("mean_k") * col("mean_k") * col("mean_k") * col("mean_k"))
+          / (col("var_k") * col("var_k")))
+      .select("o_orderpriority", "n", "s1", "s2", "mean_k", "var_k", "skew", "kurt")
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_test" -> (qKsTest _),
+    "q_gini" -> (qGini _),
+    "q_moments" -> (qMoments _),
     "q_rfm" -> (qRfm _),
     "q_ab_lift" -> (qAbLift _),
     "q_robust_stats" -> (qRobustStats _),
@@ -410,6 +521,88 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ks_test" ->
+      """WITH perval AS (
+        |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY source, n_chars
+        |), pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b
+        |  FROM (SELECT DISTINCT source FROM documents) a,
+        |       (SELECT DISTINCT source FROM documents) b
+        |  WHERE a.source < b.source
+        |), j AS (
+        |  SELECT source_a, source_b, n_chars,
+        |         CAST(SUM(CASE WHEN source = source_a THEN cnt ELSE 0 END) AS BIGINT) AS d1,
+        |         CAST(SUM(CASE WHEN source = source_b THEN cnt ELSE 0 END) AS BIGINT) AS d2
+        |  FROM perval JOIN pairs ON source = source_a OR source = source_b
+        |  GROUP BY source_a, source_b, n_chars
+        |), cum AS (
+        |  SELECT source_a, source_b, n_chars,
+        |         CAST(SUM(d1) OVER (PARTITION BY source_a, source_b ORDER BY n_chars) AS BIGINT) AS c1,
+        |         CAST(SUM(d2) OVER (PARTITION BY source_a, source_b ORDER BY n_chars) AS BIGINT) AS c2
+        |  FROM j
+        |), tot AS (
+        |  SELECT source_a AS t_a, source_b AS t_b,
+        |         MAX(c1) AS n_a, MAX(c2) AS n_b
+        |  FROM cum GROUP BY source_a, source_b
+        |), dev AS (
+        |  SELECT source_a, source_b, n_chars, n_a, n_b,
+        |         abs(c1 * n_b - c2 * n_a) AS dev,
+        |         MAX(abs(c1 * n_b - c2 * n_a))
+        |           OVER (PARTITION BY source_a, source_b) AS dmax
+        |  FROM cum JOIN tot ON source_a = t_a AND source_b = t_b
+        |)
+        |SELECT source_a, source_b, n_a, n_b,
+        |       CAST(dmax AS BIGINT) AS d_num,
+        |       CAST(MIN(n_chars) AS BIGINT) AS at_value,
+        |       CAST(dmax AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS d_stat
+        |FROM dev WHERE dev = dmax
+        |GROUP BY source_a, source_b, n_a, n_b, dmax
+        |ORDER BY source_a, source_b""".stripMargin,
+    "q_gini" ->
+      """WITH ranked AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY n_chars, doc_id) AS BIGINT) AS i
+        |  FROM documents
+        |), agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sum_chars,
+        |         CAST(SUM(i * x) AS BIGINT) AS six
+        |  FROM ranked GROUP BY source
+        |)
+        |SELECT source, n, sum_chars,
+        |       CAST(2 * six - (n + 1) * sum_chars AS DOUBLE)
+        |         / CAST(n * sum_chars AS DOUBLE) AS gini
+        |FROM agg
+        |ORDER BY source""".stripMargin,
+    "q_moments" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority,
+        |         (CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) + 50000) // 100000 AS k
+        |  FROM orders
+        |), agg AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(k) AS BIGINT) AS s1, CAST(SUM(k*k) AS BIGINT) AS s2,
+        |         CAST(SUM(k*k*k) AS BIGINT) AS s3, CAST(SUM(k*k*k*k) AS BIGINT) AS s4
+        |  FROM b GROUP BY o_orderpriority
+        |), m AS (
+        |  SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_k FROM agg
+        |), v AS (
+        |  SELECT *, CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean_k * mean_k AS var_k FROM m
+        |)
+        |SELECT o_orderpriority, n, s1, s2, mean_k, var_k,
+        |       (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - 3.0 * mean_k * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          + 2.0 * mean_k * mean_k * mean_k)
+        |         / (var_k * sqrt(var_k)) AS skew,
+        |       (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - 4.0 * mean_k * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          + 6.0 * mean_k * mean_k * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          - 3.0 * mean_k * mean_k * mean_k * mean_k)
+        |         / (var_k * var_k) AS kurt
+        |FROM v
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_ab_lift" ->
       """WITH per_user AS (
         |  SELECT user_id,

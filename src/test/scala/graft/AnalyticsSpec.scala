@@ -285,4 +285,67 @@ class AnalyticsSpec extends SparkSpec {
     val obar = sc.count(_.getAs[Long]("doc_id") % 7 == 0).toDouble / sc.length
     assert(row.getAs[Double]("uncertainty") == obar * (1.0 - obar))
   }
+
+  test("q_ks_test: one pair recomputed exactly; statistic bounded") {
+    val rows = SparkEntry.queries("q_ks_test")(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Double]("d_stat")
+      assert(d >= 0.0 && d <= 1.0)
+      assert(r.getAs[Long]("d_num") ==
+        math.round(d * r.getAs[Long]("n_a") * r.getAs[Long]("n_b")))
+    }
+    // recompute the first pair from the raw docs
+    val h = rows.head
+    val (sa, sb) = (h.getAs[String]("source_a"), h.getAs[String]("source_b"))
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .select($"source", $"n_chars").collect()
+    val xa = docs.filter(_.getString(0) == sa).map(_.getLong(1)).sorted
+    val xb = docs.filter(_.getString(0) == sb).map(_.getLong(1)).sorted
+    assert(h.getAs[Long]("n_a") == xa.length && h.getAs[Long]("n_b") == xb.length)
+    val grid = (xa ++ xb).distinct.sorted
+    val dev = grid.map { v =>
+      val c1 = xa.count(_ <= v).toLong; val c2 = xb.count(_ <= v).toLong
+      math.abs(c1 * xb.length - c2 * xa.length)
+    }.max
+    assert(h.getAs[Long]("d_num") == dev)
+  }
+
+  test("q_gini: one source recomputed from the sorted raw lengths") {
+    val rows = SparkEntry.queries("q_gini")(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, s"gini out of range: $g")
+    }
+    val h = rows.head
+    val xs = graft.sources.Tables.documents(spark, Sf0001)
+      .filter($"source" === h.getAs[String]("source"))
+      .select($"n_chars").collect().map(_.getLong(0)).sorted
+    val n = xs.length.toLong
+    val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val g = (2.0 * six - (n + 1) * xs.sum).toDouble / (n * xs.sum).toDouble
+    assert(math.abs(h.getAs[Double]("gini") - g) < 1e-12)
+  }
+
+  test("q_moments: one priority recomputed from quantized cents") {
+    val rows = SparkEntry.queries("q_moments")(spark, Sf0001).collect()
+    assert(rows.length == 5)
+    val h = rows.head
+    val ks = graft.sources.Tables.orders(spark, Sf0001)
+      .filter($"o_orderpriority" === h.getAs[String]("o_orderpriority"))
+      .select($"o_totalprice").collect()
+      .map { r =>
+        val cents = BigDecimal(r.getDouble(0)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100
+        (cents.toLongExact + 50000L) / 100000L
+      }
+    assert(h.getAs[Long]("n") == ks.length)
+    assert(h.getAs[Long]("s1") == ks.sum)
+    assert(h.getAs[Long]("s2") == ks.map(k => k * k).sum)
+    val mean = ks.sum.toDouble / ks.length
+    assert(math.abs(h.getAs[Double]("mean_k") - mean) < 1e-12)
+    // skew/kurt finite and var positive on real price spread
+    assert(h.getAs[Double]("var_k") > 0.0)
+    assert(!h.getAs[Double]("skew").isNaN && !h.getAs[Double]("kurt").isNaN)
+  }
 }
