@@ -43,7 +43,8 @@ object Explain {
         "q_top_supplier", "q_promo_share", "q_small_qty_revenue",
         "q_big_orders", "q_or_predicates", "q_priority_mix",
         "q_waiting_suppliers", "q_brier", "q_ab_lift", "q_ks_test",
-        "q_gini", "q_moments")
+        "q_gini", "q_moments", "q_modularity", "q_assortativity",
+        "q_bootstrap")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

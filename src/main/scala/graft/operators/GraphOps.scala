@@ -333,27 +333,92 @@ object GraphOps {
     * bounded by the constant LpaRounds, lineage cut per round the
     * same way the k-core peel does. 349 communities (max 81 members)
     * over 1 880 nodes at sf0.01. */
-  private def qCommunities(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val edges = strongEdges(s, d).localCheckpoint()
-    val und = edges.select(col("u").as("a"), col("v").as("b"))
-      .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
-      .localCheckpoint()
-    var lbl = und.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint()
-    for (_ <- 1 to LpaRounds) {
-      val cnt = und.join(lbl.withColumnRenamed("node", "b"), Seq("b"))
-        .groupBy(col("a").as("node"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-      lbl = cnt.withColumn("rn", row_number().over(
-          Window.partitionBy("node").orderBy(col("c").desc, col("lbl"))))
-        .filter(col("rn") === 1).select("node", "lbl")
+  /** Memoized LPA state: (strong edges, final labels) — shared by
+    * q_communities and q_modularity exactly like the co-occurrence
+    * memo; Bench/ScaleProbe clear it so published times stay cold. */
+  private[graft] def lpaLabels(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    cachedGraph[(DataFrame, DataFrame)](s, d, "lpa") {
+      import org.apache.spark.sql.expressions.Window
+      val edges = strongEdges(s, d).localCheckpoint()
+      val und = edges.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
         .localCheckpoint()
+      var lbl = und.select(col("a").as("node")).distinct()
+        .withColumn("lbl", col("node")).localCheckpoint()
+      for (_ <- 1 to LpaRounds) {
+        val cnt = und.join(lbl.withColumnRenamed("node", "b"), Seq("b"))
+          .groupBy(col("a").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        lbl = cnt.withColumn("rn", row_number().over(
+            Window.partitionBy("node").orderBy(col("c").desc, col("lbl"))))
+          .filter(col("rn") === 1).select("node", "lbl")
+          .localCheckpoint()
+      }
+      (edges, lbl)
     }
+
+  private def qCommunities(s: SparkSession, d: String): DataFrame = {
+    val (_, lbl) = lpaLabels(s, d)
     val sz = lbl.groupBy("lbl").agg(count(lit(1)).as("comm_size"))
     lbl.join(sz, Seq("lbl"))
       .select(col("node"), col("lbl").as("community"), col("comm_size"))
       .orderBy("node")
+  }
+
+  /** Newman modularity of the LPA partition over the strong-tie
+    * graph — the "did community detection find real structure"
+    * readout (Q > 0 ⇔ more intra-community edges than the degree-
+    * preserving null model expects). INTEGER-EXACT: Q = Σ_c (e_c/m −
+    * (d_c/2m)²) is computed as num = Σ_c (4·m·e_c − d_c²) over exact
+    * BIGINTs, with ONE final division num/(4m²). Scale shape: rides
+    * the memoized LPA labels; one edge-keyed label join, two
+    * model-sized community aggregates, a 1-row broadcast. */
+  private def qModularity(s: SparkSession, d: String): DataFrame = {
+    val (edges, lbl) = lpaLabels(s, d)
+    val deg = degrees(edges)
+    val eLbl = edges
+      .join(lbl.select(col("node").as("u"), col("lbl").as("lu")), Seq("u"))
+      .join(lbl.select(col("node").as("v"), col("lbl").as("lv")), Seq("v"))
+    val ec = eLbl.filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("e_c"))
+    val dc = deg.join(lbl, Seq("node"))
+      .groupBy("lbl").agg(sum(col("deg")).as("d_c"))
+    val mF = edges.agg(count(lit(1)).as("m"))
+    dc.join(ec, Seq("lbl"), "left_outer")
+      .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
+      .crossJoin(broadcast(mF))
+      .agg(count(lit(1)).as("n_communities"),
+        max(col("m")).as("m"),
+        sum(lit(4L) * col("m") * col("e_c") - col("d_c") * col("d_c")).as("num"))
+      .withColumn("modularity",
+        col("num").cast("double")
+          / (lit(4.0) * col("m").cast("double") * col("m").cast("double")))
+      .select("n_communities", "m", "num", "modularity")
+  }
+
+  /** Degree assortativity of the co-occurrence graph (Newman's r):
+    * the Pearson correlation of endpoint degrees over all directed
+    * edge incidences — "do hubs link to hubs". With both orientations
+    * of each undirected edge the two marginals coincide, so r =
+    * (M·ΣXY − ΣX²ᵐᵃʳᵍ)/(M·Σx² − ΣX²ᵐᵃʳᵍ) reduces to exact BIGINT
+    * sums over the edge list (ΣXY = 2·Σdu·dv, ΣX = Σ(du+dv), Σx² =
+    * Σ(du²+dv²), M = 2·|E|) and ONE final division. Scale shape:
+    * rides the memoized (edges, degrees); two node-keyed joins, one
+    * 1-row aggregate. */
+  private def qAssortativity(s: SparkSession, d: String): DataFrame = {
+    val (e, deg) = coEdgesDegM(s, d)
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    e.join(du, Seq("u")).join(dv, Seq("v"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("du") * col("dv")).as("sdd"),
+        sum(col("du") + col("dv")).as("sx"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("sxx"))
+      .withColumn("m", lit(2L) * col("n_edges"))
+      .withColumn("r",
+        (col("m") * (lit(2L) * col("sdd")) - col("sx") * col("sx")).cast("double")
+          / (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .select("n_edges", "m", "sdd", "sx", "sxx", "r")
   }
 
   // Common-neighbor link similarity — the Jaccard link-prediction /
@@ -389,7 +454,9 @@ object GraphOps {
     "q_basket_lift" -> (qBasketLift _),
     "q_kcore" -> (qKcore _),
     "q_communities" -> (qCommunities _),
-    "q_link_jaccard" -> (qLinkJaccard _)
+    "q_link_jaccard" -> (qLinkJaccard _),
+    "q_modularity" -> (qModularity _),
+    "q_assortativity" -> (qAssortativity _)
   )
 
   private val pairsSql =
@@ -449,7 +516,9 @@ object GraphOps {
     * MATERIALIZED discipline as kcoreSql: each round reads its
     * predecessor once in a join, but DuckDB's per-reference inlining
     * would still stack the chain multiplicatively without it. */
-  private def lpaSql(rounds: Int): String = {
+  /** The WITH-prefix shared by the LPA oracles: strong edges e0, the
+    * doubled adjacency, l0 and the unrolled label rounds l1..l`rounds`. */
+  private def lpaChainSql(rounds: Int): String = {
     val chain = (0 until rounds).map { i =>
       s"""c$i AS MATERIALIZED (
          |  SELECT e.a AS node, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
@@ -474,16 +543,70 @@ object GraphOps {
        |), l0 AS MATERIALIZED (
        |  SELECT DISTINCT a AS node, a AS lbl FROM und
        |),
-       |$chain,
+       |$chain""".stripMargin
+  }
+
+  private def lpaSql(rounds: Int): String =
+    s"""${lpaChainSql(rounds)},
        |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS comm_size FROM l$rounds GROUP BY lbl)
        |SELECT l.node, l.lbl AS community, sz.comm_size
        |FROM l$rounds l JOIN sz ON sz.lbl = l.lbl
        |ORDER BY node""".stripMargin
-  }
+
+  private def modularitySql(rounds: Int): String =
+    s"""${lpaChainSql(rounds)},
+       |deg AS (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0
+       |  ) GROUP BY node
+       |), mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+       |ec AS (
+       |  SELECT lu.lbl AS lbl, CAST(COUNT(*) AS BIGINT) AS e_c
+       |  FROM e0 JOIN l$rounds lu ON lu.node = e0.u
+       |          JOIN l$rounds lv ON lv.node = e0.v
+       |  WHERE lu.lbl = lv.lbl GROUP BY lu.lbl
+       |), dc AS (
+       |  SELECT l.lbl, CAST(SUM(deg) AS BIGINT) AS d_c
+       |  FROM deg JOIN l$rounds l ON l.node = deg.node GROUP BY l.lbl
+       |), comb AS (
+       |  SELECT dc.lbl, COALESCE(ec.e_c, 0) AS e_c, dc.d_c
+       |  FROM dc LEFT JOIN ec ON ec.lbl = dc.lbl
+       |), res AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |         CAST(MAX(m) AS BIGINT) AS m,
+       |         CAST(SUM(4 * m * e_c - d_c * d_c) AS BIGINT) AS num
+       |  FROM comb, mm
+       |)
+       |SELECT n_communities, m, num,
+       |       CAST(num AS DOUBLE)
+       |         / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS modularity
+       |FROM res""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_kcore" -> kcoreSql(CoreOracleRounds),
     "q_communities" -> lpaSql(LpaRounds),
+    "q_modularity" -> modularitySql(LpaRounds),
+    "q_assortativity" ->
+      s"""WITH pairs AS (
+         |$pairsSql
+         |), deg AS (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+         |  ) GROUP BY node
+         |), j AS (
+         |  SELECT du.deg AS du, dv.deg AS dv
+         |  FROM pairs JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+         |), agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         |         CAST(SUM(du * dv) AS BIGINT) AS sdd,
+         |         CAST(SUM(du + dv) AS BIGINT) AS sx,
+         |         CAST(SUM(du * du + dv * dv) AS BIGINT) AS sxx
+         |  FROM j
+         |), withm AS (SELECT *, 2 * n_edges AS m FROM agg)
+         |SELECT n_edges, m, sdd, sx, sxx,
+         |       CAST(m * (2 * sdd) - sx * sx AS DOUBLE)
+         |         / CAST(m * sxx - sx * sx AS DOUBLE) AS r
+         |FROM withm""".stripMargin,
     "q_link_jaccard" ->
       s"""WITH pairs AS (
          |$pairsSql

@@ -280,7 +280,72 @@ object Sampling {
         col("users_both").cast("double") / col("users_val"))
   }
 
+  /** Bootstrap replicate count. */
+  private val BootstrapB = 32
+
+  /** Poisson(1) CDF cut points scaled to 2²⁴ (floor) — w = k for u in
+    * [t_{k-1}, t_k). Fixed literals, identical in both engines: the
+    * scheme is a deterministic weighting that APPROXIMATES Poisson(1)
+    * to 2⁻²⁴; its exactness as a query is bit-level regardless. */
+  private val PoisCuts: Seq[Long] =
+    Seq(6171992L, 12343985L, 15429982L, 16458647L, 16715813L,
+      16767247L, 16775819L, 16777044L, 16777197L)
+
+  private def poisCaseSql(u: String): String =
+    PoisCuts.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < ${t}L THEN ${k}L" }
+      .mkString("CASE ", " ", " ELSE 9L END")
+
+  private def poisCaseDuck(u: String): String =
+    PoisCuts.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 9 END")
+
+  // Poisson bootstrap — THE distributed bootstrap (each row draws an
+  // independent Poisson(1) replication weight per replicate, so no
+  // replicate ever needs a global resample pass): B=32 deterministic
+  // replicates of the per-source mean doc length, u drawn from
+  // md5(doc_id:b). The replicate means are single IEEE divisions of
+  // exact BIGINT sums; the 90% band is RANK-elected from the 32 means
+  // (no doubles are summed), ties broken by replicate id. Degenerate
+  // replicates (total weight 0 — possible only for toy sources) are
+  // excluded by both engines identically and surface in n_valid.
+  // Scale shape: one narrow 32× fan-out map + one (source, b) hash
+  // agg + a 32-row-per-source window — corpus touched once.
+  private def qBootstrap(s: SparkSession, d: String): DataFrame = {
+    val fan = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("b", explode(expr(s"sequence(0, ${BootstrapB - 1})")))
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(b AS STRING))), 1, 6), 16, 10) AS BIGINT)"))
+      .withColumn("w", expr(poisCaseSql("u")))
+    val reps = fan.groupBy("source", "b")
+      .agg(sum(col("w")).as("wsum"),
+        sum(col("w") * col("n_chars")).as("wx"))
+      .filter(col("wsum") > 0L)
+      .withColumn("rep_mean", col("wx").cast("double") / col("wsum").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("rep_mean"), col("b"))
+    val ranked = reps
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("nv", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+    val base = Tables.documents(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("mean_full",
+        col("sum_chars").cast("double") / col("n_docs").cast("double"))
+    val lo = ranked.filter(col("rk") === expr("CAST(ceil(0.05 * CAST(nv AS DOUBLE)) AS BIGINT)"))
+      .select(col("source"), col("rep_mean").as("ci_lo"), col("nv").as("n_valid"))
+    val hi = ranked.filter(col("rk") === expr("CAST(ceil(0.95 * CAST(nv AS DOUBLE)) AS BIGINT)"))
+      .select(col("source").as("h_source"), col("rep_mean").as("ci_hi"))
+    base.join(lo, Seq("source"))
+      .join(hi, col("source") === col("h_source"))
+      .select("source", "n_docs", "mean_full", "n_valid", "ci_lo", "ci_hi")
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap" -> (qBootstrap _),
     "q_shard_plan" -> (qShardPlan _),
     "q_time_split" -> (qTimeSplit _),
     "q_split_assign" -> (qSplitAssign _),
@@ -299,6 +364,38 @@ object Sampling {
       |     ELSE 'test' END""".stripMargin.replace("\n", " ")
 
   val oracle: Map[String, String] = Map(
+    "q_bootstrap" ->
+      s"""WITH fan AS (
+         |  SELECT source, doc_id, n_chars, b,
+         |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 6) AS BIGINT) AS u
+         |  FROM documents, (SELECT unnest(generate_series(0, ${BootstrapB - 1})) AS b)
+         |), wtd AS (
+         |  SELECT source, b, n_chars, ${poisCaseDuck("u")} AS w FROM fan
+         |), reps AS (
+         |  SELECT source, b, CAST(SUM(w) AS BIGINT) AS wsum,
+         |         CAST(SUM(w * n_chars) AS BIGINT) AS wx
+         |  FROM wtd GROUP BY source, b
+         |  HAVING SUM(w) > 0
+         |), means AS (
+         |  SELECT source, b, CAST(wx AS DOUBLE) / CAST(wsum AS DOUBLE) AS rep_mean,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY CAST(wx AS DOUBLE) / CAST(wsum AS DOUBLE), b) AS BIGINT) AS rk,
+         |         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS nv
+         |  FROM reps
+         |), base AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |  FROM documents GROUP BY source
+         |)
+         |SELECT base.source, n_docs,
+         |       CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_full,
+         |       lo.nv AS n_valid, lo.rep_mean AS ci_lo, hi.rep_mean AS ci_hi
+         |FROM base
+         |JOIN means lo ON lo.source = base.source
+         | AND lo.rk = CAST(ceil(0.05 * CAST(lo.nv AS DOUBLE)) AS BIGINT)
+         |JOIN means hi ON hi.source = base.source
+         | AND hi.rk = CAST(ceil(0.95 * CAST(hi.nv AS DOUBLE)) AS BIGINT)
+         |ORDER BY base.source""".stripMargin,
     "q_time_split" ->
       """WITH cut AS (
         |  SELECT CAST(floor(percentile_cont(0.8) WITHIN GROUP (ORDER BY epoch_us(ts))) AS BIGINT) AS cut_us

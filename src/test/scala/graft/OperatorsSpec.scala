@@ -962,6 +962,99 @@ class OperatorsSpec extends SparkSpec {
       rerun.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  /** Co-occurrence edges recounted from raw lineitem on the driver:
+    * (u < v) part pairs sharing >= `sup` distinct orders. */
+  private def coPairs(sup: Int): Set[(Long, Long)] = {
+    val li: Seq[(Long, Long)] = graft.sources.Tables.lineitem(spark, Sf0001)
+      .select("l_orderkey", "l_partkey").collect().toSeq
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val perOrder: Seq[(Long, Long)] = li.groupBy(_._1).valuesIterator.flatMap { rs =>
+      val ps: Seq[Long] = rs.map(_._2).distinct
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSeq
+    // NB: .collect { case (e, xs) => e } would rebuild a MAP here
+    // (tuple results re-infer a Map builder) and collapse pairs by
+    // first element — filter + keySet keeps the full pair keys
+    perOrder.groupBy(identity).filter(_._2.size >= sup).keySet
+  }
+
+  test("modularity: recomputed from the communities output and a raw strong-edge walk") {
+    val r = q("q_modularity").head()
+    val lbl = q("q_communities").collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Long]("community")).toMap
+    // strong edges recounted from raw lineitem (support >= 2 distinct orders)
+    val edges = coPairs(2).toSeq
+    val m = edges.size.toLong
+    assert(r.getAs[Long]("m") == m)
+    val deg: Map[Long, Long] = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val ec: Map[Long, Long] = edges.filter(e => lbl(e._1) == lbl(e._2))
+      .groupBy(e => lbl(e._1)).map { case (c, xs) => c -> xs.size.toLong }
+    val dc: Map[Long, Long] = deg.toSeq.groupBy(x => lbl(x._1))
+      .map { case (c, xs) => c -> xs.map(_._2).sum }
+    val num = dc.map { case (c, d) => 4L * m * ec.getOrElse(c, 0L) - d * d }.sum
+    assert(r.getAs[Long]("num") == num)
+    assert(r.getAs[Long]("n_communities") == dc.size)
+    assert(r.getAs[Double]("modularity") == num.toDouble / (4.0 * m * m))
+    // sf0.001's strong graph collapses to ONE community, where Q ≡ 0
+    // (e_c = m, d_c = 2m) — the identity itself is worth pinning;
+    // any finer partition must stay in Newman's range
+    if (r.getAs[Long]("n_communities") == 1L)
+      assert(r.getAs[Double]("modularity") == 0.0)
+    else
+      assert(r.getAs[Double]("modularity") > -0.5
+        && r.getAs[Double]("modularity") < 1.0)
+  }
+
+  test("assortativity: r bounded and the edge-degree sums recounted") {
+    val r = q("q_assortativity").head()
+    val rr = r.getAs[Double]("r")
+    assert(rr >= -1.0 && rr <= 1.0, s"assortativity out of range: $rr")
+    // recount over the raw co-occurrence edges
+    val edges = coPairs(1)
+    val deg: Map[Long, Long] = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    assert(r.getAs[Long]("n_edges") == edges.size.toLong)
+    assert(r.getAs[Long]("sdd") == edges.toSeq.map(e => deg(e._1) * deg(e._2)).sum)
+    assert(r.getAs[Long]("sx") == edges.toSeq.map(e => deg(e._1) + deg(e._2)).sum)
+    assert(r.getAs[Long]("sxx") == edges.toSeq.map(e => deg(e._1) * deg(e._1) + deg(e._2) * deg(e._2)).sum)
+  }
+
+  test("bootstrap: bands ordered, one source's replicates replayed bit-exact") {
+    val rows = q("q_bootstrap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("ci_hi"))
+      assert(r.getAs[Long]("n_valid") >= 1L && r.getAs[Long]("n_valid") <= 32L)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      graft.sources.Tables.documents(spark, Sf0001).count())
+    // replay the first source's 32 replicates on the driver
+    val h = rows.head
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .filter($"source" === h.getAs[String]("source"))
+      .select($"doc_id", $"n_chars").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val cuts = Seq(6171992L, 12343985L, 15429982L, 16458647L, 16715813L,
+      16767247L, 16775819L, 16777044L, 16777197L)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val means = (0 until 32).flatMap { b =>
+      val ws = docs.map { case (id, x) =>
+        val u = java.lang.Long.parseLong(md5hex(s"$id:$b").substring(0, 6), 16)
+        val w = cuts.indexWhere(u < _) match { case -1 => 9L; case k => k.toLong }
+        (w, w * x)
+      }
+      val (wsum, wx) = (ws.map(_._1).sum, ws.map(_._2).sum)
+      if (wsum > 0) Some((b.toLong, wx.toDouble / wsum)) else None
+    }
+    assert(h.getAs[Long]("n_valid") == means.length.toLong)
+    val sorted = means.sortBy { case (b, mu) => (mu, b) }.map(_._2)
+    assert(h.getAs[Double]("ci_lo") == sorted(math.ceil(0.05 * means.length).toInt - 1))
+    assert(h.getAs[Double]("ci_hi") == sorted(math.ceil(0.95 * means.length).toInt - 1))
+  }
+
   test("ece: scalar in [0,1] over all docs, bins bounded by 10") {
     val r = q("q_ece").head()
     assert(r.getAs[Long]("n_bins") >= 1L && r.getAs[Long]("n_bins") <= 10L)
