@@ -103,6 +103,75 @@ object Multimodal {
       sum.toDouble / nPx.toDouble, hex)
   }
 
+  /** Per-doc average-hash row. */
+  final case class AHashRow(doc_id: Long, ahash: String)
+
+  /** aHash over the DECODED raster: 8×8 block-average perceptual hash
+    * entirely in integer arithmetic — pixel (x,y) lands in cell
+    * ((y·8) DIV h, (x·8) DIV w); bit_i = (cellSum_i·n_px ≥
+    * totalSum·cellN_i), the cross-multiplied form of "cell mean ≥
+    * global mean" (ties → 1, fixed). The 64 bits are serialized
+    * row-major as a '0'/'1' string — the cross-engine-stable form.
+    * Magnitude envelope: cellSum·n_px ≤ 255·(wh)² — safe far beyond
+    * these fixture dims; at real image sizes the same arithmetic
+    * holds to 8K×8K frames. */
+  def ahash(r: MediaRow): AHashRow = {
+    val img = ImageIO.read(new ByteArrayInputStream(r.media))
+    require(img != null, s"undecodable media payload for doc ${r.doc_id}")
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var tsum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      val cy = y * 8 / h
+      while (x < w) {
+        val v = raster.getSample(x, y, 0)
+        val cell = cy * 8 + x * 8 / w
+        sums(cell) += v
+        cnts(cell) += 1
+        tsum += v
+        x += 1
+      }
+      y += 1
+    }
+    val tn = w.toLong * h.toLong
+    val sb = new StringBuilder(64)
+    var i = 0
+    while (i < 64) {
+      sb.append(if (sums(i) * tn >= tsum * cnts(i)) '1' else '0')
+      i += 1
+    }
+    AHashRow(r.doc_id, sb.toString)
+  }
+
+  // Perceptual-hash image dedup over the REAL codec path: encode →
+  // PNG bytes → ImageIO decode → integer 8×8 aHash, then exact-hash
+  // grouping (n_same, min-doc keeper election) — the first stage of
+  // any image near-dup pipeline. The DuckDB oracle computes the same
+  // 64 bits analytically from the pixel formula, so a green hash
+  // proves codec roundtrip + downsample + thresholding are all exact.
+  // Scale shape: narrow decode map (bytes dropped immediately), one
+  // 64-bit-key hash aggregate via window — no pairwise join; a
+  // hamming-band refine (SimHash machinery) is the documented next
+  // stage for near-dups at distance > 0.
+  private def qImageAhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => ahash(MediaRow(id, synthPng(id)))))
+      .toDF()
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("ahash")
+    hashes
+      .withColumn("n_same", count(lit(1)).over(byHash))
+      .withColumn("is_keeper", col("doc_id") === min(col("doc_id")).over(byHash))
+      .select("doc_id", "ahash", "n_same", "is_keeper")
+      .orderBy("doc_id")
+  }
+
   /** Binary-column metadata: pure Catalyst expressions over the bytes
     * (length, digest, deterministic pseudo-metadata) — fully oracled.
     */
@@ -173,7 +242,8 @@ object Multimodal {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
-    "q_multimodal_resize" -> (qMultimodalResize _)
+    "q_multimodal_resize" -> (qMultimodalResize _),
+    "q_image_ahash" -> (qImageAhash _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -196,6 +266,39 @@ object Multimodal {
         |       CAST(SUM(val) AS DOUBLE) / (w*h) AS brightness,
         |       md5(string_agg(CAST(val AS VARCHAR), '-' ORDER BY idx)) AS pixel_md5
         |FROM v GROUP BY doc_id, w, h
+        |ORDER BY doc_id""".stripMargin,
+    "q_image_ahash" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 17 AS w, 8 + doc_id % 13 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, unnest(range(0, w*h)) AS idx FROM dims
+        |), v AS (
+        |  SELECT doc_id, w, h, idx % w AS x, idx // w AS y,
+        |         (7*(idx % w) + 13*(idx // w) + doc_id) % 256 AS val
+        |  FROM px
+        |), cells AS (
+        |  SELECT doc_id, ((y*8) // h) * 8 + (x*8) // w AS cell,
+        |         CAST(SUM(val) AS BIGINT) AS csum,
+        |         CAST(COUNT(*) AS BIGINT) AS cn
+        |  FROM v GROUP BY doc_id, ((y*8) // h) * 8 + (x*8) // w
+        |), tot AS (
+        |  SELECT doc_id, CAST(SUM(csum) AS BIGINT) AS tsum,
+        |         CAST(SUM(cn) AS BIGINT) AS tn
+        |  FROM cells GROUP BY doc_id
+        |), bits AS (
+        |  SELECT c.doc_id,
+        |         string_agg(CASE WHEN csum * tn >= tsum * cn THEN '1' ELSE '0' END,
+        |                    '' ORDER BY cell) AS ahash
+        |  FROM cells c JOIN tot t ON t.doc_id = c.doc_id
+        |  GROUP BY c.doc_id
+        |), grp AS (
+        |  SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_same,
+        |         MIN(doc_id) AS keeper
+        |  FROM bits GROUP BY ahash
+        |)
+        |SELECT b.doc_id, b.ahash, g.n_same, b.doc_id = g.keeper AS is_keeper
+        |FROM bits b JOIN grp g ON g.ahash = b.ahash
         |ORDER BY doc_id""".stripMargin,
     "q_multimodal_frames" ->
       """WITH f AS (

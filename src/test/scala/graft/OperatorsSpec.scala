@@ -1055,6 +1055,35 @@ class OperatorsSpec extends SparkSpec {
     assert(h.getAs[Double]("ci_hi") == sorted(math.ceil(0.95 * means.length).toInt - 1))
   }
 
+  test("image ahash: bits replayed from the pixel formula, groups reconcile") {
+    val rows = q("q_image_ahash").collect()
+    assert(rows.length == graft.sources.Tables.documents(spark, Sf0001).count())
+    rows.foreach(r => assert(r.getAs[String]("ahash").matches("[01]{64}")))
+    // group accounting: n_same consistent, exactly one keeper (the min) per hash
+    rows.groupBy(_.getAs[String]("ahash")).foreach { case (_, g) =>
+      assert(g.forall(_.getAs[Long]("n_same") == g.length))
+      val keepers = g.filter(_.getAs[Boolean]("is_keeper"))
+      assert(keepers.map(_.getAs[Long]("doc_id")).toSeq ==
+        Seq(g.map(_.getAs[Long]("doc_id")).min))
+    }
+    // replay three docs' hashes from the analytic pixel formula, no codec
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("ahash")).toMap
+    byId.keys.toSeq.sorted.take(3).foreach { id =>
+      val w = (8 + id % 17).toInt; val h = (8 + id % 13).toInt
+      val sums = new Array[Long](64); val cnts = new Array[Long](64)
+      var tsum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((7L * x + 13L * y + id) % 256L)
+        val cell = (y * 8 / h) * 8 + x * 8 / w
+        sums(cell) += v; cnts(cell) += 1; tsum += v
+      }
+      val tn = w.toLong * h.toLong
+      val expect = (0 until 64)
+        .map(i => if (sums(i) * tn >= tsum * cnts(i)) '1' else '0').mkString
+      assert(byId(id) == expect, s"doc $id: codec path and formula disagree")
+    }
+  }
+
   test("ece: scalar in [0,1] over all docs, bins bounded by 10") {
     val r = q("q_ece").head()
     assert(r.getAs[Long]("n_bins") >= 1L && r.getAs[Long]("n_bins") <= 10L)
