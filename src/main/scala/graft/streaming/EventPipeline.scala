@@ -356,6 +356,75 @@ object EventPipeline {
       .foreachBatch(routeDocumentsBatch(acceptDir, quarantineDir, minZ) _)
       .start()
 
+  /** 50-wide value bins over [0, 500), clamped into bin 9 — the fixed
+    * binning shared by the drift monitor's batch and reference sides. */
+  def valueBins(df: DataFrame): DataFrame =
+    df.withColumn("bin", least(floor(col("value") / lit(50.0)).cast("long"), lit(9L)))
+
+  /** Reference histogram for [[startDriftMonitor]]: per (event_type,
+    * bin) counts over a trusted corpus snapshot — model-sized (types ×
+    * 10 bins), broadcast to every micro-batch. */
+  def referenceHistogram(events: DataFrame): DataFrame =
+    valueBins(events).groupBy(col("event_type").as("r_type"), col("bin"))
+      .agg(count(lit(1)).as("r_cnt"))
+
+  /** Per-type total-variation distance between one micro-batch's value
+    * distribution and the reference, in the engine's integer-exact
+    * style: TV = Σ_bins |c_b·n_ref − c_ref·n_b| / (2·n_b·n_ref) —
+    * numerator and denominator exact BIGINTs (union-based zero-fill
+    * aligns the bin supports without outer-join null traps), ONE
+    * final IEEE division, alert at the caller's threshold. Types with
+    * no rows in this batch emit no metric (nothing to judge). */
+  def driftScores(batch: DataFrame, ref: DataFrame,
+      alertTv: Double = 0.25): DataFrame = {
+    val b = valueBins(batch).groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("b_cnt"))
+    val aligned = b
+      .select(col("event_type"), col("bin"), col("b_cnt"), lit(0L).as("r_cnt"))
+      .unionAll(broadcast(ref).select(col("r_type").as("event_type"), col("bin"),
+        lit(0L).as("b_cnt"), col("r_cnt")))
+      .groupBy("event_type", "bin")
+      .agg(sum(col("b_cnt")).as("b_cnt"), sum(col("r_cnt")).as("r_cnt"))
+    val tot = aligned.groupBy("event_type")
+      .agg(sum(col("b_cnt")).as("n_b"), sum(col("r_cnt")).as("n_r"))
+    aligned.join(tot, Seq("event_type"))
+      .groupBy(col("event_type"), col("n_b"), col("n_r"))
+      .agg(sum(abs(col("b_cnt") * col("n_r") - col("r_cnt") * col("n_b")))
+        .as("tv_num"))
+      .filter(col("n_b") > 0L)
+      .withColumn("tv", col("tv_num").cast("double")
+        / (lit(2.0) * col("n_b").cast("double") * col("n_r").cast("double")))
+      .withColumn("alert", col("tv") >= lit(alertTv))
+      .select("event_type", "n_b", "n_r", "tv_num", "tv", "alert")
+  }
+
+  /** Metrics sink for the drift monitor: one epoch-keyed directory per
+    * micro-batch ([[routeDocumentsBatch]]'s idempotent-overwrite
+    * trade), holding the per-type drift rows for that batch. */
+  def driftMetricsBatch(ref: DataFrame, metricsDir: String,
+      alertTv: Double = 0.25)(batch: DataFrame, id: Long): Unit =
+    if (!batch.isEmpty) // P9 empty-batch guard
+      driftScores(batch, ref, alertTv).withColumn("batch_id", lit(id))
+        .coalesce(1).write.mode("overwrite").parquet(s"$metricsDir/batch=$id")
+
+  /** Streaming DRIFT MONITOR — the "is today's data still shaped like
+    * the corpus we trust" gate a training pipeline runs on its ingest:
+    * every micro-batch's per-type value histogram is scored against
+    * the broadcast reference and the metrics land in an epoch-keyed
+    * parquet sink (restart-safe: a replayed batch rewrites its own
+    * directory). Scale shape per batch: one narrow bin map + a
+    * (type, bin) hash agg against a model-sized broadcast — the
+    * monitor adds no shuffle wider than the type domain at any rate. */
+  def startDriftMonitor(events: DataFrame, ref: DataFrame,
+      metricsDir: String, checkpointDir: String, alertTv: Double = 0.25,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(driftMetricsBatch(ref, metricsDir, alertTv) _)
+      .start()
+
   /** Streaming counterpart of the batch q_dedup_incremental: the
     * NOVEL-ONLY firehose. Arrivals stream in; anything whose content
     * digest already exists in the static corpus keeper set is dropped

@@ -696,6 +696,55 @@ class StreamingSpec extends SparkSpec {
     originals.unpersist()
   }
 
+  test("streaming drift monitor: zero TV on a reference replay, exact alert on a shifted batch") {
+    val src = tmp("drift-src"); val met = tmp("drift-met"); val chk = tmp("drift-chk")
+    val ev = Tables.events(spark, Sf0001).select($"event_type", $"value")
+    // file 1: the reference data itself; file 2: +300-shifted values
+    ev.coalesce(1).write.mode("append").parquet(src)
+    ev.withColumn("value", $"value" + 300.0).coalesce(1).write.mode("append").parquet(src)
+    val ref = EventPipeline.referenceHistogram(ev)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    def start() = EventPipeline.startDriftMonitor(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+      ref, met, chk)
+    val q = start(); q.awaitTermination(120000)
+    val m = spark.read.parquet(met).collect()
+    val types = ev.select($"event_type").distinct().count()
+    assert(m.length == 2 * types, "one metrics row per (batch, type)")
+    // one batch replays the reference bit-for-bit: TV = 0 for every type
+    val byBatch = m.groupBy(_.getAs[Long]("batch_id"))
+    assert(byBatch.size == 2)
+    val (zeroB, shiftB) = byBatch.values.partition(_.forall(_.getAs[Long]("tv_num") == 0L))
+    assert(zeroB.size == 1 && shiftB.size == 1)
+    zeroB.head.foreach { r =>
+      assert(r.getAs[Double]("tv") == 0.0 && !r.getAs[Boolean]("alert"))
+    }
+    // the shifted batch: recompute every type's TV from raw data
+    def bins(rows: Seq[(String, Double)]): Map[(String, Long), Long] =
+      rows.groupBy { case (t, v) => (t, math.min(math.floor(v / 50.0).toLong, 9L)) }
+        .map { case (k, xs) => k -> xs.size.toLong }
+    val raw = ev.as[(String, Double)].collect().toSeq
+    val rc = bins(raw)
+    val bc = bins(raw.map { case (t, v) => (t, v + 300.0) })
+    shiftB.head.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val nB = bc.collect { case ((tt, _), c) if tt == t => c }.sum
+      val nR = rc.collect { case ((tt, _), c) if tt == t => c }.sum
+      val num = (0L to 9L).map { b =>
+        math.abs(bc.getOrElse((t, b), 0L) * nR - rc.getOrElse((t, b), 0L) * nB)
+      }.sum
+      assert(r.getAs[Long]("n_b") == nB && r.getAs[Long]("n_r") == nR)
+      assert(r.getAs[Long]("tv_num") == num)
+      assert(r.getAs[Double]("tv") == num.toDouble / (2.0 * nB.toDouble * nR.toDouble))
+      assert(r.getAs[Boolean]("alert"), s"type $t: a +300 shift must alert")
+    }
+    // restart on the same checkpoint: no new rows, same metrics
+    val q2 = start(); q2.awaitTermination(120000)
+    assert(spark.read.parquet(met).count() == m.length.toLong)
+  }
+
   test("end-to-end enrichment stream over files with checkpoint (EP1/T1-T4)") {
     val src = tmp("src")
     val history = tmp("hist2")
