@@ -1957,6 +1957,70 @@ object TextOps {
           / (lit(2L) * col("npos") * col("nneg")).cast("double")).as("auc"))
   }
 
+  // q_auc_by_source: the fairness slice of q_auc — the same exact
+  // tie-corrected Mann-Whitney machinery partitioned per source, so a
+  // detector that looks fine pooled can be caught discriminating on a
+  // slice (the eval every curation gate should run per domain/lang).
+  // All arithmetic identical to q_auc but with source-partitioned
+  // histograms and cumulative windows; sources whose slice is all-
+  // positive or all-negative yield NULL AUC via the CASE guard on
+  // both engines. One (source, score) hash agg + a source-partitioned
+  // window — range-partitionable, nothing global.
+  private def qAucBySource(s: SparkSession, d: String): DataFrame = {
+    val g = spanCoverage(s, d)
+      .withColumn("pos", when(col("doc_id") % 7 === 0, 1L).otherwise(0L))
+      .groupBy("source", "cover_frac")
+      .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+    val cum = Window.partitionBy("source").orderBy("cover_frac")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("before", coalesce(sum(col("c")).over(cum), lit(0L)))
+      .groupBy("source")
+      .agg(
+        sum(col("p")).as("n_pos"),
+        sum(col("c") - col("p")).as("n_neg"),
+        (sum(col("p") * (lit(2L) * (col("before") + lit(1L)) + col("c") - lit(1L)))
+          - sum(col("p")) * (sum(col("p")) + lit(1L))).as("u2"))
+      .withColumn("auc", when(col("n_pos") > 0L && col("n_neg") > 0L,
+        col("u2").cast("double")
+          / (lit(2L) * col("n_pos") * col("n_neg")).cast("double")))
+      .select("source", "n_pos", "n_neg", "u2", "auc")
+      .orderBy("source")
+  }
+
+  // q_mutual_info: I(lang; source) over the corpus — the "is my
+  // language mix confounded with my source mix" diagnostic a mixture
+  // designer checks before reweighting one axis independently of the
+  // other. Joint/marginal counts are exact BIGINTs from ONE joint
+  // aggregate (marginals re-aggregate the model-sized joint frame);
+  // each entropy is a sum of DECIMAL(18,9)-pinned p·ln p terms (the
+  // q_doc_entropy discipline — sums over the model-sized label
+  // domains, order-free once pinned), and MI = H(lang) + H(source) −
+  // H(joint) is a fixed-shape IEEE expression over those three.
+  private def qMutualInfo(s: SparkSession, d: String): DataFrame = {
+    val joint = Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+    val nF = joint.agg(sum(col("c")).as("n"))
+    def entropy(grouped: DataFrame): DataFrame =
+      grouped.crossJoin(broadcast(nF))
+        .withColumn("term", expr(
+          """CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(18,9))"""))
+        .agg((lit(0.0) - expr("CAST(SUM(term) AS DOUBLE)")).as("h"),
+          count(lit(1)).as("k"))
+    val hJoint = entropy(joint)
+      .select(col("h").as("h_joint"), col("k").as("n_cells"))
+    val hLang = entropy(joint.groupBy("lang").agg(sum(col("c")).as("c")))
+      .select(col("h").as("h_lang"), col("k").as("n_langs"))
+    val hSrc = entropy(joint.groupBy("source").agg(sum(col("c")).as("c")))
+      .select(col("h").as("h_source"), col("k").as("n_sources"))
+    nF.crossJoin(broadcast(hLang)).crossJoin(broadcast(hSrc))
+      .crossJoin(broadcast(hJoint))
+      .withColumn("mi", col("h_lang") + col("h_source") - col("h_joint"))
+      .select(col("n").as("n_docs"), col("n_langs"), col("n_sources"),
+        col("n_cells"), col("h_lang"), col("h_source"), col("h_joint"),
+        col("mi"))
+  }
+
   // q_pr_curve: precision/recall of the same detector at the 10
   // within-source rank-decile cutoffs (rank by cover_frac DESC, ties
   // by doc_id). Source-partitioned windows — the q_domain_cap shuffle
@@ -2707,6 +2771,8 @@ object TextOps {
     "q_domain_cap" -> (qDomainCap _),
     "q_span_dedup" -> (qSpanDedup _),
     "q_auc" -> (qAuc _),
+    "q_auc_by_source" -> (qAucBySource _),
+    "q_mutual_info" -> (qMutualInfo _),
     "q_pr_curve" -> (qPrCurve _),
     "q_calibration" -> (qCalibration _),
     "q_ece" -> (qEce _),
@@ -3673,6 +3739,66 @@ object TextOps {
          |       CAST(s2 - npos * (npos + 1) AS DOUBLE)
          |         / CAST(2 * npos * nneg AS DOUBLE) AS auc
          |FROM t""".stripMargin,
+    "q_auc_by_source" ->
+      s"""WITH $spanCoverageSql,
+         |g AS (
+         |  SELECT source, cover_frac, CAST(COUNT(*) AS BIGINT) AS c,
+         |         CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS p
+         |  FROM sc GROUP BY source, cover_frac
+         |), w AS (
+         |  SELECT source, c, p,
+         |         CAST(COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY cover_frac
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |              AS BIGINT) AS before
+         |  FROM g
+         |), t AS (
+         |  SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos,
+         |         CAST(SUM(c - p) AS BIGINT) AS n_neg,
+         |         CAST(SUM(p * (2 * (before + 1) + c - 1))
+         |           - SUM(p) * (SUM(p) + 1) AS BIGINT) AS u2
+         |  FROM w GROUP BY source
+         |)
+         |SELECT source, n_pos, n_neg, u2,
+         |       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |         CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)
+         |       END AS auc
+         |FROM t
+         |ORDER BY source""".stripMargin,
+    "q_mutual_info" ->
+      """WITH joint AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY lang, source
+        |), nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM joint),
+        |hj AS (
+        |  SELECT 0.0 - CAST(SUM(CAST(
+        |           (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |             * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(18,9)))
+        |         AS DOUBLE) AS h_joint,
+        |         CAST(COUNT(*) AS BIGINT) AS n_cells
+        |  FROM joint, nn
+        |), ml AS (
+        |  SELECT lang, CAST(SUM(c) AS BIGINT) AS c FROM joint GROUP BY lang
+        |), hl AS (
+        |  SELECT 0.0 - CAST(SUM(CAST(
+        |           (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |             * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(18,9)))
+        |         AS DOUBLE) AS h_lang,
+        |         CAST(COUNT(*) AS BIGINT) AS n_langs
+        |  FROM ml, nn
+        |), ms AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS c FROM joint GROUP BY source
+        |), hs AS (
+        |  SELECT 0.0 - CAST(SUM(CAST(
+        |           (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |             * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(18,9)))
+        |         AS DOUBLE) AS h_source,
+        |         CAST(COUNT(*) AS BIGINT) AS n_sources
+        |  FROM ms, nn
+        |)
+        |SELECT n AS n_docs, n_langs, n_sources, n_cells,
+        |       h_lang, h_source, h_joint,
+        |       h_lang + h_source - h_joint AS mi
+        |FROM nn, hl, hs, hj""".stripMargin,
     "q_novelty_curve" ->
       """WITH ex AS (
         |  SELECT doc_id,

@@ -1084,6 +1084,54 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("auc by source: slices reconcile with the pooled counts, one slice replayed") {
+    val rows = q("q_auc_by_source").collect()
+    val pooled = q("q_auc").head()
+    assert(rows.map(_.getAs[Long]("n_pos")).sum == pooled.getAs[Long]("n_pos"))
+    assert(rows.map(_.getAs[Long]("n_neg")).sum == pooled.getAs[Long]("n_neg"))
+    rows.foreach { r =>
+      if (r.getAs[Long]("n_pos") > 0 && r.getAs[Long]("n_neg") > 0) {
+        val a = r.getAs[Double]("auc")
+        assert(a >= 0.0 && a <= 1.0, s"${r.getAs[String]("source")}: auc $a")
+      } else assert(r.isNullAt(r.fieldIndex("auc")))
+    }
+    // replay one slice's tie-corrected U from the per-doc frame
+    val h = rows.head
+    val docs = q("q_span_dedup")
+      .join(graft.sources.Tables.documents(spark, Sf0001).select($"doc_id", $"source"), Seq("doc_id"))
+      .filter($"source" === h.getAs[String]("source"))
+      .select($"doc_id", $"cover_frac").collect()
+      .map(r => (r.getAs[Double]("cover_frac"), r.getAs[Long]("doc_id") % 7 == 0))
+    val byScore = docs.groupBy(_._1).toSeq.sortBy(_._1)
+    var before = 0L; var s2 = 0L
+    byScore.foreach { case (_, g) =>
+      val c = g.length.toLong; val p = g.count(_._2).toLong
+      s2 += p * (2L * (before + 1L) + c - 1L); before += c
+    }
+    val npos = docs.count(_._2).toLong
+    assert(h.getAs[Long]("u2") == s2 - npos * (npos + 1L))
+  }
+
+  test("mutual info: information inequalities hold, marginal entropy replayed") {
+    val r = q("q_mutual_info").head()
+    val (hl, hs, hj, mi) = (r.getAs[Double]("h_lang"), r.getAs[Double]("h_source"),
+      r.getAs[Double]("h_joint"), r.getAs[Double]("mi"))
+    // pin quantization is 1e-9 per term over model-sized domains
+    val eps = 1e-6
+    assert(mi >= -eps, s"MI must be non-negative: $mi")
+    assert(mi <= math.min(hl, hs) + eps, "MI bounded by the marginal entropies")
+    assert(hj <= hl + hs + eps && hj >= math.max(hl, hs) - eps)
+    // replay H(lang) from raw counts with the same pin discipline
+    val counts = graft.sources.Tables.documents(spark, Sf0001)
+      .groupBy("lang").count().collect().map(_.getAs[Long]("count"))
+    val n = counts.sum.toDouble
+    val terms = counts.map { c =>
+      BigDecimal(c / n * math.log(c / n)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    assert(math.abs(hl - (-terms.sum.toDouble)) < 1e-12)
+    assert(r.getAs[Long]("n_langs") == counts.length.toLong)
+  }
+
   test("ece: scalar in [0,1] over all docs, bins bounded by 10") {
     val r = q("q_ece").head()
     assert(r.getAs[Long]("n_bins") >= 1L && r.getAs[Long]("n_bins") <= 10L)
