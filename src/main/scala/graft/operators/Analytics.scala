@@ -504,8 +504,44 @@ object Analytics {
       .select("o_orderpriority", "n", "s1", "s2", "mean_k", "var_k", "skew", "kurt")
       .orderBy("o_orderpriority")
 
+  // ---- q_hill_tail: heavy-tail index per source ----------------------
+  //
+  // Hill's estimator α̂ = k / Σ ln(x_i/x_ref) over the top-k order
+  // statistics of doc length — the "is this source's length
+  // distribution power-law-tailed" curation diagnostic (a small α̂
+  // flags sources whose few giant docs would dominate token budgets).
+  // k derives from the slice size (max(min(n DIV 4, 100), 5)), x_ref
+  // is the (k+1)-th order statistic, each ln term is a
+  // DECIMAL(18,9)-pinned double of an exact-integer ratio (the q_zipf
+  // discipline), and a CASE guards the all-ties degenerate slice with
+  // NULL on both engines. Scale shape: one source-partitioned window
+  // rank (range-partitionable) + a broadcast of the ≤|S| reference
+  // rows + one model-sized aggregate.
+  private def qHillTail(s: SparkSession, d: String): DataFrame = {
+    val bySrc = Window.partitionBy("source")
+    val ranked = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("x"))
+      .withColumn("rn", row_number().over(
+        bySrc.orderBy(col("x").desc, col("doc_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySrc))
+      .withColumn("kk", expr("greatest(least(n DIV 4, 100L), 5L)"))
+    val ref = ranked.filter(col("rn") === col("kk") + lit(1L))
+      .select(col("source").as("r_src"), col("x").as("x_ref"))
+    ranked.filter(col("rn") <= col("kk"))
+      .join(broadcast(ref), col("source") === col("r_src"))
+      .withColumn("term", expr(
+        "CAST(ln(CAST(x AS DOUBLE) / CAST(x_ref AS DOUBLE)) AS DECIMAL(18,9))"))
+      .groupBy(col("source"), col("x_ref"))
+      .agg(count(lit(1)).as("k"), expr("CAST(SUM(term) AS DOUBLE)").as("lsum"))
+      .withColumn("hill_alpha", when(col("lsum") > 0.0,
+        col("k").cast("double") / col("lsum")))
+      .select("source", "k", "x_ref", "lsum", "hill_alpha")
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ks_test" -> (qKsTest _),
+    "q_hill_tail" -> (qHillTail _),
     "q_gini" -> (qGini _),
     "q_moments" -> (qMoments _),
     "q_rfm" -> (qRfm _),
@@ -521,6 +557,31 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_hill_tail" ->
+      """WITH ranked AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn,
+        |         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM documents
+        |), kd AS (
+        |  SELECT source, x, rn, greatest(least(n // 4, 100), 5) AS kk
+        |  FROM ranked
+        |), ref AS (
+        |  SELECT source AS r_src, x AS x_ref FROM kd WHERE rn = kk + 1
+        |), agg AS (
+        |  SELECT source, x_ref, CAST(COUNT(*) AS BIGINT) AS k,
+        |         CAST(SUM(CAST(ln(CAST(x AS DOUBLE) / CAST(x_ref AS DOUBLE))
+        |                        AS DECIMAL(18,9))) AS DOUBLE) AS lsum
+        |  FROM kd JOIN ref ON source = r_src
+        |  WHERE rn <= kk
+        |  GROUP BY source, x_ref
+        |)
+        |SELECT source, k, x_ref, lsum,
+        |       CASE WHEN lsum > 0.0
+        |            THEN CAST(k AS DOUBLE) / lsum END AS hill_alpha
+        |FROM agg
+        |ORDER BY source""".stripMargin,
     "q_ks_test" ->
       """WITH perval AS (
         |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
