@@ -570,15 +570,45 @@ object TextOps {
       col("pos").as("a_pos"), col("sz").as("a_sz"))
     val b = pref.select(col("doc_id").as("b_id"), col("sh"),
       col("pos").as("b_pos"), col("sz").as("b_sz"))
+    //  - per-row suffix/window filter (lossless, BEFORE the pair
+    //    groupBy so it cuts the shuffle into it): both docs are
+    //    sorted by the SAME global order, so any common token at
+    //    positions (pa, pb) splits A∩B into tokens sorting before it
+    //    (< pa in A and < pb in B → ≤ min(pa−1, pb−1) of them) and
+    //    after it (≤ min(|A|−pa, |B|−pb)); overlap ≤ the sum + 1. A
+    //    true pair has overlap ≥ α at EVERY common token, so a row
+    //    whose bound misses α can only belong to a dead pair — drop
+    //    it. (Dropping rows can leave a dead pair with an optimistic
+    //    aggregate bound — that costs one verify, never a result.)
+    //    Measured at sf0.1: pair rows 1.448M → 1.443M, candidates
+    //    unchanged ~485k — this fixture's doc lengths are near-uniform
+    //    so the window bound rarely bites; it exists for the skewed
+    //    length distributions (snippet vs page) where min(pa−1, pb−1)
+    //    at a deep position certifies death cheaply. Cost: two
+    //    codegen'd comparisons per pair row.
+    val alphaOf = ceil(lit(PrefixAlpha)
+      * (col("a_sz") + col("b_sz")).cast("double")).cast("long")
     val cand = a.join(b, Seq("sh"))
       .filter(col("a_id") < col("b_id") &&
         lit(PrefixJaccard) * greatest(col("a_sz"), col("b_sz")).cast("double")
-          <= least(col("a_sz"), col("b_sz")).cast("double"))
+          <= least(col("a_sz"), col("b_sz")).cast("double") &&
+        lit(1L) + least(col("a_pos") - 1L, col("b_pos") - 1L)
+          + least(col("a_sz") - col("a_pos"), col("b_sz") - col("b_pos"))
+          >= alphaOf)
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("c"),
         max(col("a_pos")).as("amax"), max(col("b_pos")).as("bmax"),
+        min(col("a_pos")).as("amin"), min(col("b_pos")).as("bmin"),
         min(col("a_sz")).as("asz"), min(col("b_sz")).as("bsz"))
+      //  - aggregate bounds, both lossless: (1) the all-matches
+      //    positional bound c + min suffix-after-last-match (above);
+      //    (2) the first-match window bound — every common token sits
+      //    at position ≥ amin in A and ≥ bmin in B (matched tokens by
+      //    minimality; unmatched common tokens sort after the LAST
+      //    match), so overlap ≤ min(|A|−amin, |B|−bmin) + 1.
       .filter(col("c") + least(col("asz") - col("amax"), col("bsz") - col("bmax"))
+        >= ceil(lit(PrefixAlpha) * (col("asz") + col("bsz")).cast("double")).cast("long")
+        && lit(1L) + least(col("asz") - col("amin"), col("bsz") - col("bmin"))
         >= ceil(lit(PrefixAlpha) * (col("asz") + col("bsz")).cast("double")).cast("long"))
       .select("a_id", "b_id")
     cand
