@@ -448,8 +448,47 @@ object GraphOps {
       .limit(20)
   }
 
+  // Adamic–Adar link strength — the other classic common-neighbor
+  // link-prediction score: instead of Jaccard's set ratio, each common
+  // neighbor w contributes 1/ln(deg(w)), so a neighbor shared with
+  // half the catalog certifies almost nothing while a rare shared
+  // neighbor certifies a lot (Adamic & Adar 2003). Same data motion as
+  // q_link_jaccard: the memoized triangle rows already name, for every
+  // triangle and each of its three sides, the OPPOSITE corner — which
+  // is exactly "common neighbor w of edge (u,v)" — so the whole score
+  // is a 3T-row explode, one deg join on w (node-keyed), each term
+  // pinned to DECIMAL(18,9) (a common neighbor has deg ≥ 2, so
+  // ln(deg) ≥ ln 2 > 0 and the division is total), an exact decimal
+  // sum per edge, and a TakeOrderedAndProject top-k. No wedge join,
+  // no new shuffle shape — at 100 TB this costs one pass over the
+  // triangle stream.
+  private def qAdamicAdar(s: SparkSession, d: String): DataFrame = {
+    val (_, deg) = coEdgesDegM(s, d)
+    val tri = triangleRowsM(s, d)
+    val sides = tri.select(
+        least(col("n1"), col("n2")).as("u"), greatest(col("n1"), col("n2")).as("v"),
+        col("n3").as("w"))
+      .unionAll(tri.select(
+        least(col("n1"), col("n3")).as("u"), greatest(col("n1"), col("n3")).as("v"),
+        col("n2").as("w")))
+      .unionAll(tri.select(
+        least(col("n2"), col("n3")).as("u"), greatest(col("n2"), col("n3")).as("v"),
+        col("n1").as("w")))
+    sides
+      .join(deg.select(col("node").as("w"), col("deg").as("deg_w")), Seq("w"))
+      .withColumn("term",
+        expr("CAST(1.0 / ln(CAST(deg_w AS DOUBLE)) AS DECIMAL(18,9))"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("common"),
+        expr("CAST(SUM(term) AS DOUBLE)").as("aa_score"))
+      .select("u", "v", "common", "aa_score")
+      .orderBy(col("aa_score").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> (qTriangles _),
+    "q_adamic_adar" -> (qAdamicAdar _),
     "q_local_cc" -> (qLocalCc _),
     "q_basket_lift" -> (qBasketLift _),
     "q_kcore" -> (qKcore _),
@@ -607,6 +646,32 @@ object GraphOps {
          |       CAST(m * (2 * sdd) - sx * sx AS DOUBLE)
          |         / CAST(m * sxx - sx * sx AS DOUBLE) AS r
          |FROM withm""".stripMargin,
+    "q_adamic_adar" ->
+      s"""WITH pairs AS (
+         |$pairsSql
+         |), deg AS (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+         |  ) GROUP BY node
+         |), tri AS (
+         |  SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+         |  JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
+         |), sides AS (
+         |  SELECT least(n1, n2) AS u, greatest(n1, n2) AS v, n3 AS w FROM tri
+         |  UNION ALL SELECT least(n1, n3), greatest(n1, n3), n2 FROM tri
+         |  UNION ALL SELECT least(n2, n3), greatest(n2, n3), n1 FROM tri
+         |), terms AS (
+         |  SELECT s.u, s.v,
+         |         CAST(1.0 / ln(CAST(dw.deg AS DOUBLE)) AS DECIMAL(18,9)) AS term
+         |  FROM sides s JOIN deg dw ON dw.node = s.w
+         |)
+         |SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common,
+         |       CAST(SUM(term) AS DOUBLE) AS aa_score
+         |FROM terms GROUP BY u, v
+         |ORDER BY aa_score DESC, u, v
+         |LIMIT 20""".stripMargin,
     "q_link_jaccard" ->
       s"""WITH pairs AS (
          |$pairsSql

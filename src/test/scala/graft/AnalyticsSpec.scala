@@ -93,6 +93,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(top.getAs[Long]("deg_v") == adj(v).size)
   }
 
+  test("q_adamic_adar: top edge's score recounted from raw adjacency") {
+    val rows = q("q_adamic_adar").collect()
+    assert(rows.nonEmpty)
+    // scores are positive and the top-k order is honored
+    val scores = rows.map(_.getAs[Double]("aa_score"))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // driver replay: adjacency from lineitem, then the exact same
+    // DECIMAL(18,9)-quantized 1/ln(deg w) terms summed over the true
+    // common-neighbor set of the top edge
+    val li = graft.sources.Tables.lineitem(spark, Sf0001)
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    li.groupBy(_._1).values.foreach { grp =>
+      val parts = grp.map(_._2).distinct
+      for (a <- parts; b <- parts if a != b)
+        adj(a) = adj.getOrElse(a, Set.empty) + b
+    }
+    val top = rows.head
+    val (u, v) = (top.getAs[Long]("u"), top.getAs[Long]("v"))
+    val commons = adj(u) & adj(v)
+    assert(top.getAs[Long]("common") == commons.size)
+    val expected = commons.toSeq.map { w =>
+      BigDecimal(1.0 / math.log(adj(w).size.toDouble))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(top.getAs[Double]("aa_score") == expected,
+      s"edge ($u,$v): aa ${top.getAs[Double]("aa_score")} vs replay $expected")
+  }
+
   test("q_robust_stats: median/MAD/trimmed mean recounted per source") {
     val rows = q("q_robust_stats").collect()
     val bySrc = graft.sources.Tables.documents(spark, Sf0001)
