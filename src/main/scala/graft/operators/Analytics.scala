@@ -539,9 +539,79 @@ object Analytics {
       .orderBy("source")
   }
 
+  // ---- q_spearman: rank correlation frequency vs spend -------------
+  //
+  // Spearman's ρ between "how often a customer orders" and "how much
+  // they spend" — the monotone-association check that Pearson-on-
+  // values misses under heavy tails. Both rankings are TIE-FREE total
+  // orders ((metric, custkey) — the q_deciles discipline), so the
+  // permutation form ρ = 1 − 6·Σd²/(n·(n²−1)) is EXACT: Σd² is a
+  // BIGINT and ρ one IEEE expression (denominator assembled in DOUBLE
+  // so n³ can't overflow the integer envelope at corpus scale).
+  // Scale shape: one o_custkey hash agg, then two window sorts over
+  // the MODEL-SIZED per-customer frame (the q_rfm trade), one final
+  // scalar agg.
+  private def qSpearman(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.orders(s, d).groupBy(col("o_custkey")).agg(
+      count(lit(1)).as("n_orders"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    val ranked = per
+      .withColumn("r_freq", row_number().over(
+        Window.orderBy(col("n_orders"), col("o_custkey"))).cast("long"))
+      .withColumn("r_spend", row_number().over(
+        Window.orderBy(col("spend"), col("o_custkey"))).cast("long"))
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum((col("r_freq") - col("r_spend")) * (col("r_freq") - col("r_spend")))
+          .as("sum_d2"))
+      .withColumn("rho", expr(
+        "1.0 - (6.0 * CAST(sum_d2 AS DOUBLE)) / " +
+          "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0))"))
+      .select("n", "sum_d2", "rho")
+  }
+
+  // ---- q_psi: population stability index across time halves --------
+  //
+  // The model-monitoring standard for "did the input distribution
+  // move": split events at the midpoint of the observed time range,
+  // take the event_type distribution on each side, and report
+  // PSI = Σ (p_i − q_i)·ln(p_i/q_i) (≥ 0, 0 iff identical; the
+  // industry rule of thumb flags > 0.2). Counts are exact BIGINTs;
+  // each term is ONE IEEE expression over them (ln argument assembled
+  // in DOUBLE so c·n products can't overflow at corpus scale) pinned
+  // to DECIMAL(18,9) and summed exactly. Totals are over the types
+  // present on BOTH sides (PSI is undefined at a zero bin; the spec
+  // asserts nothing was excluded on this fixture). Scale shape: one
+  // event_type hash agg with map-side partials + three broadcast
+  // scalar joins — nothing beyond the agg ever shuffles.
+  private def qPsi(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"))
+    val mid = ev.agg(expr("(MIN(us) + MAX(us)) DIV 2").as("mid"))
+    val counts = ev.crossJoin(broadcast(mid))
+      .groupBy("event_type")
+      .agg(sum(when(col("us") <= col("mid"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(col("us") > col("mid"), 1L).otherwise(0L)).as("c_cur"))
+      .filter(col("c_ref") > 0L && col("c_cur") > 0L)
+    val tot = counts.agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
+    val terms = counts.crossJoin(broadcast(tot))
+      .withColumn("term", expr(
+        "CAST((CAST(c_ref AS DOUBLE) / CAST(n_ref AS DOUBLE) - " +
+          "CAST(c_cur AS DOUBLE) / CAST(n_cur AS DOUBLE)) * " +
+          "ln((CAST(c_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) / " +
+          "(CAST(c_cur AS DOUBLE) * CAST(n_ref AS DOUBLE))) AS DECIMAL(18,9))"))
+    val psi = terms.agg(expr("CAST(SUM(term) AS DOUBLE)").as("psi"))
+    terms.crossJoin(broadcast(psi))
+      .select(col("event_type"), col("c_ref"), col("c_cur"),
+        expr("CAST(term AS DOUBLE)").as("term"), col("psi"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ks_test" -> (qKsTest _),
     "q_hill_tail" -> (qHillTail _),
+    "q_spearman" -> (qSpearman _),
+    "q_psi" -> (qPsi _),
     "q_gini" -> (qGini _),
     "q_moments" -> (qMoments _),
     "q_rfm" -> (qRfm _),
@@ -557,6 +627,52 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_spearman" ->
+      """WITH per AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY o_custkey
+        |), ranked AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_orders, o_custkey) AS BIGINT) AS r_freq,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS BIGINT) AS r_spend
+        |  FROM per
+        |), agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM((r_freq - r_spend) * (r_freq - r_spend)) AS BIGINT) AS sum_d2
+        |  FROM ranked
+        |)
+        |SELECT n, sum_d2,
+        |       1.0 - (6.0 * CAST(sum_d2 AS DOUBLE)) /
+        |         (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)) AS rho
+        |FROM agg""".stripMargin,
+    "q_psi" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS us FROM events
+        |), mid AS (
+        |  SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev
+        |), counts AS (
+        |  SELECT event_type,
+        |         CAST(SUM(CASE WHEN us <= mid THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+        |         CAST(SUM(CASE WHEN us > mid THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+        |  FROM ev, mid GROUP BY event_type
+        |  HAVING c_ref > 0 AND c_cur > 0
+        |), tot AS (
+        |  SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+        |         CAST(SUM(c_cur) AS BIGINT) AS n_cur FROM counts
+        |), terms AS (
+        |  SELECT event_type, c_ref, c_cur,
+        |         CAST((CAST(c_ref AS DOUBLE) / CAST(n_ref AS DOUBLE) -
+        |               CAST(c_cur AS DOUBLE) / CAST(n_cur AS DOUBLE)) *
+        |              ln((CAST(c_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) /
+        |                 (CAST(c_cur AS DOUBLE) * CAST(n_ref AS DOUBLE)))
+        |              AS DECIMAL(18,9)) AS term
+        |  FROM counts, tot
+        |), psi AS (
+        |  SELECT CAST(SUM(term) AS DOUBLE) AS psi FROM terms
+        |)
+        |SELECT event_type, c_ref, c_cur, CAST(term AS DOUBLE) AS term, psi
+        |FROM terms, psi
+        |ORDER BY event_type""".stripMargin,
     "q_hill_tail" ->
       """WITH ranked AS (
         |  SELECT source, CAST(n_chars AS BIGINT) AS x,

@@ -124,6 +124,52 @@ class AnalyticsSpec extends SparkSpec {
       s"edge ($u,$v): aa ${top.getAs[Double]("aa_score")} vs replay $expected")
   }
 
+  test("q_spearman: rho recounted from a driver-side rank replay") {
+    val row = q("q_spearman").collect().head
+    val per = graft.sources.Tables.orders(spark, Sf0001)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,2)")).as("spend"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2)))
+    assert(row.getAs[Long]("n") == per.length)
+    val rFreq = per.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val rSpend = per.sortBy(t => (BigDecimal(t._3), t._1)).zipWithIndex
+      .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val sumD2 = per.map { t =>
+      val dd = rFreq(t._1) - rSpend(t._1); dd * dd
+    }.sum
+    assert(row.getAs[Long]("sum_d2") == sumD2)
+    val n = per.length.toDouble
+    assert(row.getAs[Double]("rho") ==
+      1.0 - (6.0 * sumD2.toDouble) / (n * (n * n - 1.0)))
+    assert(math.abs(row.getAs[Double]("rho")) <= 1.0)
+  }
+
+  test("q_psi: no excluded bins on this fixture, terms replay, psi is their sum") {
+    val rows = q("q_psi").collect()
+    assert(rows.nonEmpty)
+    // every event lands in an included (both-sides-nonzero) bin
+    val total = graft.sources.Tables.events(spark, Sf0001).count()
+    assert(rows.map(r => r.getAs[Long]("c_ref") + r.getAs[Long]("c_cur")).sum == total)
+    // replay each term from the counts and the quantization
+    val nRef = rows.map(_.getAs[Long]("c_ref")).sum.toDouble
+    val nCur = rows.map(_.getAs[Long]("c_cur")).sum.toDouble
+    var sum = BigDecimal(0)
+    rows.foreach { r =>
+      val (cr, cc) = (r.getAs[Long]("c_ref").toDouble, r.getAs[Long]("c_cur").toDouble)
+      val term = BigDecimal(
+        (cr / nRef - cc / nCur) * math.log((cr * nCur) / (cc * nRef)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      assert(r.getAs[Double]("term") == term.toDouble)
+      sum += term
+    }
+    rows.foreach(r => assert(r.getAs[Double]("psi") == sum.toDouble))
+    // PSI of any distribution against another is non-negative
+    assert(sum.toDouble >= 0.0)
+  }
+
   test("q_robust_stats: median/MAD/trimmed mean recounted per source") {
     val rows = q("q_robust_stats").collect()
     val bySrc = graft.sources.Tables.documents(spark, Sf0001)
