@@ -691,6 +691,68 @@ object Relational {
         |LIMIT 20""".stripMargin)
   }
 
+  // TPC-H Q16 shape: supplier-breadth per part attribute with a
+  // NOT-IN supplier exclusion. The supplier-part relation is the
+  // DISTINCT (l_partkey, l_suppkey) projection of lineitem (this
+  // schema carries no partsupp), the exclusion list is the distressed
+  // (negative-balance) suppliers — declared as SQL NOT IN so Catalyst
+  // plans the null-aware anti join — and the count is
+  // COUNT(DISTINCT supplier) per (brand, type, size) over a dim-
+  // filtered broadcast join. Scale shape: map-side-distinct pair
+  // projection, one broadcast part join, expand+two-phase distinct
+  // aggregate; the exclusion side is a ≤|suppliers| broadcast.
+  private def qSupplierPartCounts(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_spc")
+    Tables.part(s, d).createOrReplaceTempView("part_spc")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_spc")
+    s.sql(
+      """SELECT p_brand, p_type, p_size,
+        |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem_spc) ps
+        |JOIN part_spc ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier_spc
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
+  // TPC-H Q20 shape: the nested semi-join chain gated on a correlated
+  // aggregate threshold — "suppliers who dominate a meaningful share
+  // of their contested parts' 1996 volume" (partsupp availqty becomes
+  // the part's own shipped total on this schema). The correlated
+  // comparison is decorrelated by construction: per-(supplier, part)
+  // sums roll up once more to per-part totals, per-part dominance is
+  // the division-free exact-decimal 2·q_sp > q_p on CONTESTED parts
+  // (≥ 2 window suppliers — a sole supplier dominates vacuously),
+  // the supplier gate is the integer-exact share bar 10·n_dom ≥
+  // n_contested (≥ 10 %, measured selective at both oracle SFs), and
+  // the final supplier filter is an IN → left-semi broadcast join.
+  // Quantities are per-row DECIMAL(18,2) casts of the on-disk
+  // doubles, so both engines sum exactly.
+  private def qDominantSuppliers(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q_sp"))
+    val tot = w.groupBy(col("l_partkey"))
+      .agg(sum(col("q_sp")).as("q_p"), count(lit(1)).as("n_sup"))
+    val dominant = w.join(tot, Seq("l_partkey"))
+      .filter(col("n_sup") >= 2L)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(when(col("q_sp") * lit(2) > col("q_p"), 1L).otherwise(0L)).as("n_dom"),
+        count(lit(1)).as("n_cont"))
+      .filter(col("n_dom") * lit(10L) >= col("n_cont"))
+      .select(col("l_suppkey"))
+    Tables.supplier(s, d)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_name")
+  }
+
   // Data-quality validation sweep (P10 as a first-class operator): the
   // reference's CHECK-constraint domains plus the referential /
   // null-safety invariants a pipeline would assert before training on
@@ -1041,6 +1103,8 @@ object Relational {
     "q_or_predicates" -> (qOrPredicates _),
     "q_priority_mix" -> (qPriorityMix _),
     "q_waiting_suppliers" -> (qWaitingSuppliers _),
+    "q_supplier_part_counts" -> (qSupplierPartCounts _),
+    "q_dominant_suppliers" -> (qDominantSuppliers _),
     "q_join_volume_flow" -> (qJoinVolumeFlow _),
     "q_market_share" -> (qMarketShare _),
     "q_month_spine" -> (qMonthSpine _)
@@ -1593,6 +1657,41 @@ object Relational {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q_supplier_part_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q_dominant_suppliers" ->
+      """WITH w AS (
+        |  SELECT l_suppkey, l_partkey,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q_sp
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey, l_partkey
+        |), tot AS (
+        |  SELECT l_partkey, SUM(q_sp) AS q_p, COUNT(*) AS n_sup
+        |  FROM w GROUP BY l_partkey
+        |), dominant AS (
+        |  SELECT l_suppkey
+        |  FROM w JOIN tot USING (l_partkey)
+        |  WHERE n_sup >= 2
+        |  GROUP BY l_suppkey
+        |  HAVING SUM(CASE WHEN q_sp * 2 > q_p THEN 1 ELSE 0 END) * 10
+        |         >= COUNT(*)
+        |)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+        |ORDER BY s_name""".stripMargin,
     "q_waiting_suppliers" ->
       """SELECT s_name, COUNT(*) AS numwait
         |FROM lineitem l1

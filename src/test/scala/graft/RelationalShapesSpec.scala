@@ -128,4 +128,53 @@ class RelationalShapesSpec extends SparkSpec {
     val expect = waits.toSeq.sortBy { case (n, w) => (-w, n) }.take(20)
     assert(rows.map(r => (r.getAs[String]("s_name"), r.getAs[Long]("numwait"))).toSeq == expect)
   }
+
+  test("q_supplier_part_counts: distinct-supplier counts recounted with the NOT-IN exclusion") {
+    val rows = q("q_supplier_part_counts").collect()
+    assert(rows.nonEmpty)
+    val excluded = graft.sources.Tables.supplier(spark, Sf0001)
+      .filter($"s_acctbal" < 0).select($"s_suppkey").collect().map(_.getLong(0)).toSet
+    val attrs = part.select($"p_partkey", $"p_brand", $"p_type", $"p_size").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getInt(3)))).toMap
+    val sizes = Set(1, 4, 9, 16, 25, 36, 49)
+    val expect = li.select($"l_partkey", $"l_suppkey").distinct().collect()
+      .flatMap { r =>
+        val (b, t, z) = attrs(r.getLong(0))
+        if (b != "Brand#1" && t != "PROMO" && sizes(z) && !excluded(r.getLong(1)))
+          Some(((b, t, z), r.getLong(1)))
+        else None
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    val got = rows.map(r => ((r.getAs[String]("p_brand"), r.getAs[String]("p_type"),
+      r.getAs[Int]("p_size")), r.getAs[Long]("supplier_cnt"))).toMap
+    assert(got == expect)
+    // top-k order honored
+    val cnts = rows.map(_.getAs[Long]("supplier_cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_dominant_suppliers: the dominance set recounted from exact decimal sums") {
+    val rows = q("q_dominant_suppliers").collect()
+    assert(rows.nonEmpty)
+    val window = li.filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
+        && $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .select($"l_suppkey", $"l_partkey", $"l_quantity").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val perSp = window.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toMap
+    val perP = window.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val nSupPerP = window.map(t => (t._2, t._1)).distinct.groupBy(_._1)
+      .view.mapValues(_.length).toMap
+    val contested = perSp.keys.filter(k => nSupPerP(k._2) >= 2).toSeq
+    val dominant = contested.groupBy(_._1).collect {
+      case (sk, pks) if pks.count { case (s2, pk) =>
+        perSp((s2, pk)) * 2 > perP(pk) } * 10 >= pks.length => sk
+    }.toSet
+    assert(rows.map(_.getAs[Long]("s_suppkey")).toSet == dominant)
+    // name order + selectivity sanity: at sf0.001 not every supplier dominates
+    val names = rows.map(_.getAs[String]("s_name"))
+    assert(names.sorted.toSeq == names.toSeq)
+    val nSup = graft.sources.Tables.supplier(spark, Sf0001).count()
+    assert(rows.length < nSup)
+  }
 }
