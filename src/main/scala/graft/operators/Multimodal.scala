@@ -238,7 +238,65 @@ object Multimodal {
         md5(expr("substring(text, 1, CAST(thumb_len AS INT))")).as("thumb_md5"))
       .orderBy("doc_id")
 
+  /** Deterministic synthetic PCM16LE waveform for a doc: n samples of
+    * v_k = ((31·doc_id + 97·k) mod 4001) − 2000, packed little-endian
+    * two's-complement — REAL audio bytes in the interchange format
+    * sox/ffmpeg call s16le. The formula is what the oracle replays. */
+  def synthPcm(docId: Long): Array[Byte] = {
+    val n = (64 + docId % 193).toInt
+    val buf = java.nio.ByteBuffer.allocate(n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var k = 0
+    while (k < n) {
+      buf.putShort((((31L * docId + 97L * k) % 4001L) - 2000L).toShort)
+      k += 1
+    }
+    buf.array()
+  }
+
+  // Audio-stats over a REAL byte-parsing path — the audio twin of
+  // q_multimodal_features, but the decode stage is pure CATALYST:
+  // each 16-bit little-endian sample is re-assembled from its two
+  // payload bytes with hex/conv/two's-complement expressions inside
+  // whole-stage codegen (no UDF, no mapPartitions on the decode
+  // side). Stats are the standard waveform QC set: peak |v|, RMS
+  // (one IEEE sqrt over exact BIGINT power sums), zero-crossing
+  // count, and an md5 of every parsed sample ('-'-joined decimals) —
+  // the DuckDB oracle computes all of them ANALYTICALLY from the
+  // sample formula without touching bytes, so a green hash proves
+  // the pack→bytes→parse roundtrip is sample-exact. Scale shape:
+  // synthesis and parse are narrow maps (no shuffle); bytes drop at
+  // the project; the only ordering is the oracle-mandated final sort.
+  private def qAudioStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => MediaRow(id, synthPcm(id))))
+      .toDF()
+    media
+      .withColumn("n_samples", expr("CAST(length(media) DIV 2 AS BIGINT)"))
+      .withColumn("samples", expr(
+        """transform(sequence(0L, n_samples - 1L), i -> (
+          |  CAST(conv(hex(substring(media, CAST(2*i+1 AS INT), 1)), 16, 10) AS BIGINT)
+          |  + 256L * CAST(conv(hex(substring(media, CAST(2*i+2 AS INT), 1)), 16, 10) AS BIGINT)
+          |) - IF(CAST(conv(hex(substring(media, CAST(2*i+2 AS INT), 1)), 16, 10) AS BIGINT) >= 128L,
+          |       65536L, 0L))""".stripMargin))
+      .select(
+        col("doc_id"), col("n_samples"),
+        expr("aggregate(samples, 0L, (a, v) -> greatest(a, abs(v)))").as("peak"),
+        expr("aggregate(samples, 0L, (a, v) -> a + abs(v))").as("sum_abs"),
+        expr("sqrt(CAST(aggregate(samples, 0L, (a, v) -> a + v*v) AS DOUBLE)" +
+          " / CAST(n_samples AS DOUBLE))").as("rms"),
+        expr("aggregate(sequence(0L, n_samples - 2L), 0L, (a, i) ->" +
+          " a + IF((samples[CAST(i AS INT)] < 0L) != (samples[CAST(i+1 AS INT)] < 0L), 1L, 0L))")
+          .as("zero_cross"),
+        md5(encode(expr("array_join(transform(samples, v -> CAST(v AS STRING)), '-')"),
+          "UTF-8")).as("wave_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_audio_stats" -> (qAudioStats _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
@@ -247,6 +305,34 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_audio_stats" ->
+      // analytic replay of the sample formula: the oracle never sees
+      // the PCM bytes, so agreement proves the Spark-side pack→parse
+      // (little-endian two's-complement via hex/conv) is sample-exact
+      """WITH dims AS (
+        |  SELECT doc_id, 64 + doc_id % 193 AS n FROM documents
+        |), k AS (
+        |  SELECT doc_id, n, unnest(range(0, n)) AS k FROM dims
+        |), v AS (
+        |  SELECT doc_id, n, k, (31*doc_id + 97*k) % 4001 - 2000 AS val
+        |  FROM k
+        |), zc AS (
+        |  SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS zero_cross
+        |  FROM v a JOIN v b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+        |  WHERE (a.val < 0) <> (b.val < 0)
+        |  GROUP BY a.doc_id
+        |), agg AS (
+        |  SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |         CAST(MAX(abs(val)) AS BIGINT) AS peak,
+        |         CAST(SUM(abs(val)) AS BIGINT) AS sum_abs,
+        |         sqrt(CAST(SUM(val*val) AS DOUBLE) / CAST(n AS DOUBLE)) AS rms,
+        |         md5(string_agg(CAST(val AS VARCHAR), '-' ORDER BY k)) AS wave_md5
+        |  FROM v GROUP BY doc_id, n
+        |)
+        |SELECT a.doc_id, a.n_samples, a.peak, a.sum_abs, a.rms,
+        |       COALESCE(z.zero_cross, 0) AS zero_cross, a.wave_md5
+        |FROM agg a LEFT JOIN zc z ON z.doc_id = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
     "q_multimodal_features" ->
       // analytic replay of the pixel formula: the oracle never touches
       // PNG bytes, so agreement proves the Spark-side codec roundtrip

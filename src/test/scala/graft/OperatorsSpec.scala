@@ -465,6 +465,39 @@ class OperatorsSpec extends SparkSpec {
     assert(q("q_approx_distinct").filter(!$"within_bound").count() == 0)
   }
 
+  test("audio stats parse real little-endian PCM bytes back to the exact samples") {
+    import graft.operators.Multimodal
+    // the packed payload is genuine s16le: byte-level spot check of a
+    // known sample, including a negative (two's-complement) one
+    val id = 7L
+    val pcm = Multimodal.synthPcm(id)
+    val n = (64 + id % 193).toInt
+    assert(pcm.length == n * 2)
+    def sample(k: Int): Int = {
+      val lo = pcm(2 * k) & 0xff
+      val hi = pcm(2 * k + 1)
+      (hi << 8) | lo
+    }
+    val expected = (0 until n).map(k => (((31L * id + 97L * k) % 4001L) - 2000L).toInt)
+    assert((0 until n).map(sample) == expected)
+    assert(expected.exists(_ < 0), "fixture must exercise two's-complement")
+    // the Catalyst parse agrees with the driver stats on every doc
+    val rows = q("q_audio_stats").collect()
+    assert(rows.length == 500)
+    rows.take(20).foreach { r =>
+      val did = r.getAs[Long]("doc_id")
+      val m = (64 + did % 193).toInt
+      val vs = (0 until m).map(k => ((31L * did + 97L * k) % 4001L) - 2000L)
+      assert(r.getAs[Long]("n_samples") == m.toLong)
+      assert(r.getAs[Long]("peak") == vs.map(math.abs).max)
+      assert(r.getAs[Long]("sum_abs") == vs.map(math.abs).sum)
+      assert(r.getAs[Double]("rms") ==
+        math.sqrt(vs.map(v => v * v).sum.toDouble / m.toDouble))
+      assert(r.getAs[Long]("zero_cross") ==
+        vs.zip(vs.tail).count { case (a, b) => (a < 0) != (b < 0) })
+    }
+  }
+
   test("multimodal decode is a real codec roundtrip: PNG magic, lossless raster") {
     import graft.operators.Multimodal
     // the synthesized payload is a genuine PNG (magic bytes + decodable)
