@@ -1597,6 +1597,56 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Interpolated Kneser–Ney bigram scoring — the smoothing that
+    * actually ships in n-gram LMs (KenLM's default), and the standard
+    * perplexity-filter backbone for corpus curation: unlike add-one
+    * (q_lm_score), the backoff mass of a context is proportional to
+    * its FOLLOWER DIVERSITY and the unigram backoff is the
+    * continuation probability ("how many contexts precede w"), so
+    * boilerplate bigrams stop inflating scores. Fixed discount
+    * D = 0.75 (binary-exact):
+    *   P(w2|w1) = max(c12−D, 0)/c1 + (D·N1+(w1·)/c1) · N1+(·w2)/T
+    * with all four counts exact BIGINTs (pair count, context total,
+    * follower diversity, predecessor diversity; T = distinct bigram
+    * types). Each P is ONE fixed-shape IEEE expression over them,
+    * ln(P) is pinned to DECIMAL(18,9), and per-doc sums are exact —
+    * the q_lm_score determinism discipline. P > 0 always (the
+    * continuation term is strictly positive), so ln is total. Scale
+    * shape: one bigram hash agg (map-side partials), two
+    * model-sized diversity aggs, key-shuffled joins back to the doc
+    * bigram stream, one scalar broadcast — no all-pairs anything. */
+  private def qKneserNey(s: SparkSession, d: String): DataFrame = {
+    val docBigrams = Tables.documents(s, d)
+      .withColumn("toks", tokens())
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+             i -> struct(toks[i-1] AS w1, toks[i] AS w2))""")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val pair = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val ctx = pair.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val pred = pair.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
+    val types = pair.agg(count(lit(1)).as("t"))
+    docBigrams
+      .join(pair, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(pred, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("logp", expr(
+        """CAST(ln(
+             (greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE))
+             + ((0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE))
+                * (CAST(n1p AS DOUBLE) / CAST(t AS DOUBLE)))
+           ) AS DECIMAL(18,9))"""))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("CAST(SUM(logp) AS DOUBLE)").as("sum_logp_kn"))
+      .withColumn("avg_logp_kn", col("sum_logp_kn") / col("n_bigrams").cast("double"))
+      .orderBy("doc_id")
+  }
+
   /** Distributed BPE merge learning — two unrolled rounds of the
     * byte-pair-encoding trainer loop over the corpus vocabulary:
     * words → char symbol arrays weighted by corpus frequency →
@@ -2818,6 +2868,7 @@ object TextOps {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_collocations" -> (qCollocations _),
     "q_lm_score" -> (qLmScore _),
+    "q_kneser_ney" -> (qKneserNey _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_chunk" -> (qChunk _),
@@ -3948,6 +3999,40 @@ object TextOps {
          |FROM dw JOIN enc USING (word)
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    "q_kneser_ney" ->
+      """WITH db AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i ->
+        |           struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 2)
+        |), dbf AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM db
+        |), pair AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM dbf GROUP BY w1, w2
+        |), ctx AS (
+        |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+        |         CAST(COUNT(*) AS BIGINT) AS n1f
+        |  FROM pair GROUP BY w1
+        |), pred AS (
+        |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p FROM pair GROUP BY w2
+        |), ty AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS t FROM pair
+        |), scored AS (
+        |  SELECT d.doc_id,
+        |         CAST(ln(
+        |           (greatest(CAST(p.c12 AS DOUBLE) - 0.75, 0.0) / CAST(c.c1 AS DOUBLE))
+        |           + ((0.75 * CAST(c.n1f AS DOUBLE) / CAST(c.c1 AS DOUBLE))
+        |              * (CAST(r.n1p AS DOUBLE) / CAST(ty.t AS DOUBLE)))
+        |         ) AS DECIMAL(18,9)) AS logp
+        |  FROM dbf d JOIN pair p USING (w1, w2) JOIN ctx c USING (w1)
+        |       JOIN pred r USING (w2) CROSS JOIN ty
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(logp) AS DOUBLE) AS sum_logp_kn,
+        |       CAST(SUM(logp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_logp_kn
+        |FROM scored
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_lm_score" ->
       """WITH db AS (
         |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i ->

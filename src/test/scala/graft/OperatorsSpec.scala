@@ -465,6 +465,41 @@ class OperatorsSpec extends SparkSpec {
     assert(q("q_approx_distinct").filter(!$"within_bound").count() == 0)
   }
 
+  test("kneser-ney: per-context mass sums to 1 and a doc's score replays") {
+    import org.apache.spark.sql.Row
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+      .filter(_._2.length >= 2)
+    val bigrams = docs.flatMap { case (id, ts) => ts.zip(ts.tail).map((id, _)) }
+    val c12 = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val c1 = c12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1f = c12.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1p = c12.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val t = c12.size.toLong
+    def p(w1: String, w2: String): Double =
+      (math.max(c12.getOrElse((w1, w2), 0L).toDouble - 0.75, 0.0) / c1(w1)) +
+        ((0.75 * n1f(w1) / c1(w1)) * (n1p.getOrElse(w2, 0L).toDouble / t))
+    // the KN identity: summing P(w2|w1) over the whole vocabulary
+    // (observed continuations + backoff mass spread by continuation
+    // probability) must give exactly 1 — the formula-level check a
+    // wrong discount/diversity wiring cannot pass
+    val vocab = (n1p.keySet ++ c1.keySet).toSeq
+    val w1 = c1.keys.min
+    val mass = vocab.map(p(w1, _)).sum
+    assert(math.abs(mass - 1.0) < 1e-9, s"context '$w1' mass $mass")
+    // one doc's pinned-sum replay
+    val rows = q("q_kneser_ney").collect()
+    val first = rows.head
+    val id = first.getAs[Long]("doc_id")
+    val ts = docs.find(_._1 == id).get._2
+    val replay = ts.zip(ts.tail).map { case (a, b) =>
+      BigDecimal(math.log(p(a, b))).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    assert(first.getAs[Long]("n_bigrams") == replay.length.toLong)
+    assert(first.getAs[Double]("sum_logp_kn") == replay.sum.toDouble)
+  }
+
   test("audio stats parse real little-endian PCM bytes back to the exact samples") {
     import graft.operators.Multimodal
     // the packed payload is genuine s16le: byte-level spot check of a
