@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -449,9 +450,64 @@ object Functions2 {
       .orderBy("z", "p_partkey")
   }
 
+  // Data-skipping effectiveness report — the analytic companion to
+  // q_zorder (and to StorageSpec's physical row-group proof): carve
+  // the table into 32 equal shards under two layouts (arrival order
+  // vs z-order), collect per-shard min/max zone maps for BOTH
+  // dimensions, and count, for one probe predicate per dimension, how
+  // many shards a zone-map-aware scanner skips outright and how many
+  // rows the surviving shards force it to read. This is the number a
+  // 100 TB layout decision is actually made on: the z-ordered layout
+  // should skip on BOTH dimensions, the arrival layout on at most
+  // one. Everything is integer-exact: ntile over deterministic total
+  // orders (the q_deciles parity precedent), BIGINT zone bounds,
+  // skippable ⇔ max < lo OR min > hi. Scale shape: two sorts of the
+  // DIM table (zone-map collection is per-file metadata at real
+  // scale), one 32-key agg per layout, a 4-row output.
+  private def qSkippingStats(s: SparkSession, d: String): DataFrame = {
+    val z = zValueSql("p_size", "(p_partkey % 64)")
+    val base = Tables.part(s, d)
+      .withColumn("pmod", (col("p_partkey") % 64).cast("long"))
+      .withColumn("z", expr(z))
+    val arrival = base.withColumn("layout", lit("arrival"))
+      .withColumn("shard", ntile(32).over(
+        Window.orderBy(col("p_partkey"))).cast("long"))
+    val zord = base.withColumn("layout", lit("zorder"))
+      .withColumn("shard", ntile(32).over(
+        Window.orderBy(col("z"), col("p_partkey"))).cast("long"))
+    val zones = arrival.unionAll(zord)
+      .groupBy(col("layout"), col("shard"))
+      .agg(min(col("p_size")).as("min_size"), max(col("p_size")).as("max_size"),
+        min(col("pmod")).as("min_mod"), max(col("pmod")).as("max_mod"),
+        count(lit(1)).as("rows"),
+        sum(when(col("p_size").between(10, 12), 1L).otherwise(0L)).as("m_size"),
+        sum(when(col("pmod").between(5L, 8L), 1L).otherwise(0L)).as("m_mod"))
+    val bySize = zones.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_shards"),
+        sum(when(col("max_size") < 10 || col("min_size") > 12, 1L).otherwise(0L))
+          .as("n_skipped"),
+        sum(when(col("max_size") < 10 || col("min_size") > 12, 0L)
+          .otherwise(col("rows"))).as("rows_scanned"),
+        sum(col("m_size")).as("rows_matching"))
+      .withColumn("predicate", lit("p_size BETWEEN 10 AND 12"))
+    val byMod = zones.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_shards"),
+        sum(when(col("max_mod") < 5L || col("min_mod") > 8L, 1L).otherwise(0L))
+          .as("n_skipped"),
+        sum(when(col("max_mod") < 5L || col("min_mod") > 8L, 0L)
+          .otherwise(col("rows"))).as("rows_scanned"),
+        sum(col("m_mod")).as("rows_matching"))
+      .withColumn("predicate", lit("pmod BETWEEN 5 AND 8"))
+    bySize.unionAll(byMod)
+      .select("layout", "predicate", "n_shards", "n_skipped",
+        "rows_scanned", "rows_matching")
+      .orderBy("layout", "predicate")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_nested" -> (qJsonNested _),
     "q_zorder" -> (qZorder _),
+    "q_skipping_stats" -> (qSkippingStats _),
     "q_json_explode" -> (qJsonExplode _),
     "q_variant" -> (qVariant _),
     "q_map_funcs" -> (qMapFuncs _),
@@ -473,6 +529,42 @@ object Functions2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_skipping_stats" ->
+      s"""WITH base AS (
+         |  SELECT p_partkey, p_size, CAST(p_partkey % 64 AS BIGINT) AS pmod,
+         |         ${zValueSql("p_size", "(p_partkey % 64)")} AS z
+         |  FROM part
+         |), sharded AS (
+         |  SELECT 'arrival' AS layout,
+         |         CAST(ntile(32) OVER (ORDER BY p_partkey) AS BIGINT) AS shard,
+         |         p_size, pmod FROM base
+         |  UNION ALL
+         |  SELECT 'zorder',
+         |         CAST(ntile(32) OVER (ORDER BY z, p_partkey) AS BIGINT),
+         |         p_size, pmod FROM base
+         |), zones AS (
+         |  SELECT layout, shard,
+         |         MIN(p_size) AS min_size, MAX(p_size) AS max_size,
+         |         MIN(pmod) AS min_mod, MAX(pmod) AS max_mod,
+         |         CAST(COUNT(*) AS BIGINT) AS rows_,
+         |         CAST(SUM(CASE WHEN p_size BETWEEN 10 AND 12 THEN 1 ELSE 0 END) AS BIGINT) AS m_size,
+         |         CAST(SUM(CASE WHEN pmod BETWEEN 5 AND 8 THEN 1 ELSE 0 END) AS BIGINT) AS m_mod
+         |  FROM sharded GROUP BY layout, shard
+         |)
+         |SELECT layout, 'p_size BETWEEN 10 AND 12' AS predicate,
+         |       CAST(COUNT(*) AS BIGINT) AS n_shards,
+         |       CAST(SUM(CASE WHEN max_size < 10 OR min_size > 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+         |       CAST(SUM(CASE WHEN max_size < 10 OR min_size > 12 THEN 0 ELSE rows_ END) AS BIGINT) AS rows_scanned,
+         |       CAST(SUM(m_size) AS BIGINT) AS rows_matching
+         |FROM zones GROUP BY layout
+         |UNION ALL
+         |SELECT layout, 'pmod BETWEEN 5 AND 8',
+         |       CAST(COUNT(*) AS BIGINT),
+         |       CAST(SUM(CASE WHEN max_mod < 5 OR min_mod > 8 THEN 1 ELSE 0 END) AS BIGINT),
+         |       CAST(SUM(CASE WHEN max_mod < 5 OR min_mod > 8 THEN 0 ELSE rows_ END) AS BIGINT),
+         |       CAST(SUM(m_mod) AS BIGINT)
+         |FROM zones GROUP BY layout
+         |ORDER BY layout, predicate""".stripMargin,
     "q_zorder" ->
       s"""SELECT p_partkey, p_size,
          |       CAST(p_partkey % 64 AS BIGINT) AS pmod,

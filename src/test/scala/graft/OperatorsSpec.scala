@@ -465,6 +465,23 @@ class OperatorsSpec extends SparkSpec {
     assert(q("q_approx_distinct").filter(!$"within_bound").count() == 0)
   }
 
+  test("skipping stats: z-order layout dominates arrival on both probe dimensions") {
+    val rows = q("q_skipping_stats").collect()
+    assert(rows.length == 4)
+    val by = rows.map(r => (r.getAs[String]("layout"), r.getAs[String]("predicate")) -> r).toMap
+    val preds = rows.map(_.getAs[String]("predicate")).distinct
+    preds.foreach { p =>
+      val (arr, zo) = (by(("arrival", p)), by(("zorder", p)))
+      // matching rows are a layout-invariant ground truth
+      assert(arr.getAs[Long]("rows_matching") == zo.getAs[Long]("rows_matching"))
+      // z-order must skip strictly more shards and read no more rows
+      assert(zo.getAs[Long]("n_skipped") > arr.getAs[Long]("n_skipped"))
+      assert(zo.getAs[Long]("rows_scanned") <= arr.getAs[Long]("rows_scanned"))
+      // a zone-map scan never reads fewer rows than actually match
+      assert(zo.getAs[Long]("rows_scanned") >= zo.getAs[Long]("rows_matching"))
+    }
+  }
+
   test("kneser-ney: per-context mass sums to 1 and a doc's score replays") {
     import org.apache.spark.sql.Row
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
