@@ -44,7 +44,10 @@ object Explain {
         "q_big_orders", "q_or_predicates", "q_priority_mix",
         "q_waiting_suppliers", "q_brier", "q_ab_lift", "q_ks_test",
         "q_gini", "q_moments", "q_modularity", "q_assortativity",
-        "q_bootstrap", "q_image_ahash", "q_auc_by_source", "q_mutual_info")
+        "q_bootstrap", "q_image_ahash", "q_auc_by_source", "q_mutual_info",
+        "q_hill_tail", "q_adamic_adar", "q_spearman", "q_psi",
+        "q_supplier_part_counts", "q_dominant_suppliers", "q_audio_stats",
+        "q_kneser_ney", "q_skipping_stats")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -360,4 +360,47 @@ class PlanAuditSpec extends SparkSpec {
     val aggs = "HashAggregate".r.findAllIn(p).length
     assert(aggs >= 4, s"expected partial+final for both aggregates, got $aggs:\n$p")
   }
+
+  test("q_adamic_adar tops out via TakeOrderedAndProject with no cartesian") {
+    val p = plan("q_adamic_adar")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("q_supplier_part_counts plans the NOT IN as a broadcast anti join") {
+    // the exclusion list is a ≤|suppliers| frame: it must broadcast
+    // (null-aware anti join), never shuffle the pair stream against it
+    val p = plan("q_supplier_part_counts")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast for the NOT IN side:\n$p")
+    assert(p.contains("LeftAnti"), s"expected an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("q_dominant_suppliers gates the supplier scan through a broadcast left-semi join") {
+    val p = plan("q_dominant_suppliers")
+    assert(p.contains("LeftSemi"), s"expected a left-semi join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("q_kneser_ney aggregates bigrams with map-side partials") {
+    val p = plan("q_kneser_ney")
+    // the pair-count aggregate must stage a partial before its exchange
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 4, s"expected partial+final aggregate stages, got $aggs:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("q_audio_stats is a narrow pipeline: no join, no aggregate, one oracle sort") {
+    val p = plan("q_audio_stats")
+    assert(!p.contains("Join"), s"decode path must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"decode path must not aggregate:\n$p")
+  }
+
+  test("q_psi shuffles nothing beyond the event_type aggregate") {
+    val p = plan("q_psi")
+    // every join in the plan is a broadcast of a scalar/model frame
+    assert(!p.contains("SortMergeJoin"), s"model-frame join fell back to SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
 }
