@@ -158,6 +158,12 @@ object ScaleProbe {
       // prices the df-capped fan-out claim the same way it does the
       // shingle and LSH paths
       "q_winnow_pairs" -> TextOps.queries("q_winnow_pairs"),
+      // Kneser–Ney joins the full doc-bigram stream back through
+      // three model tables (pair counts, context stats, predecessor
+      // diversity); every join is bigram-keyed so the probe checks
+      // the stream stays linear when the corpus grows as replicas
+      // (replicas multiply COUNTS, not the type inventory)
+      "q_kneser_ney" -> TextOps.queries("q_kneser_ney"),
       // synchronous LPA: rounds are constant, each round is one
       // edge-keyed join + agg — the second driver-coordinated loop
       // (after the CC/k-core family) whose exponent is worth
