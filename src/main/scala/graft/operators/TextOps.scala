@@ -1921,6 +1921,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The composed curation flagship — one query that runs the whole
+    * batch pipeline a training-data team ships: exact dedup on
+    * normalized text (keep-first), the shared quality-z gate (z ≥ 0,
+    * q_quality_score's bar), the per-source domain cap ranked on the
+    * SAME z among the docs that SURVIVED the earlier stages (capping
+    * before dedup would waste budget on copies), the deterministic
+    * hash split, and a shard assignment for the selected training
+    * rows — emitted as a manifest with one audit flag per stage, so
+    * a dropped doc says which gate dropped it. Every stage reuses the
+    * exact semantics of its standalone query (q_dedup_exact /
+    * q_quality_score / q_domain_cap / q_split_assign / q_shard_plan),
+    * so this is the integration proof that the pieces compose. Scale
+    * shape: one norm_md5 window + one source window over the
+    * SURVIVOR subset + a doc_id-keyed self-join for the rank —
+    * nothing wider than the standalone stages. */
+  private def qTrainingManifest(s: SparkSession, d: String): DataFrame = {
+    val flagged = withQualityZ(Tables.documents(s, d))
+      .withColumn("text_norm",
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .withColumn("norm_md5", md5(col("text_norm")))
+      .withColumn("keep_dedup", row_number().over(
+        Window.partitionBy(col("norm_md5")).orderBy(col("doc_id"))) === 1)
+      .withColumn("keep_quality", col("z") >= 0.0)
+    val ranked = flagged.filter(col("keep_dedup") && col("keep_quality"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("z").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rk"))
+    flagged.join(ranked, Seq("doc_id"), "left")
+      .withColumn("keep_cap", coalesce(col("rk") <= DomainCap, lit(false)))
+      .withColumn("split", Sampling.splitOf(Sampling.hexKey(col("doc_id"))))
+      .withColumn("selected", col("keep_dedup") && col("keep_quality")
+        && col("keep_cap") && col("split") === "train")
+      .withColumn("shard", when(col("selected"), expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 16")))
+      .select("doc_id", "source", "lang", "n_tokens", "z", "keep_dedup",
+        "keep_quality", "rk", "keep_cap", "split", "selected", "shard")
+      .orderBy("doc_id")
+  }
+
   /** ccnet-style quality tiers: NTILE(3) over the shared quality z
     * WITHIN each language — head (tier 1), middle, tail — the standard
     * "train on head, sample middle, drop tail" partitioning of a
@@ -2848,6 +2888,7 @@ object TextOps {
     "q_pii_redact" -> (qPiiRedact _),
     "q_quality_score" -> (qQualityScore _),
     "q_quality_tiers" -> (qQualityTiers _),
+    "q_training_manifest" -> (qTrainingManifest _),
     "q_domain_cap" -> (qDomainCap _),
     "q_span_dedup" -> (qSpanDedup _),
     "q_auc" -> (qAuc _),
@@ -3593,6 +3634,35 @@ object TextOps {
         |FROM tft
         |GROUP BY term
         |ORDER BY term""".stripMargin,
+    "q_training_manifest" ->
+      s"""WITH ${qualityZSql()},
+         |norm AS (
+         |  SELECT doc_id,
+         |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5
+         |  FROM documents
+         |), f1 AS (
+         |  SELECT zz.doc_id, zz.source, zz.lang, zz.n_tokens, zz.z,
+         |         (ROW_NUMBER() OVER (PARTITION BY n.norm_md5 ORDER BY zz.doc_id) = 1) AS keep_dedup,
+         |         (zz.z >= 0.0) AS keep_quality,
+         |         ${Sampling.splitSql.replace("doc_id", "zz.doc_id")} AS split
+         |  FROM zz JOIN norm n ON n.doc_id = zz.doc_id
+         |), rnk AS (
+         |  SELECT doc_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY z DESC, doc_id) AS BIGINT) AS rk
+         |  FROM f1 WHERE keep_dedup AND keep_quality
+         |), j AS (
+         |  SELECT f1.*, rnk.rk,
+         |         COALESCE(rnk.rk <= $DomainCap, FALSE) AS keep_cap
+         |  FROM f1 LEFT JOIN rnk ON rnk.doc_id = f1.doc_id
+         |)
+         |SELECT doc_id, source, lang, n_tokens, z, keep_dedup, keep_quality,
+         |       rk, keep_cap, split,
+         |       (keep_dedup AND keep_quality AND keep_cap AND split = 'train') AS selected,
+         |       CASE WHEN keep_dedup AND keep_quality AND keep_cap AND split = 'train'
+         |            THEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 16
+         |       END AS shard
+         |FROM j
+         |ORDER BY doc_id""".stripMargin,
     "q_domain_cap" ->
       s"""WITH ${qualityZSql()}
          |SELECT doc_id, source, z,

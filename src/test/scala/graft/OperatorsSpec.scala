@@ -465,6 +465,38 @@ class OperatorsSpec extends SparkSpec {
     assert(q("q_approx_distinct").filter(!$"within_bound").count() == 0)
   }
 
+  test("training manifest composes the standalone stages coherently") {
+    val man = q("q_training_manifest").collect()
+    assert(man.length == 500)
+    // stage parity: keep_quality is exactly q_quality_score's is_keep
+    val qual = q("q_quality_score").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_keep")).toMap
+    man.foreach(r => assert(r.getAs[Boolean]("keep_quality") == qual(r.getAs[Long]("doc_id"))))
+    // split parity with q_split_assign
+    val splits = q("q_split_assign").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    man.foreach(r => assert(r.getAs[String]("split") == splits(r.getAs[Long]("doc_id"))))
+    man.foreach { r =>
+      val sel = r.getAs[Boolean]("selected")
+      // selected ⇔ all three gates + train split
+      assert(sel == (r.getAs[Boolean]("keep_dedup") && r.getAs[Boolean]("keep_quality")
+        && r.getAs[Boolean]("keep_cap") && r.getAs[String]("split") == "train"))
+      // shard is present exactly on selected rows, in range
+      if (sel) { val sh = r.getAs[Long]("shard"); assert(sh >= 0 && sh < 16) }
+      else assert(r.isNullAt(r.fieldIndex("shard")))
+      // rank exists iff the doc survived dedup+quality
+      assert((r.getAs[Boolean]("keep_dedup") && r.getAs[Boolean]("keep_quality"))
+        == !r.isNullAt(r.fieldIndex("rk")))
+    }
+    // the cap binds: ≤ DomainCap=15 capped keeps per source, and a
+    // selected doc count strictly between 0 and the corpus size
+    val bySource = man.filter(_.getAs[Boolean]("keep_cap"))
+      .groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    bySource.foreach { case (s, n) => assert(n <= 15, s"source $s keeps $n > cap") }
+    val nSel = man.count(_.getAs[Boolean]("selected"))
+    assert(nSel > 0 && nSel < man.length)
+  }
+
   test("skipping stats: z-order layout dominates arrival on both probe dimensions") {
     val rows = q("q_skipping_stats").collect()
     assert(rows.length == 4)
