@@ -694,7 +694,11 @@ object VectorOps {
   // embeds the SAME per-method SQL chains as the solo queries, so the
   // recall table and the per-method results can never drift apart.
   private def qAnnRecall(s: SparkSession, d: String): DataFrame = {
+    // pin the ground truth ONCE: the union has four branches and each
+    // would otherwise replay the full brute-force chain (the same
+    // multi-consumer trap as the winnowing fingerprint stream)
     val bf = qSimBruteforce(s, d).select(col("q_id"), col("c_id"), col("rank"))
+      .localCheckpoint()
     val methods = Seq(
       "ivf" -> qSimIvf(s, d), "ivfpq" -> qSimIvfpq(s, d),
       "lsh" -> qSimLsh(s, d), "pq" -> qSimPq(s, d))
