@@ -37,6 +37,27 @@ class StorageSpec extends SparkSpec {
     assert(backC.exceptAll(docs).count() == 0 && docs.exceptAll(backC).count() == 0)
   }
 
+  test("ORC round-trips the documents schema and pushes predicates into the scan") {
+    // the other columnar interchange format Spark ships natively —
+    // a lakehouse neighbor often hands ORC over; the engine must read
+    // it losslessly AND keep the pushdown/pruning properties the
+    // parquet path is pinned to
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmp("orc")
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+    // predicate + projection reach the ORC scan like they do parquet
+    val p = back.filter(org.apache.spark.sql.functions.col("n_chars") > 200L)
+      .select("doc_id", "n_chars").queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(n_chars,200)"),
+      s"ORC scan lost the pushdown:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), s"ORC scan reads pruned columns: $readSchema")
+  }
+
   test("spark.sql over registered views matches the DataFrame formulation") {
     // the SQL entry point a reference user migrates through: the same
     // relational shape expressed as ANSI SQL text over temp views must
