@@ -47,7 +47,8 @@ object Explain {
         "q_bootstrap", "q_image_ahash", "q_auc_by_source", "q_mutual_info",
         "q_hill_tail", "q_adamic_adar", "q_spearman", "q_psi",
         "q_supplier_part_counts", "q_dominant_suppliers", "q_audio_stats",
-        "q_kneser_ney", "q_skipping_stats")
+        "q_kneser_ney", "q_skipping_stats", "q_training_manifest",
+        "q_ann_recall")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

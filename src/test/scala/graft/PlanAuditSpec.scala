@@ -397,6 +397,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), s"decode path must not aggregate:\n$p")
   }
 
+  test("q_training_manifest stays on keyed joins: no cartesian, no unpartitioned window") {
+    val p = plan("q_training_manifest")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    // both windows are partitioned (norm_md5 / source) — a global
+    // single-partition window here would serialize the whole corpus
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      s"unpartitioned window:\n$p")
+  }
+
   test("q_psi shuffles nothing beyond the event_type aggregate") {
     val p = plan("q_psi")
     // every join in the plan is a broadcast of a scalar/model frame
