@@ -607,11 +607,41 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  // ---- q_token_median: token-mass-weighted median length -----------
+  //
+  // "Half the TOKENS live in docs of at least L characters" — the
+  // weighted median that drives packing and truncation decisions
+  // (the unweighted doc median over-represents short docs that carry
+  // almost no training mass). Per source: order docs by (n_chars,
+  // doc_id), run an exact BIGINT cumulative token sum, and elect the
+  // FIRST row where 2·cum ≥ total — a rank election over integers,
+  // no interpolation, so both engines pick the same row. Scale
+  // shape: one source-partitioned window sort (range-partitionable)
+  // + a broadcast of the ≤|sources| totals.
+  private def qTokenMedian(s: SparkSession, d: String): DataFrame = {
+    val bySrc = Window.partitionBy("source")
+    val ordered = bySrc.orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(tokens()).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n_tok")).over(bySrc))
+      .withColumn("n_docs", count(lit(1)).over(bySrc))
+      .filter(col("cum") * 2 >= col("total"))
+      .withColumn("rn", row_number().over(ordered))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n_docs"), col("total").as("total_tokens"),
+        col("n_chars").as("weighted_median_len"), col("cum").as("cum_at_cross"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ks_test" -> (qKsTest _),
     "q_hill_tail" -> (qHillTail _),
     "q_spearman" -> (qSpearman _),
     "q_psi" -> (qPsi _),
+    "q_token_median" -> (qTokenMedian _),
     "q_gini" -> (qGini _),
     "q_moments" -> (qMoments _),
     "q_rfm" -> (qRfm _),
@@ -627,6 +657,26 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_token_median" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, n_chars,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, doc_id, n_chars, n_tok,
+        |         CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |         CAST(SUM(n_tok) OVER (PARTITION BY source) AS BIGINT) AS total,
+        |         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+        |  FROM t
+        |), f AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn
+        |  FROM c WHERE cum * 2 >= total
+        |)
+        |SELECT source, n_docs, total AS total_tokens,
+        |       n_chars AS weighted_median_len, cum AS cum_at_cross
+        |FROM f WHERE rn = 1
+        |ORDER BY source""".stripMargin,
     "q_spearman" ->
       """WITH per AS (
         |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,

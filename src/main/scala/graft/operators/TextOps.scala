@@ -484,6 +484,31 @@ object TextOps {
       .select("a_id", "b_id", "common", "jaccard")
       .orderBy("a_id", "b_id")
 
+  /** Candidate-pair similarity HISTOGRAM — the threshold-picking
+    * diagnostic run before committing to a dedup bar: the full
+    * Jaccard distribution of every shingle-sharing candidate pair
+    * (the same DF-capped chain as q_dedup_ngram, WITHOUT the ≥ 0.5
+    * cut), binned by ⌊10·J⌋ (J = 1 clamped into the top bin). The
+    * bin edges are decile cuts of an exact-integer-ratio double, so
+    * floor lands identically cross-engine; counts are exact and the
+    * share one IEEE division. A bimodal histogram says the corpus has
+    * a clean dup/non-dup separation; mass piling against the bar says
+    * the threshold is load-bearing. Same shuffle shape and cost
+    * envelope as the dedup query it tunes. */
+  private def qSimHistogram(s: SparkSession, d: String): DataFrame = {
+    val cand = ngramCandidates(doubled(s, d), ShingleDfCap)
+      .withColumn("bin", least(floor(col("jaccard") * 10).cast("long"), lit(9L)))
+    val binned = cand.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("j_min"), max(col("jaccard")).as("j_max"))
+    val tot = binned.agg(sum(col("n_pairs")).as("total"))
+    binned.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("n_pairs").cast("double") / col("total").cast("double"))
+      .select("bin", "n_pairs", "j_min", "j_max", "share")
+      .orderBy("bin")
+  }
+
   /** Jaccard threshold of the prefix-filtered set-similarity join. */
   private val PrefixJaccard = 0.5
   /** t/(1+t) — the PPJoin overlap factor; interpolated as ONE literal
@@ -2889,6 +2914,7 @@ object TextOps {
     "q_quality_score" -> (qQualityScore _),
     "q_quality_tiers" -> (qQualityTiers _),
     "q_training_manifest" -> (qTrainingManifest _),
+    "q_sim_histogram" -> (qSimHistogram _),
     "q_domain_cap" -> (qDomainCap _),
     "q_span_dedup" -> (qSpanDedup _),
     "q_auc" -> (qAuc _),
@@ -3244,6 +3270,39 @@ object TextOps {
          |WHERE tok IN (${Blocklist.map(t => s"'$t'").mkString(", ")})
          |GROUP BY doc_id, n_tokens
          |ORDER BY doc_id""".stripMargin,
+    "q_sim_histogram" ->
+      s"""WITH $doubledSql,
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(
+         |           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+         |           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingles
+         |  FROM doubled
+         |), ex AS (
+         |  SELECT doc_id, unnest(shingles) AS s FROM sh
+         |), dfd AS (
+         |  SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM ex
+         |), kept AS (
+         |  SELECT doc_id, s, COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+         |  FROM dfd WHERE df <= $ShingleDfCap
+         |), cand AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         CAST(COUNT(*) AS DOUBLE)
+         |           / CAST(a.n_sh + b.n_sh - COUNT(*) AS DOUBLE) AS jaccard
+         |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+         |), binned AS (
+         |  SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS bin,
+         |         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |         MIN(jaccard) AS j_min, MAX(jaccard) AS j_max
+         |  FROM cand GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(SUM(n_pairs) AS BIGINT) AS total FROM binned
+         |)
+         |SELECT bin, n_pairs, j_min, j_max,
+         |       CAST(n_pairs AS DOUBLE) / CAST(total AS DOUBLE) AS share
+         |FROM binned, tot
+         |ORDER BY bin""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH $doubledSql,
          |sh AS (

@@ -170,6 +170,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(sum.toDouble >= 0.0)
   }
 
+  test("q_token_median: the crossing row recounted per source") {
+    val rows = q("q_token_median").collect()
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .select($"source", $"doc_id", $"n_chars",
+        size(split($"text", " ")).cast("long").as("n_tok")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(rows.map(_.getAs[String]("source")).toSet == docs.keySet)
+    rows.foreach { r =>
+      val xs = docs(r.getAs[String]("source")).sortBy(t => (t._3, t._2))
+      val total = xs.map(_._4).sum
+      assert(r.getAs[Long]("total_tokens") == total)
+      assert(r.getAs[Long]("n_docs") == xs.length.toLong)
+      var cum = 0L
+      val cross = xs.find { t => cum += t._4; 2 * cum >= total }.get
+      assert(r.getAs[Long]("weighted_median_len") == cross._3)
+      // the weighted median never undershoots the unweighted one by
+      // construction on a length-weighted mass (longer docs carry more)
+      val plainMed = xs((xs.length + 1) / 2 - 1)._3
+      assert(r.getAs[Long]("weighted_median_len") >= plainMed)
+    }
+  }
+
+  test("q_sim_histogram: shares sum to one, replay twins fill the top bin") {
+    val rows = q("q_sim_histogram").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bin")
+      assert(b >= 0 && b <= 9)
+      assert(r.getAs[Double]("j_min") <= r.getAs[Double]("j_max"))
+      // bin edges honored (top bin includes the clamped 1.0)
+      assert(r.getAs[Double]("j_min") >= b / 10.0)
+      assert(r.getAs[Double]("j_max") <= (if (b == 9) 1.0 else (b + 1) / 10.0))
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    // the doubled corpus plants 500 exact replay pairs at J = 1.0 —
+    // the top bin must hold at least those
+    val top = rows.find(_.getAs[Long]("bin") == 9L).get
+    assert(top.getAs[Long]("n_pairs") >= 500L)
+    assert(top.getAs[Double]("j_max") == 1.0)
+  }
+
   test("q_robust_stats: median/MAD/trimmed mean recounted per source") {
     val rows = q("q_robust_stats").collect()
     val bySrc = graft.sources.Tables.documents(spark, Sf0001)
