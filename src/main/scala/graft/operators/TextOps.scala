@@ -1986,6 +1986,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** GROUP-SAFE split assignment — the leakage fix q_leakage measures
+    * the need for: a per-doc hash split lets two copies of the same
+    * text land in train AND test (on the doubled corpus it is
+    * guaranteed for ~1/4 of the clusters), silently inflating eval.
+    * The fix is to key the split on the CLUSTER, not the doc: every
+    * doc inherits the split of its exact-dup cluster (norm_md5), so
+    * copies co-travel by construction. The query emits both
+    * assignments plus the would-leak flag (naive split ≠ some
+    * cluster-mate's naive split), so the audit and the fix are one
+    * artifact. Scale shape: one norm_md5-keyed window — the same
+    * shuffle q_dedup_exact already pays; the split itself is pure
+    * per-row hashing. */
+  private def qSplitGroupsafe(s: SparkSession, d: String): DataFrame = {
+    val byCluster = Window.partitionBy(col("norm_md5"))
+    doubled(s, d)
+      .withColumn("norm_md5", md5(trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))))
+      .withColumn("split_naive", Sampling.splitOf(Sampling.hexKey(col("doc_id"))))
+      .withColumn("split_safe", Sampling.splitOf(
+        substring(col("norm_md5"), 1, 2)))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .withColumn("would_leak",
+        min(col("split_naive")).over(byCluster) =!=
+          max(col("split_naive")).over(byCluster))
+      .select("doc_id", "norm_md5", "cluster_size",
+        "split_naive", "split_safe", "would_leak")
+      .orderBy("doc_id")
+  }
+
   /** ccnet-style quality tiers: NTILE(3) over the shared quality z
     * WITHIN each language — head (tier 1), middle, tail — the standard
     * "train on head, sample middle, drop tail" partitioning of a
@@ -2915,6 +2944,7 @@ object TextOps {
     "q_quality_tiers" -> (qQualityTiers _),
     "q_training_manifest" -> (qTrainingManifest _),
     "q_sim_histogram" -> (qSimHistogram _),
+    "q_split_groupsafe" -> (qSplitGroupsafe _),
     "q_domain_cap" -> (qDomainCap _),
     "q_span_dedup" -> (qSpanDedup _),
     "q_auc" -> (qAuc _),
@@ -3269,6 +3299,29 @@ object TextOps {
          |FROM e
          |WHERE tok IN (${Blocklist.map(t => s"'$t'").mkString(", ")})
          |GROUP BY doc_id, n_tokens
+         |ORDER BY doc_id""".stripMargin,
+    "q_split_groupsafe" ->
+      s"""WITH $doubledSql,
+         |k AS (
+         |  SELECT doc_id,
+         |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5
+         |  FROM doubled
+         |), f AS (
+         |  SELECT doc_id, norm_md5,
+         |         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+         |              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+         |              ELSE 'test' END AS split_naive,
+         |         CASE WHEN substring(norm_md5, 1, 1) <= 'b' THEN 'train'
+         |              WHEN substring(norm_md5, 1, 1) <= 'd' THEN 'val'
+         |              ELSE 'test' END AS split_safe
+         |  FROM k
+         |)
+         |SELECT doc_id, norm_md5,
+         |       CAST(COUNT(*) OVER (PARTITION BY norm_md5) AS BIGINT) AS cluster_size,
+         |       split_naive, split_safe,
+         |       MIN(split_naive) OVER (PARTITION BY norm_md5)
+         |         <> MAX(split_naive) OVER (PARTITION BY norm_md5) AS would_leak
+         |FROM f
          |ORDER BY doc_id""".stripMargin,
     "q_sim_histogram" ->
       s"""WITH $doubledSql,

@@ -465,6 +465,31 @@ class OperatorsSpec extends SparkSpec {
     assert(q("q_approx_distinct").filter(!$"within_bound").count() == 0)
   }
 
+  test("group-safe split: zero cross-split dup pairs; the naive split leaks") {
+    val rows = q("q_split_groupsafe").collect()
+    assert(rows.length == 1000)
+    val byCluster = rows.groupBy(_.getAs[String]("norm_md5"))
+    // under the SAFE split every cluster is split-pure
+    byCluster.values.foreach { c =>
+      assert(c.map(_.getAs[String]("split_safe")).distinct.length == 1)
+    }
+    // the naive split provably leaks on the doubled corpus, and the
+    // would_leak flag marks exactly those clusters
+    val leaky = byCluster.values.count(c =>
+      c.map(_.getAs[String]("split_naive")).distinct.length > 1)
+    assert(leaky > 0, "doubled corpus must produce naive-split leaks")
+    rows.foreach { r =>
+      val c = byCluster(r.getAs[String]("norm_md5"))
+      assert(r.getAs[Boolean]("would_leak") ==
+        (c.map(_.getAs[String]("split_naive")).distinct.length > 1))
+      assert(r.getAs[Long]("cluster_size") == c.length.toLong)
+    }
+    // the safe assignment still lands near the 12/2/2 design ratios
+    val n = rows.length.toDouble
+    val train = rows.count(_.getAs[String]("split_safe") == "train") / n
+    assert(train > 0.6 && train < 0.9, s"train share $train")
+  }
+
   test("training manifest composes the standalone stages coherently") {
     val man = q("q_training_manifest").collect()
     assert(man.length == 500)
