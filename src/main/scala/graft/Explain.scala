@@ -48,7 +48,8 @@ object Explain {
         "q_hill_tail", "q_adamic_adar", "q_spearman", "q_psi",
         "q_supplier_part_counts", "q_dominant_suppliers", "q_audio_stats",
         "q_kneser_ney", "q_skipping_stats", "q_training_manifest",
-        "q_ann_recall")
+        "q_ann_recall", "q_sim_histogram", "q_token_median",
+        "q_split_groupsafe")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
