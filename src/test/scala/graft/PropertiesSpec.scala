@@ -231,4 +231,41 @@ class PropertiesSpec extends SparkSpec {
         s"no shared fingerprint despite shared run:\na=${a.mkString(" ")}\nb=${b.mkString(" ")}")
     }
   }
+
+  test("PPJoin prefix theorem: candidates cover every J >= 0.5 pair on random corpora") {
+    // the losslessness claim q_dedup_prefix rests on, exercised beyond
+    // the fixture: random small-vocab docs (so collisions are common),
+    // including planted exact copies and docs down to 3 tokens. For
+    // every pair whose distinct-3-shingle Jaccard reaches the 0.5
+    // threshold, the candidate stage (prefix theorem + length filter +
+    // positional/window bounds) must emit the pair — the filters may
+    // only ever drop pairs BELOW the bar.
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val corpusGen = for {
+      n <- Gen.choose(6, 12)
+      docs <- Gen.listOfN(n, Gen.choose(3, 14)
+        .flatMap(len => Gen.listOfN(len, Gen.oneOf(vocab))))
+      cloneOf <- Gen.choose(0, n - 1)
+    } yield docs :+ docs(cloneOf) // always at least one exact-dup pair
+    forAllSampled(corpusGen, trials = 6) { docs =>
+      def shingles(ts: Seq[String]): Set[String] =
+        if (ts.length <= 3) Set(ts.mkString(" "))
+        else ts.sliding(3).map(_.mkString(" ")).toSet
+      val sets = docs.zipWithIndex.map { case (ts, i) => (i.toLong, shingles(ts)) }
+      val truth = (for {
+        (ai, as) <- sets; (bi, bs) <- sets if ai < bi
+        j = (as & bs).size.toDouble / (as | bs).size.toDouble
+        if j >= 0.5
+      } yield (ai, bi)).toSet
+      val sh = docs.zipWithIndex
+        .flatMap { case (ts, i) => shingles(ts).map(s => (i.toLong, s)) }
+        .toDF("doc_id", "sh")
+      val cand = graft.operators.TextOps.ppjoinCandidates(sh)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val missed = truth -- cand
+      assert(missed.isEmpty,
+        s"candidate stage dropped true pairs $missed over docs " +
+          docs.map(_.mkString(" ")).mkString(" | "))
+    }
+  }
 }
