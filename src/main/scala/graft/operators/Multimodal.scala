@@ -254,6 +254,19 @@ object Multimodal {
     buf.array()
   }
 
+  /** The Catalyst s16le parse: 16-bit little-endian two's-complement
+    * samples re-assembled from a `media` binary column with
+    * hex/conv expressions (expects an `n_samples` BIGINT column =
+    * length(media) DIV 2). Extracted so the boundary-value spec can
+    * drive it with hand-packed extremes (−32768, −1, 0, 32767) the
+    * synthetic waveform never reaches. */
+  private[graft] val PcmSamplesExpr: String =
+    """transform(sequence(0L, n_samples - 1L), i -> (
+      |  CAST(conv(hex(substring(media, CAST(2*i+1 AS INT), 1)), 16, 10) AS BIGINT)
+      |  + 256L * CAST(conv(hex(substring(media, CAST(2*i+2 AS INT), 1)), 16, 10) AS BIGINT)
+      |) - IF(CAST(conv(hex(substring(media, CAST(2*i+2 AS INT), 1)), 16, 10) AS BIGINT) >= 128L,
+      |       65536L, 0L))""".stripMargin
+
   // Audio-stats over a REAL byte-parsing path — the audio twin of
   // q_multimodal_features, but the decode stage is pure CATALYST:
   // each 16-bit little-endian sample is re-assembled from its two
@@ -275,12 +288,7 @@ object Multimodal {
       .toDF()
     media
       .withColumn("n_samples", expr("CAST(length(media) DIV 2 AS BIGINT)"))
-      .withColumn("samples", expr(
-        """transform(sequence(0L, n_samples - 1L), i -> (
-          |  CAST(conv(hex(substring(media, CAST(2*i+1 AS INT), 1)), 16, 10) AS BIGINT)
-          |  + 256L * CAST(conv(hex(substring(media, CAST(2*i+2 AS INT), 1)), 16, 10) AS BIGINT)
-          |) - IF(CAST(conv(hex(substring(media, CAST(2*i+2 AS INT), 1)), 16, 10) AS BIGINT) >= 128L,
-          |       65536L, 0L))""".stripMargin))
+      .withColumn("samples", expr(PcmSamplesExpr))
       .select(
         col("doc_id"), col("n_samples"),
         expr("aggregate(samples, 0L, (a, v) -> greatest(a, abs(v)))").as("peak"),

@@ -613,6 +613,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s16le parse is exact at the int16 boundaries the fixture never reaches") {
+    // hand-packed extremes: -32768, -1, 0, 1, 255, 256, 32767 — the
+    // two's-complement and byte-order corners of the Catalyst parse
+    val vals = Seq(-32768, -1, 0, 1, 255, 256, 32767, -256, -255)
+    val buf = java.nio.ByteBuffer.allocate(vals.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(v => buf.putShort(v.toShort))
+    val got = Seq((1L, buf.array()))
+      .toDF("doc_id", "media")
+      .withColumn("n_samples", expr("CAST(length(media) DIV 2 AS BIGINT)"))
+      .withColumn("samples", expr(graft.operators.Multimodal.PcmSamplesExpr))
+      .select($"samples").head.getSeq[Long](0)
+    assert(got == vals.map(_.toLong),
+      s"parse mismatch: got $got expected $vals")
+  }
+
   test("multimodal decode is a real codec roundtrip: PNG magic, lossless raster") {
     import graft.operators.Multimodal
     // the synthesized payload is a genuine PNG (magic bytes + decodable)
