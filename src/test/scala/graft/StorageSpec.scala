@@ -37,6 +37,27 @@ class StorageSpec extends SparkSpec {
     assert(backC.exceptAll(docs).count() == 0 && docs.exceptAll(backC).count() == 0)
   }
 
+  test("GraftCatalog: the whole operator surface is consumable from pure SQL") {
+    val n = graft.GraftCatalog.registerAll(spark, Sf0001)
+    assert(n == SparkEntry.queries.size)
+    // a pure-SQL consumer gets the same rows as the Scala call site
+    val viaSql = spark.sql("SELECT * FROM q_topk").collect()
+    val direct = SparkEntry.queries("q_topk")(spark, Sf0001).collect()
+    assert(viaSql.toSeq == direct.toSeq)
+    // SQL composition over views works: filter + aggregate on top of
+    // the composed manifest
+    val sel = spark.sql(
+      "SELECT split, COUNT(*) AS n FROM q_training_manifest WHERE selected GROUP BY split")
+      .collect()
+    assert(sel.length == 1 && sel.head.getString(0) == "train")
+    // a predicate written in SQL on top of a view still reaches the
+    // parquet scan (pushdown through views is ordinary optimization)
+    val p = spark.sql("SELECT doc_id FROM q_split_assign WHERE doc_id < 10")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters") && p.contains("LessThan(doc_id,10)"),
+      s"view lost the pushdown:\n$p")
+  }
+
   test("ORC round-trips the documents schema and pushes predicates into the scan") {
     // the other columnar interchange format Spark ships natively —
     // a lakehouse neighbor often hands ORC over; the engine must read
