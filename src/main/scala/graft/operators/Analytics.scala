@@ -588,11 +588,15 @@ object Analytics {
     val ev = Tables.events(s, d)
       .select(col("event_type"), expr("unix_micros(ts)").as("us"))
     val mid = ev.agg(expr("(MIN(us) + MAX(us)) DIV 2").as("mid"))
+    // pin the ≤|types|-row count table: totals, terms, and the psi
+    // aggregate all consume it, and each would otherwise re-scan the
+    // events table (the multi-consumer lineage-replay trap)
     val counts = ev.crossJoin(broadcast(mid))
       .groupBy("event_type")
       .agg(sum(when(col("us") <= col("mid"), 1L).otherwise(0L)).as("c_ref"),
         sum(when(col("us") > col("mid"), 1L).otherwise(0L)).as("c_cur"))
       .filter(col("c_ref") > 0L && col("c_cur") > 0L)
+      .localCheckpoint()
     val tot = counts.agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
     val terms = counts.crossJoin(broadcast(tot))
       .withColumn("term", expr(

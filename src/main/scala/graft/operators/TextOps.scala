@@ -498,9 +498,13 @@ object TextOps {
   private def qSimHistogram(s: SparkSession, d: String): DataFrame = {
     val cand = ngramCandidates(doubled(s, d), ShingleDfCap)
       .withColumn("bin", least(floor(col("jaccard") * 10).cast("long"), lit(9L)))
+    // pin the ≤10-row bin table: its LINEAGE is the full candidate
+    // join, and both the totals aggregate and the final select would
+    // otherwise replay it (the q_ann_recall multi-consumer trap)
     val binned = cand.groupBy(col("bin"))
       .agg(count(lit(1)).as("n_pairs"),
         min(col("jaccard")).as("j_min"), max(col("jaccard")).as("j_max"))
+      .localCheckpoint()
     val tot = binned.agg(sum(col("n_pairs")).as("total"))
     binned.crossJoin(broadcast(tot))
       .withColumn("share",
@@ -1970,11 +1974,19 @@ object TextOps {
       .withColumn("keep_dedup", row_number().over(
         Window.partitionBy(col("norm_md5")).orderBy(col("doc_id"))) === 1)
       .withColumn("keep_quality", col("z") >= 0.0)
-    val ranked = flagged.filter(col("keep_dedup") && col("keep_quality"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("source")).orderBy(col("z").desc, col("doc_id"))).cast("long"))
-      .select(col("doc_id"), col("rk"))
-    flagged.join(ranked, Seq("doc_id"), "left")
+    // survivor rank WITHOUT a self-join: a running count of survivors
+    // over the same (z DESC, doc_id) source order IS each survivor's
+    // rank among survivors (non-survivors don't increment and get
+    // NULL) — one extra window instead of re-deriving the whole
+    // flagged frame for a filtered rank and joining it back, which
+    // would scan and shuffle the corpus twice at 100 TB
+    val bySrcZ = Window.partitionBy(col("source"))
+      .orderBy(col("z").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged
+      .withColumn("rk", when(col("keep_dedup") && col("keep_quality"),
+        sum(when(col("keep_dedup") && col("keep_quality"), 1L).otherwise(0L))
+          .over(bySrcZ)))
       .withColumn("keep_cap", coalesce(col("rk") <= DomainCap, lit(false)))
       .withColumn("split", Sampling.splitOf(Sampling.hexKey(col("doc_id"))))
       .withColumn("selected", col("keep_dedup") && col("keep_quality")
