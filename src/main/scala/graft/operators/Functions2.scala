@@ -475,6 +475,8 @@ object Functions2 {
     val zord = base.withColumn("layout", lit("zorder"))
       .withColumn("shard", ntile(32).over(
         Window.orderBy(col("z"), col("p_partkey"))).cast("long"))
+    // pin the 64-row zone-map table: both predicate reports consume
+    // it, and its lineage is the two layout sorts
     val zones = arrival.unionAll(zord)
       .groupBy(col("layout"), col("shard"))
       .agg(min(col("p_size")).as("min_size"), max(col("p_size")).as("max_size"),
@@ -482,6 +484,7 @@ object Functions2 {
         count(lit(1)).as("rows"),
         sum(when(col("p_size").between(10, 12), 1L).otherwise(0L)).as("m_size"),
         sum(when(col("pmod").between(5L, 8L), 1L).otherwise(0L)).as("m_mod"))
+      .localCheckpoint()
     val bySize = zones.groupBy(col("layout"))
       .agg(count(lit(1)).as("n_shards"),
         sum(when(col("max_size") < 10 || col("min_size") > 12, 1L).otherwise(0L))

@@ -733,11 +733,15 @@ object Relational {
   // Quantities are per-row DECIMAL(18,2) casts of the on-disk
   // doubles, so both engines sum exactly.
   private def qDominantSuppliers(s: SparkSession, d: String): DataFrame = {
+    // pin the per-(supplier, part) sums: the per-part rollup and the
+    // dominance join both consume them, and the lineage is the
+    // windowed lineitem scan (the lm_score pair-table precedent)
     val w = Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
         && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q_sp"))
+      .localCheckpoint()
     val tot = w.groupBy(col("l_partkey"))
       .agg(sum(col("q_sp")).as("q_p"), count(lit(1)).as("n_sup"))
     val dominant = w.join(tot, Seq("l_partkey"))
