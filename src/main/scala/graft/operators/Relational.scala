@@ -757,6 +757,54 @@ object Relational {
       .orderBy("s_name")
   }
 
+  // TPC-H Q9 shape: product-line profit by (nation, year) — the
+  // deepest join tree in the classic set (fact × part × supplier ×
+  // orders × nation) with a computed per-line profit. This schema has
+  // no partsupp supplycost, so cost = 80 % of retail × quantity (a
+  // fixed decimal literal, exact on both engines); profit =
+  // extprice·(1−disc) − cost, every term a per-row DECIMAL. Scale
+  // shape: part/supplier/nation broadcast, the one fact-fact join
+  // (lineitem×orders) on the order key, one (nation, year) hash agg.
+  private def qProfitByNation(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_name").like("%e%")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("""CAST(SUM(
+                  CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                  - CAST(p_retailprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(0.80 AS DECIMAL(18,2))
+                ) AS DOUBLE)""").as("profit"))
+      .orderBy(col("nation"), col("o_year"))
+
+  // TPC-H Q10 shape: the returned-item revenue report — which
+  // customers sent the most revenue back in a quarter. Customer and
+  // nation broadcast onto the filtered fact join; revenue is the
+  // exact-decimal Σ extprice·(1−disc); top-20 by (revenue DESC,
+  // custkey) compiles to TakeOrderedAndProject.
+  private def qReturnedCustomers(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-04-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("""CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE)""").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
   // Data-quality validation sweep (P10 as a first-class operator): the
   // reference's CHECK-constraint domains plus the referential /
   // null-safety invariants a pipeline would assert before training on
@@ -1109,6 +1157,8 @@ object Relational {
     "q_waiting_suppliers" -> (qWaitingSuppliers _),
     "q_supplier_part_counts" -> (qSupplierPartCounts _),
     "q_dominant_suppliers" -> (qDominantSuppliers _),
+    "q_profit_by_nation" -> (qProfitByNation _),
+    "q_returned_customers" -> (qReturnedCustomers _),
     "q_join_volume_flow" -> (qJoinVolumeFlow _),
     "q_market_share" -> (qMarketShare _),
     "q_month_spine" -> (qMonthSpine _)
@@ -1661,6 +1711,40 @@ object Relational {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q_profit_by_nation" ->
+      """SELECT n_name AS nation,
+        |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(
+        |         CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |         - CAST(p_retailprice AS DECIMAL(18,2))
+        |           * CAST(l_quantity AS DECIMAL(18,2))
+        |           * CAST(0.80 AS DECIMAL(18,2))
+        |       ) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%e%'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year""".stripMargin,
+    "q_returned_customers" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "q_supplier_part_counts" ->
       """SELECT p_brand, p_type, p_size,
         |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt

@@ -129,6 +129,57 @@ class RelationalShapesSpec extends SparkSpec {
     assert(rows.map(r => (r.getAs[String]("s_name"), r.getAs[Long]("numwait"))).toSeq == expect)
   }
 
+  test("q_profit_by_nation: one cell recounted from a BigDecimal walk of the raw join") {
+    val rows = q("q_profit_by_nation").collect()
+    assert(rows.nonEmpty)
+    // recount the first (nation, year) cell independently
+    val head = rows.head
+    val (nat, yr) = (head.getAs[String]("nation"), head.getAs[Long]("o_year"))
+    val partsKept = part.filter($"p_name".like("%e%"))
+      .select($"p_partkey", $"p_retailprice").collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)).toMap
+    val supNation = graft.sources.Tables.supplier(spark, Sf0001)
+      .join(graft.sources.Tables.nation(spark, Sf0001), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orderYear = orders.select($"o_orderkey", year($"o_orderdate").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var n = 0L; var profit = BigDecimal(0)
+    li.select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_quantity",
+        $"l_extendedprice", $"l_discount").collect().foreach { r =>
+      partsKept.get(r.getLong(1)).foreach { retail =>
+        if (supNation(r.getLong(2)) == nat && orderYear(r.getLong(0)) == yr) {
+          n += 1
+          def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          profit += d2(r.getDouble(4)) * (BigDecimal("1.00") - d2(r.getDouble(5))) -
+            retail * d2(r.getDouble(3)) * BigDecimal("0.80")
+        }
+      }
+    }
+    assert(head.getAs[Long]("n_lines") == n)
+    assert(head.getAs[Double]("profit") == profit.toDouble)
+  }
+
+  test("q_returned_customers: top-20 order and one revenue cell recounted") {
+    val rows = q("q_returned_customers").collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    val head = rows.head
+    val ck = head.getAs[Long]("c_custkey")
+    val orderSet = orders.filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp")
+        && $"o_orderdate" < lit("1997-04-01").cast("timestamp")
+        && $"o_custkey" === ck)
+      .select($"o_orderkey").collect().map(_.getLong(0)).toSet
+    val lines = li.filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount").collect()
+      .filter(r => orderSet(r.getLong(0)))
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val rev = lines.map(r => d2(r.getDouble(1)) * (BigDecimal("1.00") - d2(r.getDouble(2)))).sum
+    assert(head.getAs[Long]("n_lines") == lines.length.toLong)
+    assert(head.getAs[Double]("revenue") == rev.toDouble)
+  }
+
   test("q_supplier_part_counts: distinct-supplier counts recounted with the NOT-IN exclusion") {
     val rows = q("q_supplier_part_counts").collect()
     assert(rows.nonEmpty)
