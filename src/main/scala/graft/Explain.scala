@@ -49,7 +49,7 @@ object Explain {
         "q_supplier_part_counts", "q_dominant_suppliers", "q_audio_stats",
         "q_kneser_ney", "q_skipping_stats", "q_training_manifest",
         "q_ann_recall", "q_sim_histogram", "q_token_median",
-        "q_split_groupsafe")
+        "q_split_groupsafe", "q_profit_by_nation", "q_returned_customers")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
