@@ -514,9 +514,13 @@ object Analytics {
   // is the (k+1)-th order statistic, each ln term is a
   // DECIMAL(18,9)-pinned double of an exact-integer ratio (the q_zipf
   // discipline), and a CASE guards the all-ties degenerate slice with
-  // NULL on both engines. Scale shape: one source-partitioned window
-  // rank (range-partitionable) + a broadcast of the ≤|S| reference
-  // rows + one model-sized aggregate.
+  // NULL on both engines. A source with fewer than kk+1 (≥ 6) docs has
+  // no (k+1)-th order statistic: it still appears in the output — all
+  // metric columns NULL — via a left join from the distinct source
+  // list, so a small source reads as "too small to judge" rather than
+  // silently vanishing from the diagnostic. Scale shape: one
+  // source-partitioned window rank (range-partitionable) + a
+  // broadcast of the ≤|S| reference rows + one model-sized aggregate.
   private def qHillTail(s: SparkSession, d: String): DataFrame = {
     val bySrc = Window.partitionBy("source")
     val ranked = Tables.documents(s, d)
@@ -527,7 +531,7 @@ object Analytics {
       .withColumn("kk", expr("greatest(least(n DIV 4, 100L), 5L)"))
     val ref = ranked.filter(col("rn") === col("kk") + lit(1L))
       .select(col("source").as("r_src"), col("x").as("x_ref"))
-    ranked.filter(col("rn") <= col("kk"))
+    val agg = ranked.filter(col("rn") <= col("kk"))
       .join(broadcast(ref), col("source") === col("r_src"))
       .withColumn("term", expr(
         "CAST(ln(CAST(x AS DOUBLE) / CAST(x_ref AS DOUBLE)) AS DECIMAL(18,9))"))
@@ -535,6 +539,8 @@ object Analytics {
       .agg(count(lit(1)).as("k"), expr("CAST(SUM(term) AS DOUBLE)").as("lsum"))
       .withColumn("hill_alpha", when(col("lsum") > 0.0,
         col("k").cast("double") / col("lsum")))
+    Tables.documents(s, d).select("source").distinct()
+      .join(agg, Seq("source"), "left_outer")
       .select("source", "k", "x_ref", "lsum", "hill_alpha")
       .orderBy("source")
   }
@@ -746,12 +752,14 @@ object Analytics {
         |  FROM kd JOIN ref ON source = r_src
         |  WHERE rn <= kk
         |  GROUP BY source, x_ref
+        |), srcs AS (
+        |  SELECT DISTINCT source FROM documents
         |)
-        |SELECT source, k, x_ref, lsum,
+        |SELECT srcs.source, k, x_ref, lsum,
         |       CASE WHEN lsum > 0.0
         |            THEN CAST(k AS DOUBLE) / lsum END AS hill_alpha
-        |FROM agg
-        |ORDER BY source""".stripMargin,
+        |FROM srcs LEFT JOIN agg ON agg.source = srcs.source
+        |ORDER BY srcs.source""".stripMargin,
     "q_ks_test" ->
       """WITH perval AS (
         |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -11,7 +11,7 @@ import graft.sources.Tables
   * the full join taxonomy, hash aggregation, rollup/cube/grouping
   * sets, sorts/top-k, set operations, and the scalar function sweep.
   *
-  * Oracle-parity rules used throughout (see .claude/skills/verify):
+  * Oracle-parity rules used throughout (full catalog: DETERMINISM.md):
   *  - SUM over doubles goes through DECIMAL(18,2) casts on both sides —
   *    decimal addition is exact and order-independent, so the result is
   *    identical no matter how Spark parallelizes the partial aggregates

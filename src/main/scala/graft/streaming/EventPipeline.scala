@@ -374,7 +374,11 @@ object EventPipeline {
     * numerator and denominator exact BIGINTs (union-based zero-fill
     * aligns the bin supports without outer-join null traps), ONE
     * final IEEE division, alert at the caller's threshold. Types with
-    * no rows in this batch emit no metric (nothing to judge). */
+    * no rows in this batch emit no metric (nothing to judge). A type
+    * present in the batch but ABSENT from the reference (n_r = 0) is
+    * exactly the novelty the monitor exists to flag — the division
+    * would be 0/0 (ANSI faults it) — so it short-circuits to maximal
+    * drift: tv = 1.0, novel_type = true, alert = true. */
   def driftScores(batch: DataFrame, ref: DataFrame,
       alertTv: Double = 0.25): DataFrame = {
     val b = valueBins(batch).groupBy(col("event_type"), col("bin"))
@@ -392,10 +396,12 @@ object EventPipeline {
       .agg(sum(abs(col("b_cnt") * col("n_r") - col("r_cnt") * col("n_b")))
         .as("tv_num"))
       .filter(col("n_b") > 0L)
-      .withColumn("tv", col("tv_num").cast("double")
-        / (lit(2.0) * col("n_b").cast("double") * col("n_r").cast("double")))
-      .withColumn("alert", col("tv") >= lit(alertTv))
-      .select("event_type", "n_b", "n_r", "tv_num", "tv", "alert")
+      .withColumn("novel_type", col("n_r") === 0L)
+      .withColumn("tv", when(col("novel_type"), lit(1.0))
+        .otherwise(col("tv_num").cast("double")
+          / (lit(2.0) * col("n_b").cast("double") * col("n_r").cast("double"))))
+      .withColumn("alert", col("tv") >= lit(alertTv) || col("novel_type"))
+      .select("event_type", "n_b", "n_r", "tv_num", "tv", "novel_type", "alert")
   }
 
   /** Metrics sink for the drift monitor: one epoch-keyed directory per

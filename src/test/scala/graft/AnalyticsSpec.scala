@@ -32,6 +32,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(cums.last == graft.sources.Tables.orders(spark, Sf0001).count())
   }
 
+  test("q_hill_tail: a source too small for the estimator surfaces with NULLs, not silence") {
+    // 3 docs < kk+1 (kk >= 5): no (k+1)-th order statistic exists, so
+    // the metric columns must be NULL — but the source itself must
+    // still be a row (the silent-drop would read as "no tail problem")
+    val docs = Seq(
+      (1L, "a b c", "en", "tiny", 300L),
+      (2L, "d e f", "en", "tiny", 200L),
+      (3L, "g h i", "en", "tiny", 100L)) ++
+      (10L until 60L).map(i => (i, s"doc $i text", "en", "big", 1000L + i * 7L))
+    val dir = java.nio.file.Files.createTempDirectory("hill").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_hill_tail")(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("source")).toSeq == Seq("big", "tiny"))
+    val tiny = rows.find(_.getAs[String]("source") == "tiny").get
+    assert(tiny.isNullAt(tiny.fieldIndex("k")) && tiny.isNullAt(tiny.fieldIndex("x_ref"))
+      && tiny.isNullAt(tiny.fieldIndex("hill_alpha")))
+    val big = rows.find(_.getAs[String]("source") == "big").get
+    // kk = min(50 DIV 4, 100) = 12 for the 50-doc source
+    assert(big.getAs[Long]("k") == 12L)
+    assert(!big.isNullAt(big.fieldIndex("hill_alpha")))
+  }
+
   test("q_autocorr: r bounded, pair count recounted for one priority") {
     val rows = q("q_autocorr").collect()
     assert(rows.length >= 2)

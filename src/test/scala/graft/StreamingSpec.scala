@@ -745,6 +745,28 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(met).count() == m.length.toLong)
   }
 
+  test("drift monitor: a type absent from the reference is maximal drift, not a fault") {
+    val ev = Tables.events(spark, Sf0001).select($"event_type", $"value")
+    val ref = EventPipeline.referenceHistogram(ev)
+    // batch = the reference data plus rows of a brand-new event type:
+    // n_r = 0 for it, which must short-circuit (ANSI would fault the
+    // 0-denominator division) to tv = 1.0 / novel_type / alert
+    val batch = ev.unionAll(
+      ev.limit(7).select(lit("brand_new_type").as("event_type"), $"value"))
+    val rows = EventPipeline.driftScores(batch, ref).collect()
+    val novel = rows.filter(_.getAs[String]("event_type") == "brand_new_type")
+    assert(novel.length == 1)
+    assert(novel.head.getAs[Long]("n_r") == 0L)
+    assert(novel.head.getAs[Double]("tv") == 1.0)
+    assert(novel.head.getAs[Boolean]("novel_type"))
+    assert(novel.head.getAs[Boolean]("alert"))
+    // every known type still replays at zero drift, no novelty flag
+    rows.filterNot(_.getAs[String]("event_type") == "brand_new_type").foreach { r =>
+      assert(r.getAs[Double]("tv") == 0.0 && !r.getAs[Boolean]("novel_type")
+        && !r.getAs[Boolean]("alert"))
+    }
+  }
+
   test("end-to-end enrichment stream over files with checkpoint (EP1/T1-T4)") {
     val src = tmp("src")
     val history = tmp("hist2")
