@@ -36,8 +36,17 @@ object Bench {
       // pipeline runs (graft.Verify), never the published numbers
       graft.operators.TextOps.clearGraphCache()
       graft.operators.GraphOps.clearGraphCache()
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      System.gc()
+      // GC → settle → GC barrier: the first collection queues the
+      // now-unreferenced checkpoint/shuffle blocks to the async
+      // ContextCleaner, the settle gives the cleaner thread a beat to
+      // actually drop them (block files included), and the second
+      // collection reclaims the freed heap — so the timed pass starts
+      // from a quiet heap instead of paying the PREVIOUS query's full
+      // GC mid-flight (the documented ±30%-plus swing class on the
+      // heavy graph lines: same binary, 15 vs 31 s across artifacts)
+      System.gc(); Thread.sleep(150); System.gc()
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -73,13 +82,35 @@ object Bench {
     // median of 3 timed passes per query: single-pass totals swung
     // 79 vs 93 s across runs of the SAME binary from host contention
     // alone, so a per-query median (and a total OF medians) is the
-    // smallest sample that yields a reproducible regression signal
+    // smallest sample that yields a reproducible regression signal.
+    // HEAVY lines (median > 5 s) get 2 extra passes (median of 5):
+    // they are exactly where host contention lands hardest (2x driver-
+    // vs-builder swings on the same code), and 5 samples cost little
+    // relative to the lines themselves while halving the chance one
+    // contended pass decides the published number. The artifact
+    // records each query's per-pass [min, max] spread so a cross-run
+    // delta can be read against the measured within-run envelope
+    // instead of guessed at.
     val passes = 3
+    val HeavySeconds = 5.0
+    val HeavyExtraPasses = 2
+    val spreads = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Int)]()
     val results = names.flatMap { n =>
-      val ts = Seq.fill(passes)(run(n)).flatten.sorted
+      val base = Seq.fill(passes)(run(n)).flatten
       // a query that failed ANY pass gets no numeric entry — a partial
       // median would still under-report it
-      if (ts.size == passes) Some(n -> ts(passes / 2)) else None
+      if (base.size != passes) None
+      else {
+        val ts =
+          if (base.sorted.apply(passes / 2) > HeavySeconds)
+            (base ++ Seq.fill(HeavyExtraPasses)(run(n)).flatten).sorted
+          else base.sorted
+        if (ts.size < passes) None // an extra pass failed: same rule
+        else {
+          spreads(n) = (ts.head, ts.last, ts.size)
+          Some(n -> ts(ts.size / 2))
+        }
+      }
     }
     // regression tripwire: compare per-query medians against the
     // previous artifact BEFORE overwriting it — with median-of-3 the
@@ -116,12 +147,19 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.sortBy(_._2).map { case (k, v) => s""""$k":${ms(v)}""" }
       .mkString("{", ",", "}")
+    // per-pass spreads lead the object (truncation-safe position: the
+    // driver keeps the TAIL of the line, so queries + headline survive
+    // even if the spreads don't): [min, max, n_passes] per query
+    val sp = results.sortBy(_._2).map { case (k, _) =>
+      val (lo, hi, np) = spreads(k)
+      s""""$k":[${ms(lo)},${ms(hi)},$np]"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson =
       if (failed.isEmpty) ""
       else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val json =
-      s"""{"queries":$qs$failedJson,"passes_per_query":$passes,"stat":"median","n_queries":${results.size},"sf":"$sfDir","metric":"total","unit":"sec","value":${ms(total)}}"""
+      s"""{"spread":$sp,"queries":$qs$failedJson,"passes_per_query":$passes,"heavy_extra_passes":$HeavyExtraPasses,"stat":"median","n_queries":${results.size},"sf":"$sfDir","metric":"total","unit":"sec","value":${ms(total)}}"""
     println(json)
     // belt-and-braces: the full result also lands in the repo so no
     // stdout truncation can lose per-query times. FULL runs only — a
