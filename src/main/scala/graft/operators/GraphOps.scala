@@ -421,70 +421,78 @@ object GraphOps {
       .select("n_edges", "m", "sdd", "sx", "sxx", "r")
   }
 
-  // Common-neighbor link similarity — the Jaccard link-prediction /
-  // edge-strength score over the co-occurrence graph: for each edge,
-  // |N(u)∩N(v)| is exactly the number of triangles the edge closes
-  // (read straight off the memoized triangle rows — each triangle
-  // contributes its three sides), and |N(u)∪N(v)\{u,v}| =
-  // deg(u)+deg(v)−2−common. Restricted to triangle-closing edges the
-  // denominator is ≥ 1, and the one division per edge runs over exact
-  // BIGINTs. Scale shape: the triangle stream explodes 3× (linear in
-  // the census output), one edge-keyed hash agg, two node-keyed degree
-  // joins, and a TakeOrderedAndProject top-k — no new wedge join.
-  private def qLinkJaccard(s: SparkSession, d: String): DataFrame = {
-    val (_, deg) = coEdgesDegM(s, d)
-    val tri = triangleRowsM(s, d)
-    val tedges = tri
-      .select(least(col("n1"), col("n2")).as("u"), greatest(col("n1"), col("n2")).as("v"))
-      .unionAll(tri.select(least(col("n1"), col("n3")).as("u"), greatest(col("n1"), col("n3")).as("v")))
-      .unionAll(tri.select(least(col("n2"), col("n3")).as("u"), greatest(col("n2"), col("n3")).as("v")))
-    tedges.groupBy("u", "v").agg(count(lit(1)).as("common"))
-      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
-      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
-      .withColumn("jaccard", expr(
-        "CAST(common AS DOUBLE) / CAST(deg_u + deg_v - 2 - common AS DOUBLE)"))
+  // ---- one-pass link-score family ----------------------------------
+  //
+  // Common-neighbor link scores over the co-occurrence graph. For each
+  // triangle-closing edge (u, v): |N(u)∩N(v)| is exactly the number of
+  // triangles the edge closes (read straight off the memoized triangle
+  // rows — each triangle names, for each of its three sides, the
+  // OPPOSITE corner, which is precisely "common neighbor w of (u, v)"),
+  // giving
+  //  - Jaccard: common / (deg(u)+deg(v)−2−common) — exact BIGINTs, one
+  //    division; restricted to triangle edges the denominator is ≥ 1;
+  //  - Adamic–Adar: Σ_w 1/ln(deg(w)) (Adamic & Adar 2003) — a rare
+  //    shared neighbor certifies a lot, a hub certifies almost
+  //    nothing; each term pinned to DECIMAL(18,9) (deg(w) ≥ 2 ⇒
+  //    ln ≥ ln 2 > 0), summed exactly.
+  //
+  // BOTH scores ride ONE scored-edge frame (memoized below): the
+  // triangle stream is scanned once (a single 3-way explode, not three
+  // union branches re-reading the checkpoint), the AA term is computed
+  // per NODE on the model-sized degree frame and joined in (the
+  // ln/division runs |V| times, not 3T times), and one (u, v) hash agg
+  // + two node-keyed degree joins produce common, both degrees, and
+  // both scores together. The consumers are projections + top-k
+  // (TakeOrderedAndProject). At 100 TB the whole family costs one pass
+  // over the 3T-row triangle stream — not one per score.
+  private def linkScoresM(s: SparkSession, d: String): DataFrame =
+    cachedGraph[DataFrame](s, d, "links") {
+      val (_, deg) = coEdgesDegM(s, d)
+      val tri = triangleRowsM(s, d)
+      val degT = deg.withColumn("term",
+        expr("CAST(1.0 / ln(CAST(deg AS DOUBLE)) AS DECIMAL(18,9))"))
+      val sides = tri.select(explode(array(
+          struct(least(col("n1"), col("n2")).as("u"),
+            greatest(col("n1"), col("n2")).as("v"), col("n3").as("w")),
+          struct(least(col("n1"), col("n3")).as("u"),
+            greatest(col("n1"), col("n3")).as("v"), col("n2").as("w")),
+          struct(least(col("n2"), col("n3")).as("u"),
+            greatest(col("n2"), col("n3")).as("v"), col("n1").as("w"))
+        )).as("s"))
+        .select(col("s.u").as("u"), col("s.v").as("v"), col("s.w").as("w"))
+      sides
+        .join(degT.select(col("node").as("w"), col("term")), Seq("w"))
+        .groupBy("u", "v")
+        .agg(count(lit(1)).as("common"),
+          expr("CAST(SUM(term) AS DOUBLE)").as("aa_score"))
+        .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
+        .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
+        .withColumn("jaccard", expr(
+          "CAST(common AS DOUBLE) / CAST(deg_u + deg_v - 2 - common AS DOUBLE)"))
+        .select("u", "v", "common", "deg_u", "deg_v", "jaccard", "aa_score")
+        .localCheckpoint()
+    }
+
+  private def qLinkJaccard(s: SparkSession, d: String): DataFrame =
+    linkScoresM(s, d)
       .select("u", "v", "common", "deg_u", "deg_v", "jaccard")
       .orderBy(col("jaccard").desc, col("u"), col("v"))
       .limit(20)
-  }
 
-  // Adamic–Adar link strength — the other classic common-neighbor
-  // link-prediction score: instead of Jaccard's set ratio, each common
-  // neighbor w contributes 1/ln(deg(w)), so a neighbor shared with
-  // half the catalog certifies almost nothing while a rare shared
-  // neighbor certifies a lot (Adamic & Adar 2003). Same data motion as
-  // q_link_jaccard: the memoized triangle rows already name, for every
-  // triangle and each of its three sides, the OPPOSITE corner — which
-  // is exactly "common neighbor w of edge (u,v)" — so the whole score
-  // is a 3T-row explode, one deg join on w (node-keyed), each term
-  // pinned to DECIMAL(18,9) (a common neighbor has deg ≥ 2, so
-  // ln(deg) ≥ ln 2 > 0 and the division is total), an exact decimal
-  // sum per edge, and a TakeOrderedAndProject top-k. No wedge join,
-  // no new shuffle shape — at 100 TB this costs one pass over the
-  // triangle stream.
-  private def qAdamicAdar(s: SparkSession, d: String): DataFrame = {
-    val (_, deg) = coEdgesDegM(s, d)
-    val tri = triangleRowsM(s, d)
-    val sides = tri.select(
-        least(col("n1"), col("n2")).as("u"), greatest(col("n1"), col("n2")).as("v"),
-        col("n3").as("w"))
-      .unionAll(tri.select(
-        least(col("n1"), col("n3")).as("u"), greatest(col("n1"), col("n3")).as("v"),
-        col("n2").as("w")))
-      .unionAll(tri.select(
-        least(col("n2"), col("n3")).as("u"), greatest(col("n2"), col("n3")).as("v"),
-        col("n1").as("w")))
-    sides
-      .join(deg.select(col("node").as("w"), col("deg").as("deg_w")), Seq("w"))
-      .withColumn("term",
-        expr("CAST(1.0 / ln(CAST(deg_w AS DOUBLE)) AS DECIMAL(18,9))"))
-      .groupBy("u", "v")
-      .agg(count(lit(1)).as("common"),
-        expr("CAST(SUM(term) AS DOUBLE)").as("aa_score"))
+  private def qAdamicAdar(s: SparkSession, d: String): DataFrame =
+    linkScoresM(s, d)
       .select("u", "v", "common", "aa_score")
       .orderBy(col("aa_score").desc, col("u"), col("v"))
       .limit(20)
-  }
+
+  // The combined scored-edge surface itself — what a link-prediction
+  // consumer would actually materialize (both scores, both degrees,
+  // the common count) — exposed as its own query so the one-pass
+  // family has a first-class, oracled entry point.
+  private def qLinkScores(s: SparkSession, d: String): DataFrame =
+    linkScoresM(s, d)
+      .orderBy(col("aa_score").desc, col("u"), col("v"))
+      .limit(50)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> (qTriangles _),
@@ -494,6 +502,7 @@ object GraphOps {
     "q_kcore" -> (qKcore _),
     "q_communities" -> (qCommunities _),
     "q_link_jaccard" -> (qLinkJaccard _),
+    "q_link_scores" -> (qLinkScores _),
     "q_modularity" -> (qModularity _),
     "q_assortativity" -> (qAssortativity _)
   )
@@ -672,6 +681,40 @@ object GraphOps {
          |FROM terms GROUP BY u, v
          |ORDER BY aa_score DESC, u, v
          |LIMIT 20""".stripMargin,
+    "q_link_scores" ->
+      s"""WITH pairs AS (
+         |$pairsSql
+         |), deg AS (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+         |  ) GROUP BY node
+         |), tri AS (
+         |  SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+         |  JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
+         |), sides AS (
+         |  SELECT least(n1, n2) AS u, greatest(n1, n2) AS v, n3 AS w FROM tri
+         |  UNION ALL SELECT least(n1, n3), greatest(n1, n3), n2 FROM tri
+         |  UNION ALL SELECT least(n2, n3), greatest(n2, n3), n1 FROM tri
+         |), terms AS (
+         |  SELECT s.u, s.v,
+         |         CAST(1.0 / ln(CAST(dw.deg AS DOUBLE)) AS DECIMAL(18,9)) AS term
+         |  FROM sides s JOIN deg dw ON dw.node = s.w
+         |), agg AS (
+         |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common,
+         |         CAST(SUM(term) AS DOUBLE) AS aa_score
+         |  FROM terms GROUP BY u, v
+         |)
+         |SELECT a.u, a.v, a.common, du.deg AS deg_u, dv.deg AS deg_v,
+         |       CAST(a.common AS DOUBLE)
+         |         / CAST(du.deg + dv.deg - 2 - a.common AS DOUBLE) AS jaccard,
+         |       a.aa_score
+         |FROM agg a
+         |JOIN deg du ON du.node = a.u
+         |JOIN deg dv ON dv.node = a.v
+         |ORDER BY aa_score DESC, u, v
+         |LIMIT 50""".stripMargin,
     "q_link_jaccard" ->
       s"""WITH pairs AS (
          |$pairsSql

@@ -147,6 +147,38 @@ class AnalyticsSpec extends SparkSpec {
       s"edge ($u,$v): aa ${top.getAs[Double]("aa_score")} vs replay $expected")
   }
 
+  test("q_link_scores: the one-pass frame agrees edge-for-edge with both single-score queries") {
+    val scored = q("q_link_scores").collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")) -> r).toMap
+    assert(scored.nonEmpty)
+    // q_adamic_adar's top-20 is exactly the first 20 of q_link_scores'
+    // aa-ordered surface, score and common included
+    val aa = q("q_adamic_adar").collect()
+    aa.foreach { r =>
+      val s = scored((r.getAs[Long]("u"), r.getAs[Long]("v")))
+      assert(s.getAs[Double]("aa_score") == r.getAs[Double]("aa_score"))
+      assert(s.getAs[Long]("common") == r.getAs[Long]("common"))
+    }
+    // wherever q_link_jaccard's top-20 intersects the aa-top-50 frame,
+    // jaccard, degrees and common must be identical (same shared frame)
+    q("q_link_jaccard").collect().foreach { r =>
+      scored.get((r.getAs[Long]("u"), r.getAs[Long]("v"))).foreach { s =>
+        assert(s.getAs[Double]("jaccard") == r.getAs[Double]("jaccard"))
+        assert(s.getAs[Long]("deg_u") == r.getAs[Long]("deg_u"))
+        assert(s.getAs[Long]("deg_v") == r.getAs[Long]("deg_v"))
+        assert(s.getAs[Long]("common") == r.getAs[Long]("common"))
+      }
+    }
+    // internal integrity of every scored row
+    scored.values.foreach { s =>
+      val (c, du, dv) = (s.getAs[Long]("common"),
+        s.getAs[Long]("deg_u"), s.getAs[Long]("deg_v"))
+      assert(c >= 1 && c <= math.min(du, dv) - 1)
+      assert(math.abs(s.getAs[Double]("jaccard") - c.toDouble / (du + dv - 2 - c)) < 1e-12)
+      assert(s.getAs[Double]("aa_score") > 0.0)
+    }
+  }
+
   test("q_spearman: rho recounted from a driver-side rank replay") {
     val row = q("q_spearman").collect().head
     val per = graft.sources.Tables.orders(spark, Sf0001)
