@@ -172,6 +172,42 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // Perceptual near-dup CLUSTERING over image hashes — the stage
+  // q_image_ahash's doc promises ("a hamming-band refine is the
+  // documented next stage"): every doc's 64-bit aHash becomes a LONG
+  // signature (two conv'd 32-bit halves OR'd through a sign-safe
+  // shift), and the EXISTING SimHash cluster machinery
+  // (TextOps.simhashClustersFromSigs: exact-signature keeper groups →
+  // 4×16-bit banded Hamming-≤3 keeper edges → pointer-doubling CC)
+  // runs unchanged on top — multimodal columns are first-class dedup
+  // citizens, not a parallel code path. ORACLED end-to-end the
+  // closure way: DuckDB recomputes the 64 aHash bits analytically
+  // from the pixel formula, assembles the same signed 64-bit
+  // signature, and replays the keeper graph through a recursive-CTE
+  // transitive closure — codec roundtrip, banding, Hamming verify and
+  // CC all under one hash gate. Scale shape: decode is a narrow map
+  // (pinned once — it is the expensive stage at real image sizes),
+  // the band join runs over DISTINCT signatures, CC over keepers.
+  private def qImageDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => ahash(MediaRow(id, synthPng(id)))))
+      .toDF()
+      .localCheckpoint() // decode feeds sigs AND the final join — pay it once
+    val sigs = hashes.select(col("doc_id"), expr(
+      "shiftleft(CAST(conv(substring(ahash, 1, 32), 2, 10) AS BIGINT), 32)" +
+        " | CAST(conv(substring(ahash, 33, 32), 2, 10) AS BIGINT)").as("simhash"))
+    val labels = TextOps.simhashClustersFromSigs(sigs)
+    val csz = labels.groupBy(col("cluster_keeper"))
+      .agg(count(lit(1)).as("n_cluster"))
+    labels.join(hashes, Seq("doc_id"))
+      .join(csz, Seq("cluster_keeper"))
+      .select(col("doc_id"), col("ahash"), col("cluster_keeper"),
+        col("n_cluster"), (col("doc_id") === col("cluster_keeper")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   /** Binary-column metadata: pure Catalyst expressions over the bytes
     * (length, digest, deterministic pseudo-metadata) — fully oracled.
     */
@@ -309,7 +345,8 @@ object Multimodal {
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_resize" -> (qMultimodalResize _),
-    "q_image_ahash" -> (qImageAhash _)
+    "q_image_ahash" -> (qImageAhash _),
+    "q_image_dedup" -> (qImageDedup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -393,6 +430,72 @@ object Multimodal {
         |)
         |SELECT b.doc_id, b.ahash, g.n_same, b.doc_id = g.keeper AS is_keeper
         |FROM bits b JOIN grp g ON g.ahash = b.ahash
+        |ORDER BY doc_id""".stripMargin,
+    "q_image_dedup" ->
+      // analytic aHash bits → the SAME signed 64-bit signature the
+      // engine assembles → keeper graph → recursive-CTE transitive
+      // closure (the q_simhash_closure oracle pattern): banding +
+      // Hamming verify + CC agree with a declarative fixpoint in a
+      // different engine, row for row
+      """WITH RECURSIVE dims AS (
+        |  SELECT doc_id, 8 + doc_id % 17 AS w, 8 + doc_id % 13 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, unnest(range(0, w*h)) AS idx FROM dims
+        |), v AS (
+        |  SELECT doc_id, w, h, idx % w AS x, idx // w AS y,
+        |         (7*(idx % w) + 13*(idx // w) + doc_id) % 256 AS val
+        |  FROM px
+        |), cells AS (
+        |  SELECT doc_id, ((y*8) // h) * 8 + (x*8) // w AS cell,
+        |         CAST(SUM(val) AS BIGINT) AS csum,
+        |         CAST(COUNT(*) AS BIGINT) AS cn
+        |  FROM v GROUP BY doc_id, ((y*8) // h) * 8 + (x*8) // w
+        |), tot AS (
+        |  SELECT doc_id, CAST(SUM(csum) AS BIGINT) AS tsum,
+        |         CAST(SUM(cn) AS BIGINT) AS tn
+        |  FROM cells GROUP BY doc_id
+        |), bitsd AS (
+        |  SELECT c.doc_id, c.cell,
+        |         CASE WHEN csum * tn >= tsum * cn THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t ON t.doc_id = c.doc_id
+        |), ah AS (
+        |  SELECT doc_id,
+        |         string_agg(CAST(bit AS VARCHAR), '' ORDER BY cell) AS ahash,
+        |         CAST(SUM(CASE WHEN cell < 32
+        |                       THEN bit * CAST(POW(2, 31 - cell) AS BIGINT)
+        |                       ELSE 0 END) AS BIGINT) AS hi,
+        |         CAST(SUM(CASE WHEN cell >= 32
+        |                       THEN bit * CAST(POW(2, 63 - cell) AS BIGINT)
+        |                       ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bitsd GROUP BY doc_id
+        |), sigd AS (
+        |  SELECT doc_id, ahash,
+        |         (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+        |           * 4294967296 + lo AS simhash
+        |  FROM ah
+        |), groups AS (
+        |  SELECT simhash, MIN(doc_id) AS keeper_id FROM sigd GROUP BY simhash
+        |), near AS (
+        |  SELECT a.keeper_id AS src, b.keeper_id AS dst
+        |  FROM groups a JOIN groups b
+        |    ON a.simhash <> b.simhash AND bit_count(xor(a.simhash, b.simhash)) <= 3
+        |), reach AS (
+        |  SELECT keeper_id AS src, keeper_id AS dst FROM groups
+        |  UNION
+        |  SELECT r.src, n.dst FROM reach r JOIN near n ON r.dst = n.src
+        |), lbl AS (
+        |  SELECT src AS keeper_id, MIN(dst) AS cluster_keeper FROM reach GROUP BY src
+        |), labels AS (
+        |  SELECT s.doc_id, s.ahash, l.cluster_keeper
+        |  FROM sigd s JOIN groups g USING (simhash) JOIN lbl l USING (keeper_id)
+        |), csz AS (
+        |  SELECT cluster_keeper, CAST(COUNT(*) AS BIGINT) AS n_cluster
+        |  FROM labels GROUP BY cluster_keeper
+        |)
+        |SELECT labels.doc_id, labels.ahash, labels.cluster_keeper, csz.n_cluster,
+        |       labels.doc_id = labels.cluster_keeper AS is_keeper
+        |FROM labels JOIN csz USING (cluster_keeper)
         |ORDER BY doc_id""".stripMargin,
     "q_multimodal_frames" ->
       """WITH f AS (

@@ -173,7 +173,27 @@ object ScaleProbe {
       // graph memo, so this prices the full cold build) plus the 3·T
       // corner explode and an edge-keyed agg — probed directly so the
       // new bench line carries its own measurement
-      "q_link_jaccard" -> GraphOps.queries("q_link_jaccard")
+      "q_link_jaccard" -> GraphOps.queries("q_link_jaccard"),
+      // Adamic–Adar — the suite's #1 bench line: same wedge machinery
+      // + the one-pass scored-edge frame (per-node decimal terms, one
+      // (u,v) agg); probed directly so the top line carries a measured
+      // exponent instead of the shared-path argument
+      "q_adamic_adar" -> GraphOps.queries("q_adamic_adar"),
+      // modularity rides the LPA label memo (cleared per pass here) +
+      // one edge-keyed label join — prices the full synchronous-LPA
+      // rebuild cold, the third driver-coordinated loop
+      "q_modularity" -> GraphOps.queries("q_modularity"),
+      // ANN recall composes all four index chains + pinned brute
+      // force; each part is bounded (fixed Q, blocked candidates) but
+      // the composition is where a hidden blowup would live — probed
+      // as the one number that prices the whole ANN family
+      "q_ann_recall" -> VectorOps.queries("q_ann_recall"),
+      // SimHash near-dup chain: the banded Hamming-≤3 pair stream
+      // (sizes) and its transitive closure (the pointer-doubling CC
+      // loop whose round count is data-dependent) — the two md5-twin
+      // estimate queries the r7 bench tops carried unmeasured
+      "q_simhash_sizes" -> TextOps.queries("q_simhash_sizes"),
+      "q_simhash_closure" -> TextOps.queries("q_simhash_closure")
     )
   }
 

@@ -1248,6 +1248,53 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("image dedup: planted near-dup images cluster with the exact driver-side closure") {
+    import graft.operators.Multimodal
+    // find a fixture slice that PLANTS genuine near-dups: scan ids for
+    // codec-path aHash pairs at Hamming 1..3 (non-identical), then run
+    // the query over exactly those docs plus padding
+    def hash(id: Long): String =
+      Multimodal.ahash(Multimodal.MediaRow(id, Multimodal.synthPng(id))).ahash
+    def ham(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    val ids = (0L until 400L).toSeq
+    val hs = ids.map(id => id -> hash(id)).toMap
+    val nearPairs = for {
+      a <- ids; b <- ids if a < b
+      d = ham(hs(a), hs(b)) if d >= 1 && d <= 3
+    } yield (a, b)
+    assert(nearPairs.nonEmpty, "fixture slice planted no near-dup images")
+    val dir = java.nio.file.Files.createTempDirectory("imgdedup").toString
+    ids.map(id => (id, s"doc $id", "en", "img", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_image_dedup")(spark, dir).collect()
+    assert(rows.length == ids.length)
+    // driver-side exact transitive closure over exact-equal OR
+    // Hamming-<=3 hash relations — the truth the distributed
+    // band-join + pointer-doubling CC must reproduce
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    for (a <- ids; b <- ids if a < b && (hs(a) == hs(b) || ham(hs(a), hs(b)) <= 3))
+      union(a, b)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("ahash") == hs(id))
+      assert(r.getAs[Long]("cluster_keeper") == find(id),
+        s"doc $id: cluster ${r.getAs[Long]("cluster_keeper")} vs closure ${find(id)}")
+      assert(r.getAs[Boolean]("is_keeper") == (id == find(id)))
+    }
+    // the planted near-dups actually merged clusters beyond exact-equal
+    val (pa, pb) = nearPairs.head
+    assert(find(pa) == find(pb))
+    // cluster sizes reconcile
+    val sizes = rows.groupBy(_.getAs[Long]("cluster_keeper")).view.mapValues(_.length.toLong).toMap
+    rows.foreach(r => assert(r.getAs[Long]("n_cluster") ==
+      sizes(r.getAs[Long]("cluster_keeper"))))
+  }
+
   test("auc by source: slices reconcile with the pooled counts, one slice replayed") {
     val rows = q("q_auc_by_source").collect()
     val pooled = q("q_auc").head()
