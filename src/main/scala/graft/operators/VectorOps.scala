@@ -284,22 +284,38 @@ object VectorOps {
     * centroids. The two `.collect()`s are bounded K-seed and
     * K×dim-mean fetches — model state, never data. Mirrored in SQL by
     * [[ivfSeedChainSql]] over whatever `v` CTE the caller defines. */
-  private def lloydScored(s: SparkSession, vecs: DataFrame): DataFrame = {
+  private def lloydScored(s: SparkSession, vecs: DataFrame): DataFrame =
+    scoreAgainst(s, vecs, lloydModel(s, vecs))
+
+  /** Score every (vec_id, vec[, …]) row against a centroid model:
+    * per-row cosine to each of the K broadcast centroids, ranked
+    * p_rank per vector ((p_cos desc, cell) — the fixed Lloyd
+    * tie-break). Shared by the Lloyd loop, the IVF queries, and the
+    * streaming ANN-ingest twin (EventPipeline.assignCells). */
+  private[graft] def scoreAgainst(s: SparkSession, e: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
     import s.implicits._
-    val e = vecs
     val byCell = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("p_cos").desc, col("cell"))
-    def scoreCells(cents: Seq[(Long, Seq[Double])]): DataFrame =
-      e.crossJoin(broadcast(cents.toDF("cell", "cent")))
-        .withColumn("p_cos", cosine("vec", "cent"))
-        .withColumn("p_rank", row_number().over(byCell))
+    e.crossJoin(broadcast(cents.toDF("cell", "cent")))
+      .withColumn("p_cos", cosine("vec", "cent"))
+      .withColumn("p_rank", row_number().over(byCell))
+  }
+
+  /** The final IVF centroid MODEL (the thing a deployment persists and
+    * a streaming ingest broadcasts): md5-ordered seeds + LloydIters
+    * assign/mean rounds, exactly the q_sim_ivf chain. K×dim driver
+    * state, never data. */
+  private[graft] def lloydModel(s: SparkSession,
+      vecs: DataFrame): Seq[(Long, Seq[Double])] = {
+    val e = vecs
     var centroids: Seq[(Long, Seq[Double])] = e
       .select(col("vec_id"), col("vec"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(IvfK)
       .collect().sortBy(_.getLong(0)).toSeq
       .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
     for (_ <- 1 to LloydIters) {
-      val means = scoreCells(centroids).filter(col("p_rank") === 1)
+      val means = scoreAgainst(s, e, centroids).filter(col("p_rank") === 1)
         .select(col("cell"), posexplode(col("vec")))
         .groupBy(col("cell"), col("pos"))
         .agg((sum(col("col").cast("decimal(30,15)")).cast("double")
@@ -312,7 +328,7 @@ object VectorOps {
         (cell, byId.getOrElse(cell, old)) // empty cell keeps its centroid
       }
     }
-    scoreCells(centroids)
+    centroids
   }
 
   private def qSimIvf(s: SparkSession, d: String): DataFrame = {

@@ -356,6 +356,81 @@ object EventPipeline {
       .foreachBatch(routeDocumentsBatch(acceptDir, quarantineDir, minZ) _)
       .start()
 
+  /** Per-vector IVF cell assignment against a FIXED centroid model —
+    * the batch/stream-SHARED core of the ANN ingest: cosine to each of
+    * the K broadcast centroids, argmax cell with the exact Lloyd
+    * tie-break ((p_cos desc, cell) — VectorOps.scoreAgainst), so a
+    * vector lands in the SAME cell whether it arrives on the stream or
+    * sits in the batch corpus. `centroids` is the model a deployment
+    * persists from the batch build (VectorOps.lloydModel — K×dim,
+    * driver-held, broadcast). Input needs (vec_id, vec); extra
+    * columns pass through. */
+  def assignCells(vecs: DataFrame,
+      centroids: Seq[(Long, Seq[Double])]): DataFrame =
+    graft.operators.VectorOps
+      .scoreAgainst(vecs.sparkSession, vecs, centroids)
+      .filter(col("p_rank") === 1)
+      .drop("cent", "p_cos", "p_rank")
+
+  /** Full ANN assignment: cell (via [[assignCells]]) plus the nearest
+    * KEEPER within that cell by exact cosine (ties to the lowest
+    * keeper id) — the label a streaming corpus ingest attaches to
+    * every arriving vector so downstream consumers know which existing
+    * representative it is closest to (or NULL if its cell holds no
+    * keeper yet). `keepers` is the static (cell, k_id, k_vec) frame of
+    * corpus representatives — cell-keyed, so the join is an equi-join
+    * on cell followed by a per-vector top-1, never an all-pairs scan. */
+  def assignAnn(vecs: DataFrame, centroids: Seq[(Long, Seq[Double])],
+      keepers: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(vecs.sparkSession)
+    val byK = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("keeper_cos").desc, col("keeper_id"))
+    assignCells(vecs.select("vec_id", "vec"), centroids)
+      .join(keepers.select(col("cell"), col("k_id").as("keeper_id"),
+        col("k_vec")), Seq("cell"), "left_outer")
+      .withColumn("keeper_cos", when(col("keeper_id").isNotNull,
+        expr("graft_cosine(vec, k_vec)")))
+      .withColumn("k_rank", row_number().over(byK))
+      .filter(col("k_rank") === 1)
+      .select("vec_id", "cell", "keeper_id", "keeper_cos")
+  }
+
+  /** foreachBatch sink for [[startAnnIngest]]: assign every survivor
+    * of the micro-batch and land the labels in an epoch-keyed
+    * directory ([[routeDocumentsBatch]]'s idempotent-overwrite trade —
+    * a replayed micro-batch rewrites its own directory). */
+  def annIngestBatch(centroids: Seq[(Long, Seq[Double])], keepers: DataFrame,
+      outDir: String)(batch: DataFrame, id: Long): Unit =
+    if (!batch.isEmpty) // P9 empty-batch guard
+      assignAnn(batch, centroids, keepers)
+        .withColumn("batch_id", lit(id))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+
+  /** Streaming ANN INGEST — the stream twin of q_sim_ivf's assignment
+    * stage, composed with the embedding dedup gate exactly the way
+    * [[startCorpusClean]] composes the document side: arriving vectors
+    * pass [[nearDedupedEmbeddings]]' watermark-bounded LSH-signature
+    * state (replays and rescaled copies collapse), and every SURVIVOR
+    * gets its IVF cell + nearest-keeper label against the broadcast
+    * batch model inside `foreachBatch` (windows are legal there, and
+    * the per-batch work is one broadcast score + one cell-keyed keeper
+    * join). One checkpoint governs dedup state and sink epochs in
+    * lockstep — a restart re-drops the same duplicates and rewrites
+    * the same `batch=<id>` directories. At 100 TB: model is K×dim
+    * broadcast state, keepers are cell-partitioned, per-batch cost is
+    * linear in arrivals. */
+  def startAnnIngest(vecs: DataFrame, centroids: Seq[(Long, Seq[Double])],
+      keepers: DataFrame, outDir: String, checkpointDir: String,
+      watermarkDelay: String = "10 minutes",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    nearDedupedEmbeddings(vecs, watermarkDelay)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(annIngestBatch(centroids, keepers, outDir) _)
+      .start()
+
   /** 50-wide value bins over [0, 500), clamped into bin 9 — the fixed
     * binning shared by the drift monitor's batch and reference sides. */
   def valueBins(df: DataFrame): DataFrame =

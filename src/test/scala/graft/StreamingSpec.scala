@@ -206,6 +206,63 @@ class StreamingSpec extends SparkSpec {
       s"streaming signature $streamSig != batch band buckets $batchBuckets")
   }
 
+  test("streaming ANN ingest: cell + keeper labels match the batch assignment across a restart") {
+    import graft.operators.VectorOps
+    graft.functions.VectorExpressions.register(spark)
+    val src = tmp("ann-src"); val out = tmp("ann-out"); val chk = tmp("ann-chk")
+    // static corpus slice; drop any LSH-signature colliders so the
+    // stream's first-arrival-wins dedup is deterministic id-for-id
+    val corpus0 = Tables.embeddings(spark, Sf0001)
+      .filter($"vec_id" < 200)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val bySig = org.apache.spark.sql.expressions.Window
+      .partitionBy("lsh_sig").orderBy("vec_id")
+    val corpus = VectorOps.withBandSignature(corpus0, VectorOps.DedupLsh)
+      .withColumn("rk", row_number().over(bySig)).filter($"rk" === 1)
+      .select("vec_id", "vec").localCheckpoint()
+    // batch model + cell-keyed keepers (every corpus vector is a keeper)
+    val model = VectorOps.lloydModel(spark, corpus)
+    val keepers = EventPipeline.assignCells(corpus, model)
+      .select($"cell", $"vec_id".as("k_id"), $"vec".as("k_vec"))
+      .localCheckpoint()
+    // stream input: the corpus arrives, then replays verbatim
+    val stamped = corpus
+      .withColumn("ingest_ts", lit(ts("2024-01-01 10:00:00")))
+      .select("vec_id", "ingest_ts", "vec")
+    stamped.coalesce(1).write.mode("overwrite").parquet(src)
+    Thread.sleep(1100)
+    stamped.coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def start() = EventPipeline.startAnnIngest(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      model, keepers, out, chk)
+    val q = start(); q.awaitTermination(120000)
+    val got = spark.read.parquet(out)
+    // replays collapsed: each corpus vector labeled exactly once
+    assert(got.count() == corpus.count())
+    // parity with the BATCH assignment, row for row
+    val expected = EventPipeline.assignAnn(corpus, model, keepers)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cell"), r.getAs[Long]("keeper_id"), r.getAs[Double]("keeper_cos"))).toMap
+    val gotRows = got.collect()
+    assert(gotRows.length == expected.size)
+    gotRows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val (cell, kid, kcos) = expected(id)
+      assert(r.getAs[Long]("cell") == cell, s"vec $id cell")
+      assert(r.getAs[Long]("keeper_id") == kid, s"vec $id keeper")
+      assert(r.getAs[Double]("keeper_cos") == kcos, s"vec $id cos")
+    }
+    // every corpus vector IS a keeper here, so each labels itself
+    gotRows.foreach(r =>
+      assert(r.getAs[Long]("keeper_id") == r.getAs[Long]("vec_id")))
+    // restart on the same checkpoint with no new input: dedup state and
+    // sink epochs resume — nothing reprocessed, no duplicate labels
+    val q2 = start(); q2.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() == corpus.count())
+  }
+
   test("per-row streaming simhash is bit-identical to the batch signature path") {
     graft.functions.TextExpressions.register(spark)
     val docs = graft.sources.Tables.documents(spark, Sf0001)
