@@ -367,6 +367,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
+  test("q_link_scores tops out via TakeOrderedAndProject over the checkpointed scored frame") {
+    val p = plan("q_link_scores")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    // the consumer is a projection over the memoized one-pass frame —
+    // no join/aggregate may appear ABOVE the checkpoint scan
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"),
+      s"consumer must not replay the scored-frame build:\n$p")
+  }
+
+  test("q_image_dedup: decode feeds the cluster join once, no cartesian") {
+    val p = plan("q_image_dedup")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    // the decode stage is pinned (localCheckpoint) — the executed plan
+    // must consume Scan ExistingRDD frames, not re-run mapPartitions
+    // per consumer
+    assert(p.contains("ExistingRDD"), s"expected checkpointed decode scan:\n$p")
+  }
+
   test("q_supplier_part_counts plans the NOT IN as a broadcast anti join") {
     // the exclusion list is a ≤|suppliers| frame: it must broadcast
     // (null-aware anti join), never shuffle the pair stream against it
