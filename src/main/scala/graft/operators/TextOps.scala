@@ -535,12 +535,18 @@ object TextOps {
     * prefix-token equi-join bounded by prefix length × per-shingle
     * prefix frequency, and a candidate-bounded refine join — measured
     * near-linear by the scale probe alongside the capped path. */
-  private def qDedupPrefix(s: SparkSession, d: String): DataFrame = {
-    val sh = doubled(s, d)
+  /** The distinct 3-shingle stream q_dedup_prefix runs on — exposed so
+    * the PrefixDecompose diagnostic can price the PPJoin stages
+    * (index, candidates, verify) separately against scaled corpora. */
+  private[graft] def prefixShingles(s: SparkSession, d: String): DataFrame =
+    doubled(s, d)
       .withColumn("toks", tokens())
       .select(col("doc_id"), explode(array_distinct(
         expr("transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))")))
         .as("sh"))
+
+  private def qDedupPrefix(s: SparkSession, d: String): DataFrame = {
+    val sh = prefixShingles(s, d)
     val cand = ppjoinCandidates(sh)
     // Verify: exact intersection via per-doc sorted hash ARRAYS and a
     // codegen'd array_intersect — the pair stream stays |candidates|
