@@ -331,6 +331,60 @@ object VectorOps {
     centroids
   }
 
+  /** Cell assignment against a FIXED centroid model — every vector's
+    * argmax-cosine cell with the exact Lloyd tie-break. The shared
+    * core of q_ivf_assign and the streaming ANN ingest
+    * (EventPipeline.assignCells): same model, same tie-break, so a
+    * vector lands in the same cell on either surface. Extra input
+    * columns pass through. */
+  private[graft] def assignCells(vecs: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    scoreAgainst(vecs.sparkSession, vecs, cents)
+      .filter(col("p_rank") === 1)
+      .drop("cent", "p_cos", "p_rank")
+
+  /** Full ANN assignment: cell plus the nearest KEEPER in that cell by
+    * exact float cosine (ties to the lowest keeper id; NULL when the
+    * cell holds no keeper). `keepers` is a (cell, k_id, k_vec) frame —
+    * the join is cell-keyed, never all-pairs. The exposed keeper_cos
+    * is pure float×float arithmetic (bit-identical cross-engine); the
+    * centroid-dependent scores stay internal, per the IVF family's
+    * determinism discipline. */
+  private[graft] def assignAnn(vecs: DataFrame,
+      cents: Seq[(Long, Seq[Double])], keepers: DataFrame): DataFrame = {
+    VectorExpressions.register(vecs.sparkSession)
+    val byK = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("keeper_cos").desc, col("keeper_id"))
+    assignCells(vecs.select(col("vec_id"), col("vec")), cents)
+      .join(keepers.select(col("cell"), col("k_id").as("keeper_id"),
+        col("k_vec")), Seq("cell"), "left_outer")
+      .withColumn("keeper_cos", when(col("keeper_id").isNotNull,
+        cosine("vec", "k_vec")))
+      .withColumn("k_rank", row_number().over(byK))
+      .filter(col("k_rank") === 1)
+      .select("vec_id", "cell", "keeper_id", "keeper_cos")
+  }
+
+  // The ORACLED batch analog of the streaming ANN ingest
+  // (EventPipeline.startAnnIngest): every corpus vector's IVF cell
+  // plus its nearest-keeper label, where the keepers are a
+  // deterministic representative subset (vec_id % 7 = 0) assigned
+  // through the SAME model. The DuckDB oracle replays the full chain —
+  // seeded Lloyd, cell argmax, cell-keyed keeper join, cosine top-1 —
+  // so the exact composition the stream runs per micro-batch sits
+  // under the hash gate. Scale shape: one broadcast score over the
+  // corpus, one cell-keyed equi-join against the (bounded) keeper
+  // set, one per-vector top-1 window.
+  private def qIvfAssign(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d).withColumn("vec", asDouble("embedding"))
+      .select(col("vec_id"), col("vec"))
+    val model = lloydModel(s, e)
+    val keepers = assignCells(e.filter(col("vec_id") % 7 === 0), model)
+      .select(col("cell"), col("vec_id").as("k_id"), col("vec").as("k_vec"))
+    assignAnn(e, model, keepers).orderBy("vec_id")
+  }
+
   private def qSimIvf(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.register(s)
     val e = Tables.embeddings(s, d).withColumn("vec", asDouble("embedding"))
@@ -1108,6 +1162,7 @@ object VectorOps {
     "q_embed_stats" -> (qEmbedStats _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_ivf_assign" -> (qIvfAssign _),
     "q_sim_pq" -> (qSimPq _),
     "q_sim_ivfpq" -> (qSimIvfpq _),
     "q_ann_recall" -> (qAnnRecall _),
@@ -1280,6 +1335,42 @@ object VectorOps {
         |FROM embeddings
         |GROUP BY label
         |ORDER BY label""".stripMargin,
+    "q_ivf_assign" -> {
+      // the streaming ANN ingest's batch analog replayed end-to-end:
+      // seeded-Lloyd model, per-vector cell argmax (Lloyd tie-break),
+      // deterministic keeper subset assigned through the SAME model,
+      // cell-keyed join, exact-cosine top-1 (NULL when the cell holds
+      // no keeper; no partition ever mixes NULL and non-NULL, so the
+      // cross-engine null-ordering divergence cannot bite)
+      val cFinal = s"c$LloydIters"
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+         |), $ivfSeedChainSql,
+         |scored AS (
+         |  SELECT v.vec_id, v.vec, c.cell,
+         |         ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |           ${cosSql("v.vec", "c.cent")} DESC,
+         |           c.cell) AS p_rank
+         |  FROM v CROSS JOIN $cFinal c
+         |), assigned AS (
+         |  SELECT vec_id, vec, cell FROM scored WHERE p_rank = 1
+         |), keepers AS (
+         |  SELECT cell, vec_id AS k_id, vec AS k_vec
+         |  FROM assigned WHERE vec_id % 7 = 0
+         |), lab AS (
+         |  SELECT a.vec_id, a.cell, k.k_id AS keeper_id,
+         |         CASE WHEN k.k_id IS NOT NULL
+         |              THEN ${cosSql("a.vec", "k.k_vec")} END AS keeper_cos
+         |  FROM assigned a LEFT JOIN keepers k ON k.cell = a.cell
+         |), ranked AS (
+         |  SELECT vec_id, cell, keeper_id, keeper_cos,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                            ORDER BY keeper_cos DESC, keeper_id) AS k_rank
+         |  FROM lab
+         |)
+         |SELECT vec_id, cell, keeper_id, keeper_cos FROM ranked WHERE k_rank = 1
+         |ORDER BY vec_id""".stripMargin
+    },
     "q_sim_ivf" -> {
       // the full IVF pipeline in SQL, generated from the SAME constants
       // as the Spark side (IvfK / IvfProbes / LloydIters): md5-ordered

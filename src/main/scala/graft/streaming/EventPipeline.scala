@@ -367,10 +367,7 @@ object EventPipeline {
     * columns pass through. */
   def assignCells(vecs: DataFrame,
       centroids: Seq[(Long, Seq[Double])]): DataFrame =
-    graft.operators.VectorOps
-      .scoreAgainst(vecs.sparkSession, vecs, centroids)
-      .filter(col("p_rank") === 1)
-      .drop("cent", "p_cos", "p_rank")
+    graft.operators.VectorOps.assignCells(vecs, centroids)
 
   /** Full ANN assignment: cell (via [[assignCells]]) plus the nearest
     * KEEPER within that cell by exact cosine (ties to the lowest
@@ -381,19 +378,8 @@ object EventPipeline {
     * corpus representatives — cell-keyed, so the join is an equi-join
     * on cell followed by a per-vector top-1, never an all-pairs scan. */
   def assignAnn(vecs: DataFrame, centroids: Seq[(Long, Seq[Double])],
-      keepers: DataFrame): DataFrame = {
-    graft.functions.VectorExpressions.register(vecs.sparkSession)
-    val byK = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("keeper_cos").desc, col("keeper_id"))
-    assignCells(vecs.select("vec_id", "vec"), centroids)
-      .join(keepers.select(col("cell"), col("k_id").as("keeper_id"),
-        col("k_vec")), Seq("cell"), "left_outer")
-      .withColumn("keeper_cos", when(col("keeper_id").isNotNull,
-        expr("graft_cosine(vec, k_vec)")))
-      .withColumn("k_rank", row_number().over(byK))
-      .filter(col("k_rank") === 1)
-      .select("vec_id", "cell", "keeper_id", "keeper_cos")
-  }
+      keepers: DataFrame): DataFrame =
+    graft.operators.VectorOps.assignAnn(vecs, centroids, keepers)
 
   /** foreachBatch sink for [[startAnnIngest]]: assign every survivor
     * of the micro-batch and land the labels in an epoch-keyed
