@@ -1808,6 +1808,63 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Bloom sizing for [[qBloomNovel]]: ~16 bits/item at the corpus
+    * digest count → ~½% false-positive rate; the fp residue pays one
+    * exact anti-join, the rest of the novel mass never shuffles. */
+  private val BloomBits = 80000L
+
+  /** The bloom-flagged arrival frame (doc_id, text, maybe_known) —
+    * exposed so the spec can assert the two Bloom guarantees
+    * (no false negatives; real pruning) that the exact-verified
+    * output, by design, cannot reveal. */
+  private[graft] def bloomFlagged(s: SparkSession, d: String): DataFrame = {
+    graft.functions.BloomExpressions.register(s)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val arrivals = docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" graft-novel-suffix")))
+        .otherwise(col("text")).as("text"))
+    // the sketch is DRIVER-HELD MODEL STATE (BloomBits/8 ≈ 10 KB —
+    // the Lloyd-centroid class of collect, never data): might_contain
+    // requires a constant/scalar-subquery filter side, and inlining the
+    // aggregated sketch as a literal is exactly how AQE's runtime
+    // filters plant it — the predicate then rides the scan per-row
+    // with no join at all
+    val bf = docs.agg(
+      expr(s"graft_bloom_agg(xxhash64(text), 10000L, ${BloomBits}L)").as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    arrivals.withColumn("maybe_known",
+      call_function("graft_might_contain", lit(bf), xxhash64(col("text"))))
+  }
+
+  /** Bloom-prefiltered corpus-membership (novelty) check — the 100 TB
+    * twin of q_dedup_incremental's digest anti-join: instead of
+    * shuffling the full corpus digest set against every arrival batch,
+    * the corpus aggregates ONCE into a kilobyte-scale Bloom sketch
+    * (Spark's own BloomFilterAggregate — deterministic hashing,
+    * order-independent merge) that broadcasts to every executor. A
+    * Bloom "no" is definite, so the certain-novel mass exits with ZERO
+    * shuffle; only the "maybe" residue (true members + the ~½%
+    * false-positive rate BloomBits buys) pays the exact md5 anti-join.
+    * The OUTPUT is exact either way — the sketch prunes, never
+    * decides — which is what makes the query oracle-able: DuckDB
+    * replays the plain NOT IN. Arrivals are the corpus with every 5th
+    * doc's text deterministically perturbed, so the expected novel set
+    * is known and non-trivial at every SF. */
+  private def qBloomNovel(s: SparkSession, d: String): DataFrame = {
+    val flagged = bloomFlagged(s, d).localCheckpoint() // two consumers
+    val corpusDigs = Tables.documents(s, d)
+      .select(md5(col("text")).as("text_md5")).distinct()
+    val sure = flagged.filter(!col("maybe_known"))
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    val verified = flagged.filter(col("maybe_known"))
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .join(corpusDigs, Seq("text_md5"), "left_anti")
+    sure.select("doc_id", "text_md5")
+      .unionAll(verified.select("doc_id", "text_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Segment granularity for line-level dedup: non-overlapping
     * 10-token spans (the corpus has no newlines, so fixed token spans
     * stand in for "lines" — same grid a paragraph-dedup pass uses). */
@@ -2981,6 +3038,7 @@ object TextOps {
     "q_novelty_curve" -> (qNoveltyCurve _),
     "q_keeper_quality" -> (qKeeperQuality _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_bloom_novel" -> (qBloomNovel _),
     "q_collocations" -> (qCollocations _),
     "q_lm_score" -> (qLmScore _),
     "q_kneser_ney" -> (qKneserNey _),
@@ -3043,6 +3101,19 @@ object TextOps {
          |       COALESCE(c.corpus_keeper, a.batch_keeper) AS keeper_id
          |FROM arrivals a LEFT JOIN corpus c USING (dig)
          |ORDER BY doc_id""".stripMargin,
+    // the Bloom sketch prunes, never decides — so the oracle is the
+    // plain exact NOT IN the sketch accelerates
+    "q_bloom_novel" ->
+      """WITH arrivals AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN text || ' graft-novel-suffix'
+        |              ELSE text END AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id, md5(text) AS text_md5
+        |FROM arrivals
+        |WHERE md5(text) NOT IN (SELECT DISTINCT md5(text) FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q_chunk" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents

@@ -1295,6 +1295,33 @@ class OperatorsSpec extends SparkSpec {
       sizes(r.getAs[Long]("cluster_keeper"))))
   }
 
+  test("bloom novelty: no false negatives, real pruning, output equals the exact anti-join") {
+    val flagged = graft.operators.TextOps.bloomFlagged(spark, Sf0001)
+      .localCheckpoint()
+    val corpusTexts = graft.sources.Tables.documents(spark, Sf0001)
+      .select($"text").as[String].collect().toSet
+    val rows = flagged.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Boolean]("maybe_known")))
+    // Bloom guarantee: every arrival whose text IS in the corpus must
+    // flag maybe_known — a false negative would let a known doc skip
+    // the verify join and corrupt the "exact output" claim
+    rows.filter(t => corpusTexts(t._2)).foreach { case (id, _, maybe) =>
+      assert(maybe, s"false negative on known doc $id")
+    }
+    // and the sketch genuinely prunes: most of the novel mass exits on
+    // the Bloom "no" alone (fp rate ~0.5% at 16 bits/item — assert
+    // loosely at <25% so a silently degenerate sketch fails loudly)
+    val novel = rows.filter(t => !corpusTexts(t._2))
+    assert(novel.nonEmpty)
+    val fpShare = novel.count(_._3).toDouble / novel.size
+    assert(fpShare < 0.25, s"bloom prunes nothing: fp share $fpShare")
+    // output parity with the plain exact formulation
+    val got = q("q_bloom_novel").select($"doc_id").as[Long].collect().toSet
+    val expect = novel.map(_._1).toSet
+    assert(got == expect)
+  }
+
   test("auc by source: slices reconcile with the pooled counts, one slice replayed") {
     val rows = q("q_auc_by_source").collect()
     val pooled = q("q_auc").head()
