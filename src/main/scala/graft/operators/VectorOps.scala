@@ -365,6 +365,39 @@ object VectorOps {
       .select("vec_id", "cell", "keeper_id", "keeper_cos")
   }
 
+  // Embedding-space DRIFT over IVF cells — the representation-shift
+  // monitor a training pipeline runs beside the per-value drift
+  // monitor: did the DISTRIBUTION of embeddings across semantic
+  // regions move between two corpus slices? The cells of the shared
+  // Lloyd model are the regions; the even/odd vec_id halves stand in
+  // for reference/current snapshots (deterministic at every SF); and
+  // the distance is the drift monitor's integer-exact total-variation
+  // form — per-cell TV terms |c_ref·n_cur − c_cur·n_ref| as exact
+  // BIGINTs, ONE final IEEE division for the scalar TV. Scale shape:
+  // one broadcast score over the corpus, one cell hash agg
+  // (model-sized output), two scalar broadcasts.
+  private def qEmbedDrift(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d).withColumn("vec", asDouble("embedding"))
+      .select(col("vec_id"), col("vec"))
+    val counts = assignCells(e, lloydModel(s, e))
+      .groupBy(col("cell"))
+      .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("c_ref"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("c_cur"))
+      .localCheckpoint() // feeds totals AND terms AND the tv rollup
+    val tot = counts.agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
+    val terms = counts.crossJoin(broadcast(tot))
+      .withColumn("tv_term", abs(col("c_ref") * col("n_cur") - col("c_cur") * col("n_ref")))
+    val tv = terms.agg(sum(col("tv_term")).as("tv_num"))
+    terms.crossJoin(broadcast(tv))
+      .select(col("cell"), col("c_ref"), col("c_cur"), col("tv_term"),
+        col("n_ref"), col("n_cur"), col("tv_num"),
+        (col("tv_num").cast("double")
+          / (lit(2.0) * col("n_ref").cast("double") * col("n_cur").cast("double")))
+          .as("tv"))
+      .orderBy("cell")
+  }
+
   // The ORACLED batch analog of the streaming ANN ingest
   // (EventPipeline.startAnnIngest): every corpus vector's IVF cell
   // plus its nearest-keeper label, where the keepers are a
@@ -1163,6 +1196,7 @@ object VectorOps {
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_ivf_assign" -> (qIvfAssign _),
+    "q_embed_drift" -> (qEmbedDrift _),
     "q_sim_pq" -> (qSimPq _),
     "q_sim_ivfpq" -> (qSimIvfpq _),
     "q_ann_recall" -> (qAnnRecall _),
@@ -1335,6 +1369,45 @@ object VectorOps {
         |FROM embeddings
         |GROUP BY label
         |ORDER BY label""".stripMargin,
+    "q_embed_drift" -> {
+      // the same Lloyd chain, then the integer-exact TV arithmetic
+      // over even/odd vec_id halves — counts and terms all BIGINTs,
+      // one IEEE division at the end
+      val cFinal = s"c$LloydIters"
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+         |), $ivfSeedChainSql,
+         |scored AS (
+         |  SELECT v.vec_id, v.vec, c.cell,
+         |         ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |           ${cosSql("v.vec", "c.cent")} DESC,
+         |           c.cell) AS p_rank
+         |  FROM v CROSS JOIN $cFinal c
+         |), assigned AS (
+         |  SELECT vec_id, cell FROM scored WHERE p_rank = 1
+         |), counts AS (
+         |  SELECT cell,
+         |         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         |         CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+         |  FROM assigned GROUP BY cell
+         |), tot AS (
+         |  SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+         |         CAST(SUM(c_cur) AS BIGINT) AS n_cur
+         |  FROM counts
+         |), terms AS (
+         |  SELECT cell, c_ref, c_cur,
+         |         CAST(abs(c_ref * n_cur - c_cur * n_ref) AS BIGINT) AS tv_term,
+         |         n_ref, n_cur
+         |  FROM counts CROSS JOIN tot
+         |), tv AS (
+         |  SELECT CAST(SUM(tv_term) AS BIGINT) AS tv_num FROM terms
+         |)
+         |SELECT cell, c_ref, c_cur, tv_term, n_ref, n_cur, tv_num,
+         |       CAST(tv_num AS DOUBLE)
+         |         / (2.0 * CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) AS tv
+         |FROM terms CROSS JOIN tv
+         |ORDER BY cell""".stripMargin
+    },
     "q_ivf_assign" -> {
       // the streaming ANN ingest's batch analog replayed end-to-end:
       // seeded-Lloyd model, per-vector cell argmax (Lloyd tie-break),

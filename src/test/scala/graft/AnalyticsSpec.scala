@@ -179,6 +179,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_embed_drift: halves partition the corpus, TV identity holds and is bounded") {
+    val rows = q("q_embed_drift").collect()
+    assert(rows.nonEmpty)
+    val n = graft.sources.Tables.embeddings(spark, Sf0001).count()
+    // the even/odd halves partition the corpus exactly
+    assert(rows.map(_.getAs[Long]("c_ref")).sum == rows.head.getAs[Long]("n_ref"))
+    assert(rows.map(_.getAs[Long]("c_cur")).sum == rows.head.getAs[Long]("n_cur"))
+    assert(rows.head.getAs[Long]("n_ref") + rows.head.getAs[Long]("n_cur") == n)
+    // per-cell terms sum to the published numerator; one consistent tv
+    assert(rows.map(_.getAs[Long]("tv_term")).sum == rows.head.getAs[Long]("tv_num"))
+    val tv = rows.head.getAs[Double]("tv")
+    assert(rows.forall(_.getAs[Double]("tv") == tv))
+    assert(tv >= 0.0 && tv <= 1.0, s"TV out of range: $tv")
+    // a same-corpus split should NOT read as drifted
+    assert(tv < 0.5, s"even/odd halves of one corpus report implausible drift $tv")
+  }
+
   test("q_spearman: rho recounted from a driver-side rank replay") {
     val row = q("q_spearman").collect().head
     val per = graft.sources.Tables.orders(spark, Sf0001)
