@@ -102,6 +102,34 @@ object TextOps {
        |  SELECT src AS keeper_id, MIN(dst) AS cluster_keeper FROM reach GROUP BY src
        |)""".stripMargin
 
+  /** Shared oracle CTE chain: PRODUCTION-family (xxhash64, seed 42)
+    * SimHash signatures per doubled doc (`sigd(doc_id, simhash)`) —
+    * the round-8 replacement for weak-checking q_dedup_simhash and
+    * q_simhash_clusters: [[XxOracleSql]] recomputes Spark's exact
+    * XXH64 per distinct token in DuckDB, then the 64 weighted bit
+    * sums replay [[graft.functions.SimHashAgg]] (strict `bsum > 0`,
+    * unsigned bit reads, signed 64-bit assembly) in plain SQL.
+    * Requires the [[XxOracleSql.prelude]] macros in front of the
+    * statement. */
+  private val xxSigSql =
+    s"""$doubledSql,
+       |tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS w
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM doubled)
+       |  GROUP BY doc_id, tok
+       |), tokset AS (SELECT DISTINCT tok FROM tf),
+       |  ${XxOracleSql.stages("tokset", "tok", "tok", "h64", 32, "g")},
+       |th AS (SELECT tf.doc_id, gxx_ub(gfin.h64) AS hu, tf.w FROM tf JOIN gfin USING (tok)),
+       |bits AS (
+       |  SELECT doc_id, j, SUM((((hu // (1::HUGEINT << j)) % 2) * 2 - 1) * w) AS bsum
+       |  FROM th CROSS JOIN range(0, 64) r(j)
+       |  GROUP BY doc_id, j
+       |), sigd AS (
+       |  SELECT doc_id,
+       |         gxx_sb(CAST(SUM(CASE WHEN bsum > 0 THEN (1::HUGEINT << j) ELSE 0::HUGEINT END) AS HUGEINT)) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |)""".stripMargin
+
   /** Shared oracle CTE chain for the BPE family: vocabulary with char
     * symbols (`w0(word, freq, s)`), both trainer rounds (`b1`/`b2` =
     * argmax merges, `w1`/`w2` = vocab after applying them) — used by
@@ -4433,6 +4461,97 @@ object TextOps {
          |       CAST(COALESCE(n.n_near_groups, 0) AS BIGINT) AS n_near_groups
          |FROM groups g LEFT JOIN near n USING (simhash)
          |ORDER BY simhash""".stripMargin,
+    // Round 8: the PRODUCTION xxhash64 family joins the hash gate.
+    // XxOracleSql recomputes Spark's exact XXH64 inside DuckDB, so the
+    // three formerly weak-checked queries now compare like any other —
+    // same structure as their md5 twins, same hash family as the
+    // engine.
+    "q_dedup_simhash" ->
+      s"""${XxOracleSql.prelude}WITH $xxSigSql, groups AS (
+         |  SELECT simhash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_members
+         |  FROM sigd GROUP BY simhash
+         |), near AS (
+         |  SELECT a.simhash, COUNT(*) AS n_near_groups
+         |  FROM groups a JOIN groups b
+         |    ON a.simhash <> b.simhash AND bit_count(xor(a.simhash, b.simhash)) <= 3
+         |  GROUP BY a.simhash
+         |)
+         |SELECT g.simhash, g.keeper_id, g.n_members,
+         |       CAST(COALESCE(n.n_near_groups, 0) AS BIGINT) AS n_near_groups
+         |FROM groups g LEFT JOIN near n USING (simhash)
+         |ORDER BY simhash""".stripMargin,
+    "q_simhash_clusters" ->
+      s"""${XxOracleSql.prelude}WITH RECURSIVE $xxSigSql, groups AS (
+         |  SELECT simhash, MIN(doc_id) AS keeper_id FROM sigd GROUP BY simhash
+         |), near AS (
+         |  SELECT a.keeper_id AS src, b.keeper_id AS dst
+         |  FROM groups a JOIN groups b
+         |    ON a.simhash <> b.simhash AND bit_count(xor(a.simhash, b.simhash)) <= 3
+         |), reach AS (
+         |  SELECT keeper_id AS src, keeper_id AS dst FROM groups
+         |  UNION
+         |  SELECT r.src, n.dst FROM reach r JOIN near n ON r.dst = n.src
+         |), lbl AS (
+         |  SELECT src AS keeper_id, MIN(dst) AS cluster_keeper FROM reach GROUP BY src
+         |)
+         |SELECT s.doc_id, l.cluster_keeper
+         |FROM sigd s JOIN groups g USING (simhash) JOIN lbl l USING (keeper_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""${XxOracleSql.prelude}WITH $doubledSql,
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(
+         |           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+         |           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingles
+         |  FROM doubled
+         |), ex AS (
+         |  SELECT doc_id, unnest(shingles) AS s FROM sh
+         |), shset AS (SELECT DISTINCT s FROM ex),
+         |  ${XxOracleSql.stages("shset", "s", "s", "h64", 32, "g")},
+         |exh AS (
+         |  SELECT ex.doc_id, gfin.h64 AS h, gxx_ub(gfin.h64) AS hu FROM ex JOIN gfin USING (s)
+         |), dfd AS (
+         |  SELECT doc_id, h, hu, COUNT(*) OVER (PARTITION BY h) AS df FROM exh
+         |), kept AS (
+         |  SELECT doc_id, h, hu, COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+         |  FROM dfd WHERE df <= $ShingleDfCap
+         |), ks(k, plo, phi, msk) AS (VALUES ${XxOracleSql.minhashSlotValues}),
+         |slots AS (
+         |  SELECT doc_id, k, MIN(gxx_sb(xor((hu % phi) * plo + hu // phi, msk))) AS slot
+         |  FROM kept CROSS JOIN ks
+         |  GROUP BY doc_id, k
+         |), sigs AS (
+         |  SELECT doc_id, list(slot ORDER BY k) AS sig FROM slots GROUP BY doc_id
+         |), docn AS (
+         |  SELECT doc_id, MAX(n_sh) AS n_sh FROM kept GROUP BY doc_id
+         |), bandstr AS (
+         |  SELECT doc_id, b AS band, array_to_string(sig[b*4+1 : b*4+4], ',') AS bs
+         |  FROM sigs CROSS JOIN range(0, 8) r(b)
+         |), bset AS (SELECT DISTINCT bs FROM bandstr),
+         |  ${XxOracleSql.stages("bset", "bs", "bs", "bh", 96, "q")},
+         |banded AS (
+         |  SELECT bandstr.doc_id, bandstr.band, qfin.bh FROM bandstr JOIN qfin USING (bs)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |), common AS (
+         |  SELECT c.a_id AS ca, c.b_id AS cb, COUNT(*) AS common
+         |  FROM cand c
+         |  JOIN kept ka ON ka.doc_id = c.a_id
+         |  JOIN kept kb ON kb.doc_id = c.b_id AND kb.h = ka.h
+         |  GROUP BY c.a_id, c.b_id
+         |)
+         |SELECT cm.ca AS a_id, cm.cb AS b_id,
+         |       CAST(cm.common AS DOUBLE)
+         |         / CAST(na.n_sh + nb.n_sh - cm.common AS DOUBLE) AS jaccard
+         |FROM common cm
+         |JOIN docn na ON na.doc_id = cm.ca
+         |JOIN docn nb ON nb.doc_id = cm.cb
+         |WHERE CAST(cm.common AS DOUBLE)
+         |        / CAST(na.n_sh + nb.n_sh - cm.common AS DOUBLE) >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin,
     "q_minhash_estimate" -> {
       val rows = MinhashSlots / MinhashBands
       s"""WITH $doubledSql,

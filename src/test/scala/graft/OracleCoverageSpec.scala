@@ -17,10 +17,11 @@ class OracleCoverageSpec extends AnyFunSuite {
     * default: if the formulation can be expressed cross-engine (md5
     * hash-family twin, recursive-CTE closure, generated SQL), oracle
     * it instead. */
-  private val weakChecked: Map[String, String] = Map(
-    "q_dedup_minhash" -> "xxhash64 family; formulation oracled via q_minhash_estimate",
-    "q_dedup_simhash" -> "xxhash64 family; formulation oracled via q_simhash_estimate",
-    "q_simhash_clusters" -> "xxhash64 family; CC labels oracled via q_simhash_closure")
+  private val weakChecked: Map[String, String] = Map.empty
+  // Round 8 emptied the list: the xxhash64-family trio
+  // (q_dedup_minhash, q_dedup_simhash, q_simhash_clusters) gained real
+  // oracles — XxOracleSql recomputes Spark's exact XXH64 in DuckDB, so
+  // the production hash family itself now sits under the hash gate.
 
   test("every query is oracled or explicitly weak-checked") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
