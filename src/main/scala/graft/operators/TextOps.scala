@@ -130,6 +130,51 @@ object TextOps {
        |  FROM bits GROUP BY doc_id
        |)""".stripMargin
 
+  /** Shared oracle CTE chain: PRODUCTION-family (xxhash64) MinHash
+    * state over the doubled corpus — DF-capped shingle hashes
+    * (`kept(doc_id, h, hu, n_sh)`, `docn`), the 32 mixed signature
+    * slots (`sigs(doc_id, sig)`), and the 8×4 banded rows with REAL
+    * xxhash64 band keys (`banded(doc_id, band, bh)`). Mirrors
+    * [[minhashSigFrame]]/[[minhashBands]] exactly; used by
+    * q_dedup_minhash and q_decontaminate_fuzzy so the two oracles can
+    * never drift apart. Requires the [[XxOracleSql.prelude]] macros. */
+  private lazy val xxMinhashSql =
+    s"""$doubledSql,
+       |sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(
+       |           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+       |           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingles
+       |  FROM doubled
+       |), ex AS (
+       |  SELECT doc_id, unnest(shingles) AS s FROM sh
+       |), shset AS (SELECT DISTINCT s FROM ex),
+       |  ${XxOracleSql.stages("shset", "s", "s", "h64", 32, "g")},
+       |exh AS (
+       |  SELECT ex.doc_id, gfin.h64 AS h, gxx_ub(gfin.h64) AS hu FROM ex JOIN gfin USING (s)
+       |), dfd AS (
+       |  SELECT doc_id, h, hu, COUNT(*) OVER (PARTITION BY h) AS df FROM exh
+       |), kept AS (
+       |  SELECT doc_id, h, hu, COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+       |  FROM dfd WHERE df <= $ShingleDfCap
+       |), ks(k, plo, phi, msk) AS (VALUES ${XxOracleSql.minhashSlotValues}),
+       |slots AS (
+       |  SELECT doc_id, k, MIN(gxx_sb(xor((hu % phi) * plo + hu // phi, msk))) AS slot
+       |  FROM kept CROSS JOIN ks
+       |  GROUP BY doc_id, k
+       |), sigs AS (
+       |  SELECT doc_id, list(slot ORDER BY k) AS sig FROM slots GROUP BY doc_id
+       |), docn AS (
+       |  SELECT doc_id, MAX(n_sh) AS n_sh FROM kept GROUP BY doc_id
+       |), bandstr AS (
+       |  SELECT doc_id, b AS band, array_to_string(sig[b*4+1 : b*4+4], ',') AS bs
+       |  FROM sigs CROSS JOIN range(0, 8) r(b)
+       |), bset AS (SELECT DISTINCT bs FROM bandstr),
+       |  ${XxOracleSql.stages("bset", "bs", "bs", "bh", 96, "q")},
+       |banded AS (
+       |  SELECT bandstr.doc_id, bandstr.band, qfin.bh FROM bandstr JOIN qfin USING (bs)
+       |)""".stripMargin
+
   /** Shared oracle CTE chain for the BPE family: vocabulary with char
     * symbols (`w0(word, freq, s)`), both trainer rounds (`b1`/`b2` =
     * argmax merges, `w1`/`w2` = vocab after applying them) — used by
@@ -752,22 +797,24 @@ object TextOps {
   // MinHash + LSH near-dup detection — the sub-quadratic scale path.
   // 32 hash functions (seeded xxhash64 of each shingle), banded into
   // 8 bands × 4 rows; only band-bucket collisions become candidate
-  // pairs, which are then verified with exact Jaccard. No DuckDB
-  // oracle (hash family is engine-specific); ScalaTest pins recall of
-  // the planted duplicates and precision of the verify stage.
-  private def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
-    // DF-capped shingle sets (same cap as the ngram join — corpus-wide
-    // boilerplate shingles carry no dedup signal and would otherwise
-    // seed hot band buckets), re-assembled to a sorted per-doc array.
-    // hash each shingle ONCE, then derive the 32 signature slots by
-    // bitwise mixing (rotate by a distinct odd amount + xor a
-    // k-shifted avalanche constant) — O(32·|shingles|) integer ops
-    // instead of 32 string-concat+hash passes per document, and free
-    // of the long-multiply overflow ANSI mode rejects
-    // localCheckpoint: the signature frame feeds the band join (twice)
-    // AND the verify-stage rejoins — without materialization the
-    // shingle explode + window + agg would re-run for every branch
-    val docs = keptShingleHashes(doubled(s, d), ShingleDfCap)
+  // pairs, which are then verified with exact Jaccard. Oracled since
+  // round 8 (XxOracleSql replays the exact hash family in DuckDB);
+  // ScalaTest additionally pins recall of the planted duplicates and
+  // precision of the verify stage.
+  /** DF-capped per-doc MinHash state over the doubled corpus:
+    * (doc_id, sh_hash sorted 64-bit shingle hashes, sig 32 slots).
+    * Hash each shingle ONCE, then derive the 32 signature slots by
+    * bitwise mixing (rotate by a distinct odd amount + xor a
+    * k-shifted avalanche constant) — O(32·|shingles|) integer ops
+    * instead of 32 string-concat+hash passes per document, and free
+    * of the long-multiply overflow ANSI mode rejects.
+    * localCheckpoint: the signature frame feeds the band join (both
+    * sides) AND the verify-stage rejoins in BOTH consumers
+    * (q_dedup_minhash, q_decontaminate_fuzzy) — without
+    * materialization the shingle explode + window + agg would re-run
+    * per branch. */
+  private def minhashSigFrame(s: SparkSession, d: String): DataFrame =
+    keptShingleHashes(doubled(s, d), ShingleDfCap)
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(col("sh"))).as("sh_hash"))
       .withColumn("sig",
@@ -777,15 +824,21 @@ object TextOps {
                           ^ shiftleft(-7046029254386353131L, k))))"""))
       .select("doc_id", "sh_hash", "sig")
       .localCheckpoint()
-    // band join + distinct move ID PAIRS ONLY (16-byte rows): a pair
-    // colliding in k bands would otherwise ship its two ~100-long
-    // shingle-hash arrays k times through the dedup exchange. The
-    // arrays rejoin afterwards for the exact-Jaccard verify of the
-    // surviving distinct pairs (compact longs, not shingle strings).
-    val banded = docs.select(
+
+  /** 8×4 banded signature rows (doc_id, band, band_hash) off the
+    * signature frame — band join + distinct downstream move ID PAIRS
+    * ONLY (16-byte rows): a pair colliding in k bands would otherwise
+    * ship its two ~100-long shingle-hash arrays k times through the
+    * dedup exchange; arrays rejoin only for surviving pairs. */
+  private def minhashBands(sigs: DataFrame): DataFrame =
+    sigs.select(
       col("doc_id"),
       posexplode(expr("transform(sequence(0, 7), b -> xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4))))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+
+  private def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val docs = minhashSigFrame(s, d)
+    val banded = minhashBands(docs)
     val cand = banded.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
       .join(banded.select(col("band"), col("band_hash"), col("doc_id").as("b_id")),
         Seq("band", "band_hash"))
@@ -802,6 +855,61 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** FUZZY train/eval decontamination — the near-duplicate third leg
+    * of the decontamination taxonomy (q_decontaminate = disjoint
+    * k-token chunks, q_decontaminate_sliding = stride-1 grams, this =
+    * whole-document near-duplicates): an eval doc is contaminated if
+    * some TRAIN doc is a MinHash near-duplicate at Jaccard ≥ 0.8 even
+    * when no verbatim chunk aligns. Rides the exact q_dedup_minhash
+    * machinery (same DF-capped shingle hashes, same 32-slot
+    * signatures, same 8×4 banding), but the candidate join is
+    * ASYMMETRIC — eval-side band rows probe train-side band rows — so
+    * at 100 TB the small held-out side broadcasts against the corpus
+    * band index instead of the corpus self-joining; candidates stay
+    * bounded by band collisions, and the doubled fixture plants
+    * known cross-split contaminators (copy pairs whose md5 splits
+    * differ). One row per NON-train doc: candidate-verified
+    * contaminator count, the worst contaminator (rank 1 by jaccard
+    * desc, train_id asc — deterministic under the exact tie), and the
+    * flag. Fully oracled via XxOracleSql (production hash family). */
+  private def qDecontaminateFuzzy(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSigFrame(s, d)
+      .withColumn("split", Sampling.splitOf(Sampling.hexKey(col("doc_id"))))
+    val bands = minhashBands(sigs.select("doc_id", "sig"))
+      .join(sigs.select("doc_id", "split"), Seq("doc_id"))
+    val evalB = bands.filter(col("split") =!= "train")
+      .select(col("doc_id").as("eval_id"), col("band"), col("band_hash"))
+    val trainB = bands.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("band"), col("band_hash"))
+    val cand = evalB.join(trainB, Seq("band", "band_hash"))
+      .select("eval_id", "train_id").distinct()
+    val verified = cand
+      .join(sigs.select(col("doc_id").as("eval_id"), col("sh_hash").as("e_sh")), Seq("eval_id"))
+      .join(sigs.select(col("doc_id").as("train_id"), col("sh_hash").as("t_sh")), Seq("train_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("e_sh"), col("t_sh"))).cast("double")
+          / size(array_union(col("e_sh"), col("t_sh"))).cast("double"))
+      .filter(col("jaccard") >= 0.8)
+      .localCheckpoint() // feeds the count agg AND the top-1 window
+    val wTop = Window.partitionBy(col("eval_id"))
+      .orderBy(col("jaccard").desc, col("train_id"))
+    val top = verified.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") === 1)
+      .select(col("eval_id"), col("train_id").as("top_train_id"),
+        col("jaccard").as("max_jaccard"))
+    val counts = verified.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_contaminators"))
+    sigs.filter(col("split") =!= "train")
+      .select(col("doc_id").as("eval_id"), col("split"))
+      .join(counts, Seq("eval_id"), "left_outer")
+      .join(top, Seq("eval_id"), "left_outer")
+      .withColumn("n_contaminators", coalesce(col("n_contaminators"), lit(0L)))
+      .withColumn("contaminated", col("top_train_id").isNotNull)
+      .select("eval_id", "split", "n_contaminators", "top_train_id",
+        "max_jaccard", "contaminated")
+      .orderBy("eval_id")
+  }
+
   // SimHash dedup: 64-bit frequency-weighted signature (Charikar) per
   // document, then SIGNATURE-GROUP collapse — group by exact signature
   // (keeper = min id), and count near-groups (Hamming ≤ 3) by
@@ -810,7 +918,7 @@ object TextOps {
   // long doc here shares one topic distribution, so signatures
   // concentrate); grouping first bounds every stage by the number of
   // distinct signatures — the formulation that survives 100 TB.
-  // Engine-specific hashing → no oracle; unit-tested.
+  // Oracled since round 8 via XxOracleSql (exact hash-family replay).
   /** Cross-engine MinHash accuracy audit — the sketch-vs-truth
     * comparison a pipeline runs before trusting signature Jaccard as a
     * dedup threshold at scale. 16 signature slots, slot k =
@@ -3093,6 +3201,7 @@ object TextOps {
     "q_containment" -> (qContainment _),
     "q_dedup_edit" -> (qDedupEdit _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
     "q_minhash_estimate" -> (qMinhashEstimate _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_simhash_clusters" -> (qSimhashClusters _),
@@ -4498,41 +4607,7 @@ object TextOps {
          |FROM sigd s JOIN groups g USING (simhash) JOIN lbl l USING (keeper_id)
          |ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
-      s"""${XxOracleSql.prelude}WITH $doubledSql,
-         |sh AS (
-         |  SELECT doc_id,
-         |         list_distinct(list_transform(
-         |           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-         |           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingles
-         |  FROM doubled
-         |), ex AS (
-         |  SELECT doc_id, unnest(shingles) AS s FROM sh
-         |), shset AS (SELECT DISTINCT s FROM ex),
-         |  ${XxOracleSql.stages("shset", "s", "s", "h64", 32, "g")},
-         |exh AS (
-         |  SELECT ex.doc_id, gfin.h64 AS h, gxx_ub(gfin.h64) AS hu FROM ex JOIN gfin USING (s)
-         |), dfd AS (
-         |  SELECT doc_id, h, hu, COUNT(*) OVER (PARTITION BY h) AS df FROM exh
-         |), kept AS (
-         |  SELECT doc_id, h, hu, COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
-         |  FROM dfd WHERE df <= $ShingleDfCap
-         |), ks(k, plo, phi, msk) AS (VALUES ${XxOracleSql.minhashSlotValues}),
-         |slots AS (
-         |  SELECT doc_id, k, MIN(gxx_sb(xor((hu % phi) * plo + hu // phi, msk))) AS slot
-         |  FROM kept CROSS JOIN ks
-         |  GROUP BY doc_id, k
-         |), sigs AS (
-         |  SELECT doc_id, list(slot ORDER BY k) AS sig FROM slots GROUP BY doc_id
-         |), docn AS (
-         |  SELECT doc_id, MAX(n_sh) AS n_sh FROM kept GROUP BY doc_id
-         |), bandstr AS (
-         |  SELECT doc_id, b AS band, array_to_string(sig[b*4+1 : b*4+4], ',') AS bs
-         |  FROM sigs CROSS JOIN range(0, 8) r(b)
-         |), bset AS (SELECT DISTINCT bs FROM bandstr),
-         |  ${XxOracleSql.stages("bset", "bs", "bs", "bh", 96, "q")},
-         |banded AS (
-         |  SELECT bandstr.doc_id, bandstr.band, qfin.bh FROM bandstr JOIN qfin USING (bs)
-         |), cand AS (
+      s"""${XxOracleSql.prelude}WITH $xxMinhashSql, cand AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM banded a JOIN banded b
          |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
@@ -4552,6 +4627,54 @@ object TextOps {
          |WHERE CAST(cm.common AS DOUBLE)
          |        / CAST(na.n_sh + nb.n_sh - cm.common AS DOUBLE) >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
+    "q_decontaminate_fuzzy" ->
+      s"""${XxOracleSql.prelude}WITH $xxMinhashSql, spl AS (
+         |  SELECT doc_id, ${Sampling.splitSql} AS split FROM doubled
+         |), evalb AS (
+         |  SELECT banded.doc_id AS eval_id, band, bh
+         |  FROM banded JOIN spl USING (doc_id) WHERE spl.split <> 'train'
+         |), trainb AS (
+         |  SELECT banded.doc_id AS train_id, band, bh
+         |  FROM banded JOIN spl USING (doc_id) WHERE spl.split = 'train'
+         |), cand AS (
+         |  SELECT DISTINCT e.eval_id, t.train_id
+         |  FROM evalb e JOIN trainb t ON e.band = t.band AND e.bh = t.bh
+         |), common AS (
+         |  SELECT c.eval_id AS ce, c.train_id AS ct, COUNT(*) AS common
+         |  FROM cand c
+         |  JOIN kept ka ON ka.doc_id = c.eval_id
+         |  JOIN kept kb ON kb.doc_id = c.train_id AND kb.h = ka.h
+         |  GROUP BY c.eval_id, c.train_id
+         |), ver AS (
+         |  SELECT cm.ce, cm.ct,
+         |         CAST(cm.common AS DOUBLE)
+         |           / CAST(na.n_sh + nb.n_sh - cm.common AS DOUBLE) AS j
+         |  FROM common cm
+         |  JOIN docn na ON na.doc_id = cm.ce
+         |  JOIN docn nb ON nb.doc_id = cm.ct
+         |  WHERE CAST(cm.common AS DOUBLE)
+         |          / CAST(na.n_sh + nb.n_sh - cm.common AS DOUBLE) >= 0.8
+         |), topc AS (
+         |  SELECT ce, ct AS top_train_id, j AS max_jaccard FROM (
+         |    SELECT ce, ct, j,
+         |           ROW_NUMBER() OVER (PARTITION BY ce ORDER BY j DESC, ct) AS rk
+         |    FROM ver)
+         |  WHERE rk = 1
+         |), cnt AS (
+         |  SELECT ce, COUNT(*) AS n_contaminators FROM ver GROUP BY ce
+         |), ev AS (
+         |  SELECT sigs.doc_id AS eval_id, spl.split
+         |  FROM sigs JOIN spl ON spl.doc_id = sigs.doc_id
+         |  WHERE spl.split <> 'train'
+         |)
+         |SELECT ev.eval_id, ev.split,
+         |       CAST(COALESCE(cnt.n_contaminators, 0) AS BIGINT) AS n_contaminators,
+         |       topc.top_train_id, topc.max_jaccard,
+         |       topc.top_train_id IS NOT NULL AS contaminated
+         |FROM ev
+         |LEFT JOIN cnt ON cnt.ce = ev.eval_id
+         |LEFT JOIN topc ON topc.ce = ev.eval_id
+         |ORDER BY eval_id""".stripMargin,
     "q_minhash_estimate" -> {
       val rows = MinhashSlots / MinhashBands
       s"""WITH $doubledSql,

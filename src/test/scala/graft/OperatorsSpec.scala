@@ -45,6 +45,60 @@ class OperatorsSpec extends SparkSpec {
     assert(q("q_dedup_minhash").filter($"jaccard" < 0.8).count() == 0)
   }
 
+  test("fuzzy decontamination flags every cross-split replay copy at jaccard 1.0") {
+    val out = q("q_decontaminate_fuzzy").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // the split rule replicated driver-side (first hex char of md5)
+    def split(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (hex.charAt(0) <= 'b') "train"
+      else if (hex.charAt(0) <= 'd') "val" else "test"
+    }
+    val ids = graft.sources.Tables.documents(spark, Sf0001)
+      .select($"doc_id").collect().map(_.getLong(0))
+    var planted = 0
+    for (i <- ids; (e, t) <- Seq((i, i + 1000000L), (i + 1000000L, i))
+         if split(e) != "train" && split(t) == "train") {
+      planted += 1
+      val row = out.getOrElse(e, fail(s"eval doc $e missing from the audit"))
+      assert(row.getBoolean(5), s"eval doc $e not flagged despite train copy $t")
+      assert(row.getDouble(4) == 1.0, s"eval doc $e max_jaccard != 1.0")
+    }
+    assert(planted > 50, s"fixture sanity: only $planted cross-split copies")
+    // flag/count coherence + verify floor
+    out.values.foreach { r =>
+      assert(r.getBoolean(5) == (r.getLong(2) > 0L))
+      if (r.getBoolean(5)) assert(r.getDouble(4) >= 0.8)
+    }
+  }
+
+  test("fuzzy decontamination top pair matches a driver shingle-set recount") {
+    // DF-capped shingle sets of the doubled corpus, recomputed from
+    // raw text driver-side (same 3-gram + df<=16 rule), then the
+    // reported max_jaccard re-derived per flagged pair
+    val base = graft.sources.Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val all = base.flatMap { case (id, t) => Seq((id, t), (id + 1000000L, t)) }
+    def grams(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 3) Set(toks.mkString(" "))
+      else (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sets = all.map { case (id, t) => id -> grams(t) }.toMap
+    val df = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    sets.values.foreach(_.foreach(s => df(s) += 1))
+    val kept = sets.map { case (id, ss) => id -> ss.filter(df(_) <= 16) }
+    q("q_decontaminate_fuzzy").filter($"contaminated").collect().foreach { r =>
+      val (e, t) = (r.getLong(0), r.getLong(3))
+      val (a, b) = (kept(e), kept(t))
+      val j = a.intersect(b).size.toDouble / a.union(b).size.toDouble
+      assert(j == r.getDouble(4),
+        s"pair ($e,$t): reported ${r.getDouble(4)}, recount $j")
+    }
+  }
+
   test("minhash estimate is exact on planted duplicates and tight elsewhere") {
     // q_minhash_estimate's value is the estimate-vs-truth delta; pin
     // its statistical behavior: identical docs (the replay copies)
