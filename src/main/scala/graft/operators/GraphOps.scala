@@ -277,6 +277,40 @@ object GraphOps {
     (core, round)
   }
 
+  /** Instrumented replay of the q_kcore path for graft.KcoreDecompose:
+    * builds the co-occurrence graph COLD (memo bypassed), derives K,
+    * and runs the peel with per-round wall times and surviving edge
+    * counts — the evidence that attributes the path's measured scaling
+    * exponent to per-round cost vs peel-depth growth. Returns
+    * (nEdges0, k, rounds: Seq[(edgesAfter, seconds)]). */
+  private[graft] def kcorePeelProfile(s: SparkSession, d: String)
+      : (Long, Int, Seq[(Long, Double)]) = {
+    val edges0 = coEdges(s, d).localCheckpoint()
+    val deg0 = degrees(edges0).localCheckpoint()
+    val med = deg0.agg(expr("percentile(deg, 0.5d)").as("med")).head.getDouble(0)
+    val k = math.floor(CoreFrac.toDouble * med).toInt
+    var edges = edges0
+    var nEdges = edges.count()
+    val n0 = nEdges
+    var converged = false
+    val rounds = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    while (!converged && rounds.size < CoreMaxRounds) {
+      val t0 = System.nanoTime()
+      val keep = degrees(edges).filter(col("deg") >= k).select("node")
+      val pruned = edges
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint()
+      val m = pruned.count()
+      rounds += ((m, (System.nanoTime() - t0) / 1e9))
+      converged = m == nEdges
+      edges = pruned
+      nEdges = m
+    }
+    (n0, k, rounds.toSeq)
+  }
+
   /** The derived-K q_kcore path with its measured peel depth — the
     * oracle-validity probe for CoreDepthSpec. */
   private[graft] def kcoreDepthAt(s: SparkSession, d: String): Int = {
