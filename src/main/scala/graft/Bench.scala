@@ -101,12 +101,15 @@ object Bench {
       // median would still under-report it
       if (base.size != passes) None
       else {
-        val ts =
-          if (base.sorted.apply(passes / 2) > HeavySeconds)
-            (base ++ Seq.fill(HeavyExtraPasses)(run(n)).flatten).sorted
-          else base.sorted
-        if (ts.size < passes) None // an extra pass failed: same rule
+        val isHeavy = base.sorted.apply(passes / 2) > HeavySeconds
+        val extra =
+          if (isHeavy) Seq.fill(HeavyExtraPasses)(run(n)).flatten else Nil
+        // extra passes obey the same rule: a failed pass voids the
+        // entry (a partial 4-sample set would publish its upper-middle
+        // value as a "median" while the query also sits in `failed`)
+        if (isHeavy && extra.size != HeavyExtraPasses) None
         else {
+          val ts = (base ++ extra).sorted
           spreads(n) = (ts.head, ts.last, ts.size)
           Some(n -> ts(ts.size / 2))
         }

@@ -19,19 +19,20 @@ import graft.sources.Tables
   *  - Edge build shuffles once on l_orderkey; per-order pair fan-out
   *    is bounded by order width, and `distinct` collapses repeats
   *    map-side before the exchange.
-  *  - Triangle counting uses the DEGREE-ORDERED node-iterator: each
-  *    undirected edge is oriented from its lower-(degree, id) endpoint
-  *    to the higher one, so every out-neighborhood has size
-  *    O(√m) (Chiba–Nishizeki) and the wedge self-join cannot blow up
-  *    on hub nodes — the classic fix for power-law co-occurrence
-  *    graphs where a naive wedge join on raw adjacency is quadratic
-  *    in the hub degree.
-  *  - Each triangle is generated exactly once: both wedge legs leave
-  *    the SAME pivot (the triangle's minimum in the (degree, id)
-  *    order), legs are canonicalized leg₁ < leg₂ in that order, and
-  *    the closing edge — oriented leg₁ → leg₂ by construction — is
-  *    matched with one equi-join. Three shuffles total (degrees,
-  *    wedges, close), all on node keys.
+  *  - Triangle counting uses the DEGREE-ORDERED edge iterator over
+  *    adjacency ARRAYS: each undirected edge is oriented from its
+  *    lower-(degree, id) endpoint to the higher one, so every
+  *    out-neighborhood has size O(√m) (Chiba–Nishizeki); each node's
+  *    out-neighbors are collected into one array and each oriented
+  *    edge (u → v) intersects N⁺(u) ∩ N⁺(v) in a codegen'd
+  *    `array_intersect`. Every shuffle is O(|E|) rows — the
+  *    Σ outdeg² wedge work happens in-core per row, never as a
+  *    materialized exchange (see [[triangleRows]]).
+  *  - Each triangle is generated exactly once, at its lowest edge in
+  *    the (degree, id) order, with the highest corner as the closing
+  *    common neighbor. Three node-keyed shuffles total (degrees,
+  *    adjacency build, the two probe joins share the adjacency
+  *    exchange).
   */
 object GraphOps {
 
@@ -86,29 +87,47 @@ object GraphOps {
       .unionAll(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
 
-  /** One row per triangle (n1, n2, n3) — n1 the (degree, id)-minimum
-    * pivot — via the degree-ordered wedge join described above. */
+  /** One row per triangle (n1, n2, n3), corners ascending in the
+    * (degree, id) order — n1 the minimum pivot — via the DEGREE-ORDERED
+    * EDGE ITERATOR over adjacency arrays: orient every edge low → high
+    * in (degree, id), build each node's out-neighbor array (size
+    * O(√m) by the orientation — Chiba–Nishizeki), and for each
+    * oriented edge (u → v) intersect N⁺(u) ∩ N⁺(v); every common
+    * out-neighbor w closes exactly one triangle, found exactly once
+    * (at the triangle's lowest edge, with w its highest corner — for
+    * the other two sides w is NOT an out-neighbor of both endpoints).
+    *
+    * Why arrays instead of the classic wedge self-join (which this
+    * replaced): the wedge join MATERIALIZES AND SHUFFLES Σ outdeg²/2
+    * rows (~36 M at sf0.1, and growing superlinearly with SF) just to
+    * anti-filter most of them against the closing edge. The
+    * intersection form exchanges only O(|E|) rows — two node-keyed
+    * joins whose array payload totals |E| ids per side — and does the
+    * same Σ outdeg² work INSIDE a codegen'd `array_intersect`
+    * (hash-set build + probe per row, no shuffle, no 36 M-row
+    * hash-join build). Worst-case row width is the max out-degree —
+    * O(√m) ids ≈ 14 MB at m = 3×10¹² — where the wedge join would
+    * instead emit outdeg² ≈ 10¹² rows for that one hub. */
   def triangleRows(edges: DataFrame, deg: DataFrame): DataFrame = {
     val degU = deg.select(col("node").as("u"), col("deg").as("du"))
     val degV = deg.select(col("node").as("v"), col("deg").as("dv"))
     val withDeg = edges.join(degU, Seq("u")).join(degV, Seq("v"))
     // orient each edge from the lower (degree, id) endpoint to the
-    // higher; carry the head's degree so wedge legs can be ordered
-    // without re-joining degrees
+    // higher — every out-neighborhood is then O(√m)
     val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
     val oriented = withDeg.select(
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
-      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
-      when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
-      .localCheckpoint()
-    val e1 = oriented.select(col("src"), col("dst").as("x"), col("ddst").as("dx"))
-    val e2 = oriented.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
-    val wedges = e1.join(e2, Seq("src"))
-      .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
-      .select(col("src").as("n1"), col("x").as("n2"), col("y").as("n3"))
-    wedges.join(
-      oriented.select(col("src").as("n2"), col("dst").as("n3")), Seq("n2", "n3"))
-      .select("n1", "n2", "n3")
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint() // three consumers: the agg + both join probes
+    val adj = oriented.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+    oriented
+      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+      // inner join on dst: an edge whose head has NO out-neighbors
+      // closes no triangle, so dropping it is the correct semi-prune
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
+      .select(col("src").as("n1"), col("dst").as("n2"),
+        explode(array_intersect(col("nu"), col("nv"))).as("n3"))
   }
 
   /** Global triangle census over an undirected edge list (u < v, no

@@ -149,7 +149,7 @@ object TextOps {
        |), ex AS (
        |  SELECT doc_id, unnest(shingles) AS s FROM sh
        |), shset AS (SELECT DISTINCT s FROM ex),
-       |  ${XxOracleSql.stages("shset", "s", "s", "h64", 32, "g")},
+       |  ${XxOracleSql.stages("shset", "s", "s", "h64", 96, "g")},
        |exh AS (
        |  SELECT ex.doc_id, gfin.h64 AS h, gxx_ub(gfin.h64) AS hu FROM ex JOIN gfin USING (s)
        |), dfd AS (
@@ -1944,10 +1944,14 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Bloom sizing for [[qBloomNovel]]: ~16 bits/item at the corpus
-    * digest count → ~½% false-positive rate; the fp residue pays one
-    * exact anti-join, the rest of the novel mass never shuffles. */
-  private val BloomBits = 80000L
+  /** Bloom sizing for [[qBloomNovel]]: ~16 bits/item → ~½%
+    * false-positive rate AT EVERY SF — the item estimate comes from
+    * the corpus row count, not a constant, so the sketch cannot
+    * saturate as the corpus grows (a fixed 80k-bit sketch held the
+    * ½% claim only near sf0.001; past it, saturation would silently
+    * route nearly the whole arrival batch through the exact
+    * anti-join — still correct, but with the stated pruning gone). */
+  private val BloomBitsPerItem = 16L
 
   /** The bloom-flagged arrival frame (doc_id, text, maybe_known) —
     * exposed so the spec can assert the two Bloom guarantees
@@ -1960,14 +1964,20 @@ object TextOps {
       when(col("doc_id") % 5 === 0,
         concat(col("text"), lit(" graft-novel-suffix")))
         .otherwise(col("text")).as("text"))
-    // the sketch is DRIVER-HELD MODEL STATE (BloomBits/8 ≈ 10 KB —
+    // size the sketch from the corpus row count: BloomFilterAggregate
+    // needs estItems/numBits as FOLDABLE literals, so the count runs
+    // first — a parquet metadata count (no column scan), the same
+    // "one scalar before planning" shape as the k-core median probe
+    val estItems = math.max(docs.count(), 1L)
+    val numBits = math.max(BloomBitsPerItem * estItems, 1024L)
+    // the sketch is DRIVER-HELD MODEL STATE (numBits/8 = 2 bytes/doc —
     // the Lloyd-centroid class of collect, never data): might_contain
     // requires a constant/scalar-subquery filter side, and inlining the
     // aggregated sketch as a literal is exactly how AQE's runtime
     // filters plant it — the predicate then rides the scan per-row
     // with no join at all
     val bf = docs.agg(
-      expr(s"graft_bloom_agg(xxhash64(text), 10000L, ${BloomBits}L)").as("bf"))
+      expr(s"graft_bloom_agg(xxhash64(text), ${estItems}L, ${numBits}L)").as("bf"))
       .head.getAs[Array[Byte]]("bf")
     arrivals.withColumn("maybe_known",
       call_function("graft_might_contain", lit(bf), xxhash64(col("text"))))

@@ -32,8 +32,10 @@ package graft.operators
   *    exponentially; staging keeps every reference a column ref.
   *    Lengths are data-dependent, so every stage guards on the byte
   *    count (`nst`/`nfw`/`n%8`/`n%4`) — the SAME branch structure the
-  *    reference algorithm takes. Strings longer than `maxB` yield
-  *    NULL (fail-loud: the driver's hash compare cannot miss it).
+  *    reference algorithm takes. Strings longer than `maxB` RAISE via
+  *    DuckDB's `error()` (fail-loud at the stage itself — the oracle
+  *    run aborts, which no NULL-skipping aggregate downstream can
+  *    hide).
   *
   * Correctness evidence: bit-identical to Spark's `xxhash64` on
   * empty/1/4/8/31/32/33/127/128-byte vectors, multi-byte UTF-8, and
@@ -81,8 +83,13 @@ private[operators] object XxOracleSql {
 
   /** CTE chain hashing `scol` of `src` into BIGINT column `out` on the
     * final CTE `<pfx>fin` (carrying `key`). `maxB` bounds the input
-    * bytes (multiple of 32); longer strings hash to NULL. `pfx` keeps
-    * two chains in one statement from colliding. */
+    * bytes (multiple of 32); a longer string RAISES via DuckDB's
+    * `error()` — a NULL here used to be silently skipped by downstream
+    * MIN()/SUM() aggregations (pooled into one window partition by
+    * PARTITION BY h), degrading "fail-loud" to a confusing hash
+    * mismatch at best, so the bound violation now surfaces as a
+    * definite oracle fault instead. `pfx` keeps two chains in one
+    * statement from colliding. */
   def stages(src: String, key: String, scol: String, out: String,
       maxB: Int, pfx: String): String = {
     require(maxB % 32 == 0 && maxB > 0, s"maxB must be a positive multiple of 32, got $maxB")
@@ -148,7 +155,9 @@ private[operators] object XxOracleSql {
     }
     parts += s"${pfx}f1 AS (SELECT $key, n, gxx_mul(xor(h, h // ${pow2(33)}), $P2) AS h FROM $prev)"
     parts += s"${pfx}f2 AS (SELECT $key, n, gxx_mul(xor(h, h // ${pow2(29)}), $P3) AS h FROM ${pfx}f1)"
-    parts += s"${pfx}fin AS (SELECT $key, CASE WHEN n > $maxB THEN NULL ELSE gxx_sb(xor(h, h // ${pow2(32)})) END AS $out FROM ${pfx}f2)"
+    parts += s"${pfx}fin AS (SELECT $key, CASE WHEN n > $maxB THEN " +
+      s"CAST(error('graft xxhash64 oracle: input exceeds maxB=$maxB bytes') AS BIGINT) " +
+      s"ELSE gxx_sb(xor(h, h // ${pow2(32)})) END AS $out FROM ${pfx}f2)"
     parts.mkString(",\n  ")
   }
 
