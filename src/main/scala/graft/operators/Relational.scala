@@ -1062,6 +1062,62 @@ object Relational {
           <= col("uniq_users").cast("double") * lit(0.15)).as("within_bound"))
       .orderBy("event_type")
 
+  /** Count-Min-Sketch eps (additive error ≤ eps·N) and confidence for
+    * [[qCmsWatchlist]] — width 2000 × depth 10 ≈ 160 KB of counters,
+    * a fixed size however large the stream. */
+  private val CmsEps = 0.001
+  private val CmsConf = 0.999
+  /** Monitored-key count: a FIXED-size deterministic watchlist (hash
+    * order over part keys), so the driver-side sketch reads stay
+    * model-state-bounded at every SF. */
+  private val CmsWatch = 100
+
+  // Count-Min-Sketch frequency monitoring — the 100 TB answer to "how
+  // often does each key on THIS watchlist occur in the fact stream"
+  // without a stream-wide groupBy: ONE pass folds lineitem's part keys
+  // into Spark's own CountMinSketchAgg (fixed seed → deterministic;
+  // merge is element-wise addition, safe at any parallelism), the
+  // ~160 KB sketch comes back as driver model state, and the watchlist
+  // estimates are driver-side point reads. ORACLED via the
+  // error-bound-flag formulation (q_approx_distinct's device): the
+  // query emits each key's EXACT count (computable here because the
+  // watchlist is tiny — one broadcast semi-join + agg) plus the two CM
+  // guarantees as booleans — never_undercounts (est ≥ exact, a HARD
+  // sketch invariant) and within_eps (est ≤ exact + eps·N). DuckDB
+  // asserts the exact counts and TRUE/TRUE, so a sketch drifting out
+  // of its guarantee is a hash FAILURE, not a silent estimate change.
+  private def qCmsWatchlist(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CmsExpressions.register(s)
+    val li = Tables.lineitem(s, d).select(col("l_partkey"))
+    val sketchBytes = li.agg(expr(
+      s"graft_cms_agg(l_partkey, CAST($CmsEps AS DOUBLE), CAST($CmsConf AS DOUBLE), 42)"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    // deterministic fixed-size watchlist: first CmsWatch part keys in
+    // md5 order — a bounded model-state collect at every SF
+    val watch: Seq[Long] = Tables.part(s, d)
+      .select(col("p_partkey"))
+      .orderBy(md5(col("p_partkey").cast("string")))
+      .limit(CmsWatch)
+      .collect().map(_.getLong(0)).toSeq
+    val slack = math.ceil(CmsEps * cms.totalCount()).toLong
+    val est = watch.map(k => (k, cms.estimateCount(java.lang.Long.valueOf(k))))
+    import s.implicits._
+    val estDf = est.toDF("p_partkey", "est")
+    val exact = li
+      .join(broadcast(estDf.select(col("p_partkey").as("l_partkey"))),
+        Seq("l_partkey"), "left_semi")
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    broadcast(estDf).join(exact, Seq("p_partkey"), "left_outer")
+      .withColumn("exact_cnt", coalesce(col("exact_cnt"), lit(0L)))
+      .select(col("p_partkey"), col("exact_cnt"),
+        (col("est") >= col("exact_cnt")).as("never_undercounts"),
+        (col("est") <= col("exact_cnt") + lit(slack)).as("within_eps"))
+      .orderBy("p_partkey")
+  }
+
   /** Key-distribution skew diagnostics — the pre-flight question every
     * 100 TB shuffle plan asks before choosing salting / AQE skew
     * handling: per event_type (plus an ALL row over per-user totals),
@@ -1130,6 +1186,7 @@ object Relational {
     "q_case_when" -> (qCaseWhen _),
     "q_math_funcs" -> (qMathFuncs _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_cms_watchlist" -> (qCmsWatchlist _),
     "q_pivot" -> (qPivot _),
     "q_join_salted" -> (qJoinSalted _),
     "q_scalar_subquery" -> (qScalarSubquery _),
@@ -1454,6 +1511,24 @@ object Relational {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q_cms_watchlist" ->
+      // same error-bound-flag device: exact per-key counts are
+      // asserted bit-for-bit; the sketch estimates are gated through
+      // the two CM guarantees (est >= exact always; est <= exact +
+      // eps*N at the configured confidence), which must BOTH read TRUE
+      s"""WITH watch AS (
+         |  SELECT p_partkey FROM part
+         |  ORDER BY md5(CAST(p_partkey AS VARCHAR)) LIMIT $CmsWatch
+         |), exact AS (
+         |  SELECT l_partkey AS p_partkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+         |  FROM lineitem
+         |  WHERE l_partkey IN (SELECT p_partkey FROM watch)
+         |  GROUP BY l_partkey
+         |)
+         |SELECT w.p_partkey, COALESCE(e.exact_cnt, 0) AS exact_cnt,
+         |       TRUE AS never_undercounts, TRUE AS within_eps
+         |FROM watch w LEFT JOIN exact e ON e.p_partkey = w.p_partkey
+         |ORDER BY w.p_partkey""".stripMargin,
     "q_count_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

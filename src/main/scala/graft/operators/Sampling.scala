@@ -344,7 +344,73 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Hashed-feature bucket count for [[qDsirWeights]] — 2^12 buckets,
+    * the paper's "hashed n-gram features" device scaled to the
+    * fixture vocabulary (the bucket TABLE is model-sized at any SF:
+    * λ lives on ≤ 4096 rows regardless of corpus size). */
+  private val DsirBuckets = 4096L
+
+  // DSIR-style importance resampling (Data Selection via Importance
+  // Resampling, Xie et al. 2023 — public paper): score every raw
+  // document by how much more likely its hashed-bigram features are
+  // under a TARGET domain's bag-of-features model than under the raw
+  // corpus's own, then keep the top of the weight order. Here the
+  // target is the English subset (select from the multilingual pool
+  // the documents that "look like" the en profile) and features are
+  // md5-hashed token bigrams in DsirBuckets buckets, both straight
+  // from the paper's recipe (hashed n-grams + smoothed multinomial
+  // ratio). Determinism: the importance weight per bucket is ONE
+  // fixed-shape IEEE expression over four exact BIGINT counts
+  //   λ_f = ln( (ct_f+1)·(Tr+B) / ((cr_f+1)·(Tt+B)) )
+  // pinned to DECIMAL(18,9) (the q_lm_score ln discipline); per-doc
+  // weights are exact decimal sums of n_f·λ_f, cast to double once.
+  // Scale shape: one bigram fan-out + one (doc, f) hash agg is the
+  // only corpus-sized work; target/raw bucket models and λ are
+  // ≤ DsirBuckets rows (broadcast), so at 100 TB the query is one
+  // pass + one model-sized broadcast join — no shuffle ever carries
+  // more than the (doc, f) aggregate.
+  private def qDsirWeights(s: SparkSession, d: String): DataFrame = {
+    val feats = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        s"""transform(sequence(1, size(toks) - 1),
+              i -> CAST(conv(substring(md5(concat(toks[i-1], ' ', toks[i])), 1, 8), 16, 10) AS BIGINT) % $DsirBuckets"""
+          + ")")).as("f"))
+    // the only corpus-sized aggregate — feeds both bucket models AND
+    // the final weight join, so it is checkpointed once
+    val perDoc = feats.groupBy(col("doc_id"), col("lang"), col("f"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val raw = perDoc.groupBy(col("f")).agg(sum(col("n")).as("cr"))
+    val tgt = perDoc.filter(col("lang") === "en")
+      .groupBy(col("f")).agg(sum(col("n")).as("ct"))
+    val tot = perDoc.agg(
+      sum(col("n")).as("tr"),
+      sum(when(col("lang") === "en", col("n")).otherwise(lit(0L))).as("tt"))
+    val lam = raw
+      .join(tgt, Seq("f"), "left_outer")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("lam", expr(
+        s"""CAST(ln((CAST(ct + 1 AS DOUBLE) * CAST(tr + $DsirBuckets AS DOUBLE))
+                  / (CAST(cr + 1 AS DOUBLE) * CAST(tt + $DsirBuckets AS DOUBLE)))
+              AS DECIMAL(18,9))"""))
+      .select("f", "lam")
+    // n is narrowed to DECIMAL(10,0) BEFORE the multiply: a BIGINT
+    // operand would make the product precision 18+20+1 = 39 > 38, and
+    // Spark resolves that overflow by dropping the scale to 8 — the
+    // 9th λ decimal would be silently rounded away on one engine only
+    perDoc.join(broadcast(lam), Seq("f"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        expr("CAST(SUM(CAST(n AS DECIMAL(10,0)) * lam) AS DOUBLE)").as("weight"))
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(200)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_weights" -> (qDsirWeights _),
     "q_bootstrap" -> (qBootstrap _),
     "q_shard_plan" -> (qShardPlan _),
     "q_time_split" -> (qTimeSplit _),
@@ -364,6 +430,37 @@ object Sampling {
       |     ELSE 'test' END""".stripMargin.replace("\n", " ")
 
   val oracle: Map[String, String] = Map(
+    "q_dsir_weights" ->
+      s"""WITH feats AS (
+         |  SELECT doc_id, lang,
+         |         unnest(list_transform(range(1, len(toks)),
+         |           i -> CAST('0x' || substring(md5(toks[i] || ' ' || toks[i+1]), 1, 8) AS BIGINT) % $DsirBuckets)) AS f
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+         |        WHERE len(string_split(text, ' ')) >= 2)
+         |), perdoc AS (
+         |  SELECT doc_id, lang, f, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM feats GROUP BY doc_id, lang, f
+         |), craw AS (
+         |  SELECT f, CAST(SUM(n) AS BIGINT) AS cr FROM perdoc GROUP BY f
+         |), ctgt AS (
+         |  SELECT f, CAST(SUM(n) AS BIGINT) AS ct FROM perdoc WHERE lang = 'en' GROUP BY f
+         |), tot AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS tr,
+         |         CAST(SUM(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS tt
+         |  FROM perdoc
+         |), lam AS (
+         |  SELECT craw.f,
+         |         CAST(ln((CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * CAST(tr + $DsirBuckets AS DOUBLE))
+         |               / (CAST(cr + 1 AS DOUBLE) * CAST(tt + $DsirBuckets AS DOUBLE)))
+         |           AS DECIMAL(18,9)) AS lam
+         |  FROM craw LEFT JOIN ctgt ON ctgt.f = craw.f CROSS JOIN tot
+         |)
+         |SELECT doc_id, lang, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         |       CAST(SUM(CAST(n AS DECIMAL(10,0)) * lam) AS DOUBLE) AS weight
+         |FROM perdoc JOIN lam USING (f)
+         |GROUP BY doc_id, lang
+         |ORDER BY weight DESC, doc_id
+         |LIMIT 200""".stripMargin,
     "q_bootstrap" ->
       s"""WITH fan AS (
          |  SELECT source, doc_id, n_chars, b,

@@ -1735,4 +1735,80 @@ class OperatorsSpec extends SparkSpec {
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracle entries without queries: $extra")
   }
+
+  test("dsir weights: full driver replay of the hashed-bigram importance model") {
+    val rows = q("q_dsir_weights").collect()
+    assert(rows.length == 200)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // (doc, lang, bucket) -> n, replayed with the same hashed-bigram rule
+    val perDoc = docs.flatMap { case (id, lang, text) =>
+      val t = text.split(" ", -1)
+      if (t.length < 2) Seq.empty[((Long, String, Long), Long)]
+      else t.sliding(2).map { w =>
+        val f = java.lang.Long.parseLong(
+          md5hex(w(0) + " " + w(1)).substring(0, 8), 16) % 4096L
+        ((id, lang, f), 1L)
+      }.toSeq
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val cr = perDoc.groupBy(_._1._3).view.mapValues(_.values.sum).toMap
+    val ct = perDoc.filter(_._1._2 == "en")
+      .groupBy(_._1._3).view.mapValues(_.values.sum).toMap
+    val tr = perDoc.values.sum
+    val tt = perDoc.filter(_._1._2 == "en").values.sum
+    // λ replayed with the engine's exact shape: one IEEE expression
+    // over exact counts, java.lang.Math.log (Spark's ln), HALF_UP pin
+    val lam: Map[Long, BigDecimal] = cr.map { case (f, c) =>
+      val num = (ct.getOrElse(f, 0L) + 1L).toDouble * (tr + 4096L).toDouble
+      val den = (c + 1L).toDouble * (tt + 4096L).toDouble
+      f -> BigDecimal(math.log(num / den)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val weights = perDoc.toSeq.groupBy(k => (k._1._1, k._1._2))
+      .map { case ((id, lang), xs) =>
+        (id, lang, xs.map(_._2).sum,
+          xs.map { case ((_, _, f), n) => BigDecimal(n) * lam(f) }.sum.toDouble)
+      }.toSeq
+    val top = weights.sortBy { case (id, _, _, w) => (-w, id) }.take(200)
+    rows.zip(top).foreach { case (r, (id, lang, n, w)) =>
+      assert(r.getAs[Long]("doc_id") == id, s"order diverged at doc $id")
+      assert(r.getAs[String]("lang") == lang)
+      assert(r.getAs[Long]("n_bigrams") == n)
+      assert(r.getAs[Double]("weight") == w,
+        s"weight mismatch for doc $id: ${r.getAs[Double]("weight")} vs $w")
+    }
+    // the selection property itself: the top of the weight order must
+    // be en-enriched relative to the corpus (that is DSIR's point)
+    val enTop = top.count(_._2 == "en").toDouble / top.size
+    val enAll = docs.count(_._2 == "en").toDouble / docs.length
+    assert(enTop > enAll,
+      f"top-200 en share $enTop%.3f not above corpus share $enAll%.3f")
+  }
+
+  test("cms watchlist: exact counts recounted; both CM guarantees hold") {
+    val rows = q("q_cms_watchlist").collect()
+    assert(rows.length == 100)
+    assert(rows.forall(_.getAs[Boolean]("never_undercounts")),
+      "CM sketch undercounted — a hard invariant violation")
+    assert(rows.forall(_.getAs[Boolean]("within_eps")),
+      "CM estimate exceeded exact + eps*N")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val watch = graft.sources.Tables.part(spark, Sf0001)
+      .select($"p_partkey").collect().map(_.getLong(0))
+      .sortBy(k => md5hex(k.toString)).take(100).toSet
+    val exact = graft.sources.Tables.lineitem(spark, Sf0001)
+      .select($"l_partkey").collect().map(_.getLong(0))
+      .filter(watch).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(_.getAs[Long]("p_partkey")).toSet == watch)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("p_partkey")
+      assert(r.getAs[Long]("exact_cnt") == exact.getOrElse(k, 0L),
+        s"exact count mismatch for part $k")
+    }
+  }
 }

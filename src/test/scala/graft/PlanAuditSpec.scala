@@ -431,4 +431,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"model-frame join fell back to SMJ:\n$p")
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
+
+  test("q_dsir_weights joins the model-sized λ table by broadcast only") {
+    // the (doc, f) aggregate is the ONLY corpus-sized frame; λ lives
+    // on ≤4096 rows and must never pull the corpus into a shuffle join
+    val p = plan("q_dsir_weights")
+    assert(!p.contains("SortMergeJoin"), s"λ join fell back to SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast λ join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-200 should avoid a full sort:\n$p")
+  }
+
+  test("q_cms_watchlist exact recount joins only the broadcast watchlist") {
+    val p = plan("q_cms_watchlist")
+    assert(!p.contains("SortMergeJoin"), s"watchlist join fell back to SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
 }
