@@ -417,6 +417,68 @@ object EventPipeline {
       .foreachBatch(annIngestBatch(centroids, keepers, outDir) _)
       .start()
 
+  /** CMS geometry for [[startFrequencyMonitor]] — the q_cms_watchlist
+    * parameters (width 2000 × depth 10 ≈ 160 KB, fixed seed so every
+    * sketch of the same rows is byte-identical). */
+  private val FreqEps = 0.001
+  private val FreqConf = 0.999
+
+  /** foreachBatch sink for [[startFrequencyMonitor]]: fold the
+    * micro-batch's keys into ONE Count-Min sketch (Spark's own
+    * CountMinSketchAgg via graft_cms_agg) and land the serialized
+    * counter grid in an epoch-keyed file — [[annIngestBatch]]'s
+    * idempotent-overwrite trade, so a replayed micro-batch rewrites
+    * its own sketch instead of double-counting. */
+  def cmsIngestBatch(keyCol: String, outDir: String)(batch: DataFrame, id: Long): Unit =
+    if (!batch.isEmpty) { // P9 empty-batch guard
+      graft.functions.CmsExpressions.register(batch.sparkSession)
+      val bytes = batch.agg(expr(
+        s"graft_cms_agg($keyCol, CAST($FreqEps AS DOUBLE), CAST($FreqConf AS DOUBLE), 42)"))
+        .head.getAs[Array[Byte]](0)
+      new java.io.File(outDir).mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$outDir/batch-$id.cms"), bytes)
+    }
+
+  /** Merge every epoch sketch under `dir` into one CountMinSketch.
+    * CMS merge is element-wise addition — associative, commutative —
+    * so the merged grid is BYTE-identical to a one-pass batch sketch
+    * over the same rows no matter how the stream chopped them into
+    * micro-batches (StreamingSpec pins that equality). The driver-side
+    * fold is over ~160 KB grids, one per epoch: model state, never
+    * data. */
+  def mergedCms(dir: String): org.apache.spark.util.sketch.CountMinSketch = {
+    val files = Option(new java.io.File(dir)
+        .listFiles((_, n) => n.endsWith(".cms")))
+      .getOrElse(Array.empty[java.io.File]).sortBy(_.getName)
+    require(files.nonEmpty, s"no epoch sketches under $dir")
+    files.map { f =>
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(
+          java.nio.file.Files.readAllBytes(f.toPath)))
+    }.reduce { (a, b) => a.mergeInPlace(b); a }
+  }
+
+  /** Streaming FREQUENCY MONITOR — the stream twin of
+    * q_cms_watchlist: each micro-batch folds its keys into a
+    * Count-Min sketch; the union-to-date view is [[mergedCms]] over
+    * the epoch files. Because the sketch algebra is exact addition,
+    * the stream answers "how often has key k occurred so far" with
+    * the SAME guarantees as a from-scratch batch pass (never an
+    * undercount; ≤ eps·N over at the configured confidence) while
+    * retaining ~160 KB per epoch — the unbounded-key frequency state
+    * a naive streaming groupBy would have to keep exactly is what
+    * this replaces at 100 TB. */
+  def startFrequencyMonitor(events: DataFrame, keyCol: String, outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(cmsIngestBatch(keyCol, outDir) _)
+      .start()
+
   /** 50-wide value bins over [0, 500), clamped into bin 9 — the fixed
     * binning shared by the drift monitor's batch and reference sides. */
   def valueBins(df: DataFrame): DataFrame =

@@ -888,6 +888,50 @@ class StreamingSpec extends SparkSpec {
     assert(after(1L) == first(1L))
     assert(after(2L) != first(2L) && after(2L).contains("click"))
   }
+
+  test("streaming CMS monitor: epoch sketches merge to the one-pass sketch byte-for-byte") {
+    val src = tmp("cms-src"); val out = tmp("cms-out"); val chk = tmp("cms-chk")
+    val keys = Tables.events(spark, Sf0001).select($"user_id")
+    // two files → two micro-batches under maxFilesPerTrigger=1
+    keys.filter($"user_id" % 2 === 0).coalesce(1).write.mode("overwrite").parquet(src)
+    Thread.sleep(1100)
+    keys.filter($"user_id" % 2 =!= 0).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def start() = EventPipeline.startFrequencyMonitor(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+      "user_id", out, chk)
+    val q = start(); q.awaitTermination(120000)
+    val epochs = new java.io.File(out).listFiles((_, n: String) => n.endsWith(".cms"))
+    assert(epochs.length >= 2,
+      "stream should have chopped the input into >=2 micro-batch sketches")
+    val merged = EventPipeline.mergedCms(out)
+    // one-pass batch sketch over the same rows — must be byte-identical
+    graft.functions.CmsExpressions.register(spark)
+    val oneShot = keys.agg(expr(
+      "graft_cms_agg(user_id, CAST(0.001 AS DOUBLE), CAST(0.999 AS DOUBLE), 42)"))
+      .head.getAs[Array[Byte]](0)
+    val bos = new java.io.ByteArrayOutputStream()
+    merged.writeTo(bos)
+    assert(java.util.Arrays.equals(bos.toByteArray, oneShot),
+      "merged epoch sketches differ from the one-pass batch sketch")
+    // CM guarantees vs exact counts on the 5 hottest users
+    val exact = keys.groupBy($"user_id").count()
+      .orderBy($"count".desc, $"user_id").limit(5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val slack = math.ceil(0.001 * merged.totalCount()).toLong
+    exact.foreach { case (k, c) =>
+      val est = merged.estimateCount(java.lang.Long.valueOf(k))
+      assert(est >= c, s"CMS undercount for user $k: $est < $c")
+      assert(est <= c + slack, s"CMS overcount beyond eps*N for user $k")
+    }
+    // restart on the same checkpoint, no new input: epochs untouched,
+    // the merged grid still equals the one-pass sketch
+    val q2 = start(); q2.awaitTermination(120000)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    EventPipeline.mergedCms(out).writeTo(bos2)
+    assert(java.util.Arrays.equals(bos2.toByteArray, oneShot),
+      "restart changed the merged sketch")
+  }
 }
 
 object StreamingSpec {
