@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the vector-similarity operators.
   *
@@ -156,15 +156,95 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** |a ∩ b| for two SORTED ARRAY<BIGINT> inputs via a two-pointer
+  * merge — the triangle-census hot loop. `array_intersect` builds an
+  * OpenHashSet PER ROW (one allocation + rehash per edge, random
+  * probes across the larger array); over the ~10⁹-element adjacency
+  * stream a 16× corpus feeds through the census, that allocation and
+  * cache-miss churn dominated the query. The merge does the same
+  * count with zero allocation and strictly sequential access.
+  * PRECONDITION: both arrays sorted ascending with distinct elements
+  * (the adjacency build sorts them) — unsorted input would undercount,
+  * so [[graft.operators.GraphOps]] only feeds it `sort_array` output.
+  * Null arrays yield null; elements are non-null by construction
+  * (collect_list output). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sorted_intersect_count expects ARRAY<BIGINT> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var cnt = 0L
+    var i = 0
+    var j = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { cnt += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |long $cnt = 0L;
+         |int $i = 0;
+         |int $j = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x == $y) { $cnt++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
-  /** Register `graft_dot` / `graft_cosine` in the session's function
-    * registry so plain SQL/expr strings can use them (idempotent;
-    * called per query build).
+  /** Register `graft_dot` / `graft_cosine` /
+    * `graft_sorted_intersect_count` in the session's function registry
+    * so plain SQL/expr strings can use them (idempotent; called per
+    * query build).
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
   }
 }
