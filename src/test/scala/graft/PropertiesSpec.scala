@@ -268,4 +268,53 @@ class PropertiesSpec extends SparkSpec {
           docs.map(_.mkString(" ")).mkString(" | "))
     }
   }
+
+  test("graft_sorted_intersect_count == |array_intersect| on random sorted arrays") {
+    graft.functions.VectorExpressions.register(spark)
+    val arrGen = for {
+      na <- Gen.choose(0, 30)
+      nb <- Gen.choose(0, 30)
+      a <- Gen.listOfN(na, Gen.choose(0L, 40L))
+      b <- Gen.listOfN(nb, Gen.choose(0L, 40L))
+    } yield (a.distinct.sorted, b.distinct.sorted)
+    forAllSampled(arrGen, trials = 30) { case (a, b) =>
+      val row = Seq((a, b)).toDF("a", "b")
+        .select(
+          call_function("graft_sorted_intersect_count", col("a"), col("b")).as("merge"),
+          size(array_intersect(col("a"), col("b"))).cast("long").as("hash"))
+        .head()
+      assert(row.getLong(0) == row.getLong(1),
+        s"merge=${row.getLong(0)} hash=${row.getLong(1)} a=$a b=$b")
+      assert(row.getLong(0) == a.toSet.intersect(b.toSet).size.toLong)
+    }
+  }
+
+  test("triangleCount == triangleRows count == brute force on random graphs") {
+    val graphGen = for {
+      n <- Gen.choose(3, 25)
+      m <- Gen.choose(0, 80)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.choose(1L, n.toLong), Gen.choose(1L, n.toLong)))
+    } yield edges.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct
+    forAllSampled(graphGen, trials = 6) { edges =>
+      val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+      val nodes = adj.keys.toSeq.sorted
+      val brute = (for {
+        a <- nodes; b <- nodes if b > a && adj(a)(b)
+        c <- nodes if c > b && adj(a)(c) && adj(b)(c)
+      } yield 1).size.toLong
+      val eDf =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("u", "v")
+        else edges.toDF("u", "v")
+      val degDf = eDf.select(col("u").as("node"))
+        .unionAll(eDf.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val viaCount = graft.operators.GraphOps.triangleCount(eDf, degDf)
+        .head().getLong(0)
+      val viaRows = graft.operators.GraphOps.triangleRows(eDf, degDf).count()
+      assert(viaCount == brute, s"count path: $viaCount vs brute $brute, edges=$edges")
+      assert(viaRows == brute, s"rows path: $viaRows vs brute $brute, edges=$edges")
+    }
+  }
 }
