@@ -119,6 +119,74 @@ object Windows {
       .orderBy("user_id", "session_id")
   }
 
+  /** Sweep-line peak concurrency — "how many sessions were open at
+    * once", the capacity-planning twin of sessionization (the
+    * reference sizes its serving layer off exactly this kind of
+    * concurrent-engagement figure; its Cassandra wide rows cluster by
+    * event_time for the same reason, `cassandra-setup.cql:22-23`).
+    *
+    * Each 30-min-gap session (same construction as q_sessionize)
+    * becomes two deltas — (+1 at start_us, −1 at last_event+30 min) —
+    * emitted via ONE explode, not a union of two scans of the session
+    * frame. Concurrency is the prefix sum of deltas in the total order
+    * (us, delta, user_id, session_id): delta = −1 sorts before +1, so
+    * back-to-back intervals never double-count, and the unique
+    * (user_id, session_id) tail makes the order — and therefore every
+    * intermediate running value — identical cross-engine.
+    *
+    * Scale shape: a global running sum would be a single-partition
+    * window. Instead the prefix sum is TWO-LEVEL: a per-day windowed
+    * running sum (day-partitioned — parallel across the cluster) plus
+    * a carry-in of prior days' net deltas computed on the day-grain
+    * frame (≤ a few thousand rows at any corpus scale — model-sized,
+    * so its single-partition window is free). peak = max(open at day
+    * start, day max of carried running) — exact BIGINTs end to end. */
+  private def qConcurrency(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull
+          || (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > lit(1800000000L), 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(unix_micros(col("ts"))).as("start_us"),
+        (max(unix_micros(col("ts"))) + lit(1800000000L)).as("end_us"))
+    val deltas = sessions
+      .select(col("user_id"), col("session_id"),
+        explode(array(
+          struct(col("start_us").as("us"), lit(1L).as("delta")),
+          struct(col("end_us").as("us"), lit(-1L).as("delta")))).as("e"))
+      .select(col("user_id"), col("session_id"), col("e.us").as("us"),
+        col("e.delta").as("delta"))
+      .withColumn("day_idx", expr("us DIV 86400000000"))
+    val byDay = Window.partitionBy(col("day_idx"))
+      .orderBy(col("us"), col("delta"), col("user_id"), col("session_id"))
+    val perDay = deltas
+      .withColumn("running", sum(col("delta")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("day_idx"))
+      .agg(
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_opens"),
+        sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_closes"),
+        max(col("running")).as("max_running"),
+        sum(col("delta")).as("day_total"))
+    val byDayOrder = Window.orderBy(col("day_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .withColumn("open_at_end", sum(col("day_total")).over(byDayOrder))
+      .withColumn("open_at_start", col("open_at_end") - col("day_total"))
+      .select(col("day_idx"),
+        expr("CAST(DATE_ADD(DATE '1970-01-01', CAST(day_idx AS INT)) AS TIMESTAMP)").as("day"),
+        col("n_opens"), col("n_closes"), col("open_at_start"), col("open_at_end"),
+        greatest(col("open_at_start"), col("open_at_start") + col("max_running"))
+          .as("peak_concurrency"))
+      .orderBy("day_idx")
+  }
+
   /** Clickstream path mining — the funnel-discovery op on top of
     * sessionization: each session's ordered event-type sequence
     * becomes a path string ('click>play>finish'), then the corpus-wide
@@ -528,6 +596,7 @@ object Windows {
     "q_sessionize" -> (qSessionize _),
     "q_session_paths" -> (qSessionPaths _),
     "q_session_window" -> (qSessionWindow _),
+    "q_concurrency" -> (qConcurrency _),
     "q_topk_typed" -> (qTopkTyped _),
     "q_funnel" -> (qFunnel _),
     "q_funnel_outer" -> (qFunnelOuter _),
@@ -717,6 +786,54 @@ object Windows {
         |FROM agg
         |ORDER BY rank
         |LIMIT 50""".stripMargin,
+    "q_concurrency" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN LAG(ts, 1) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessioned AS (
+        |  SELECT user_id, ts,
+        |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged
+        |), sess AS (
+        |  SELECT user_id, session_id,
+        |         CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_us,
+        |         CAST(MAX(epoch_us(ts)) + 1800000000 AS BIGINT) AS end_us
+        |  FROM sessioned GROUP BY user_id, session_id
+        |), deltas AS (
+        |  SELECT user_id, session_id, start_us AS us, CAST(1 AS BIGINT) AS delta FROM sess
+        |  UNION ALL
+        |  SELECT user_id, session_id, end_us AS us, CAST(-1 AS BIGINT) AS delta FROM sess
+        |), run AS (
+        |  SELECT us // 86400000000 AS day_idx, us, delta, user_id, session_id,
+        |         CAST(SUM(delta) OVER (PARTITION BY us // 86400000000
+        |           ORDER BY us, delta, user_id, session_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+        |  FROM deltas
+        |), per_day AS (
+        |  SELECT day_idx,
+        |         CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_opens,
+        |         CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_closes,
+        |         CAST(MAX(running) AS BIGINT) AS max_running,
+        |         CAST(SUM(delta) AS BIGINT) AS day_total
+        |  FROM run GROUP BY day_idx
+        |), carried AS (
+        |  SELECT day_idx, n_opens, n_closes, max_running, day_total,
+        |         CAST(SUM(day_total) OVER (ORDER BY day_idx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_at_end
+        |  FROM per_day
+        |)
+        |SELECT day_idx, DATE '1970-01-01' + CAST(day_idx AS INTEGER) AS day,
+        |       n_opens, n_closes,
+        |       open_at_end - day_total AS open_at_start, open_at_end,
+        |       greatest(open_at_end - day_total,
+        |                open_at_end - day_total + max_running) AS peak_concurrency
+        |FROM carried
+        |ORDER BY day_idx""".stripMargin,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,

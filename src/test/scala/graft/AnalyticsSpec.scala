@@ -32,6 +32,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(cums.last == graft.sources.Tables.orders(spark, Sf0001).count())
   }
 
+  test("q_concurrency: driver sweep-line replay matches per-day peaks and balances") {
+    val rows = q("q_concurrency").collect()
+    assert(rows.nonEmpty)
+    // Driver replay: sessionize (30-min gap), build (+1 start, −1 end+30min)
+    // deltas, ONE global prefix sum (the query's two-level sum must agree
+    // with the single-level truth), then per-day stats.
+    val evs = graft.sources.Tables.events(spark, Sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gap = 1800000000L
+    val deltas = evs.groupBy(_._1).toSeq.flatMap { case (uid, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      var sid = 0L
+      var sessions = Vector.empty[(Long, Long, Long, Long)] // uid, sid, start, end
+      var start = sorted.head._2; var last = sorted.head._2
+      for (e <- sorted.tail) {
+        if (e._2 - last > gap) {
+          sid += 1 // matches the cumulative-is_new numbering (first session = 1)
+          sessions :+= ((uid, sid, start, last + gap)); start = e._2
+        }
+        last = e._2
+      }
+      sessions :+= ((uid, sid + 1, start, last + gap))
+      sessions.flatMap { case (u, s2, st, en) =>
+        Seq((st, 1L, u, s2), (en, -1L, u, s2))
+      }
+    }.sortBy(t => (t._1, t._2, t._3, t._4))
+    var running = 0L
+    val perDay = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (Long, Long, Long, Long)] // opens, closes, peak, atStart
+    for ((us, dl, _, _) <- deltas) {
+      val day = us / 86400000000L
+      val (o, c, p, st) = perDay.getOrElse(day, (0L, 0L, running, running))
+      running += dl
+      perDay(day) = (o + (if (dl > 0) 1L else 0L), c + (if (dl < 0) 1L else 0L),
+        math.max(p, running), st)
+    }
+    assert(rows.length == perDay.size)
+    for (r <- rows) {
+      val day = r.getAs[Long]("day_idx")
+      val (o, c, p, st) = perDay(day)
+      assert(r.getAs[Long]("n_opens") == o, s"opens day $day")
+      assert(r.getAs[Long]("n_closes") == c, s"closes day $day")
+      assert(r.getAs[Long]("peak_concurrency") == p, s"peak day $day")
+      assert(r.getAs[Long]("open_at_start") == st, s"at-start day $day")
+      assert(r.getAs[Long]("open_at_end") == st + o - c, s"at-end day $day")
+    }
+    // global balance: every open eventually closes
+    assert(rows.map(r => r.getAs[Long]("n_opens") - r.getAs[Long]("n_closes")).sum == 0L)
+    assert(rows.last.getAs[Long]("open_at_end") == 0L)
+  }
+
   test("q_hill_tail: a source too small for the estimator surfaces with NULLs, not silence") {
     // 3 docs < kk+1 (kk >= 5): no (k+1)-th order statistic exists, so
     // the metric columns must be NULL — but the source itself must
