@@ -187,6 +187,51 @@ object Windows {
       .orderBy("day_idx")
   }
 
+  /** Gaps-and-islands: longest consecutive-day activity streak per
+    * user — the retention idiom beside q_retention's cohort view (the
+    * reference's engagement schema exists to answer exactly this
+    * "how sticky is a user" class of question over
+    * `engagement_events.event_ts`, `setup.sql:12-21`).
+    *
+    * Classic anchor construction: distinct active days per user, then
+    * day_idx − row_number is constant exactly on a run of consecutive
+    * days, so a hash aggregate on (user, anchor) yields the islands —
+    * no self-join, no iteration. The best island is elected by
+    * (len DESC, start ASC) row_number, a deterministic total order.
+    *
+    * Scale shape: the distinct collapses map-side; every window is
+    * user-partitioned (no global sort); islands ≤ active-days rows.
+    * All outputs are exact BIGINTs/timestamps — hash-gated. */
+  private def qStreaks(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+      .distinct()
+    val byU = Window.partitionBy(col("user_id")).orderBy(col("day_idx"))
+    val islands = daily
+      .withColumn("rn", row_number().over(byU))
+      .withColumn("anchor", col("day_idx") - col("rn"))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(
+        min(col("day_idx")).as("start_idx"),
+        max(col("day_idx")).as("end_idx"),
+        count(lit(1)).as("len"))
+    val byLen = Window.partitionBy(col("user_id"))
+      .orderBy(col("len").desc, col("start_idx"))
+    islands
+      .withColumn("r", row_number().over(byLen))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("len")).as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(when(col("r") === 1, col("len"))).as("max_streak"),
+        max(when(col("r") === 1, col("start_idx"))).as("best_start_idx"))
+      .select(col("user_id"), col("active_days"), col("n_streaks"),
+        col("max_streak"),
+        expr("CAST(DATE_ADD(DATE '1970-01-01', CAST(best_start_idx AS INT)) AS TIMESTAMP)")
+          .as("max_streak_start"))
+      .orderBy("user_id")
+  }
+
   /** Clickstream path mining — the funnel-discovery op on top of
     * sessionization: each session's ordered event-type sequence
     * becomes a path string ('click>play>finish'), then the corpus-wide
@@ -597,6 +642,7 @@ object Windows {
     "q_session_paths" -> (qSessionPaths _),
     "q_session_window" -> (qSessionWindow _),
     "q_concurrency" -> (qConcurrency _),
+    "q_streaks" -> (qStreaks _),
     "q_topk_typed" -> (qTopkTyped _),
     "q_funnel" -> (qFunnel _),
     "q_funnel_outer" -> (qFunnelOuter _),
@@ -786,6 +832,37 @@ object Windows {
         |FROM agg
         |ORDER BY rank
         |LIMIT 50""".stripMargin,
+    "q_streaks" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_idx
+        |  FROM events
+        |), anchored AS (
+        |  SELECT user_id, day_idx,
+        |         day_idx - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_idx)
+        |           AS anchor
+        |  FROM daily
+        |), islands AS (
+        |  SELECT user_id, anchor,
+        |         CAST(MIN(day_idx) AS BIGINT) AS start_idx,
+        |         CAST(MAX(day_idx) AS BIGINT) AS end_idx,
+        |         CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM anchored GROUP BY user_id, anchor
+        |), ranked AS (
+        |  SELECT user_id, start_idx, len,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY len DESC, start_idx) AS r
+        |  FROM islands
+        |)
+        |SELECT user_id,
+        |       CAST(SUM(len) AS BIGINT) AS active_days,
+        |       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |       CAST(MAX(CASE WHEN r = 1 THEN len END) AS BIGINT) AS max_streak,
+        |       CAST(DATE '1970-01-01' +
+        |            CAST(MAX(CASE WHEN r = 1 THEN start_idx END) AS INTEGER) AS TIMESTAMP)
+        |         AS max_streak_start
+        |FROM ranked
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "q_concurrency" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,

@@ -84,6 +84,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.last.getAs[Long]("open_at_end") == 0L)
   }
 
+  test("q_streaks: driver consecutive-run replay matches islands and best election") {
+    val rows = q("q_streaks").collect()
+    assert(rows.nonEmpty)
+    val daily = graft.sources.Tables.events(spark, Sf0001)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = daily.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    assert(rows.length == byUser.size)
+    for (r <- rows) {
+      val days = byUser(r.getAs[Long]("user_id"))
+      // split the sorted distinct days into maximal consecutive runs
+      val runs = days.foldLeft(Vector.empty[Vector[Long]]) { (acc, d0) =>
+        if (acc.nonEmpty && acc.last.last == d0 - 1) acc.init :+ (acc.last :+ d0)
+        else acc :+ Vector(d0)
+      }
+      assert(r.getAs[Long]("active_days") == days.size)
+      assert(r.getAs[Long]("n_streaks") == runs.size)
+      val best = runs.maxBy(run => (run.size.toLong, -run.head))
+      assert(r.getAs[Long]("max_streak") == best.size)
+      assert(r.getAs[java.sql.Timestamp]("max_streak_start").getTime ==
+        best.head * 86400000L)
+    }
+  }
+
   test("q_hill_tail: a source too small for the estimator surfaces with NULLs, not silence") {
     // 3 docs < kk+1 (kk >= 5): no (k+1)-th order statistic exists, so
     // the metric columns must be NULL — but the source itself must
