@@ -246,6 +246,72 @@ object GraphOps {
   // integers, parenthesized identically in both engines.
   private val MinPairSupport = 3
 
+  /** Multi-source BFS centrality — closeness, harmonic centrality and
+    * eccentricity from 8 hash-elected seed nodes. The per-seed BFS is
+    * the level-synchronous frontier iteration (the Pregel shape): each
+    * round joins the current frontier with the adjacency list, drops
+    * already-visited (seed, node) pairs with an anti join, and cuts
+    * lineage per round; it stops when a frontier comes back empty and
+    * FAILS LOUD at [[BfsMaxRounds]] (a half-explored graph must never
+    * ship as a centrality figure). Seeds are md5-elected so the probe
+    * set is deterministic and unbiased by id assignment.
+    *
+    * Scale shape: each round is one node-keyed equi join (frontier ⋈
+    * adjacency) plus an anti join against visited — all O(frontier ×
+    * avg-degree) rows, never all-pairs; rounds ≤ graph diameter. At
+    * 100 TB the visited set is the big operand (k·|V| rows); it stays
+    * partitioned by node and is only ever anti-joined, never sorted.
+    * Exact-landmark closeness over k seeds is the standard scale
+    * substitute for all-pairs shortest paths (O(k·|E|) vs O(|V|·|E|)).
+    *
+    * Determinism: distances are exact BIGINTs; closeness is one IEEE
+    * division; harmonic sums DECIMAL(18,9)-pinned 1/d terms (1/d is a
+    * single IEEE op on exact integers — bit-identical cross-engine). */
+  private val BfsMaxRounds = 32
+  private val BfsSeeds = 8
+  private def qCloseness(s: SparkSession, d: String): DataFrame = {
+    val (e, deg) = coEdgesDegM(s, d)
+    val adj = e.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+    val seeds = deg.select(col("node"))
+      .orderBy(md5(col("node").cast("string")), col("node")).limit(BfsSeeds)
+    var visited = seeds
+      .select(col("node").as("seed"), col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = visited
+    var n = frontier.count()
+    var round = 0
+    while (n > 0 && round < BfsMaxRounds) {
+      val expanded = frontier.join(adj, col("node") === col("a"))
+        .select(col("seed"), col("b").as("node"), (col("dist") + 1L).as("dist"))
+        .distinct()
+        .join(visited.select(col("seed").as("vs"), col("node").as("vn")),
+          col("seed") === col("vs") && col("node") === col("vn"), "left_anti")
+        .localCheckpoint()
+      n = expanded.count()
+      if (n > 0) visited = visited.unionAll(expanded).localCheckpoint()
+      frontier = expanded
+      round += 1
+    }
+    if (n > 0)
+      throw new IllegalStateException(
+        s"BFS did not exhaust the graph in $BfsMaxRounds rounds — " +
+          "eccentricity exceeds the cap; raise BfsMaxRounds deliberately " +
+          "rather than shipping truncated centralities")
+    visited.groupBy(col("seed"))
+      .agg(
+        count(lit(1)).as("n_reached"),
+        max(col("dist")).as("eccentricity"),
+        sum(col("dist")).as("sum_dist"),
+        expr("""CAST(SUM(CASE WHEN dist > 0
+                THEN CAST(CAST(1.0 AS DOUBLE) / CAST(dist AS DOUBLE) AS DECIMAL(18,9))
+                ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE)""").as("harmonic"))
+      .withColumn("closeness",
+        (col("n_reached") - lit(1L)).cast("double") / col("sum_dist").cast("double"))
+      .select("seed", "n_reached", "eccentricity", "sum_dist", "closeness", "harmonic")
+      .orderBy("seed")
+  }
+
   private def qBasketLift(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
     val nOrders = li.select("l_orderkey").distinct()
@@ -602,6 +668,7 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> (qTriangles _),
+    "q_closeness" -> (qCloseness _),
     "q_adamic_adar" -> (qAdamicAdar _),
     "q_local_cc" -> (qLocalCc _),
     "q_basket_lift" -> (qBasketLift _),
@@ -851,6 +918,39 @@ object GraphOps {
     // the oracle counts ordered triples u<v<w by part id — a hash-family
     // -free formulation that is independent of the degree orientation
     // the engine uses, so it cross-checks the orientation logic itself
+    "q_closeness" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$pairsSql
+         |), adj AS (
+         |  SELECT u AS a, v AS b FROM pairs
+         |  UNION ALL SELECT v AS a, u AS b FROM pairs
+         |), nodes AS (
+         |  SELECT DISTINCT a AS node FROM adj
+         |), seeds AS (
+         |  SELECT node AS seed FROM nodes
+         |  ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT 8
+         |), bfs AS (
+         |  SELECT seed, seed AS node, 0 AS dist FROM seeds
+         |  UNION
+         |  SELECT b.seed, a.b AS node, b.dist + 1 AS dist
+         |  FROM bfs b JOIN adj a ON a.a = b.node
+         |  WHERE b.dist < 32
+         |), sp AS (
+         |  SELECT seed, node, CAST(MIN(dist) AS BIGINT) AS dist
+         |  FROM bfs GROUP BY seed, node
+         |)
+         |SELECT seed,
+         |       CAST(COUNT(*) AS BIGINT) AS n_reached,
+         |       CAST(MAX(dist) AS BIGINT) AS eccentricity,
+         |       CAST(SUM(dist) AS BIGINT) AS sum_dist,
+         |       CAST(COUNT(*) - 1 AS DOUBLE) / CAST(SUM(dist) AS DOUBLE)
+         |         AS closeness,
+         |       CAST(SUM(CASE WHEN dist > 0
+         |            THEN CAST(CAST(1.0 AS DOUBLE) / CAST(dist AS DOUBLE)
+         |                      AS DECIMAL(18,9))
+         |            ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS harmonic
+         |FROM sp GROUP BY seed
+         |ORDER BY seed""".stripMargin,
     "q_triangles" ->
       s"""WITH pairs AS (
          |$pairsSql

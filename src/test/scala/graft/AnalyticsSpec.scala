@@ -108,6 +108,36 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_closeness: driver BFS replay matches distances from every elected seed") {
+    val rows = q("q_closeness").collect()
+    assert(rows.length == 8)
+    // rebuild the co-occurrence graph on the driver and BFS exactly
+    val li = graft.sources.Tables.lineitem(spark, Sf0001)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    for ((_, parts) <- li.groupBy(_._1); Array(a, b) <- parts.map(_._2).distinct.sorted.combinations(2)) {
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    for (r <- rows) {
+      val seed = r.getAs[Long]("seed")
+      // driver BFS
+      val dist = scala.collection.mutable.Map(seed -> 0L)
+      var frontier = Set(seed)
+      var level = 0L
+      while (frontier.nonEmpty) {
+        level += 1
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .filterNot(dist.contains)
+        frontier.foreach(n => dist(n) = level)
+      }
+      assert(r.getAs[Long]("n_reached") == dist.size, s"reach seed $seed")
+      assert(r.getAs[Long]("eccentricity") == dist.values.max, s"ecc seed $seed")
+      assert(r.getAs[Long]("sum_dist") == dist.values.sum, s"sumdist seed $seed")
+    }
+  }
+
   test("q_hill_tail: a source too small for the estimator surfaces with NULLs, not silence") {
     // 3 docs < kk+1 (kk >= 5): no (k+1)-th order statistic exists, so
     // the metric columns must be NULL — but the source itself must
