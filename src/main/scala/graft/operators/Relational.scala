@@ -268,6 +268,99 @@ object Relational {
         |ORDER BY s.m""".stripMargin)
   }
 
+  /** Recursive inventory replay — a STATEFUL fold a window function
+    * cannot express: monthly per-region stock evolves as
+    * stock_m = max(0, stock_{m−1} + supply − demand_m); the clamp at
+    * zero makes the recurrence non-linear, so prefix sums don't apply
+    * and the recursion (Spark 4 WITH RECURSIVE → UnionLoop; beside
+    * q_month_spine's linear spine generation, this exercises the
+    * other recursion class). Demand is the DISTRIBUTED part — a
+    * 4-table join + hash aggregate over the full orders fact; the
+    * recursion then runs on the month×region grid (model-sized at any
+    * corpus scale: the 100 TB pattern is "big scan feeds a small
+    * simulation", never recursion over the fact table itself). Supply
+    * is derived from the data (per-region FULL-HISTORY total DIV
+    * months), so light months bank stock and heavy months clamp —
+    * both branches of the recurrence execute. The replay horizon is
+    * the TRAILING 24 MONTHS (policy from history, simulation over the
+    * recent window): recursion steps are inherently sequential — one
+    * scheduler round each — so the depth is an explicit knob, not a
+    * function of corpus age. All columns exact BIGINTs.
+    *
+    * SHARED-TEXT TEMPLATE: the Spark and DuckDB texts come from ONE
+    * pair of builders (grid CTEs + sim recursion) whose only
+    * divergence is the integer-division token (DIV vs //) —
+    * nonnegative operands, where the two are equivalent. On the Spark
+    * side the grid is MATERIALIZED (localCheckpoint) before the
+    * recursion runs: a recursive term that references an unmaterialized
+    * CTE re-evaluates it — demand join, spine recursion and all — on
+    * EVERY iteration (measured 2.5 min vs seconds at sf0.001). The
+    * oracle keeps the whole chain as one statement (DuckDB evaluates
+    * each CTE once). */
+  private def stockGridCtes(div: String): String =
+    s"""bounds AS (
+       |  SELECT CAST(MIN(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS BIGINT) AS lo_all,
+       |         CAST(greatest(MIN(year(o_orderdate) * 12 + month(o_orderdate) - 1),
+       |                       MAX(year(o_orderdate) * 12 + month(o_orderdate) - 1) - 23)
+       |              AS BIGINT) AS lo,
+       |         CAST(MAX(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS BIGINT) AS hi
+       |  FROM __T_ORDERS__
+       |), spine AS (
+       |  SELECT lo AS idx, hi FROM bounds
+       |  UNION ALL
+       |  SELECT idx + 1, hi FROM spine WHERE idx < hi
+       |), demand AS (
+       |  SELECT r.r_name AS region,
+       |         CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1 AS BIGINT) AS idx,
+       |         CAST(COUNT(*) AS BIGINT) AS demand
+       |  FROM __T_ORDERS__ o JOIN __T_CUSTOMER__ c ON o.o_custkey = c.c_custkey
+       |  JOIN __T_NATION__ n ON c.c_nationkey = n.n_nationkey
+       |  JOIN __T_REGION__ r ON n.n_regionkey = r.r_regionkey
+       |  GROUP BY 1, 2
+       |), supply AS (
+       |  SELECT region,
+       |         CAST(SUM(demand) $div (SELECT hi - lo_all + 1 FROM bounds) AS BIGINT) AS supply
+       |  FROM demand GROUP BY region
+       |), grid_v AS (
+       |  SELECT s.region, sp.idx, s.supply, COALESCE(d.demand, 0) AS demand, b.lo
+       |  FROM spine sp CROSS JOIN supply s
+       |  LEFT JOIN demand d ON d.region = s.region AND d.idx = sp.idx
+       |  CROSS JOIN bounds b
+       |  WHERE sp.idx >= b.lo
+       |)""".stripMargin
+
+  private def stockSimSql(div: String, grid: String): String =
+    s"""sim AS (
+       |  SELECT g.region, g.idx, g.supply, g.demand,
+       |         CAST(greatest(0, g.supply - g.demand) AS BIGINT) AS stock_end,
+       |         CAST(greatest(0, g.demand - g.supply) AS BIGINT) AS shortfall
+       |  FROM $grid g WHERE g.idx = g.lo
+       |  UNION ALL
+       |  SELECT g.region, g.idx, g.supply, g.demand,
+       |         CAST(greatest(0, t.stock_end + g.supply - g.demand) AS BIGINT),
+       |         CAST(greatest(0, g.demand - g.supply - t.stock_end) AS BIGINT)
+       |  FROM sim t JOIN $grid g ON g.region = t.region AND g.idx = t.idx + 1
+       |)
+       |SELECT region, idx AS month_idx,
+       |       CAST(make_date(CAST(idx $div 12 AS INT), CAST(idx % 12 + 1 AS INT), 1)
+       |            AS TIMESTAMP) AS month,
+       |       demand, supply, stock_end, shortfall
+       |FROM sim
+       |ORDER BY region, month_idx""".stripMargin
+
+  private def qStockReplay(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_stock")
+    Tables.customer(s, d).createOrReplaceTempView("customer_stock")
+    Tables.nation(s, d).createOrReplaceTempView("nation_stock")
+    Tables.region(s, d).createOrReplaceTempView("region_stock")
+    val grid = s.sql(("WITH RECURSIVE " + stockGridCtes("DIV") + " SELECT * FROM grid_v")
+      .replace("__T_ORDERS__", "orders_stock").replace("__T_CUSTOMER__", "customer_stock")
+      .replace("__T_NATION__", "nation_stock").replace("__T_REGION__", "region_stock"))
+      .localCheckpoint()
+    grid.createOrReplaceTempView("stock_grid_v")
+    s.sql("WITH RECURSIVE " + stockSimSql("DIV", "stock_grid_v"))
+  }
+
   private def qRollup(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
@@ -1218,7 +1311,8 @@ object Relational {
     "q_returned_customers" -> (qReturnedCustomers _),
     "q_join_volume_flow" -> (qJoinVolumeFlow _),
     "q_market_share" -> (qMarketShare _),
-    "q_month_spine" -> (qMonthSpine _)
+    "q_month_spine" -> (qMonthSpine _),
+    "q_stock_replay" -> (qStockReplay _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1257,6 +1351,10 @@ object Relational {
         |ORDER BY grp""".stripMargin,
     // twin of qMonthSpine's Spark SQL — see the DIALECT PIN comment
     // there; only the INTERVAL step syntax and output casts differ
+    "q_stock_replay" ->
+      ("WITH RECURSIVE " + stockGridCtes("//") + ", " + stockSimSql("//", "grid_v"))
+        .replace("__T_ORDERS__", "orders").replace("__T_CUSTOMER__", "customer")
+        .replace("__T_NATION__", "nation").replace("__T_REGION__", "region"),
     "q_month_spine" ->
       """WITH RECURSIVE bounds AS (
         |  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,

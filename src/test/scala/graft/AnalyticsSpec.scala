@@ -138,6 +138,47 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_stock_replay: driver clamp-fold replay matches every month's stock and shortfall") {
+    val rows = q("q_stock_replay").collect()
+    assert(rows.nonEmpty)
+    // rebuild demand on the driver
+    val t = graft.sources.Tables
+    val regionOf = t.customer(spark, Sf0001).select("c_custkey", "c_nationkey")
+      .join(t.nation(spark, Sf0001), col("c_nationkey") === col("n_nationkey"))
+      .join(t.region(spark, Sf0001), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey", "r_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val demand = t.orders(spark, Sf0001)
+      .select(col("o_custkey"), (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).cast("long").as("idx"))
+      .collect()
+      .groupBy(r => (regionOf(r.getLong(0)), r.getLong(1)))
+      .view.mapValues(_.length.toLong).toMap
+    val allIdx = demand.keys.map(_._2)
+    val (loAll, hi) = (allIdx.min, allIdx.max)
+    val lo = math.max(loAll, hi - 23)
+    val months = loAll to hi
+    val regions = demand.keys.map(_._1).toSeq.sorted
+    for (reg <- regions) {
+      val supply = months.map(m => demand.getOrElse((reg, m), 0L)).sum / (hi - loAll + 1)
+      var stock = 0L
+      for (m <- lo to hi) {
+        val dem = demand.getOrElse((reg, m), 0L)
+        val short = math.max(0L, dem - supply - stock)
+        stock = math.max(0L, stock + supply - dem)
+        val row = rows.find(r => r.getAs[String]("region") == reg
+          && r.getAs[Long]("month_idx") == m).get
+        assert(row.getAs[Long]("demand") == dem, s"$reg $m demand")
+        assert(row.getAs[Long]("supply") == supply, s"$reg $m supply")
+        assert(row.getAs[Long]("stock_end") == stock, s"$reg $m stock")
+        assert(row.getAs[Long]("shortfall") == short, s"$reg $m shortfall")
+      }
+    }
+    assert(rows.length == regions.size * (hi - lo + 1).toInt)
+    // both recurrence branches must actually execute on this fixture
+    assert(rows.exists(_.getAs[Long]("stock_end") == 0L))
+    assert(rows.exists(_.getAs[Long]("stock_end") > 0L))
+  }
+
   test("q_hill_tail: a source too small for the estimator surfaces with NULLs, not silence") {
     // 3 docs < kk+1 (kk >= 5): no (k+1)-th order statistic exists, so
     // the metric columns must be NULL — but the source itself must
