@@ -1696,6 +1696,39 @@ object TextOps {
       .orderBy("lang", "rank")
   }
 
+  /** Misra–Gries frequent items under the error-bound-flag device —
+    * the q_cms_watchlist discipline applied to the custom
+    * [[graft.functions.MisraGriesAgg]] summary: ONE corpus pass folds
+    * every token into a ≤64-counter map (constant buffer per partial
+    * aggregate — at 100 TB the shuffle carries k entries per task, not
+    * the token keyspace), and the hash-compared output is the exact
+    * top-20 (a groupBy the small-SF oracle can replay) plus the
+    * theorem facts asserted AS COLUMNS: every above-guarantee token
+    * (count·(k+1) > N) must be present in the summary, and every
+    * token's estimate must sit in [count − N/(k+1), count]. The raw
+    * MG counter values are deliberately NOT exposed — the merged
+    * summary's counters are merge-order-dependent (only the bounds
+    * are invariant), and Spark does not fix combine order. */
+  private def qFrequentItems(s: SparkSession, d: String): DataFrame = {
+    graft.functions.MisraGriesAgg.register(s)
+    val tok = Tables.documents(s, d).select(explode(tokens()).as("token"))
+    val model = tok.agg(
+      expr("graft_mg_agg(token, 64)").as("mg"),
+      count(lit(1)).as("n"))
+    val top = tok.groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("token")).limit(20)
+    top.crossJoin(broadcast(model))
+      .withColumn("est", expr("try_element_at(mg, token)"))
+      .select(col("token"), col("exact_count"),
+        (col("exact_count") * 65L > col("n")).as("above_guarantee"),
+        (col("exact_count") * 65L <= col("n") || col("est").isNotNull)
+          .as("found_ok"),
+        (coalesce(col("est"), lit(0L)) <= col("exact_count") &&
+          (col("exact_count") - coalesce(col("est"), lit(0L))) * 65L <= col("n"))
+          .as("bound_ok"))
+      .orderBy(col("exact_count").desc, col("token"))
+  }
+
   /** PMI collocation mining — the bigram-association table a tokenizer
     * or phrase-vocabulary builder reads: for adjacent token pairs,
     * pmi = ln(P(w1,w2) / (P(w1)·P(w2))) over the bigram stream's
@@ -3193,6 +3226,7 @@ object TextOps {
     "q_chunk" -> (qChunk _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_frequent_items" -> (qFrequentItems _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_cluster_labels" -> (qClusterLabels _),
     "q_corpus_clean" -> (qCorpusClean _),
@@ -3299,6 +3333,22 @@ object TextOps {
          |FROM b
          |GROUP BY lang, seq_id
          |ORDER BY lang, seq_id""".stripMargin,
+    "q_frequent_items" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |), n AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok
+        |), top AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+        |  FROM tok GROUP BY token
+        |  ORDER BY exact_count DESC, token LIMIT 20
+        |)
+        |SELECT token, exact_count,
+        |       exact_count * 65 > n AS above_guarantee,
+        |       TRUE AS found_ok,
+        |       TRUE AS bound_ok
+        |FROM top, n
+        |ORDER BY exact_count DESC, token""".stripMargin,
     "q_heavy_hitters" ->
       """WITH tf AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents

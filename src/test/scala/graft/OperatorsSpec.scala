@@ -434,6 +434,40 @@ class OperatorsSpec extends SparkSpec {
     assert(frac > 0.65 && frac < 0.85, s"train fraction $frac far from 0.75")
   }
 
+  test("misra-gries summary honors both MG bounds for EVERY token at any parallelism") {
+    import spark.implicits._
+    graft.functions.MisraGriesAgg.register(spark)
+    val tok = graft.sources.Tables.documents(spark, Sf0001)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val exact = tok.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    for (parts <- Seq(1, 4, 7)) {
+      val mg = tok.repartition(parts).agg(expr("graft_mg_agg(token, 64)"))
+        .collect()(0).getMap[String, Long](0)
+      assert(mg.size <= 64, s"capacity at parts=$parts")
+      for ((t, c) <- exact) {
+        val est = mg.getOrElse(t, 0L)
+        assert(est <= c, s"overcount $t at parts=$parts")
+        assert((c - est) * 65L <= n, s"undercount bound $t at parts=$parts")
+        if (c * 65L > n) assert(mg.contains(t), s"guaranteed-present $t missing")
+      }
+    }
+    // adversarial skew: one dominant item among 200 distinct fillers
+    val skew = (Seq.fill(500)("hot") ++ (1 to 200).flatMap(i => Seq.fill(3)(s"w$i")))
+      .toDF("token")
+    val mg2 = skew.repartition(5).agg(expr("graft_mg_agg(token, 8)"))
+      .collect()(0).getMap[String, Long](0)
+    assert(mg2.contains("hot") && mg2("hot") <= 500L)
+    assert(500L - mg2.getOrElse("hot", 0L) <= (500L + 600L) / 9L + 1L)
+    // every q_frequent_items flag row must hold (they are theorem facts)
+    val rows = SparkEntry.queries("q_frequent_items")(spark, Sf0001).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[Boolean]("found_ok")))
+    assert(rows.forall(_.getAs[Boolean]("bound_ok")))
+    assert(rows.exists(_.getAs[Boolean]("above_guarantee")))
+  }
+
   test("count-min sketch estimates bound the exact heavy-hitter counts") {
     // the 100 TB companion to q_heavy_hitters: when the (lang, token)
     // keyspace is too wide to materialize, Spark's native
