@@ -172,6 +172,94 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Per-doc DCT perceptual-hash row. */
+  final case class PHashRow(doc_id: Long, phash: String)
+
+  /** Integer-quantized DCT-II cosine table: C(u)(i) =
+    * round(cos(π(2i+1)u/32)·1000) for u ∈ 0..7, i ∈ 0..15. Computed
+    * ONCE on the driver and inlined as literals into BOTH the Scala
+    * hot loop and the DuckDB oracle (the centroid-literal device) —
+    * no cross-engine libm cos is ever compared. Scale 10³ keeps the
+    * worst-case DCT magnitude at 255·10³·10³·256 ≈ 6.6e13, far inside
+    * BIGINT. */
+  private[operators] val PhashCos: Array[Array[Long]] =
+    Array.tabulate(8, 16)((u, i) =>
+      Math.round(Math.cos(Math.PI * (2 * i + 1) * u / 32.0) * 1000.0))
+
+  /** pHash over the DECODED raster — the DCT-domain perceptual hash
+    * beside [[ahash]]'s spatial-domain one (robust to brightness and
+    * blur rather than crops): nearest-neighbor resample to a fixed
+    * 16×16 grid (g(cx,cy) = p((cx·w) DIV 16, (cy·h) DIV 16) — total,
+    * integer, no empty-cell case), exact integer 2-D DCT against
+    * [[PhashCos]], then each of the 64 low-frequency coefficients
+    * thresholds against the MEDIAN of the 63 AC coefficients (the
+    * 32nd in ascending order — rank-elected exact BIGINT; DC is a
+    * fixed '1'). Everything after the codec is BIGINT arithmetic, so
+    * the whole encode→decode→resample→DCT→threshold chain is
+    * hash-gated against an analytic replay. */
+  def phash(r: MediaRow): PHashRow = {
+    val img = ImageIO.read(new ByteArrayInputStream(r.media))
+    require(img != null, s"undecodable media payload for doc ${r.doc_id}")
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val g = Array.tabulate(16, 16)((cy, cx) =>
+      raster.getSample(cx * w / 16, cy * h / 16, 0).toLong)
+    val f = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var cy = 0
+        while (cy < 16) {
+          var cx = 0
+          while (cx < 16) {
+            acc += g(cy)(cx) * PhashCos(u)(cx) * PhashCos(v)(cy)
+            cx += 1
+          }
+          cy += 1
+        }
+        f(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val ac = new Array[Long](63)
+    System.arraycopy(f, 1, ac, 0, 63)
+    java.util.Arrays.sort(ac)
+    val med = ac(31) // 32nd smallest of the 63 AC coefficients
+    val sb = new StringBuilder(64)
+    var i = 0
+    while (i < 64) {
+      sb.append(if (i == 0 || f(i) > med) '1' else '0')
+      i += 1
+    }
+    PHashRow(r.doc_id, sb.toString)
+  }
+
+  // DCT perceptual hash per image over the real codec path, grouped
+  // exactly like q_image_ahash (n_same + min-doc keeper). The oracle
+  // replays resample, integer DCT (from the SAME inlined cosine
+  // literals) and median threshold analytically — a green hash proves
+  // the full frequency-domain chain exact. Scale shape: narrow decode
+  // map, one hash-key window; the DCT is O(16²·64) integer ops per
+  // image inside the map — no shuffle sees anything but the 64-char
+  // hash.
+  private def qImagePhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => phash(MediaRow(id, synthPng(id)))))
+      .toDF()
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+    hashes
+      .withColumn("n_same", count(lit(1)).over(byHash))
+      .withColumn("is_keeper", col("doc_id") === min(col("doc_id")).over(byHash))
+      .select("doc_id", "phash", "n_same", "is_keeper")
+      .orderBy("doc_id")
+  }
+
   // Perceptual near-dup CLUSTERING over image hashes — the stage
   // q_image_ahash's doc promises ("a hamming-band refine is the
   // documented next stage"): every doc's 64-bit aHash becomes a LONG
@@ -346,8 +434,51 @@ object Multimodal {
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_image_ahash" -> (qImageAhash _),
+    "q_image_phash" -> (qImagePhash _),
     "q_image_dedup" -> (qImageDedup _)
   )
+
+  private def phashOracleSql: String = {
+    val ctab = (for (u <- 0 until 8; i <- 0 until 16)
+      yield s"($u,$i,${PhashCos(u)(i)})").mkString(", ")
+    s"""WITH dims AS (
+       |  SELECT doc_id, 8 + doc_id % 17 AS w, 8 + doc_id % 13 AS h
+       |  FROM documents
+       |), cell AS (
+       |  SELECT doc_id, w, h, unnest(range(0, 256)) AS idx FROM dims
+       |), grid AS (
+       |  SELECT doc_id, idx % 16 AS cx, idx // 16 AS cy,
+       |         (7*(((idx % 16)*w) // 16) + 13*(((idx // 16)*h) // 16)
+       |          + doc_id) % 256 AS g
+       |  FROM cell
+       |), ctab(u, i, c) AS (VALUES $ctab),
+       |coef AS (
+       |  SELECT g.doc_id, cu.u AS u, cv.u AS v,
+       |         CAST(SUM(g.g * cu.c * cv.c) AS BIGINT) AS f
+       |  FROM grid g
+       |  JOIN ctab cu ON cu.i = g.cx
+       |  JOIN ctab cv ON cv.i = g.cy
+       |  GROUP BY g.doc_id, cu.u, cv.u
+       |), med AS (
+       |  SELECT doc_id, f AS med FROM (
+       |    SELECT doc_id, f,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS rn
+       |    FROM coef WHERE NOT (u = 0 AND v = 0))
+       |  WHERE rn = 32
+       |), bits AS (
+       |  SELECT c.doc_id,
+       |         string_agg(CASE WHEN c.u = 0 AND c.v = 0 THEN '1'
+       |                         WHEN c.f > m.med THEN '1' ELSE '0' END,
+       |                    '' ORDER BY c.u, c.v) AS phash
+       |  FROM coef c JOIN med m ON c.doc_id = m.doc_id
+       |  GROUP BY c.doc_id
+       |)
+       |SELECT b.doc_id, b.phash,
+       |       CAST(COUNT(*) OVER (PARTITION BY b.phash) AS BIGINT) AS n_same,
+       |       b.doc_id = MIN(b.doc_id) OVER (PARTITION BY b.phash) AS is_keeper
+       |FROM bits b
+       |ORDER BY b.doc_id""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q_audio_stats" ->
@@ -398,6 +529,7 @@ object Multimodal {
         |       md5(string_agg(CAST(val AS VARCHAR), '-' ORDER BY idx)) AS pixel_md5
         |FROM v GROUP BY doc_id, w, h
         |ORDER BY doc_id""".stripMargin,
+    "q_image_phash" -> phashOracleSql,
     "q_image_ahash" ->
       """WITH dims AS (
         |  SELECT doc_id, 8 + doc_id % 17 AS w, 8 + doc_id % 13 AS h

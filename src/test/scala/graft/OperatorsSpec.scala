@@ -434,6 +434,32 @@ class OperatorsSpec extends SparkSpec {
     assert(frac > 0.65 && frac < 0.85, s"train fraction $frac far from 0.75")
   }
 
+  test("phash is brightness-shift invariant and discriminates distinct structure") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    import graft.operators.Multimodal.{phash, MediaRow}
+    // +40 uniform brightness: only the DC coefficient moves, every AC
+    // coefficient and the AC median are unchanged -> identical hash
+    val base = phash(MediaRow(1L, png(20, 14, (x, y) => (x * 9 + y * 5) % 200))).phash
+    val brighter = phash(MediaRow(1L, png(20, 14, (x, y) => (x * 9 + y * 5) % 200 + 40))).phash
+    assert(base == brighter)
+    // transposed structure must not collide
+    val other = phash(MediaRow(2L, png(20, 14, (x, y) => (x * 5 + y * 9) % 200))).phash
+    assert(base != other)
+    assert(base.length == 64 && base.forall(c => c == '0' || c == '1'))
+    assert(base.head == '1') // DC slot is the fixed bit
+    // exactly 64 bits with the AC median rule: > median over 63 values
+    // splits 31/32 or looser under ties -- at least 1 and at most 32 ones in AC
+    val ones = base.tail.count(_ == '1')
+    assert(ones >= 1 && ones <= 32)
+  }
+
   test("misra-gries summary honors both MG bounds for EVERY token at any parallelism") {
     import spark.implicits._
     graft.functions.MisraGriesAgg.register(spark)
