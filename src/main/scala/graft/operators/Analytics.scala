@@ -234,6 +234,49 @@ object Analytics {
       .orderBy("day")
   }
 
+  // ---- q_mase: seasonal-naive forecast skill ----------------------
+  //
+  // The forecasting-eval standard (Hyndman–Koehler MASE): per
+  // priority, the weekly seasonal-naive forecast ŷ_d = y_{d−7} is
+  // scored over the LAST 28 days against the same forecaster's
+  // in-sample MAE — mase = (Σ_eval|err| · n_train) / (Σ_train|err| ·
+  // n_eval), one IEEE division over four exact BIGINTs (a value < 1
+  // means the recent horizon is MORE weekly-predictable than history).
+  // The day spine is DENSE (zero-order days count as y = 0), so the
+  // lag-7 lookup is a plain window lag over the grid — no self-join,
+  // no gap hazard. Scale shape: one fact-table day-grain aggregate
+  // (the only big scan), then spine/grid frames are day×priority
+  // model-sized; the day bounds ride a 1-row broadcast.
+  private def qMase(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("priority"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("day"))
+      .groupBy("priority", "day").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds bounds, the priority list, and the grid
+    val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = bounds.select(col("hi"), explode(expr("sequence(lo, hi)")).as("day"))
+    val grid = spine.crossJoin(broadcast(daily.select("priority").distinct()))
+      .join(daily, Seq("priority", "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val w = Window.partitionBy("priority").orderBy("day")
+    grid
+      .withColumn("n_lag", lag(col("n"), 7).over(w))
+      .filter(col("n_lag").isNotNull)
+      .withColumn("abs_err", abs(col("n") - col("n_lag")))
+      .withColumn("is_eval", col("day") > col("hi") - 28)
+      .groupBy(col("priority"))
+      .agg(
+        sum(when(!col("is_eval"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(!col("is_eval"), col("abs_err")).otherwise(0L)).as("sum_train"),
+        sum(when(col("is_eval"), 1L).otherwise(0L)).as("n_eval"),
+        sum(when(col("is_eval"), col("abs_err")).otherwise(0L)).as("sum_eval"))
+      .withColumn("mase", expr(
+        """(CAST(sum_eval AS DOUBLE) * CAST(n_train AS DOUBLE))
+           / (CAST(sum_train AS DOUBLE) * CAST(n_eval AS DOUBLE))"""))
+      .select("priority", "n_train", "sum_train", "n_eval", "sum_eval", "mase")
+      .orderBy("priority")
+  }
+
   // ---- q_autocorr: lag-1 autocorrelation of daily volumes ----------
   //
   // Per-priority lag-1 autocorrelation of the daily order count — the
@@ -663,6 +706,7 @@ object Analytics {
     "q_leakage" -> (qLeakage _),
     "q_cusum" -> (qCusum _),
     "q_autocorr" -> (qAutocorr _),
+    "q_mase" -> (qMase _),
     "q_vocab_growth" -> (qVocabGrowth _)
   )
 
@@ -1038,6 +1082,41 @@ object Analytics {
         |       abs(cusum) = MAX(abs(cusum)) OVER () AS is_peak
         |FROM cc
         |ORDER BY day""".stripMargin,
+    "q_mase" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS priority,
+        |         epoch_us(o_orderdate) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+        |), spine AS (
+        |  SELECT hi, unnest(range(lo, hi + 1)) AS day FROM bounds
+        |), grid AS (
+        |  SELECT p.priority, s.day, s.hi, COALESCE(d.n, 0) AS n
+        |  FROM spine s
+        |  CROSS JOIN (SELECT DISTINCT priority FROM daily) p
+        |  LEFT JOIN daily d ON d.priority = p.priority AND d.day = s.day
+        |), lagged AS (
+        |  SELECT priority, day, hi, n,
+        |         LAG(n, 7) OVER (PARTITION BY priority ORDER BY day) AS n_lag
+        |  FROM grid
+        |), terms AS (
+        |  SELECT priority, abs(n - n_lag) AS abs_err, day > hi - 28 AS is_eval
+        |  FROM lagged WHERE n_lag IS NOT NULL
+        |), agg AS (
+        |  SELECT priority,
+        |         CAST(SUM(CASE WHEN NOT is_eval THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |         CAST(SUM(CASE WHEN NOT is_eval THEN abs_err ELSE 0 END) AS BIGINT) AS sum_train,
+        |         CAST(SUM(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+        |         CAST(SUM(CASE WHEN is_eval THEN abs_err ELSE 0 END) AS BIGINT) AS sum_eval
+        |  FROM terms GROUP BY priority
+        |)
+        |SELECT priority, n_train, sum_train, n_eval, sum_eval,
+        |       (CAST(sum_eval AS DOUBLE) * CAST(n_train AS DOUBLE))
+        |         / (CAST(sum_train AS DOUBLE) * CAST(n_eval AS DOUBLE)) AS mase
+        |FROM agg
+        |ORDER BY priority""".stripMargin,
     "q_autocorr" ->
       """WITH daily AS (
         |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,

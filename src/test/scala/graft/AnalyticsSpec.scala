@@ -179,6 +179,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("stock_end") > 0L))
   }
 
+  test("q_mase: driver seasonal-naive replay matches error sums; horizons partition") {
+    val rows = q("q_mase").collect()
+    assert(rows.nonEmpty)
+    val daily = graft.sources.Tables.orders(spark, Sf0001)
+      .select(col("o_orderpriority"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("day"))
+      .collect().groupBy(r => (r.getString(0), r.getLong(1)))
+      .view.mapValues(_.length.toLong).toMap
+    val (lo, hi) = (daily.keys.map(_._2).min, daily.keys.map(_._2).max)
+    for (r <- rows) {
+      val p = r.getAs[String]("priority")
+      def y(d0: Long) = daily.getOrElse((p, d0), 0L)
+      var (nt, st, ne, se) = (0L, 0L, 0L, 0L)
+      for (d0 <- (lo + 7) to hi) {
+        val err = math.abs(y(d0) - y(d0 - 7))
+        if (d0 > hi - 28) { ne += 1; se += err } else { nt += 1; st += err }
+      }
+      assert(r.getAs[Long]("n_train") == nt && r.getAs[Long]("sum_train") == st, s"train $p")
+      assert(r.getAs[Long]("n_eval") == ne && r.getAs[Long]("sum_eval") == se, s"eval $p")
+      assert(ne == 28, s"eval horizon $p")
+      assert(r.getAs[Double]("mase") == se.toDouble * nt.toDouble / (st.toDouble * ne.toDouble))
+    }
+  }
+
   test("q_hill_tail: a source too small for the estimator surfaces with NULLs, not silence") {
     // 3 docs < kk+1 (kk >= 5): no (k+1)-th order statistic exists, so
     // the metric columns must be NULL — but the source itself must
