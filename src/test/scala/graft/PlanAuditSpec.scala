@@ -447,4 +447,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"watchlist join fell back to SMJ:\n$p")
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
+
+  test("q_concurrency: the delta prefix sum is day-partitioned, never a global window") {
+    // the scale design is the two-level prefix sum: the data-sized
+    // window must carry day_idx in its partition spec; only the
+    // model-sized day-grain carry window may be unpartitioned
+    val exec = SparkEntry.queries("q_concurrency")(spark, Sf0001)
+      .queryExecution.optimizedPlan
+    val windows = exec.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size >= 3, s"expected session+running+carry windows:\n$exec")
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.size == 1,
+      s"exactly the day-grain carry window may be global, got ${unpartitioned.size}")
+  }
+
+  test("q_frequent_items: the MG summary aggregates with map-side partials") {
+    val p = plan("q_frequent_items")
+    // ObjectHashAggregate partial+final proves the ≤k-entry summary —
+    // not the token stream — crosses the exchange
+    assert(p.contains("ObjectHashAggregate"), s"expected object hash agg:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 should avoid a full sort:\n$p")
+  }
+
+  test("q_image_phash: decode map is narrow; the only shuffle keys on the hash") {
+    val p = plan("q_image_phash")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"unexpected join in a map+window plan:\n$p")
+  }
+
+  test("q_mase: one fact aggregate; spine/grid joins stay broadcast") {
+    val p = plan("q_mase")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast grid joins:\n$p")
+  }
 }
