@@ -507,7 +507,37 @@ object Functions2 {
       .orderBy("layout", "predicate")
   }
 
+  /** Bitmap presence rollup — the bitmap-index idiom (the portable
+    * core of a roaring-bitmap pipeline): per (user, month), the
+    * day-of-month presence set and the event-type set each collapse
+    * into ONE BIGINT via `bit_or(1 << pos)` partial aggregates, and
+    * cardinalities read back with `bit_count` — set semantics at
+    * 8 bytes per group however many events contributed. At 100 TB
+    * this is the difference between shuffling a distinct-day list per
+    * user and shuffling a single long; masks are also mergeable
+    * ACROSS groups with plain bit_or (the rollup stays associative).
+    * All outputs exact BIGINTs. */
+  private def qBitmapPresence(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"),
+        expr("CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT)").as("month_idx"),
+        expr("CAST(day(ts) AS INT)").as("dom"),
+        expr("""CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                WHEN 'view' THEN 4 ELSE 5 END""").as("type_bit"))
+      .groupBy(col("user_id"), col("month_idx"))
+      .agg(
+        expr("bit_or(shiftleft(CAST(1 AS BIGINT), dom - 1))").as("day_mask"),
+        expr("bit_or(shiftleft(CAST(1 AS BIGINT), type_bit))").as("type_mask"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("month_idx"), col("day_mask"), col("type_mask"),
+        col("n_events"),
+        expr("CAST(bit_count(day_mask) AS BIGINT)").as("days_active"),
+        expr("CAST(bit_count(type_mask) AS BIGINT)").as("n_types"))
+      .orderBy("user_id", "month_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bitmap_presence" -> (qBitmapPresence _),
     "q_json_nested" -> (qJsonNested _),
     "q_zorder" -> (qZorder _),
     "q_skipping_stats" -> (qSkippingStats _),
@@ -532,6 +562,24 @@ object Functions2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bitmap_presence" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT) AS month_idx,
+        |         day(ts) AS dom,
+        |         CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+        |              WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+        |              WHEN 'view' THEN 4 ELSE 5 END AS type_bit
+        |  FROM events
+        |)
+        |SELECT user_id, month_idx,
+        |       CAST(bit_or(CAST(1 AS BIGINT) << (dom - 1)) AS BIGINT) AS day_mask,
+        |       CAST(bit_or(CAST(1 AS BIGINT) << type_bit) AS BIGINT) AS type_mask,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(bit_count(bit_or(CAST(1 AS BIGINT) << (dom - 1))) AS BIGINT) AS days_active,
+        |       CAST(bit_count(bit_or(CAST(1 AS BIGINT) << type_bit)) AS BIGINT) AS n_types
+        |FROM e GROUP BY user_id, month_idx
+        |ORDER BY user_id, month_idx""".stripMargin,
     "q_skipping_stats" ->
       s"""WITH base AS (
          |  SELECT p_partkey, p_size, CAST(p_partkey % 64 AS BIGINT) AS pmod,

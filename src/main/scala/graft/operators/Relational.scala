@@ -361,6 +361,30 @@ object Relational {
     s.sql("WITH RECURSIVE " + stockSimSql("DIV", "stock_grid_v"))
   }
 
+  /** Bag-semantics set operations — `exceptAll` / `intersectAll`
+    * (multiset difference and intersection, the SQL EXCEPT ALL /
+    * INTERSECT ALL surface the distinct-flavored q_except/q_intersect
+    * deliberately do not cover): the even- and odd-orderkey halves'
+    * (status, priority) MULTISETS are differenced/intersected with
+    * multiplicity, then rolled up to (row, multiplicity) so the bag
+    * cardinalities themselves are hash-compared. Spark plans both as
+    * a replicated-row hash aggregate (sum of +1/−1 tags) — one
+    * shuffle on the row value, no sort, same shape at any scale. */
+  private def qBagOps(s: SparkSession, d: String): DataFrame = {
+    def half(parity: Int) = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 2 === parity)
+      .select(col("o_orderstatus").as("st"), col("o_orderpriority").as("pri"))
+    val ex = half(0).exceptAll(half(1))
+      .groupBy(col("st"), col("pri")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    val ia = half(0).intersectAll(half(1))
+      .groupBy(col("st"), col("pri")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    ex.unionByName(ia)
+      .select("op", "st", "pri", "n")
+      .orderBy("op", "st", "pri")
+  }
+
   private def qRollup(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
@@ -1312,7 +1336,8 @@ object Relational {
     "q_join_volume_flow" -> (qJoinVolumeFlow _),
     "q_market_share" -> (qMarketShare _),
     "q_month_spine" -> (qMonthSpine _),
-    "q_stock_replay" -> (qStockReplay _)
+    "q_stock_replay" -> (qStockReplay _),
+    "q_bag_ops" -> (qBagOps _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1351,6 +1376,24 @@ object Relational {
         |ORDER BY grp""".stripMargin,
     // twin of qMonthSpine's Spark SQL — see the DIALECT PIN comment
     // there; only the INTERVAL step syntax and output casts differ
+    "q_bag_ops" ->
+      """WITH a AS (
+        |  SELECT o_orderstatus AS st, o_orderpriority AS pri
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |), b AS (
+        |  SELECT o_orderstatus AS st, o_orderpriority AS pri
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |), ex AS (
+        |  SELECT st, pri FROM a EXCEPT ALL SELECT st, pri FROM b
+        |), ia AS (
+        |  SELECT st, pri FROM a INTERSECT ALL SELECT st, pri FROM b
+        |)
+        |SELECT 'except_all' AS op, st, pri, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM ex GROUP BY st, pri
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, st, pri, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM ia GROUP BY st, pri
+        |ORDER BY op, st, pri""".stripMargin,
     "q_stock_replay" ->
       ("WITH RECURSIVE " + stockGridCtes("//") + ", " + stockSimSql("//", "grid_v"))
         .replace("__T_ORDERS__", "orders").replace("__T_CUSTOMER__", "customer")

@@ -340,29 +340,73 @@ object TextOps {
   // a fixed preference order. (The corpus' lang labels are synthetic
   // and uncorrelated with content — this pins the *operator*: a
   // deterministic n-gram-profile classifier shape.)
-  private def qLangId(s: SparkSession, d: String): DataFrame = {
-    val markers = Seq(
-      "en" -> Seq("the", "a"), "fr" -> Seq("table", "line"),
-      "es" -> Seq("data", "row"), "de" -> Seq("fast", "slow"),
-      "zh" -> Seq("spark", "big"))
-    val scored = markers.foldLeft(Tables.documents(s, d)) { case (df, (l, ws)) =>
+  private val LangMarkers = Seq(
+    "en" -> Seq("the", "a"), "fr" -> Seq("table", "line"),
+    "es" -> Seq("data", "row"), "de" -> Seq("fast", "slow"),
+    "zh" -> Seq("spark", "big"))
+
+  /** Shared language-ID frame: documents + per-lang marker scores +
+    * the argmax `predicted` column (first lang in marker order whose
+    * score is ≥ every other — the same fixed tie order both engines
+    * replay). Consumed by q_lang_id (per-doc readout) and q_kappa
+    * (agreement vs the declared tag). */
+  private def langPredicted(s: SparkSession, d: String): DataFrame = {
+    val scored = LangMarkers.foldLeft(Tables.documents(s, d)) { case (df, (l, ws)) =>
       val inList = ws.map(w => s"'$w'").mkString(", ")
       df.withColumn(s"score_$l",
         size(expr(s"filter(split(text, ' '), x -> x IN ($inList))")).cast("long"))
     }
-    val langs = markers.map(_._1)
+    val langs = LangMarkers.map(_._1)
     val pred = langs.init.foldRight(lit(langs.last): org.apache.spark.sql.Column) {
       case (l, els) =>
         val ge = langs.filter(_ != l)
           .map(o => col(s"score_$l") >= col(s"score_$o")).reduce(_ && _)
         when(ge, lit(l)).otherwise(els)
     }
-    scored
-      .withColumn("predicted", pred)
+    scored.withColumn("predicted", pred)
+  }
+
+  private def qLangId(s: SparkSession, d: String): DataFrame = {
+    val langs = LangMarkers.map(_._1)
+    langPredicted(s, d)
       .withColumn("is_match", col("predicted") === col("lang"))
       .select(Seq("doc_id", "lang").map(col) ++ langs.map(l => col(s"score_$l"))
         ++ Seq(col("predicted"), col("is_match")): _*)
       .orderBy("doc_id")
+  }
+
+  /** Cohen's kappa between the DECLARED language tag and the marker
+    * classifier's prediction — chance-corrected agreement, the
+    * annotator-consistency statistic a curation team reads before
+    * trusting either label source. Integer-exact form: with n docs,
+    * `agree` diagonal mass and Σ row_i·col_i margin cross-mass,
+    *   κ = (n·agree − Σrc) / (n² − Σrc)
+    * — ONE IEEE division over exact BIGINTs (the po/pe readouts are
+    * each a single division too). Scale shape: one corpus pass to the
+    * 5×5 confusion matrix, margins and totals on the model-sized
+    * matrix; the FULL outer margin join covers labels that appear
+    * only as truth or only as prediction. */
+  private def qKappa(s: SparkSession, d: String): DataFrame = {
+    val cm = langPredicted(s, d)
+      .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // model-sized; feeds totals + both margins
+    val tot = cm.agg(
+      sum(col("c")).as("n"),
+      sum(when(col("lang") === col("predicted"), col("c")).otherwise(0L))
+        .as("n_agree"))
+    val rows = cm.groupBy(col("lang").as("lab")).agg(sum(col("c")).as("row_n"))
+    val cols = cm.groupBy(col("predicted").as("lab")).agg(sum(col("c")).as("col_n"))
+    val rc = rows.join(cols, Seq("lab"), "full")
+      .agg(sum(coalesce(col("row_n"), lit(0L)) * coalesce(col("col_n"), lit(0L)))
+        .as("sum_rc"))
+    tot.crossJoin(rc)
+      .select(col("n"), col("n_agree"), col("sum_rc"),
+        expr("CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)").as("po"),
+        expr("CAST(sum_rc AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))")
+          .as("pe"),
+        expr("""(CAST(n AS DOUBLE) * CAST(n_agree AS DOUBLE) - CAST(sum_rc AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sum_rc AS DOUBLE))""")
+          .as("kappa"))
   }
 
   // Canonicalizing text normalization — the pass every dedup pipeline
@@ -3236,6 +3280,7 @@ object TextOps {
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),
     "q_lang_id" -> (qLangId _),
+    "q_kappa" -> (qKappa _),
     "q_fingerprint" -> (qFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_stats" -> (qDedupStats _),
@@ -3526,6 +3571,42 @@ object TextOps {
         |      FROM documents)
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    "q_kappa" ->
+      """WITH pred AS (
+        |  SELECT lang,
+        |         len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS score_en,
+        |         len(list_filter(string_split(text, ' '), x -> x IN ('table', 'line'))) AS score_fr,
+        |         len(list_filter(string_split(text, ' '), x -> x IN ('data', 'row'))) AS score_es,
+        |         len(list_filter(string_split(text, ' '), x -> x IN ('fast', 'slow'))) AS score_de,
+        |         len(list_filter(string_split(text, ' '), x -> x IN ('spark', 'big'))) AS score_zh,
+        |         CASE
+        |           WHEN score_en >= score_fr AND score_en >= score_es AND score_en >= score_de AND score_en >= score_zh THEN 'en'
+        |           WHEN score_fr >= score_en AND score_fr >= score_es AND score_fr >= score_de AND score_fr >= score_zh THEN 'fr'
+        |           WHEN score_es >= score_en AND score_es >= score_fr AND score_es >= score_de AND score_es >= score_zh THEN 'es'
+        |           WHEN score_de >= score_en AND score_de >= score_fr AND score_de >= score_es AND score_de >= score_zh THEN 'de'
+        |           ELSE 'zh' END AS predicted
+        |  FROM documents
+        |), cm AS (
+        |  SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM pred GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |         CAST(SUM(CASE WHEN lang = predicted THEN c ELSE 0 END) AS BIGINT) AS n_agree
+        |  FROM cm
+        |), r AS (
+        |  SELECT lang AS lab, CAST(SUM(c) AS BIGINT) AS row_n FROM cm GROUP BY 1
+        |), co AS (
+        |  SELECT predicted AS lab, CAST(SUM(c) AS BIGINT) AS col_n FROM cm GROUP BY 1
+        |), rc AS (
+        |  SELECT CAST(SUM(COALESCE(row_n, 0) * COALESCE(col_n, 0)) AS BIGINT) AS sum_rc
+        |  FROM r FULL JOIN co USING (lab)
+        |)
+        |SELECT n, n_agree, sum_rc,
+        |       CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |       CAST(sum_rc AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+        |       (CAST(n AS DOUBLE) * CAST(n_agree AS DOUBLE) - CAST(sum_rc AS DOUBLE))
+        |         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sum_rc AS DOUBLE)) AS kappa
+        |FROM tot, rc""".stripMargin,
     "q_lang_id" ->
       """SELECT doc_id, lang,
         |       len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS score_en,

@@ -203,6 +203,50 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_bag_ops: multiplicities obey max(0,a-b) / min(a,b); zero rows are absent") {
+    val rows = q("q_bag_ops").collect()
+    val counts = graft.sources.Tables.orders(spark, Sf0001)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      .collect()
+      .groupBy(r => (r.getLong(0) % 2, r.getString(1), r.getString(2)))
+      .view.mapValues(_.length.toLong).toMap
+    val keys = counts.keys.map(k => (k._2, k._3)).toSet
+    for ((st, pri) <- keys) {
+      val a = counts.getOrElse((0L, st, pri), 0L)
+      val b = counts.getOrElse((1L, st, pri), 0L)
+      def got(op: String) = rows.find(r => r.getAs[String]("op") == op
+        && r.getAs[String]("st") == st && r.getAs[String]("pri") == pri)
+        .map(_.getAs[Long]("n")).getOrElse(0L)
+      assert(got("except_all") == math.max(0L, a - b), s"except $st/$pri")
+      assert(got("intersect_all") == math.min(a, b), s"intersect $st/$pri")
+    }
+    assert(rows.forall(_.getAs[Long]("n") > 0L), "zero-multiplicity row leaked")
+  }
+
+  test("q_bitmap_presence: masks replay from the raw day/type sets") {
+    val rows = q("q_bitmap_presence").collect()
+    assert(rows.nonEmpty)
+    val evs = graft.sources.Tables.events(spark, Sf0001)
+      .select(col("user_id"),
+        expr("CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT)").as("m"),
+        expr("CAST(day(ts) AS INT)").as("dom"), col("event_type"))
+      .collect()
+    val typeBit = Map("click" -> 0, "error" -> 1, "purchase" -> 2,
+      "signup" -> 3, "view" -> 4).withDefaultValue(5)
+    val byGroup = evs.groupBy(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == byGroup.size)
+    for (r <- rows) {
+      val g = byGroup((r.getAs[Long]("user_id"), r.getAs[Long]("month_idx")))
+      val dayMask = g.map(e => 1L << (e.getInt(2) - 1)).reduce(_ | _)
+      val tMask = g.map(e => 1L << typeBit(e.getString(3))).reduce(_ | _)
+      assert(r.getAs[Long]("day_mask") == dayMask)
+      assert(r.getAs[Long]("type_mask") == tMask)
+      assert(r.getAs[Long]("days_active") == java.lang.Long.bitCount(dayMask).toLong)
+      assert(r.getAs[Long]("n_types") == java.lang.Long.bitCount(tMask).toLong)
+      assert(r.getAs[Long]("n_events") == g.length.toLong)
+    }
+  }
+
   test("q_hill_tail: a source too small for the estimator surfaces with NULLs, not silence") {
     // 3 docs < kk+1 (kk >= 5): no (k+1)-th order statistic exists, so
     // the metric columns must be NULL — but the source itself must
