@@ -187,6 +187,32 @@ object Windows {
       .orderBy("day_idx")
   }
 
+  /** Navigation/distribution window breadth — first_value /
+    * last_value / nth_value over an EXPLICIT unbounded-both-ways
+    * frame (the default running frame would make last/nth
+    * row-dependent), plus percent_rank and cume_dist (frame-free
+    * rank distributions; their small-integer ratios are single IEEE
+    * divisions, identical cross-engine). Deterministic total order
+    * (o_orderdate, o_orderkey) inside each customer partition; the
+    * parity filter keeps the readout a bounded slice while leaving
+    * multi-row and single-row partitions (nth_value NULL case) both
+    * represented. */
+  private def qWindowNav(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") % 50 === 0)
+      .withColumn("first_key", first(col("o_orderkey")).over(full))
+      .withColumn("last_key", last(col("o_orderkey")).over(full))
+      .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(full))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .select("o_custkey", "o_orderkey", "o_totalprice",
+        "first_key", "last_key", "second_key", "pr", "cd")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Gaps-and-islands: longest consecutive-day activity streak per
     * user — the retention idiom beside q_retention's cohort view (the
     * reference's engagement schema exists to answer exactly this
@@ -643,6 +669,7 @@ object Windows {
     "q_session_window" -> (qSessionWindow _),
     "q_concurrency" -> (qConcurrency _),
     "q_streaks" -> (qStreaks _),
+    "q_window_nav" -> (qWindowNav _),
     "q_topk_typed" -> (qTopkTyped _),
     "q_funnel" -> (qFunnel _),
     "q_funnel_outer" -> (qFunnelOuter _),
@@ -832,6 +859,18 @@ object Windows {
         |FROM agg
         |ORDER BY rank
         |LIMIT 50""".stripMargin,
+    "q_window_nav" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       FIRST_VALUE(o_orderkey) OVER wf AS first_key,
+        |       LAST_VALUE(o_orderkey) OVER wf AS last_key,
+        |       NTH_VALUE(o_orderkey, 2) OVER wf AS second_key,
+        |       PERCENT_RANK() OVER w AS pr,
+        |       CUME_DIST() OVER w AS cd
+        |FROM orders WHERE o_custkey % 50 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_streaks" ->
       """WITH daily AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_idx

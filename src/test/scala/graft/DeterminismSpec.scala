@@ -21,7 +21,10 @@ class DeterminismSpec extends SparkSpec {
     "q_asof_join",       // last-ignoreNulls over union ordering
     "q_sim_ivf",         // Lloyd means MUST be decimal-exact
     "q_embed_dedup",     // LSH bucket assignment
-    "q_corpus_clean")    // digest keeper election
+    "q_corpus_clean",    // digest keeper election
+    "q_concurrency",     // two-level prefix sum + day carry
+    "q_frequent_items",  // MG summary merge order (flags must absorb it)
+    "q_window_nav")      // explicit-frame navigation + rank ratios
 
   risky.foreach { name =>
     test(s"$name is identical across two independent executions") {
