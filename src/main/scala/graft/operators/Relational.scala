@@ -361,6 +361,41 @@ object Relational {
     s.sql("WITH RECURSIVE " + stockSimSql("DIV", "stock_grid_v"))
   }
 
+  /** 2-D skyline (Pareto frontier) — parts minimizing (retail price,
+    * size) that no other part dominates in both dimensions (one
+    * strict). The engine plans the DISTRIBUTED algorithm, not the
+    * O(n²) definition: on DISTINCT (price, size) points sorted by
+    * (price ASC, size ASC), a point is dominated iff the min size
+    * among its lexicographic predecessors is ≤ its own — one window.
+    * The union-reduce identity skyline(S) ⊆ ∪ skyline(Pᵢ) for ANY
+    * partition of S makes it two-level: md5-bucketed local skylines
+    * (partitioned windows — parallel), then the same sweep once over
+    * the model-sized candidate union. Members join back by point so
+    * exact-duplicate parts all surface. The ORACLE deliberately stays
+    * the quadratic NOT EXISTS definition — the gate proves the
+    * two-level sweep computes exactly the defined set. */
+  private def qSkyline(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.part(s, d)
+      .select(col("p_retailprice").as("price"), col("p_size").cast("long").as("size"))
+      .distinct()
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(concat(CAST(price AS STRING), ':', CAST(size AS STRING))), 1, 4), 16, 10) AS BIGINT) % 8"))
+    def sweep(df: DataFrame, parts: Seq[String]): DataFrame = {
+      val w0 = if (parts.isEmpty) Window.orderBy(col("price"), col("size"))
+        else Window.partitionBy(parts.map(col): _*).orderBy(col("price"), col("size"))
+      val w = w0.rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("min_prev", min(col("size")).over(w))
+        .filter(col("min_prev").isNull || col("min_prev") > col("size"))
+        .drop("min_prev")
+    }
+    val frontier = sweep(sweep(pts, Seq("bucket")), Nil).drop("bucket")
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_retailprice").as("price"),
+        col("p_size").cast("long").as("size"))
+      .join(broadcast(frontier), Seq("price", "size"), "left_semi")
+      .orderBy("price", "size", "p_partkey")
+  }
+
   /** Bag-semantics set operations — `exceptAll` / `intersectAll`
     * (multiset difference and intersection, the SQL EXCEPT ALL /
     * INTERSECT ALL surface the distinct-flavored q_except/q_intersect
@@ -1337,7 +1372,8 @@ object Relational {
     "q_market_share" -> (qMarketShare _),
     "q_month_spine" -> (qMonthSpine _),
     "q_stock_replay" -> (qStockReplay _),
-    "q_bag_ops" -> (qBagOps _)
+    "q_bag_ops" -> (qBagOps _),
+    "q_skyline" -> (qSkyline _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1376,6 +1412,18 @@ object Relational {
         |ORDER BY grp""".stripMargin,
     // twin of qMonthSpine's Spark SQL — see the DIALECT PIN comment
     // there; only the INTERVAL step syntax and output casts differ
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT p_partkey, p_retailprice AS price, CAST(p_size AS BIGINT) AS size
+        |  FROM part
+        |)
+        |SELECT p_partkey, price, size
+        |FROM pts r
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts e
+        |  WHERE e.price <= r.price AND e.size <= r.size
+        |    AND (e.price < r.price OR e.size < r.size))
+        |ORDER BY price, size, p_partkey""".stripMargin,
     "q_bag_ops" ->
       """WITH a AS (
         |  SELECT o_orderstatus AS st, o_orderpriority AS pri

@@ -247,6 +247,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_skyline: driver dominance replay matches; duplicate frontier points co-surface") {
+    val rows = q("q_skyline").collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Double]("price"), r.getAs[Long]("size")))
+    val pts = graft.sources.Tables.part(spark, Sf0001)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val expected = pts.filter { case (_, p, z) =>
+      !pts.exists { case (_, p2, z2) =>
+        p2 <= p && z2 <= z && (p2 < p || z2 < z) }
+    }.map(t => (t._1, t._2, t._3)).sortBy(t => (t._2, t._3, t._1))
+    assert(rows.toSeq == expected.toSeq)
+    // a planted exact tie: both copies of a frontier point must surface
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sky").toString
+    Seq((1L, "a", "B", "T", 5, 10.0), (2L, "b", "B", "T", 5, 10.0),
+      (3L, "c", "B", "T", 4, 20.0), (4L, "d", "B", "T", 9, 30.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val planted = SparkEntry.queries("q_skyline")(spark, dir)
+      .collect().map(_.getAs[Long]("p_partkey")).toSet
+    assert(planted == Set(1L, 2L, 3L)) // 4 dominated by both frontier points
+  }
+
   test("q_hill_tail: a source too small for the estimator surfaces with NULLs, not silence") {
     // 3 docs < kk+1 (kk >= 5): no (k+1)-th order statistic exists, so
     // the metric columns must be NULL — but the source itself must
