@@ -234,6 +234,95 @@ object Analytics {
       .orderBy("day")
   }
 
+  // ---- q_cohort_ltv: acquisition-cohort revenue triangle ----------
+  //
+  // The classic cohort LTV readout: customers grouped by FIRST-order
+  // month, revenue laid out by months-since-acquisition k ≤ 11, with
+  // per-cohort size, active-customer counts and the cumulative
+  // (running) revenue curve. All money stays DECIMAL(18,2)-exact
+  // through both the cell sums and the running window; the only
+  // doubles are final casts. Scale shape: the fact scan aggregates to
+  // (customer → first month) and joins back on the SAME custkey
+  // hash partitioning (co-partitioned, no extra exchange class);
+  // cohort cells are month×12 model-sized, where the running window
+  // and the broadcast size join are free.
+  private def qCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_custkey"),
+      expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)").as("m"),
+      expr("CAST(o_totalprice AS DECIMAL(18,2))").as("price"))
+    val cohort = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cm"))
+      .localCheckpoint() // feeds the fact join AND the cohort sizes
+    val sizes = cohort.groupBy(col("cm")).agg(count(lit(1)).as("cohort_size"))
+    val cells = o.join(cohort, Seq("o_custkey"))
+      .withColumn("k", col("m") - col("cm"))
+      .filter(col("k") <= 11)
+      .groupBy(col("cm"), col("k"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        sum(col("price")).as("rev_dec"))
+    val w = Window.partitionBy(col("cm")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(sizes), Seq("cm"))
+      .withColumn("cum_dec", sum(col("rev_dec")).over(w))
+      .select(
+        expr("CAST(make_date(CAST(cm DIV 12 AS INT), CAST(cm % 12 + 1 AS INT), 1) AS TIMESTAMP)")
+          .as("cohort_month"),
+        col("k"), col("cohort_size"), col("n_active"),
+        expr("CAST(rev_dec AS DOUBLE)").as("revenue"),
+        expr("CAST(cum_dec AS DOUBLE)").as("cum_revenue"))
+      .orderBy("cohort_month", "k")
+  }
+
+  // ---- q_benford: first-digit law audit ---------------------------
+  //
+  // Benford's-law conformance of order totals — the data-quality /
+  // fraud screen an audit pipeline runs over any money column. The
+  // leading digit is taken STRING-wise from floor(x) (identical
+  // cross-engine; no double log10, no double→int cast-rounding
+  // divergence), Benford probabilities log10(1+1/d) are DRIVER-
+  // computed DECIMAL(18,9) literals inlined into both engines, the
+  // expected count n·p stays exact decimal (n narrowed to
+  // DECIMAL(10,0) first — the precision-38 overflow rule), and each
+  // chi² term (obs−e)²/e is one fixed-shape IEEE composite over those
+  // exact inputs, DECIMAL-pinned before the sum. Scale: one hash
+  // aggregate to 9 digit rows; everything after is model-sized.
+  private val BenfordP: IndexedSeq[java.math.BigDecimal] =
+    (1 to 9).map { d0 =>
+      new java.math.BigDecimal(math.log10(1.0 + 1.0 / d0))
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+    }
+
+  private def benfordCase(digitCol: String): String =
+    s"CASE $digitCol " + (1 to 9).map(d0 =>
+      s"WHEN $d0 THEN CAST('${BenfordP(d0 - 1).toPlainString}' AS DECIMAL(18,9))")
+      .mkString(" ") + " END"
+
+  private def qBenford(s: SparkSession, d: String): DataFrame = {
+    val digits = Tables.orders(s, d)
+      .select(expr(
+        "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum(col("n_obs")).as("n"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("p_benford", expr(benfordCase("digit")))
+      .withColumn("expected_dec",
+        expr("CAST(n AS DECIMAL(10,0)) * p_benford"))
+      .withColumn("term_dec", expr(
+        """CAST((CAST(n_obs AS DOUBLE) - CAST(expected_dec AS DOUBLE))
+               * (CAST(n_obs AS DOUBLE) - CAST(expected_dec AS DOUBLE))
+               / CAST(expected_dec AS DOUBLE) AS DECIMAL(18,9))"""))
+      .withColumn("chi2", expr(
+        "CAST(SUM(term_dec) OVER () AS DOUBLE)"))
+      .select(col("digit"), col("n_obs"),
+        expr("CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)").as("share"),
+        expr("CAST(p_benford AS DOUBLE)").as("p_benford"),
+        expr("CAST(expected_dec AS DOUBLE)").as("expected"),
+        expr("CAST(term_dec AS DOUBLE)").as("chi2_term"),
+        col("chi2"))
+      .orderBy("digit")
+  }
+
   // ---- q_mase: seasonal-naive forecast skill ----------------------
   //
   // The forecasting-eval standard (Hyndman–Koehler MASE): per
@@ -707,6 +796,8 @@ object Analytics {
     "q_cusum" -> (qCusum _),
     "q_autocorr" -> (qAutocorr _),
     "q_mase" -> (qMase _),
+    "q_benford" -> (qBenford _),
+    "q_cohort_ltv" -> (qCohortLtv _),
     "q_vocab_growth" -> (qVocabGrowth _)
   )
 
@@ -1082,6 +1173,66 @@ object Analytics {
         |       abs(cusum) = MAX(abs(cusum)) OVER () AS is_peak
         |FROM cc
         |ORDER BY day""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders
+        |), c AS (
+        |  SELECT o_custkey, MIN(m) AS cm FROM o GROUP BY o_custkey
+        |), sizes AS (
+        |  SELECT cm, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM c GROUP BY cm
+        |), j AS (
+        |  SELECT o.o_custkey, c.cm, o.m - c.cm AS k, o.price
+        |  FROM o JOIN c ON o.o_custkey = c.o_custkey
+        |  WHERE o.m - c.cm <= 11
+        |), cells AS (
+        |  SELECT cm, k, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+        |         SUM(price) AS rev_dec
+        |  FROM j GROUP BY cm, k
+        |), cum AS (
+        |  SELECT cm, k, n_active, rev_dec,
+        |         SUM(rev_dec) OVER (PARTITION BY cm ORDER BY k
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec
+        |  FROM cells
+        |)
+        |SELECT CAST(make_date(CAST(cm // 12 AS INT), CAST(cm % 12 + 1 AS INT), 1)
+        |            AS TIMESTAMP) AS cohort_month,
+        |       k, s.cohort_size, n_active,
+        |       CAST(rev_dec AS DOUBLE) AS revenue,
+        |       CAST(cum_dec AS DOUBLE) AS cum_revenue
+        |FROM cum JOIN sizes s USING (cm)
+        |ORDER BY cohort_month, k""".stripMargin,
+    "q_benford" -> {
+      s"""WITH digits AS (
+         |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM orders
+         |), counts AS (
+         |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY digit
+         |), tot AS (
+         |  SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM counts
+         |), terms AS (
+         |  SELECT digit, n_obs, n,
+         |         ${benfordCase("digit")} AS p_benford,
+         |         CAST(n AS DECIMAL(10,0)) * (${benfordCase("digit")}) AS expected_dec
+         |  FROM counts, tot
+         |), pinned AS (
+         |  SELECT digit, n_obs, n, p_benford, expected_dec,
+         |         CAST((CAST(n_obs AS DOUBLE) - CAST(expected_dec AS DOUBLE))
+         |              * (CAST(n_obs AS DOUBLE) - CAST(expected_dec AS DOUBLE))
+         |              / CAST(expected_dec AS DOUBLE) AS DECIMAL(18,9)) AS term_dec
+         |  FROM terms
+         |)
+         |SELECT digit, n_obs,
+         |       CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) AS share,
+         |       CAST(p_benford AS DOUBLE) AS p_benford,
+         |       CAST(expected_dec AS DOUBLE) AS expected,
+         |       CAST(term_dec AS DOUBLE) AS chi2_term,
+         |       CAST(SUM(term_dec) OVER () AS DOUBLE) AS chi2
+         |FROM pinned
+         |ORDER BY digit""".stripMargin
+    },
     "q_mase" ->
       """WITH daily AS (
         |  SELECT o_orderpriority AS priority,

@@ -270,6 +270,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(planted == Set(1L, 2L, 3L)) // 4 dominated by both frontier points
   }
 
+  test("q_benford: digit counts partition the table; chi2 reconciles with its terms") {
+    val rows = q("q_benford").collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSeq == (1L to 9L))
+    val total = graft.sources.Tables.orders(spark, Sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == total)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+    val chi2 = rows.head.getAs[Double]("chi2")
+    assert(rows.forall(_.getAs[Double]("chi2") == chi2))
+    assert(rows.forall(_.getAs[Double]("chi2_term") >= 0.0))
+    assert(math.abs(rows.map(r => BigDecimal(r.getAs[Double]("chi2_term"))).sum.toDouble - chi2) < 1e-6)
+    // benford p column must be the exact literals, summing to ~1
+    assert(math.abs(rows.map(_.getAs[Double]("p_benford")).sum - 1.0) < 1e-6)
+  }
+
+  test("q_cohort_ltv: month-0 activity equals cohort size; cumulative curve telescopes") {
+    val rows = q("q_cohort_ltv").collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[java.sql.Timestamp]("cohort_month"))
+    for ((_, cells) <- byCohort) {
+      val sorted = cells.sortBy(_.getAs[Long]("k"))
+      // every acquired customer orders in its own month 0
+      assert(sorted.head.getAs[Long]("k") == 0L)
+      assert(sorted.head.getAs[Long]("n_active") == sorted.head.getAs[Long]("cohort_size"))
+      // cum_revenue is the running sum of revenue
+      var cum = BigDecimal(0)
+      for (c <- sorted) {
+        cum += BigDecimal(c.getAs[Double]("revenue"))
+        assert(math.abs(cum.toDouble - c.getAs[Double]("cum_revenue")) < 1e-6,
+          s"cum mismatch at k=${c.getAs[Long]("k")}")
+        assert(c.getAs[Long]("n_active") <= c.getAs[Long]("cohort_size"))
+      }
+    }
+    // total customers = sum of cohort sizes (each cohort counted once)
+    val sizes = byCohort.values.map(_.head.getAs[Long]("cohort_size")).sum
+    assert(sizes == graft.sources.Tables.orders(spark, Sf0001)
+      .select("o_custkey").distinct().count())
+  }
+
   test("q_hill_tail: a source too small for the estimator surfaces with NULLs, not silence") {
     // 3 docs < kk+1 (kk >= 5): no (k+1)-th order statistic exists, so
     // the metric columns must be NULL — but the source itself must
