@@ -193,7 +193,11 @@ object ScaleProbe {
       // loop whose round count is data-dependent) — the two md5-twin
       // estimate queries the r7 bench tops carried unmeasured
       "q_simhash_sizes" -> TextOps.queries("q_simhash_sizes"),
-      "q_simhash_closure" -> TextOps.queries("q_simhash_closure")
+      "q_simhash_closure" -> TextOps.queries("q_simhash_closure"),
+      // landmark BFS: rounds ≈ diameter, each a frontier×adjacency
+      // equi join — probed so "≤ diameter rounds" stays measured, not
+      // assumed, as the graph densifies with SF
+      "q_closeness" -> GraphOps.queries("q_closeness")
     )
   }
 

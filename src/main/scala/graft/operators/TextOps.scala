@@ -323,6 +323,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Flesch-style readability scoring — the classic quality-gate
+    * feature beside stopword/uniqueness ratios: reading-ease =
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    * Syllables are the standard vowel-run heuristic, counted ONCE over
+    * the whole text (`[aeiouy]+` runs cannot span the space
+    * delimiter, so the per-word sum and the whole-text count are the
+    * same number — one regex pass instead of a token explode);
+    * sentences are fixed 12-token windows (this corpus carries no
+    * sentence punctuation — the window stands in deterministically,
+    * (n+11) DIV 12). The three counts are exact BIGINTs and the score
+    * is one fixed-shape IEEE composite with literal coefficients —
+    * identical cross-engine, so even the CASE band edges compare
+    * identically. Narrow map over the corpus; no shuffle. */
+  private def qReadability(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens()).cast("long"))
+      .withColumn("n_sentences", expr("(n_tokens + 11) DIV 12"))
+      .withColumn("n_syllables",
+        size(expr("regexp_extract_all(text, '[aeiouy]+', 0)")).cast("long"))
+      .withColumn("wps", expr(
+        "CAST(n_tokens AS DOUBLE) / CAST(n_sentences AS DOUBLE)"))
+      .withColumn("spw", expr(
+        "CAST(n_syllables AS DOUBLE) / CAST(n_tokens AS DOUBLE)"))
+      .withColumn("flesch", expr("206.835 - 1.015 * wps - 84.6 * spw"))
+      .withColumn("band", expr(
+        """CASE WHEN flesch >= 90.0 THEN 'very_easy'
+                WHEN flesch >= 70.0 THEN 'easy'
+                WHEN flesch >= 50.0 THEN 'medium'
+                WHEN flesch >= 30.0 THEN 'hard'
+                ELSE 'very_hard' END"""))
+      .select("doc_id", "lang", "n_tokens", "n_sentences", "n_syllables",
+        "wps", "spw", "flesch", "band")
+      .orderBy("doc_id")
+
   // Corpus-level token accounting per language: explode + hash agg
   // (the regex tokenizer is the BPE-ish path; whitespace is primary).
   private def qTokenCount(s: SparkSession, d: String): DataFrame =
@@ -3281,6 +3315,7 @@ object TextOps {
     "q_token_count" -> (qTokenCount _),
     "q_lang_id" -> (qLangId _),
     "q_kappa" -> (qKappa _),
+    "q_readability" -> (qReadability _),
     "q_fingerprint" -> (qFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_stats" -> (qDedupStats _),
@@ -3571,6 +3606,31 @@ object TextOps {
         |      FROM documents)
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    "q_readability" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syllables
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         (n_tokens + 11) // 12 AS n_sentences, n_syllables,
+        |         CAST(n_tokens AS DOUBLE) / CAST((n_tokens + 11) // 12 AS DOUBLE) AS wps,
+        |         CAST(n_syllables AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS spw
+        |  FROM base
+        |), f AS (
+        |  SELECT doc_id, lang, n_tokens, n_sentences, n_syllables, wps, spw,
+        |         206.835 - 1.015 * wps - 84.6 * spw AS flesch
+        |  FROM m
+        |)
+        |SELECT doc_id, lang, n_tokens, n_sentences, n_syllables, wps, spw, flesch,
+        |       CASE WHEN flesch >= 90.0 THEN 'very_easy'
+        |            WHEN flesch >= 70.0 THEN 'easy'
+        |            WHEN flesch >= 50.0 THEN 'medium'
+        |            WHEN flesch >= 30.0 THEN 'hard'
+        |            ELSE 'very_hard' END AS band
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
     "q_kappa" ->
       """WITH pred AS (
         |  SELECT lang,

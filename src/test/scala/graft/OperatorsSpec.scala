@@ -1871,4 +1871,39 @@ class OperatorsSpec extends SparkSpec {
         s"exact count mismatch for part $k")
     }
   }
+
+  test("readability: driver recount of tokens/syllables/flesch is bit-exact per doc") {
+    val rows = q("q_readability").collect()
+    val texts = graft.sources.Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    val vowelRun = "[aeiouy]+".r
+    rows.foreach { r =>
+      val text = texts(r.getAs[Long]("doc_id"))
+      val nTok = text.split(" ", -1).length.toLong
+      val nSyl = vowelRun.findAllIn(text).length.toLong
+      val nSen = (nTok + 11L) / 12L
+      assert(r.getAs[Long]("n_tokens") == nTok)
+      assert(r.getAs[Long]("n_syllables") == nSyl)
+      assert(r.getAs[Long]("n_sentences") == nSen)
+      // same fixed-shape IEEE composite the query and oracle both run —
+      // equality must be EXACT, not approximate
+      val wps = nTok.toDouble / nSen.toDouble
+      val spw = nSyl.toDouble / nTok.toDouble
+      val flesch = 206.835 - 1.015 * wps - 84.6 * spw
+      assert(r.getAs[Double]("wps") == wps)
+      assert(r.getAs[Double]("spw") == spw)
+      assert(r.getAs[Double]("flesch") == flesch)
+      val band =
+        if (flesch >= 90.0) "very_easy"
+        else if (flesch >= 70.0) "easy"
+        else if (flesch >= 50.0) "medium"
+        else if (flesch >= 30.0) "hard"
+        else "very_hard"
+      assert(r.getAs[String]("band") == band)
+    }
+    // the fixture must actually exercise >1 band or the CASE is untested
+    assert(rows.map(_.getAs[String]("band")).distinct.length > 1)
+  }
 }
