@@ -778,7 +778,112 @@ object Analytics {
       .orderBy("source")
   }
 
+  // ---- q_allen: Allen interval-algebra census ----------------------
+  //
+  // Classifies the temporal relation between a customer's CONSECUTIVE
+  // order-fulfilment intervals — A = [o_orderdate, last l_shipdate]
+  // of one order vs B = the same for the customer's next order (next
+  // by (orderdate, orderkey)) — into Allen's 13 interval relations
+  // (Allen 1983, "Maintaining knowledge about temporal intervals"):
+  // the full qualitative-temporal-reasoning surface that point
+  // predicates (q_join_range's overlap test) collapse. The CASE
+  // ladder is ordered so disjointness and the meets/equality
+  // degeneracies are captured before the strict containment/overlap
+  // splits; after the first four branches the interiors provably
+  // intersect, so the remaining nine branches are exhaustive and
+  // mutually exclusive — a totality argument both engines replay
+  // identically on exact DATE comparisons. The span end is clamped to
+  // greatest(orderdate, last shipdate) so every interval is well-
+  // formed even where the synthetic generator ships before ordering;
+  // with pairs then ordered by start date, a1 ≤ b1 ≤ b2 always:
+  // 'after' and 'overlapped_by' are structurally impossible and their
+  // absence from the census is itself an asserted invariant. One
+  // order-grain agg + one lead() window + a priority×rel hash agg:
+  // embarrassingly parallel.
+  private def qAllen(s: SparkSession, d: String): DataFrame = {
+    val spans = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate")),
+        Seq("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority").as("priority"), col("o_orderdate").as("a1"))
+      .agg(greatest(max(col("l_shipdate")), col("a1")).as("a2"))
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy(col("a1"), col("o_orderkey"))
+    spans
+      .withColumn("b1", lead(col("a1"), 1).over(byCust))
+      .withColumn("b2", lead(col("a2"), 1).over(byCust))
+      .filter(col("b1").isNotNull)
+      .withColumn("rel", expr(
+        """CASE WHEN a2 < b1 THEN 'before'
+                WHEN b2 < a1 THEN 'after'
+                WHEN a2 = b1 THEN 'meets'
+                WHEN b2 = a1 THEN 'met_by'
+                WHEN a1 = b1 AND a2 = b2 THEN 'equals'
+                WHEN a1 = b1 AND a2 < b2 THEN 'starts'
+                WHEN a1 = b1 THEN 'started_by'
+                WHEN a2 = b2 AND a1 > b1 THEN 'finishes'
+                WHEN a2 = b2 THEN 'finished_by'
+                WHEN a1 > b1 AND a2 < b2 THEN 'during'
+                WHEN a1 < b1 AND a2 > b2 THEN 'contains'
+                WHEN a1 < b1 THEN 'overlaps'
+                ELSE 'overlapped_by' END"""))
+      .groupBy("priority", "rel").agg(count(lit(1)).as("n"))
+      .withColumn("share", expr(
+        """CAST(n AS DOUBLE)
+           / CAST(SUM(n) OVER (PARTITION BY priority) AS DOUBLE)"""))
+      .select("priority", "rel", "n", "share")
+      .orderBy("priority", "rel")
+  }
+
+  // ---- q_sax: symbolic aggregate approximation of the order series --
+  //
+  // SAX (Lin/Keogh/Lonardi/Chiu 2003) over the weekly order-volume
+  // series: PAA-aggregate days into 7-day windows FIRST (so the
+  // piecewise means stay exact BIGINT sums over a dense week spine —
+  // missing weeks count as 0), THEN z-normalize each weekly sum in
+  // the algebraically cleared form z = (n·S_w − T) / sqrt(n·ΣS² − T²)
+  // — numerator and radicand exact BIGINTs, so the whole z is one
+  // IEEE division over one IEEE sqrt, bit-identical cross-engine —
+  // and discretize against the literal 4-symbol Gaussian breakpoints
+  // (±0.6745 ≈ the quartiles). Eight-week SAX words are the motif
+  // alphabet downstream indexers bucket on. Scale shape: day-grain
+  // agg → week-grain agg → one broadcast 3-number moment frame → a
+  // 10²-row word roll-up; nothing super-linear anywhere.
+  private def qSax(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+        .as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val weekly = daily.crossJoin(broadcast(bounds))
+      .withColumn("w", expr("(day - lo) DIV 7"))
+      .groupBy("w").agg(sum(col("n")).as("sw"))
+    val series = bounds
+      .select(explode(expr("sequence(0L, (hi - lo) DIV 7)")).as("w"))
+      .join(weekly, Seq("w"), "left")
+      .withColumn("sw", coalesce(col("sw"), lit(0L)))
+      .localCheckpoint() // feeds both the moment frame and the z scan
+    val stats = series.agg(count(lit(1)).as("nw"), sum(col("sw")).as("t"),
+      sum(col("sw") * col("sw")).as("t2"))
+    series.crossJoin(broadcast(stats))
+      .withColumn("z", expr(
+        "CAST(nw * sw - t AS DOUBLE) / sqrt(CAST(nw * t2 - t * t AS DOUBLE))"))
+      .withColumn("sym", expr(
+        """CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+                WHEN z < 0.6745 THEN 'c' ELSE 'd' END"""))
+      .withColumn("word_idx", expr("w DIV 8"))
+      .groupBy("word_idx")
+      .agg(count(lit(1)).as("n_weeks"),
+        expr("array_join(transform(array_sort(collect_list(struct(w, sym))), x -> x.sym), '')")
+          .as("word"),
+        min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+      .orderBy("word_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_allen" -> (qAllen _),
+    "q_sax" -> (qSax _),
     "q_ks_test" -> (qKsTest _),
     "q_hill_tail" -> (qHillTail _),
     "q_spearman" -> (qSpearman _),
@@ -802,6 +907,76 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_allen" ->
+      """WITH spans AS (
+        |  SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority AS priority,
+        |         o.o_orderdate AS a1, GREATEST(MAX(l.l_shipdate), o.o_orderdate) AS a2
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY o.o_orderkey, o.o_custkey, o.o_orderpriority, o.o_orderdate
+        |), iv AS (
+        |  SELECT priority, a1, a2,
+        |         LEAD(a1) OVER (PARTITION BY o_custkey ORDER BY a1, o_orderkey) AS b1,
+        |         LEAD(a2) OVER (PARTITION BY o_custkey ORDER BY a1, o_orderkey) AS b2
+        |  FROM spans
+        |), rel AS (
+        |  SELECT priority,
+        |         CASE WHEN a2 < b1 THEN 'before'
+        |              WHEN b2 < a1 THEN 'after'
+        |              WHEN a2 = b1 THEN 'meets'
+        |              WHEN b2 = a1 THEN 'met_by'
+        |              WHEN a1 = b1 AND a2 = b2 THEN 'equals'
+        |              WHEN a1 = b1 AND a2 < b2 THEN 'starts'
+        |              WHEN a1 = b1 THEN 'started_by'
+        |              WHEN a2 = b2 AND a1 > b1 THEN 'finishes'
+        |              WHEN a2 = b2 THEN 'finished_by'
+        |              WHEN a1 > b1 AND a2 < b2 THEN 'during'
+        |              WHEN a1 < b1 AND a2 > b2 THEN 'contains'
+        |              WHEN a1 < b1 THEN 'overlaps'
+        |              ELSE 'overlapped_by' END AS rel
+        |  FROM iv WHERE b1 IS NOT NULL
+        |), agg AS (
+        |  SELECT priority, rel, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM rel GROUP BY priority, rel
+        |)
+        |SELECT priority, rel, n,
+        |       CAST(n AS DOUBLE)
+        |         / CAST(SUM(n) OVER (PARTITION BY priority) AS DOUBLE) AS share
+        |FROM agg
+        |ORDER BY priority, rel""".stripMargin,
+    "q_sax" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1
+        |), bounds AS (
+        |  SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+        |), weekly AS (
+        |  SELECT (day - lo) // 7 AS w, CAST(SUM(n) AS BIGINT) AS sw
+        |  FROM daily CROSS JOIN bounds GROUP BY 1
+        |), series AS (
+        |  SELECT r.w, COALESCE(weekly.sw, 0) AS sw
+        |  FROM (SELECT unnest(range(0, (hi - lo) // 7 + 1)) AS w FROM bounds) r
+        |  LEFT JOIN weekly ON weekly.w = r.w
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nw, CAST(SUM(sw) AS BIGINT) AS t,
+        |         CAST(SUM(sw * sw) AS BIGINT) AS t2
+        |  FROM series
+        |), z AS (
+        |  SELECT w, (w // 8) AS word_idx,
+        |         CAST(nw * sw - t AS DOUBLE)
+        |           / sqrt(CAST(nw * t2 - t * t AS DOUBLE)) AS z
+        |  FROM series CROSS JOIN stats
+        |), sym AS (
+        |  SELECT word_idx, w, z,
+        |         CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+        |              WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS sym
+        |  FROM z
+        |)
+        |SELECT word_idx, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+        |       string_agg(sym, '' ORDER BY w) AS word,
+        |       MIN(z) AS z_min, MAX(z) AS z_max
+        |FROM sym GROUP BY word_idx
+        |ORDER BY word_idx""".stripMargin,
     "q_token_median" ->
       """WITH t AS (
         |  SELECT source, doc_id, n_chars,

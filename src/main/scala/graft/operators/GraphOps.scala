@@ -335,6 +335,67 @@ object GraphOps {
       .limit(20)
   }
 
+  /** HITS hubs & authorities (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment") over the bipartite customer→part
+    * purchase graph — the classic mutual-reinforcement ranking: a
+    * customer is a good hub if it buys authoritative parts; a part is
+    * authoritative if good hubs buy it. Two unrolled iterations with
+    * L1 normalization (sum, not the sqrt L2 — keeps every total an
+    * exact decimal): per-edge score terms are pinned to
+    * DECIMAL(18,12) before the neighbor sum (partition-order-
+    * independent — the q_pagerank technique), every normalizer is an
+    * in-frame broadcast total (never a driver literal), and each
+    * normalization is ONE IEEE division of two decimal-exact casts —
+    * so the DuckDB oracle unrolls the same two iterations and matches
+    * bit for bit. Per iteration: one edge equi-join + one hash agg,
+    * both shuffling on the node key — O(|E|) rows, no all-pairs
+    * anywhere, linear to 100 TB. Decimal-cast magnitudes stay ≤ ~10³
+    * (scores are L1-normalized ≤ 1 before every pinned sum), so the
+    * ≤2⁵³-unscaled exact-double-cast precondition holds at any SF. */
+  private def qHits(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+        Seq("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint()
+    val mRow = e.agg(count(lit(1)).as("m"))
+    val inDeg = e.groupBy("p").agg(count(lit(1)).as("in_deg")).localCheckpoint()
+    val outDeg = e.groupBy("c").agg(count(lit(1)).as("out_deg"))
+    // iteration 1: hub0 ≡ 1 ⇒ authority = in-degree, L1-normalized
+    val a1 = inDeg.crossJoin(broadcast(mRow))
+      .withColumn("a1", col("in_deg").cast("double") / col("m").cast("double"))
+      .select("p", "a1")
+    val h1d = e.join(a1, Seq("p"))
+      .withColumn("t", expr("CAST(a1 AS DECIMAL(18,12))"))
+      .groupBy("c").agg(sum(col("t")).as("h1d"))
+    val h1 = h1d.crossJoin(broadcast(h1d.agg(sum(col("h1d")).as("h1t"))))
+      .withColumn("h1", col("h1d").cast("double") / col("h1t").cast("double"))
+      .select("c", "h1")
+    // iteration 2
+    val a2d = e.join(h1, Seq("c"))
+      .withColumn("t", expr("CAST(h1 AS DECIMAL(18,12))"))
+      .groupBy("p").agg(sum(col("t")).as("a2d"))
+    val a2 = a2d.crossJoin(broadcast(a2d.agg(sum(col("a2d")).as("a2t"))))
+      .withColumn("a2", col("a2d").cast("double") / col("a2t").cast("double"))
+      .select("p", "a2")
+      .localCheckpoint()
+    val h2d = e.join(a2, Seq("p"))
+      .withColumn("t", expr("CAST(a2 AS DECIMAL(18,12))"))
+      .groupBy("c").agg(sum(col("t")).as("h2d"))
+    val h2 = h2d.crossJoin(broadcast(h2d.agg(sum(col("h2d")).as("h2t"))))
+      .withColumn("h2", col("h2d").cast("double") / col("h2t").cast("double"))
+      .select("c", "h2")
+    a2.join(inDeg, Seq("p"))
+      .select(lit("authority").as("role"), col("p").as("id"),
+        col("in_deg").as("degree"), col("a2").as("score"))
+      .unionAll(h2.join(outDeg, Seq("c"))
+        .select(lit("hub").as("role"), col("c").as("id"),
+          col("out_deg").as("degree"), col("h2").as("score")))
+      .orderBy(col("role"), col("id"))
+  }
+
   // ---- k-core decomposition ----------------------------------------
   //
   // The K-core is the maximal subgraph where every node keeps degree
@@ -672,6 +733,7 @@ object GraphOps {
     "q_adamic_adar" -> (qAdamicAdar _),
     "q_local_cc" -> (qLocalCc _),
     "q_basket_lift" -> (qBasketLift _),
+    "q_hits" -> (qHits _),
     "q_kcore" -> (qKcore _),
     "q_communities" -> (qCommunities _),
     "q_link_jaccard" -> (qLinkJaccard _),
@@ -998,6 +1060,44 @@ object GraphOps {
          |FROM deg JOIN corners ON deg.node = corners.node
          |ORDER BY n_tri DESC, deg.node
          |LIMIT 20""".stripMargin,
+    "q_hits" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |), m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+        |indeg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS in_deg FROM e GROUP BY p),
+        |outdeg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY c),
+        |a1 AS (
+        |  SELECT p, CAST(in_deg AS DOUBLE) / CAST(m AS DOUBLE) AS a1
+        |  FROM indeg CROSS JOIN m
+        |), h1d AS (
+        |  SELECT c, SUM(CAST(a1 AS DECIMAL(18,12))) AS h1d
+        |  FROM e JOIN a1 USING (p) GROUP BY c
+        |), h1t AS (SELECT SUM(h1d) AS h1t FROM h1d),
+        |h1 AS (
+        |  SELECT c, CAST(h1d AS DOUBLE) / CAST(h1t AS DOUBLE) AS h1
+        |  FROM h1d CROSS JOIN h1t
+        |), a2d AS (
+        |  SELECT p, SUM(CAST(h1 AS DECIMAL(18,12))) AS a2d
+        |  FROM e JOIN h1 USING (c) GROUP BY p
+        |), a2t AS (SELECT SUM(a2d) AS a2t FROM a2d),
+        |a2 AS (
+        |  SELECT p, CAST(a2d AS DOUBLE) / CAST(a2t AS DOUBLE) AS a2
+        |  FROM a2d CROSS JOIN a2t
+        |), h2d AS (
+        |  SELECT c, SUM(CAST(a2 AS DECIMAL(18,12))) AS h2d
+        |  FROM e JOIN a2 USING (p) GROUP BY c
+        |), h2t AS (SELECT SUM(h2d) AS h2t FROM h2d),
+        |h2 AS (
+        |  SELECT c, CAST(h2d AS DOUBLE) / CAST(h2t AS DOUBLE) AS h2
+        |  FROM h2d CROSS JOIN h2t
+        |)
+        |SELECT 'authority' AS role, p AS id, in_deg AS degree, a2 AS score
+        |FROM a2 JOIN indeg USING (p)
+        |UNION ALL
+        |SELECT 'hub' AS role, c AS id, out_deg AS degree, h2 AS score
+        |FROM h2 JOIN outdeg USING (c)
+        |ORDER BY role, id""".stripMargin,
     "q_basket_lift" ->
       s"""WITH li AS (
          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

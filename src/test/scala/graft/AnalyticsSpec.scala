@@ -815,4 +815,129 @@ class AnalyticsSpec extends SparkSpec {
     assert(h.getAs[Double]("var_k") > 0.0)
     assert(!h.getAs[Double]("skew").isNaN && !h.getAs[Double]("kurt").isNaN)
   }
+
+  test("q_hits: driver replay of both pinned iterations is bit-exact; L1 norms hold") {
+    val rows = q("q_hits").collect()
+    // rebuild the bipartite customer→part edge set on the driver
+    val ordCust = graft.sources.Tables.orders(spark, Sf0001)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = graft.sources.Tables.lineitem(spark, Sf0001)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (ordCust(r.getLong(0)), r.getLong(1))).distinct
+    val m = edges.length.toLong
+    def pin(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    // iteration 1: authority = in-degree / m, hub = normalized pinned sums
+    val inDeg = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val a1 = inDeg.map { case (p, dg) => p -> dg.toDouble / m.toDouble }
+    val h1d = edges.groupBy(_._1).view
+      .mapValues(_.map(e => pin(a1(e._2))).sum).toMap
+    val h1t = h1d.values.sum
+    val h1 = h1d.map { case (c, v) => c -> v.toDouble / h1t.toDouble }
+    // iteration 2
+    val a2d = edges.groupBy(_._2).view
+      .mapValues(_.map(e => pin(h1(e._1))).sum).toMap
+    val a2t = a2d.values.sum
+    val a2 = a2d.map { case (p, v) => p -> v.toDouble / a2t.toDouble }
+    val h2d = edges.groupBy(_._1).view
+      .mapValues(_.map(e => pin(a2(e._2))).sum).toMap
+    val h2t = h2d.values.sum
+    val h2 = h2d.map { case (c, v) => c -> v.toDouble / h2t.toDouble }
+    val (auths, hubs) = rows.partition(_.getAs[String]("role") == "authority")
+    assert(auths.length == inDeg.size && hubs.length == outDeg.size)
+    auths.foreach { r =>
+      val p = r.getAs[Long]("id")
+      assert(r.getAs[Long]("degree") == inDeg(p))
+      assert(r.getAs[Double]("score") == a2(p), s"authority $p")
+    }
+    hubs.foreach { r =>
+      val c = r.getAs[Long]("id")
+      assert(r.getAs[Long]("degree") == outDeg(c))
+      assert(r.getAs[Double]("score") == h2(c), s"hub $c")
+    }
+    // L1 normalization: each role's scores sum to ~1 and every score > 0
+    assert(math.abs(auths.map(_.getAs[Double]("score")).sum - 1.0) < 1e-9)
+    assert(math.abs(hubs.map(_.getAs[Double]("score")).sum - 1.0) < 1e-9)
+    assert(rows.forall(_.getAs[Double]("score") > 0.0))
+  }
+
+  test("q_allen: census partitions all consecutive pairs; impossible relations absent") {
+    val rows = q("q_allen").collect()
+    assert(rows.nonEmpty)
+    // ordered pairs (a1 <= b1) make 'after'/'overlapped_by' structurally impossible
+    val rels = rows.map(_.getAs[String]("rel")).toSet
+    assert(!rels.contains("after") && !rels.contains("overlapped_by"))
+    // driver replay: spans, per-customer consecutive pairing, same CASE ladder
+    import java.time.LocalDateTime
+    val ship = graft.sources.Tables.lineitem(spark, Sf0001)
+      .groupBy("l_orderkey").agg(max("l_shipdate").as("a2"))
+      .collect().map(r => r.getLong(0) -> r.getAs[LocalDateTime]("a2")).toMap
+    val spans = graft.sources.Tables.orders(spark, Sf0001)
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate").collect()
+      .flatMap { r =>
+        val a1 = r.getAs[LocalDateTime]("o_orderdate")
+        ship.get(r.getLong(0)).map { s =>
+          val a2 = if (s.isBefore(a1)) a1 else s // span end clamped to >= start
+          (r.getLong(1), r.getLong(0), r.getString(2), a1, a2)
+        }
+      }
+    def classify(a1: LocalDateTime, a2: LocalDateTime,
+        b1: LocalDateTime, b2: LocalDateTime): String = {
+      def lt(x: LocalDateTime, y: LocalDateTime) = x.isBefore(y)
+      if (lt(a2, b1)) "before" else if (lt(b2, a1)) "after"
+      else if (a2 == b1) "meets" else if (b2 == a1) "met_by"
+      else if (a1 == b1 && a2 == b2) "equals"
+      else if (a1 == b1 && lt(a2, b2)) "starts"
+      else if (a1 == b1) "started_by"
+      else if (a2 == b2 && lt(b1, a1)) "finishes"
+      else if (a2 == b2) "finished_by"
+      else if (lt(b1, a1) && lt(a2, b2)) "during"
+      else if (lt(a1, b1) && lt(b2, a2)) "contains"
+      else if (lt(a1, b1)) "overlaps" else "overlapped_by"
+    }
+    val expected = spans.groupBy(_._1).values.flatMap { os =>
+      val sorted = os.sortBy(o =>
+        (o._4.toEpochSecond(java.time.ZoneOffset.UTC), o._4.getNano, o._2))
+      sorted.zip(sorted.drop(1)).map { case (a, b) =>
+        (a._3, classify(a._4, a._5, b._4, b._5))
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => (r.getAs[String]("priority"), r.getAs[String]("rel")) ->
+      r.getAs[Long]("n")).toMap == expected)
+    // shares sum to ~1 within each priority
+    rows.groupBy(_.getAs[String]("priority")).values.foreach { g =>
+      assert(math.abs(g.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+    }
+  }
+
+  test("q_sax: words replay from a driver z-scan; symbols respect the breakpoints") {
+    val rows = q("q_sax").collect()
+    assert(rows.nonEmpty)
+    val days = graft.sources.Tables.orders(spark, Sf0001)
+      .select((unix_micros(col("o_orderdate").cast("timestamp")) / 86400000000L)
+        .cast("long").as("day"))
+      .collect().map(_.getLong(0))
+    val lo = days.min
+    val weeks = days.map(d => (d - lo) / 7).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val nW = (days.max - lo) / 7 + 1
+    val series = (0L until nW).map(w => weeks.getOrElse(w, 0L))
+    val (n, t, t2) = (series.length.toLong, series.sum, series.map(x => x * x).sum)
+    val z = series.map(sw => (n * sw - t).toDouble / math.sqrt((n * t2 - t * t).toDouble))
+    val sym = z.map(v => if (v < -0.6745) "a" else if (v < 0.0) "b"
+      else if (v < 0.6745) "c" else "d")
+    val words = sym.zipWithIndex.groupBy(_._2 / 8).view
+      .mapValues(_.sortBy(_._2).map(_._1).mkString).toMap
+    assert(rows.map(_.getAs[Long]("n_weeks")).sum == nW)
+    rows.foreach { r =>
+      val idx = r.getAs[Long]("word_idx")
+      assert(r.getAs[String]("word") == words(idx.toInt), s"word $idx")
+      val zs = z.slice(idx.toInt * 8, idx.toInt * 8 + 8)
+      assert(r.getAs[Double]("z_min") == zs.min && r.getAs[Double]("z_max") == zs.max)
+    }
+    // the corpus must actually exercise every symbol or the banding is untested
+    assert(rows.flatMap(_.getAs[String]("word")).toSet == Set('a', 'b', 'c', 'd'))
+  }
 }
