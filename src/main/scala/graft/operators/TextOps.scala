@@ -357,6 +357,36 @@ object TextOps {
         "wps", "spw", "flesch", "band")
       .orderBy("doc_id")
 
+  /** Hashing-trick featurization (Weinberger et al. 2009, "Feature
+    * Hashing for Large Scale Multitask Learning") — the fixed-width
+    * sparse text featurizer that needs NO vocabulary broadcast:
+    * bucket = low 8 bits of xxhash64(token), sign = the 9th bit
+    * (both PURE BITWISE reads of the signed 64-bit hash, so the
+    * two's-complement bit pattern — not a sign-dependent %/DIV — is
+    * what both engines consume), feature value = Σ sign·tf per
+    * (doc, bucket) with the signed sum cancelling collisions in
+    * expectation. Scale shape: one token explode → (doc,tok) tf agg →
+    * hash each DISTINCT token once and join back (vocab ≪ corpus
+    * tokens) → (doc,bucket) hash agg; every stage linear, the bucket
+    * matrix is the bounded-width output a downstream trainer consumes
+    * directly. Oracle recomputes Spark's exact XXH64 per distinct
+    * token via the [[XxOracleSql]] macro chain. */
+  private def qFeatureHash(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens()).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val vocab = tf.select("tok").distinct()
+      .withColumn("h64", xxhash64(col("tok")))
+      .select(col("tok"), expr("h64 & 255").as("bucket"),
+        expr("CASE WHEN (h64 & 256) = 0 THEN 1L ELSE -1L END").as("sign"))
+    tf.join(vocab, Seq("tok"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("n_tok"),
+        sum(col("sign") * col("tf")).as("feat"))
+      .select("doc_id", "bucket", "n_terms", "n_tok", "feat")
+      .orderBy("doc_id", "bucket")
+  }
+
   // Corpus-level token accounting per language: explode + hash agg
   // (the regex tokenizer is the BPE-ish path; whitespace is primary).
   private def qTokenCount(s: SparkSession, d: String): DataFrame =
@@ -3316,6 +3346,7 @@ object TextOps {
     "q_lang_id" -> (qLangId _),
     "q_kappa" -> (qKappa _),
     "q_readability" -> (qReadability _),
+    "q_feature_hash" -> (qFeatureHash _),
     "q_fingerprint" -> (qFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_stats" -> (qDedupStats _),
@@ -3606,6 +3637,25 @@ object TextOps {
         |      FROM documents)
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    "q_feature_hash" ->
+      s"""${XxOracleSql.prelude}WITH tf AS (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY doc_id, tok
+         |), tokset AS (SELECT DISTINCT tok FROM tf),
+         |  ${XxOracleSql.stages("tokset", "tok", "tok", "h64", 32, "g")},
+         |vocab AS (
+         |  SELECT tok, h64 & 255 AS bucket,
+         |         CASE WHEN (h64 & 256) = 0 THEN CAST(1 AS BIGINT)
+         |              ELSE CAST(-1 AS BIGINT) END AS sign
+         |  FROM gfin
+         |)
+         |SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |       CAST(SUM(tf) AS BIGINT) AS n_tok,
+         |       CAST(SUM(sign * tf) AS BIGINT) AS feat
+         |FROM tf JOIN vocab USING (tok)
+         |GROUP BY doc_id, bucket
+         |ORDER BY doc_id, bucket""".stripMargin,
     "q_readability" ->
       """WITH base AS (
         |  SELECT doc_id, lang,

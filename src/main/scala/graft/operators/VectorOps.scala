@@ -66,6 +66,43 @@ object VectorOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Mutual (reciprocal) k-nearest-neighbor pairs within each label
+    * block — the bitext-mining / ANN-graph-construction filter
+    * (cf. Artetxe & Schwenk 2019's margin-based mining): keep (a,b)
+    * only when b is in a's cosine top-3 AND a is in b's top-3.
+    * Reciprocity kills hub vectors that sit in everyone's top-k
+    * without being anyone's mutual match. Blocked all-pairs: the
+    * label is the blocking key (the 100 TB path swaps in the LSH/IVF
+    * bucket id from q_sim_lsh/q_sim_ivf as the block — same plan
+    * shape), so the join is Σ_label n_label², never corpus². The
+    * ranked frame is localCheckpoint'd once and joined to its own
+    * reversal (doc'd multi-consumer rule); cosine is symmetric under
+    * the fused sequential fold, so the forward score IS the backward
+    * score and only ranks differ. */
+  private def qMutualNn(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"), asDouble("embedding").as("vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"), col("a")).orderBy(col("cosine").desc, col("b"))
+    val ranked = e.select(col("label"), col("vec_id").as("a"), col("vec").as("va"))
+      .join(e.select(col("label"), col("vec_id").as("b"), col("vec").as("vb")),
+        Seq("label"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("cosine", cosine("va", "vb"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("label", "a", "b", "cosine", "rk")
+      .localCheckpoint()
+    ranked
+      .join(ranked.select(col("label"), col("a").as("b"), col("b").as("a"),
+        col("rk").as("rk_back")), Seq("label", "a", "b"))
+      .filter(col("a") < col("b"))
+      .select(col("label"), col("a"), col("b"), col("cosine"),
+        col("rk").as("rank_ab"), col("rk_back").as("rank_ba"))
+      .orderBy("label", "a", "b")
+  }
+
   // Per-vector L2 norm — deterministic per-row arithmetic, oracled.
   private def qEmbedNorms(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.register(s)
@@ -1191,6 +1228,7 @@ object VectorOps {
     "q_centroid_outliers" -> (qCentroidOutliers _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_sim_bruteforce" -> (qSimBruteforce _),
+    "q_mutual_nn" -> (qMutualNn _),
     "q_embed_norms" -> (qEmbedNorms _),
     "q_embed_stats" -> (qEmbedStats _),
     "q_sim_lsh" -> (qSimLsh _),
@@ -1341,6 +1379,29 @@ object VectorOps {
         |       CAST(list_reduce(list_transform(q, x -> abs(x)), (a, b) -> a + b) AS BIGINT) AS l1_quant
         |FROM quant
         |ORDER BY vec_id""".stripMargin,
+    "q_mutual_nn" ->
+      """WITH v AS (
+        |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        |), scored AS (
+        |  SELECT q.label, q.vec_id AS a, c.vec_id AS b,
+        |         list_dot_product(q.vec, c.vec)
+        |           / (sqrt(list_dot_product(q.vec, q.vec))
+        |              * sqrt(list_dot_product(c.vec, c.vec))) AS cosine
+        |  FROM v q JOIN v c ON q.label = c.label AND q.vec_id <> c.vec_id
+        |), ranked AS (
+        |  SELECT label, a, b, cosine, rk FROM (
+        |    SELECT label, a, b, cosine,
+        |           ROW_NUMBER() OVER (PARTITION BY label, a
+        |                              ORDER BY cosine DESC, b) AS rk
+        |    FROM scored)
+        |  WHERE rk <= 3
+        |)
+        |SELECT r1.label AS label, r1.a AS a, r1.b AS b, r1.cosine AS cosine,
+        |       r1.rk AS rank_ab, r2.rk AS rank_ba
+        |FROM ranked r1
+        |JOIN ranked r2 ON r1.label = r2.label AND r1.a = r2.b AND r1.b = r2.a
+        |WHERE r1.a < r1.b
+        |ORDER BY r1.label, r1.a, r1.b""".stripMargin,
     "q_sim_bruteforce" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         |scored AS (

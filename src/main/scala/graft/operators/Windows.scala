@@ -298,6 +298,49 @@ object Windows {
       .orderBy("rank")
   }
 
+  /** MATCH_RECOGNIZE-style sequence-pattern detection over session
+    * event streams — the row-pattern surface SQL:2016 added and Spark
+    * lacks, re-expressed as regex over a per-session SYMBOL WORD:
+    * each event type maps to its (distinct) initial letter, the
+    * session's events concatenate in (ts, event_id) order, and the
+    * pattern library runs as ordinary regexp functions over that
+    * word: adjacency ('vc' view→click), eventual conversion
+    * ('v[^ps]*p' — a view reaching a purchase with no intervening
+    * signup/purchase), error doubling ('ee'), and the longest
+    * purchase run (max 'p+' match length). Non-overlapping leftmost
+    * matching with these patterns is engine-identical (no
+    * backtracking-dependent constructs). The sequence unit is the
+    * user-WEEK (epoch-day DIV 7 — an arithmetic week index, immune to
+    * calendar week-start conventions): at this corpus's ~2.5 events/
+    * user/day the 30-min session words are near-singletons, while the
+    * week word (~17 symbols) is where journey patterns live — and the
+    * bounded window is exactly how the operator stays sane at 100 TB
+    * (word length is capped by events-per-user-week, never corpus
+    * size). Scale shape: one (user, week) hash agg to build words,
+    * then embarrassingly-parallel per-row regex; the whole query
+    * shuffles once. */
+  private def qSeqPattern(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .withColumn("week",
+        expr("unix_micros(ts) DIV 86400000000 DIV 7"))
+      .withColumn("sym", substring(col("event_type"), 1, 1))
+      .groupBy(col("user_id"), col("week"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("""array_join(transform(
+                  array_sort(collect_list(struct(ts, event_id, sym))),
+                  x -> x.sym), '')""").as("word"))
+      .withColumn("n_vc", expr("size(regexp_extract_all(word, 'vc', 0))").cast("long"))
+      .withColumn("n_conv", expr("size(regexp_extract_all(word, 'v[^ps]*p', 0))").cast("long"))
+      .withColumn("n_err2", expr("size(regexp_extract_all(word, 'ee', 0))").cast("long"))
+      .withColumn("max_p_run", expr(
+        """coalesce(array_max(transform(
+             regexp_extract_all(word, 'p+', 0), x -> length(x))), 0)""").cast("long"))
+      .select("user_id", "week", "n_events", "word",
+        "n_vc", "n_conv", "n_err2", "max_p_run")
+      .orderBy("user_id", "week")
+  }
+
   // Built-in session_window variant of qSessionize: Spark merges
   // events whose [ts, ts+30min) intervals overlap — identical session
   // boundaries to the lag+cumsum formulation, with session end defined
@@ -666,6 +709,7 @@ object Windows {
     "q_window_tumbling" -> (qWindowTumbling _),
     "q_sessionize" -> (qSessionize _),
     "q_session_paths" -> (qSessionPaths _),
+    "q_seq_pattern" -> (qSeqPattern _),
     "q_session_window" -> (qSessionWindow _),
     "q_concurrency" -> (qConcurrency _),
     "q_streaks" -> (qStreaks _),
@@ -830,6 +874,27 @@ object Windows {
         |FROM events
         |GROUP BY 1, 2, 3
         |ORDER BY win_start, event_type""".stripMargin,
+    "q_seq_pattern" ->
+      """WITH sym AS (
+        |  SELECT user_id, ts, event_id,
+        |         epoch_us(ts) // 86400000000 // 7 AS week,
+        |         substr(event_type, 1, 1) AS sym
+        |  FROM events
+        |), words AS (
+        |  SELECT user_id, week, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         string_agg(sym, '' ORDER BY ts, event_id) AS word
+        |  FROM sym
+        |  GROUP BY user_id, week
+        |)
+        |SELECT user_id, week, n_events, word,
+        |       CAST(len(regexp_extract_all(word, 'vc')) AS BIGINT) AS n_vc,
+        |       CAST(len(regexp_extract_all(word, 'v[^ps]*p')) AS BIGINT) AS n_conv,
+        |       CAST(len(regexp_extract_all(word, 'ee')) AS BIGINT) AS n_err2,
+        |       CAST(COALESCE(list_max(list_transform(
+        |              regexp_extract_all(word, 'p+'), x -> len(x))), 0) AS BIGINT)
+        |         AS max_p_run
+        |FROM words
+        |ORDER BY user_id, week""".stripMargin,
     "q_session_paths" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, event_type,

@@ -24,7 +24,10 @@ class DeterminismSpec extends SparkSpec {
     "q_corpus_clean",    // digest keeper election
     "q_concurrency",     // two-level prefix sum + day carry
     "q_frequent_items",  // MG summary merge order (flags must absorb it)
-    "q_window_nav")      // explicit-frame navigation + rank ratios
+    "q_window_nav",      // explicit-frame navigation + rank ratios
+    "q_hits",            // decimal-pinned iterative normalization
+    "q_mutual_nn",       // double cosine ranking both directions
+    "q_sax")             // collect_list word assembly + z banding
 
   risky.foreach { name =>
     test(s"$name is identical across two independent executions") {

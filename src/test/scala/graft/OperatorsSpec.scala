@@ -1872,6 +1872,108 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("feature hashing: driver XXH64 recount reproduces every (doc, bucket) cell") {
+    val rows = q("q_feature_hash").collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    // independent hash path: the INTERPRETED XxHash64Function vs the
+    // codegen'd xxhash64 column the query runs
+    def h64(tok: String): Long =
+      XxHash64Function.hash(UTF8String.fromString(tok),
+        org.apache.spark.sql.types.StringType, 42L)
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.flatMap { case (id, text) =>
+      // toSeq before map: a Map result would key by (id, bucket) and
+      // silently collapse colliding tokens — the very thing n_terms counts
+      text.split(" ", -1).groupBy(identity).toSeq.map { case (tok, occ) =>
+        val h = h64(tok)
+        ((id, h & 255L), (1L, occ.length.toLong,
+          (if ((h & 256L) == 0L) 1L else -1L) * occ.length))
+      }
+    }.groupBy(_._1).view.mapValues(vs =>
+      (vs.map(_._2._1).sum, vs.map(_._2._2).sum, vs.map(_._2._3).sum)).toMap
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket"))
+      val (terms, ntok, feat) = expected(key)
+      assert(r.getAs[Long]("n_terms") == terms, s"terms $key")
+      assert(r.getAs[Long]("n_tok") == ntok, s"ntok $key")
+      assert(r.getAs[Long]("feat") == feat, s"feat $key")
+      // |feat| <= n_tok and feat ≡ n_tok (mod 2): signed-sum sanity
+      assert(math.abs(r.getAs[Long]("feat")) <= r.getAs[Long]("n_tok"))
+      assert(((r.getAs[Long]("feat") - r.getAs[Long]("n_tok")) % 2 + 2) % 2 == 0)
+      assert(key._2 >= 0L && key._2 < 256L)
+    }
+  }
+
+  test("mutual NN: reciprocity holds exactly and scores replay a driver cosine scan") {
+    val rows = q("q_mutual_nn").collect()
+    assert(rows.nonEmpty)
+    val vecs = graft.sources.Tables.embeddings(spark, Sf0001)
+      .selectExpr("label", "vec_id", "CAST(embedding AS ARRAY<DOUBLE>)").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    // same fused fold the native expression runs: sequential dot/na/nb
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val top3 = vecs.groupBy(_._1).view.mapValues { vs =>
+      vs.map { case (_, id, v) =>
+        id -> vs.filter(_._2 != id)
+          .map { case (_, oid, ov) => (oid, cos(v, ov)) }
+          .sortBy { case (oid, c) => (-c, oid) }.take(3).zipWithIndex
+          .map { case ((oid, c), i) => oid -> ((i + 1).toLong, c) }.toMap
+      }.toMap
+    }.toMap
+    val expected = for {
+      (lab, m) <- top3.toSeq
+      (a, nn) <- m.toSeq
+      (b, (rkAb, c)) <- nn.toSeq
+      if a < b && m(b).contains(a)
+    } yield ((lab, a, b), (rkAb, m(b)(a)._1, c))
+    assert(rows.length == expected.length)
+    val got = rows.map(r => ((r.getAs[Int]("label"), r.getAs[Long]("a"),
+      r.getAs[Long]("b")), (r.getAs[Long]("rank_ab"), r.getAs[Long]("rank_ba"),
+      r.getAs[Double]("cosine")))).toMap
+    expected.foreach { case (k, v) => assert(got(k) == v, s"pair $k") }
+  }
+
+  test("seq pattern: regex counts replay a driver scan of every week word") {
+    val rows = q("q_seq_pattern").collect()
+    assert(rows.nonEmpty)
+    // independent word build: bucket by epoch week on the driver, then
+    // count with java.util.regex directly (the query goes through Spark's
+    // codegen'd regexp_extract_all)
+    val evs = graft.sources.Tables.events(spark, Sf0001)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val words = evs.groupBy(e => (e._1, e._2 / 86400000000L / 7L))
+      .view.mapValues { rs =>
+        rs.sortBy(r => (r._2, r._3)).map(_._4.head).mkString
+      }.toMap
+    def cnt(w: String, p: String): Long = p.r.findAllIn(w).length.toLong
+    assert(rows.length == words.size)
+    rows.foreach { r =>
+      val w = words((r.getAs[Long]("user_id"), r.getAs[Long]("week")))
+      assert(r.getAs[String]("word") == w)
+      assert(r.getAs[Long]("n_events") == w.length.toLong)
+      assert(r.getAs[Long]("n_vc") == cnt(w, "vc"))
+      assert(r.getAs[Long]("n_conv") == cnt(w, "v[^ps]*p"))
+      assert(r.getAs[Long]("n_err2") == cnt(w, "ee"))
+      val runs = "p+".r.findAllIn(w).map(_.length.toLong).toSeq
+      assert(r.getAs[Long]("max_p_run") == (if (runs.isEmpty) 0L else runs.max))
+    }
+    // fixture must exercise each pattern at least once somewhere
+    assert(rows.map(_.getAs[Long]("n_vc")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_conv")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_err2")).sum > 0)
+    assert(rows.map(_.getAs[Long]("max_p_run")).max >= 2)
+  }
+
   test("readability: driver recount of tokens/syllables/flesch is bit-exact per doc") {
     val rows = q("q_readability").collect()
     val texts = graft.sources.Tables.documents(spark, Sf0001)
