@@ -387,6 +387,51 @@ object TextOps {
       .orderBy("doc_id", "bucket")
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic keyword
+    * extraction from individual documents") — candidate phrases are
+    * maximal stopword-delimited token runs (capped at 4 tokens: the
+    * standard guard against degenerate runs under a small stopword
+    * list), word scores are deg(w)/freq(w) over kept phrases (deg =
+    * Σ phrase length across a word's occurrences — the co-occurrence
+    * degree including self), and a phrase scores the sum of its
+    * words' scores. Determinism: freq/deg are exact BIGINTs, each
+    * word score is ONE IEEE division pinned to DECIMAL(18,9), and
+    * the phrase sum is a decimal sum — order-independent, engine-
+    * exact (the q_closeness 1/d device). Scale shape: one posexplode
+    * + per-doc window prefix sum to cut phrases (doc-bounded, never
+    * global), two hash aggs for word stats, one join back on word —
+    * all linear; the top-30 cut is TakeOrdered. */
+  private def qRake(s: SparkSession, d: String): DataFrame = {
+    val win = Window.partitionBy("doc_id").orderBy("i")
+    val phr = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens()).as(Seq("i", "tok")))
+      .withColumn("is_stop", col("tok").isin(Stopwords: _*))
+      .withColumn("pid", sum(when(col("is_stop"), 1L).otherwise(0L)).over(win))
+      .filter(!col("is_stop"))
+      .groupBy("doc_id", "pid")
+      .agg(count(lit(1)).as("len"),
+        expr("array_join(transform(array_sort(collect_list(struct(i, tok))), x -> x.tok), ' ')")
+          .as("phrase"))
+      .filter(col("len") <= 4)
+      .localCheckpoint() // feeds the word-stat agg AND the phrase scoring join
+    val words = phr
+      .select(col("len"), explode(split(col("phrase"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .withColumn("r", expr(
+        "CAST(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS DECIMAL(18,9))"))
+    phr.select(col("doc_id"), col("pid"), col("phrase"), col("len"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(words.select("w", "r"), Seq("w"))
+      .groupBy(col("doc_id"), col("pid"), col("phrase"), col("len"))
+      .agg(expr("CAST(SUM(r) AS DOUBLE)").as("score"))
+      .groupBy(col("phrase"))
+      .agg(min(col("len")).as("n_words"), count(lit(1)).as("n_occ"),
+        min(col("score")).as("score"))
+      .orderBy(col("score").desc, col("phrase")).limit(30)
+      .select("phrase", "n_words", "n_occ", "score")
+      .orderBy(col("score").desc, col("phrase"))
+  }
+
   // Corpus-level token accounting per language: explode + hash agg
   // (the regex tokenizer is the BPE-ish path; whitespace is primary).
   private def qTokenCount(s: SparkSession, d: String): DataFrame =
@@ -2979,13 +3024,16 @@ object TextOps {
       .filter(col("term").isin(Bm25Query: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
 
-  private def bm25Frame(s: SparkSession, d: String): DataFrame = {
+  /** Per-(doc, query-term) PINNED BM25 contribution `sterm`
+    * (DECIMAL(18,9)) — the shared posting-score frame the full scorer
+    * sums per doc and the WAND pruner bounds per term. */
+  private def bm25TermScores(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .withColumn("dl", size(tokens()).cast("long"))
     val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val tf = bm25Tf(docs)
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(dft, Seq("term"))
+    tf.join(dft, Seq("term"))
       .join(docs.select("doc_id", "dl"), Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
@@ -2995,6 +3043,13 @@ object TextOps {
              * ((CAST(tf AS DOUBLE) * 2.2)
                 / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
            AS DECIMAL(18,9))"""))
+      .select("doc_id", "term", "sterm")
+  }
+
+  private def bm25Frame(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("dl", size(tokens()).cast("long"))
+    val scored = bm25TermScores(s, d)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matched"),
         expr("CAST(SUM(sterm) AS DOUBLE)").as("score"))
@@ -3003,6 +3058,55 @@ object TextOps {
         coalesce(col("n_matched"), lit(0L)).as("n_matched"),
         coalesce(col("score"), lit(0.0)).as("score"))
   }
+
+  /** WAND/MaxScore-style PRUNED BM25 top-k (Broder et al. 2003,
+    * "Efficient query evaluation using a two-level retrieval
+    * process") — batch re-expression of the posting-skipping idea:
+    * (1) per-term upper bound ub(t) = max posting score (a DECIMAL
+    * max — exact); (2) a seed pass fully scores only the RAREST
+    * term's postings and takes its k-th best score as threshold θ;
+    * (3) only docs whose Σ ub over matched terms ≥ θ are fully
+    * scored. LOSSLESS by the subset argument: θ ≤ the global k-th
+    * best (a subset's k-th order statistic never exceeds the
+    * corpus's), and any true top-k doc has ub_sum ≥ score ≥ θ, with
+    * both inequalities exact in the decimal domain and preserved by
+    * the monotone double cast — which is why the ORACLE is the plain
+    * exhaustive top-k SQL: the hash gate itself proves the pruning
+    * drops no answer. Scale shape: the seed is one posting list, the
+    * bound pass is a (doc,term∈Q) agg against a |Q|-row broadcast,
+    * and full scoring touches only survivors — the batch analog of
+    * skipping posting blocks. */
+  private[graft] def bm25WandFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val k = 20
+    val ts = bm25TermScores(s, d).localCheckpoint() // ub, seed, bound and final passes share it
+    val ub = ts.groupBy("term").agg(max(col("sterm")).as("ub"))
+    val rare = ts.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df"), col("term")).limit(1)
+    val seedDocs = ts.join(broadcast(rare.select("term")), Seq("term"))
+      .select("doc_id").distinct()
+    val theta = ts.join(seedDocs, Seq("doc_id"))
+      .groupBy("doc_id").agg(expr("CAST(SUM(sterm) AS DOUBLE)").as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .agg(min(col("score")).as("theta"), count(lit(1)).as("n_seed"))
+    val cand = ts.join(broadcast(ub), Seq("term"))
+      .groupBy("doc_id").agg(expr("CAST(SUM(ub) AS DOUBLE)").as("ub_sum"))
+      .crossJoin(broadcast(theta))
+      .filter(col("n_seed") < k || col("ub_sum") >= col("theta"))
+      .select("doc_id")
+    val res = ts.join(cand, Seq("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"),
+        expr("CAST(SUM(sterm) AS DOUBLE)").as("score"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("rank", "doc_id", "n_matched", "score")
+      .orderBy("rank")
+    (res, cand)
+  }
+
+  private def qBm25Wand(s: SparkSession, d: String): DataFrame =
+    bm25WandFrames(s, d)._1
 
   /** The BM25 scoring chain as oracle CTEs ending in per-doc
     * `bm(doc_id, dl, n_matched, score)` — the SQL twin of
@@ -3347,6 +3451,8 @@ object TextOps {
     "q_kappa" -> (qKappa _),
     "q_readability" -> (qReadability _),
     "q_feature_hash" -> (qFeatureHash _),
+    "q_bm25_wand" -> (qBm25Wand _),
+    "q_rake" -> (qRake _),
     "q_fingerprint" -> (qFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_stats" -> (qDedupStats _),
@@ -3637,6 +3743,44 @@ object TextOps {
         |      FROM documents)
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    "q_rake" ->
+      """WITH pos AS (
+        |  SELECT doc_id, p.i AS i, p.tok AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |       unnest(list_transform(range(1, len(toks) + 1),
+        |              i -> struct_pack(i := i, tok := toks[i]))) AS u(p)
+        |), flagged AS (
+        |  SELECT doc_id, i, tok, tok IN ('the', 'a') AS is_stop,
+        |         CAST(SUM(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY doc_id ORDER BY i
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS pid
+        |  FROM pos
+        |), phr AS (
+        |  SELECT doc_id, pid, CAST(COUNT(*) AS BIGINT) AS len,
+        |         string_agg(tok, ' ' ORDER BY i) AS phrase
+        |  FROM flagged WHERE NOT is_stop
+        |  GROUP BY doc_id, pid
+        |  HAVING COUNT(*) <= 4
+        |), wocc AS (
+        |  SELECT doc_id, pid, phrase, len, unnest(string_split(phrase, ' ')) AS w
+        |  FROM phr
+        |), words AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, CAST(SUM(len) AS BIGINT) AS deg
+        |  FROM wocc GROUP BY w
+        |), wr AS (
+        |  SELECT w, CAST(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS DECIMAL(18,9)) AS r
+        |  FROM words
+        |), pscore AS (
+        |  SELECT doc_id, pid, phrase, len, CAST(SUM(r) AS DOUBLE) AS score
+        |  FROM wocc JOIN wr USING (w)
+        |  GROUP BY doc_id, pid, phrase, len
+        |)
+        |SELECT phrase, MIN(len) AS n_words, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |       MIN(score) AS score
+        |FROM pscore GROUP BY phrase
+        |ORDER BY score DESC, phrase
+        |LIMIT 30""".stripMargin,
     "q_feature_hash" ->
       s"""${XxOracleSql.prelude}WITH tf AS (
          |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
@@ -4056,6 +4200,17 @@ object TextOps {
          |       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          |FROM bm
          |ORDER BY doc_id""".stripMargin,
+    // DELIBERATELY the exhaustive top-k: Spark runs the WAND-pruned
+    // plan, the oracle scores everything — a hash match IS the
+    // losslessness proof for the pruning
+    "q_bm25_wand" ->
+      s"""WITH $bm25Sql
+         |SELECT rank, doc_id, n_matched, score FROM (
+         |  SELECT doc_id, n_matched, score,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |  FROM sc)
+         |WHERE rank <= 20
+         |ORDER BY rank""".stripMargin,
     "q_ndcg" ->
       s"""WITH $bm25Sql,
          |relv AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS rel FROM tft GROUP BY doc_id),

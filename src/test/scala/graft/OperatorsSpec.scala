@@ -1974,6 +1974,61 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("max_p_run")).max >= 2)
   }
 
+  test("WAND: top-k equals the exhaustive ranking; the bound pass actually prunes") {
+    val (res, cand) = graft.operators.TextOps.bm25WandFrames(spark, Sf0001)
+    val rows = res.collect()
+    assert(rows.length == 20)
+    val full = q("q_bm25").collect()
+    val brute = full.filter(_.getAs[Long]("n_matched") > 0)
+      .sortBy(r => (-r.getAs[Double]("score"), r.getAs[Long]("doc_id"))).take(20)
+    rows.sortBy(_.getAs[Long]("rank")).zip(brute).foreach { case (w, b) =>
+      assert(w.getAs[Long]("doc_id") == b.getAs[Long]("doc_id"), "doc order")
+      assert(w.getAs[Double]("score") == b.getAs[Double]("score"), "score")
+      assert(w.getAs[Long]("n_matched") == b.getAs[Long]("n_matched"))
+    }
+    val nCand = cand.count()
+    val nMatched = full.count(_.getAs[Long]("n_matched") > 0).toLong
+    assert(nCand >= 20L, "candidate set cannot be smaller than k")
+    assert(nCand < nMatched,
+      s"bound pass pruned nothing: $nCand candidates of $nMatched matched docs")
+  }
+
+  test("RAKE: driver phrase-cut and deg/freq scoring reproduce the top-30 exactly") {
+    val rows = q("q_rake").collect()
+    assert(rows.length == 30)
+    val stop = Set("the", "a")
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    // phrases: maximal non-stopword runs, capped at 4 tokens
+    val phrases = docs.flatMap { case (_, text) =>
+      val runs = scala.collection.mutable.ArrayBuffer[Vector[String]](Vector())
+      text.split(" ", -1).foreach { t =>
+        if (stop(t)) runs += Vector() else runs(runs.length - 1) :+= t
+      }
+      runs.filter(r => r.nonEmpty && r.size <= 4)
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val deg = phrases.flatMap(p => p.map(_ -> p.size.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def pin(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val score = phrases.map(p =>
+      p.mkString(" ") -> p.map(w => pin(deg(w).toDouble / freq(w).toDouble)).sum.toDouble)
+      .toMap // identical occurrences collapse to one entry, like MIN(score)
+    val occ = phrases.groupBy(_.mkString(" ")).view.mapValues(_.length.toLong).toMap
+    val expected = occ.keys.toSeq
+      .map(ph => (ph, phrases.find(_.mkString(" ") == ph).get.size.toLong, occ(ph), score(ph)))
+      .sortBy { case (ph, _, _, sc) => (-sc, ph) }.take(30)
+    rows.zip(expected).foreach { case (r, (ph, nw, no, sc)) =>
+      assert(r.getAs[String]("phrase") == ph, "phrase order")
+      assert(r.getAs[Long]("n_words") == nw)
+      assert(r.getAs[Long]("n_occ") == no)
+      assert(r.getAs[Double]("score") == sc, s"score of '$ph'")
+    }
+    // multi-word phrases must actually appear or the run-cutting is untested
+    assert(rows.exists(_.getAs[Long]("n_words") > 1))
+  }
+
   test("readability: driver recount of tokens/syllables/flesch is bit-exact per doc") {
     val rows = q("q_readability").collect()
     val texts = graft.sources.Tables.documents(spark, Sf0001)
