@@ -427,8 +427,50 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Short-time audio framing over the SAME real s16le parse path as
+    * q_audio_stats — the STFT-prep operator (64-sample frames, hop 32,
+    * full frames only): per frame the standard energy/peak/zero-cross
+    * set plus RMS (one IEEE sqrt over an exact BIGINT power sum), and
+    * a per-doc argmax-energy frame election with a deterministic
+    * (energy DESC, frame) tiebreak — the "loudest window" primitive a
+    * clip-selection pipeline keys on. The frame explode is bounded by
+    * samples/hop per doc (never corpus-shaped); everything after the
+    * Catalyst byte parse is per-row array arithmetic inside codegen.
+    * The oracle replays frames ANALYTICALLY from the waveform formula
+    * — bytes never cross engines, so a green hash re-proves the
+    * pack→parse roundtrip at frame granularity. */
+  private def qAudioFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => MediaRow(id, synthPcm(id))))
+      .toDF()
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("energy").desc, col("frame"))
+    media
+      .withColumn("n_samples", expr("CAST(length(media) DIV 2 AS BIGINT)"))
+      .withColumn("samples", expr(PcmSamplesExpr))
+      .select(col("doc_id"), col("n_samples"),
+        explode(expr("sequence(0L, (n_samples - 64L) DIV 32L)")).as("frame"),
+        col("samples"))
+      .withColumn("win", expr("slice(samples, CAST(32 * frame + 1 AS INT), 64)"))
+      .select(
+        col("doc_id"), col("frame"),
+        (col("frame") * 32L).as("start_idx"),
+        expr("aggregate(win, 0L, (a, v) -> a + v * v)").as("energy"),
+        expr("aggregate(win, 0L, (a, v) -> greatest(a, abs(v)))").as("peak"),
+        expr("aggregate(sequence(0, 62), 0L, (a, i) ->" +
+          " a + IF((win[i] < 0L) != (win[i+1] < 0L), 1L, 0L))").as("zero_cross"))
+      .withColumn("rms", expr("sqrt(CAST(energy AS DOUBLE) / 64.0)"))
+      .withColumn("is_loudest", row_number().over(byDoc) === 1)
+      .select("doc_id", "frame", "start_idx", "energy", "peak", "zero_cross",
+        "rms", "is_loudest")
+      .orderBy("doc_id", "frame")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_audio_stats" -> (qAudioStats _),
+    "q_audio_frames" -> (qAudioFrames _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
@@ -481,6 +523,42 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_audio_frames" ->
+      // analytic per-frame replay of the sample formula (see
+      // q_audio_stats): frame f covers k ∈ [32f, 32f+64)
+      """WITH dims AS (
+        |  SELECT doc_id, 64 + doc_id % 193 AS n FROM documents
+        |), fr AS (
+        |  SELECT doc_id, n, unnest(range(0, (n - 64) // 32 + 1)) AS frame FROM dims
+        |), j AS (
+        |  SELECT doc_id, frame, unnest(range(0, 64)) AS j FROM fr
+        |), v AS (
+        |  SELECT doc_id, frame, j,
+        |         (31*doc_id + 97*(32*frame + j)) % 4001 - 2000 AS val
+        |  FROM j
+        |), zc AS (
+        |  SELECT a.doc_id, a.frame, CAST(COUNT(*) AS BIGINT) AS zero_cross
+        |  FROM v a JOIN v b ON b.doc_id = a.doc_id AND b.frame = a.frame
+        |                   AND b.j = a.j + 1
+        |  WHERE (a.val < 0) <> (b.val < 0)
+        |  GROUP BY a.doc_id, a.frame
+        |), agg AS (
+        |  SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+        |         CAST(frame * 32 AS BIGINT) AS start_idx,
+        |         CAST(SUM(val*val) AS BIGINT) AS energy,
+        |         CAST(MAX(abs(val)) AS BIGINT) AS peak,
+        |         sqrt(CAST(SUM(val*val) AS DOUBLE) / 64.0) AS rms
+        |  FROM v GROUP BY doc_id, frame
+        |), full_f AS (
+        |  SELECT a.doc_id, a.frame, a.start_idx, a.energy, a.peak,
+        |         COALESCE(z.zero_cross, 0) AS zero_cross, a.rms,
+        |         ROW_NUMBER() OVER (PARTITION BY a.doc_id
+        |                            ORDER BY a.energy DESC, a.frame) = 1 AS is_loudest
+        |  FROM agg a LEFT JOIN zc z ON z.doc_id = a.doc_id AND z.frame = a.frame
+        |)
+        |SELECT doc_id, frame, start_idx, energy, peak, zero_cross, rms, is_loudest
+        |FROM full_f
+        |ORDER BY doc_id, frame""".stripMargin,
     "q_audio_stats" ->
       // analytic replay of the sample formula: the oracle never sees
       // the PCM bytes, so agreement proves the Spark-side pack→parse

@@ -1311,7 +1311,43 @@ object Relational {
       .orderBy("grp")
   }
 
+  /** Order-independent table fingerprinting — the cross-cluster
+    * replication/migration audit: per month-partition (and a rolled-up
+    * grand total), n_rows plus a BIT_XOR of a per-row 64-bit content
+    * hash. XOR is commutative/associative, so the checksum is
+    * partition- and order-invariant by construction — two clusters
+    * compare one tiny frame instead of 100 TB of rows. The row hash
+    * is md5 over a canonical '|'-joined rendering (integers, strings,
+    * the price pinned to DECIMAL(18,2) — doubles never serialized
+    * raw; the timestamp as unix micros), folded to a signed BIGINT
+    * from two 8-hex halves (shiftleft|conv on the Spark side, the
+    * two's-complement HUGEINT assembly in DuckDB — the q_image_dedup
+    * device). Scale shape: one narrow map + one hash agg; ROLLUP adds
+    * the grand total without a second scan. */
+  private def qTableChecksum(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("mkey",
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("long"))
+      .withColumn("row_str", expr(
+        """concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),
+             o_orderstatus, o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING),
+             CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS STRING))"""))
+      .withColumn("h", md5(col("row_str")))
+      .withColumn("h64", expr(
+        """shiftleft(CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT), 32)
+           | CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)"""))
+      .rollup(col("mkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h64)").as("checksum"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .withColumn("mkey", coalesce(col("mkey"), lit(-1L)))
+      .select("mkey", "n_rows", "checksum", "min_key", "max_key")
+      .orderBy("mkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_checksum" -> (qTableChecksum _),
     "q_key_skew" -> (qKeySkew _),
     "q_filter_project" -> (qFilterProject _),
     "q_agg_pricing" -> (qAggPricing _),
@@ -1377,6 +1413,30 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_table_checksum" ->
+      """WITH rows_h AS (
+        |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS mkey,
+        |         o_orderkey,
+        |         md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+        |             o_orderstatus, o_orderpriority,
+        |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |             CAST(epoch_us(o_orderdate) AS VARCHAR))) AS h
+        |  FROM orders
+        |), h64 AS (
+        |  SELECT mkey, o_orderkey,
+        |         CAST((hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+        |              * 4294967296 + lo AS BIGINT) AS h64
+        |  FROM (SELECT mkey, o_orderkey,
+        |               CAST(('0x' || substr(h, 1, 8))::BIGINT AS HUGEINT) AS hi,
+        |               CAST(('0x' || substr(h, 9, 8))::BIGINT AS HUGEINT) AS lo
+        |        FROM rows_h)
+        |)
+        |SELECT COALESCE(mkey, -1) AS mkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       bit_xor(h64) AS checksum,
+        |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM h64
+        |GROUP BY ROLLUP(mkey)
+        |ORDER BY COALESCE(mkey, -1)""".stripMargin,
     "q_key_skew" ->
       """WITH per_tu AS (
         |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -387,6 +387,51 @@ object TextOps {
       .orderBy("doc_id", "bucket")
   }
 
+  /** Stored alert queries for the percolate operator — literal
+    * (id, conjunctive terms) rows, mirrored verbatim in the oracle
+    * VALUES list. q5's term is deliberately absent from the corpus:
+    * the zero-match path must surface as an n_docs=0 row, not a
+    * dropped one. */
+  private val PercolateQueries: Seq[(Long, String)] = Seq(
+    1L -> "spark query", 2L -> "vector hash", 3L -> "data",
+    4L -> "customer fast line", 5L -> "zzzabsent", 6L -> "group row")
+
+  /** Percolation / reverse search (the Elasticsearch "percolate"
+    * idea): a registry of STORED conjunctive term queries is matched
+    * against every arriving document — the alerting/routing primitive
+    * a training-data pipeline uses to flag documents for review as
+    * they land. Inverted evaluation: queries explode to (qid, term)
+    * and join the doc term index on TERM, so cost is Σ posting sizes
+    * of registered terms — never docs × queries; a doc matches when
+    * its distinct-term hit count equals the query's term count
+    * (conjunction as counting). The registry frame is broadcast (it
+    * is model-sized by definition) and zero-match queries survive via
+    * the left join. All counting exact BIGINTs. */
+  private def qPercolate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val reg = PercolateQueries.toDF("qid", "query")
+      .withColumn("terms", split(col("query"), " "))
+      .withColumn("n_terms", size(col("terms")).cast("long"))
+    val regTerms = reg.select(col("qid"), col("n_terms"),
+      explode(col("terms")).as("tok"))
+    val docToks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens()).as("tok")).distinct()
+    val matches = docToks
+      .join(broadcast(regTerms), Seq("tok"))
+      .groupBy("qid", "n_terms", "doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === col("n_terms"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+    reg.select("qid", "query", "n_terms")
+      .join(matches, Seq("qid"), "left_outer")
+      .select(col("qid"), col("query"), col("n_terms"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        col("first_doc"), col("last_doc"))
+      .orderBy("qid")
+  }
+
   /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic keyword
     * extraction from individual documents") — candidate phrases are
     * maximal stopword-delimited token runs (capped at 4 tokens: the
@@ -3453,6 +3498,7 @@ object TextOps {
     "q_feature_hash" -> (qFeatureHash _),
     "q_bm25_wand" -> (qBm25Wand _),
     "q_rake" -> (qRake _),
+    "q_percolate" -> (qPercolate _),
     "q_fingerprint" -> (qFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_stats" -> (qDedupStats _),
@@ -3743,6 +3789,32 @@ object TextOps {
         |      FROM documents)
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    "q_percolate" -> {
+      val vals = PercolateQueries
+        .map { case (id, q2) => s"($id, '$q2')" }.mkString(", ")
+      s"""WITH reg(qid, query) AS (VALUES $vals),
+         |regt AS (
+         |  SELECT qid, CAST(len(string_split(query, ' ')) AS BIGINT) AS n_terms,
+         |         unnest(string_split(query, ' ')) AS tok
+         |  FROM reg
+         |), dt AS (
+         |  SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |), hit AS (
+         |  SELECT qid, n_terms, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |  FROM dt JOIN regt USING (tok)
+         |  GROUP BY qid, n_terms, doc_id
+         |), m AS (
+         |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |  FROM hit WHERE n_hit = n_terms GROUP BY qid
+         |)
+         |SELECT CAST(reg.qid AS BIGINT) AS qid, reg.query AS query,
+         |       CAST(len(string_split(reg.query, ' ')) AS BIGINT) AS n_terms,
+         |       COALESCE(m.n_docs, 0) AS n_docs, m.first_doc, m.last_doc
+         |FROM reg LEFT JOIN m ON m.qid = reg.qid
+         |ORDER BY reg.qid""".stripMargin
+    },
     "q_rake" ->
       """WITH pos AS (
         |  SELECT doc_id, p.i AS i, p.tok AS tok

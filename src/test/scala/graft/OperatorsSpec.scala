@@ -2029,6 +2029,104 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("n_words") > 1))
   }
 
+  test("percolate: driver conjunction replay; zero-match query surfaces; partial hits rejected") {
+    val rows = q("q_percolate").collect()
+    assert(rows.length == 6)
+    val docToks = graft.sources.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSet)
+    val reg = Map(1L -> "spark query", 2L -> "vector hash", 3L -> "data",
+      4L -> "customer fast line", 5L -> "zzzabsent", 6L -> "group row")
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val terms = reg(qid).split(" ").toSet
+      val matched = docToks.filter { case (_, ts) => terms.subsetOf(ts) }.map(_._1)
+      assert(r.getAs[Long]("n_docs") == matched.length.toLong, s"qid $qid")
+      if (matched.nonEmpty) {
+        assert(r.getAs[Long]("first_doc") == matched.min)
+        assert(r.getAs[Long]("last_doc") == matched.max)
+      } else assert(r.isNullAt(r.fieldIndex("first_doc")))
+      assert(r.getAs[Long]("n_terms") == terms.size.toLong)
+    }
+    // the absent-term query must be PRESENT with n_docs = 0, not dropped
+    val q5 = rows.find(_.getAs[Long]("qid") == 5L).get
+    assert(q5.getAs[Long]("n_docs") == 0L)
+    // planted conjunction check: 2-of-3 terms must NOT match
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("perc").toString
+    Seq((1L, "customer fast walks", "en", "t", 10L),
+      (2L, "customer fast line here", "en", "t", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = SparkEntry.queries("q_percolate")(spark, dir).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("n_docs")).toMap
+    assert(planted(4L) == 1L, "doc 1 has only 2 of 3 terms and must not match q4")
+  }
+
+  test("table checksum: driver md5 fold replays every partition; XOR merges to the total") {
+    val rows = q("q_table_checksum").collect()
+    val (tot, parts) = rows.partition(_.getAs[Long]("mkey") == -1L)
+    assert(tot.length == 1 && parts.nonEmpty)
+    // mergeability — THE property the operator exists for: the grand
+    // total must be the XOR of the partition checksums and the sum of
+    // their counts (disjoint partitions)
+    assert(tot.head.getAs[Long]("checksum") ==
+      parts.map(_.getAs[Long]("checksum")).reduce(_ ^ _))
+    assert(tot.head.getAs[Long]("n_rows") == parts.map(_.getAs[Long]("n_rows")).sum)
+    // driver recount of the canonical row hash
+    def md5hex(s2: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s2.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = graft.sources.Tables.orders(spark, Sf0001)
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING) AS price",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS us",
+        "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS mkey")
+      .collect().map { r =>
+        val str = Seq(r.getLong(0).toString, r.getLong(1).toString, r.getString(2),
+          r.getString(3), r.getString(4), r.getLong(5).toString).mkString("|")
+        val h = md5hex(str)
+        val hi = java.lang.Long.parseLong(h.substring(0, 8), 16)
+        val lo = java.lang.Long.parseLong(h.substring(8, 16), 16)
+        r.getLong(6) -> ((hi << 32) | lo)
+      }.groupBy(_._1).view.mapValues(vs =>
+        (vs.length.toLong, vs.map(_._2).reduce(_ ^ _))).toMap
+    parts.foreach { r =>
+      val (n, x) = expected(r.getAs[Long]("mkey"))
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("checksum") == x, s"month ${r.getAs[Long]("mkey")}")
+    }
+    assert(parts.length == expected.size)
+  }
+
+  test("audio frames: analytic per-frame replay; loudest election unique per doc") {
+    val rows = q("q_audio_frames").collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, fs) =>
+      val n = 64 + id % 193
+      assert(fs.length == ((n - 64) / 32 + 1).toInt, s"frame count doc $id")
+      assert(fs.count(_.getAs[Boolean]("is_loudest")) == 1, s"loudest doc $id")
+      def v(k: Long): Long = (31 * id + 97 * k) % 4001 - 2000
+      fs.foreach { f =>
+        val fr = f.getAs[Long]("frame")
+        assert(f.getAs[Long]("start_idx") == 32 * fr)
+        val win = (0L until 64L).map(j => v(32 * fr + j))
+        assert(f.getAs[Long]("energy") == win.map(x => x * x).sum)
+        assert(f.getAs[Long]("peak") == win.map(math.abs).max)
+        assert(f.getAs[Long]("zero_cross") ==
+          win.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong)
+        assert(f.getAs[Double]("rms") == math.sqrt(win.map(x => x * x).sum.toDouble / 64.0))
+      }
+      // the elected frame really is the max-energy one (first on ties)
+      val loud = fs.find(_.getAs[Boolean]("is_loudest")).get
+      val maxE = fs.map(_.getAs[Long]("energy")).max
+      assert(loud.getAs[Long]("energy") == maxE)
+      assert(fs.filter(_.getAs[Long]("energy") == maxE)
+        .map(_.getAs[Long]("frame")).min == loud.getAs[Long]("frame"))
+    }
+  }
+
   test("readability: driver recount of tokens/syllables/flesch is bit-exact per doc") {
     val rows = q("q_readability").collect()
     val texts = graft.sources.Tables.documents(spark, Sf0001)
