@@ -1346,8 +1346,49 @@ object Relational {
       .select("mkey", "n_rows", "checksum", "min_key", "max_key")
       .orderBy("mkey")
 
+  /** Incremental materialized-view maintenance — the delta-merge
+    * algebra every warehouse's refresh path runs: the newest month is
+    * the "arriving batch", base and delta are aggregated SEPARATELY
+    * and merged with the mergeable-aggregate rules (counts add,
+    * DECIMAL sums add exactly, MAX is greatest-with-null-skip across
+    * sides of the full outer join). The ORACLE is deliberately the
+    * single-pass recompute over the whole table: the hash gate proves
+    * merge ≡ recompute — the correctness condition incremental view
+    * maintenance rests on. Scale shape: at 100 TB the base agg is the
+    * stored view state (read back, never rescanned); here both sides
+    * derive from one localCheckpoint'd tagged scan. */
+  private def qViewMaintenance(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .withColumn("mkey",
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("long"))
+    val cut = o.agg(max(col("mkey")).as("cut"))
+    val tagged = o.crossJoin(broadcast(cut))
+      .withColumn("is_delta", col("mkey") === col("cut"))
+      .select("o_orderpriority", "o_totalprice", "is_delta")
+      .localCheckpoint() // base and delta aggregations share the tagged scan
+    def aggSide(df: DataFrame) = df.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).as("sp"),
+        max(expr("CAST(o_totalprice AS DECIMAL(18,2))")).as("mx"))
+    val base = aggSide(tagged.filter(!col("is_delta")))
+      .select(col("o_orderpriority"), col("n").as("n_b"),
+        col("sp").as("sp_b"), col("mx").as("mx_b"))
+    val delta = aggSide(tagged.filter(col("is_delta")))
+      .select(col("o_orderpriority"), col("n").as("n_d"),
+        col("sp").as("sp_d"), col("mx").as("mx_d"))
+    base.join(delta, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority").as("priority"),
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n_orders"),
+        expr("""CAST(coalesce(sp_b, CAST(0 AS DECIMAL(28,2)))
+                     + coalesce(sp_d, CAST(0 AS DECIMAL(28,2))) AS DOUBLE)""")
+          .as("sum_price"),
+        expr("CAST(greatest(mx_b, mx_d) AS DOUBLE)").as("max_price"))
+      .orderBy("priority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_table_checksum" -> (qTableChecksum _),
+    "q_view_maintenance" -> (qViewMaintenance _),
     "q_key_skew" -> (qKeySkew _),
     "q_filter_project" -> (qFilterProject _),
     "q_agg_pricing" -> (qAggPricing _),
@@ -1413,6 +1454,14 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // single-pass recompute ON PURPOSE: the hash match proves the
+    // Spark-side base+delta merge is equivalent to recomputation
+    "q_view_maintenance" ->
+      """SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+        |FROM orders GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q_table_checksum" ->
       """WITH rows_h AS (
         |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS mkey,

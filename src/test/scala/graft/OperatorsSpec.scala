@@ -2127,6 +2127,56 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("view maintenance: both sides populated; full-outer merge covers one-sided groups") {
+    val rows = q("q_view_maintenance").collect()
+    assert(rows.nonEmpty)
+    // driver recount: merged view == direct per-priority aggregate
+    val o = graft.sources.Tables.orders(spark, Sf0001)
+      .selectExpr("o_orderpriority", "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING) AS p",
+        "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS mkey")
+      .collect().map(r => (r.getString(0), BigDecimal(r.getString(1)), r.getLong(2)))
+    val cut = o.map(_._3).max
+    assert(o.exists(_._3 == cut) && o.exists(_._3 < cut),
+      "fixture must actually split into base + delta")
+    val byPr = o.groupBy(_._1)
+    assert(rows.length == byPr.size)
+    rows.foreach { r =>
+      val g = byPr(r.getAs[String]("priority"))
+      assert(r.getAs[Long]("n_orders") == g.length.toLong)
+      assert(r.getAs[Double]("sum_price") == g.map(_._2).sum.toDouble)
+      assert(r.getAs[Double]("max_price") == g.map(_._2).max.toDouble)
+    }
+    // planted one-sided groups: base-only and delta-only priorities must
+    // both survive the full outer merge
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vm").toString
+    Seq((1L, 10L, "O", 100.0, "2024-01-15 00:00:00", "BASE_ONLY"),
+      (2L, 11L, "O", 50.0, "2024-02-15 00:00:00", "DELTA_ONLY"),
+      (3L, 12L, "O", 25.0, "2024-01-20 00:00:00", "BOTH"),
+      (4L, 13L, "O", 30.0, "2024-02-20 00:00:00", "BOTH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "d", "o_orderpriority")
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val planted = SparkEntry.queries("q_view_maintenance")(spark, dir).collect()
+      .map(r => r.getAs[String]("priority") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Double]("sum_price"))).toMap
+    assert(planted("BASE_ONLY") == ((1L, 100.0)))
+    assert(planted("DELTA_ONLY") == ((1L, 50.0)))
+    assert(planted("BOTH") == ((2L, 55.0)))
+  }
+
+  test("format roundtrip: all three format rows are identical and match the parquet truth") {
+    val rows = q("q_format_roundtrip").collect()
+    assert(rows.map(_.getAs[String]("format")).toSeq == Seq("csv", "json", "orc"))
+    val cols = Seq("n_rows", "n_parts", "sum_qty", "sum_price", "max_ship_us")
+    for (c <- cols) {
+      val vs = rows.map(_.getAs[Any](c)).distinct
+      assert(vs.length == 1, s"column $c differs across formats: ${vs.mkString(", ")}")
+    }
+    assert(rows.head.getAs[Long]("n_rows") ==
+      graft.sources.Tables.lineitem(spark, Sf0001).count())
+  }
+
   test("readability: driver recount of tokens/syllables/flesch is bit-exact per doc") {
     val rows = q("q_readability").collect()
     val texts = graft.sources.Tables.documents(spark, Sf0001)
