@@ -125,13 +125,18 @@ case class MisraGriesAgg(
   }
 
   override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    // length-prefixed UTF-8, not writeUTF: writeUTF throws
+    // UTFDataFormatException past 65535 encoded bytes, so a single
+    // pathological token would crash the shuffle instead of counting
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -143,7 +148,13 @@ case class MisraGriesAgg(
     val n = in.readInt()
     val buf = new java.util.HashMap[String, Long](n * 2)
     var i = 0
-    while (i < n) { buf.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     buf
   }
 

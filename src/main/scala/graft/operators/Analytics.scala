@@ -281,8 +281,9 @@ object Analytics {
   // cross-engine; no double log10, no double→int cast-rounding
   // divergence), Benford probabilities log10(1+1/d) are DRIVER-
   // computed DECIMAL(18,9) literals inlined into both engines, the
-  // expected count n·p stays exact decimal (n narrowed to
-  // DECIMAL(10,0) first — the precision-38 overflow rule), and each
+  // expected count n·p stays exact decimal (n as DECIMAL(18,0):
+  // 18+18+1 = 37 ≤ 38 so the product never overflows, and the row-
+  // count ceiling is 10^18 — comfortably past 100 TB), and each
   // chi² term (obs−e)²/e is one fixed-shape IEEE composite over those
   // exact inputs, DECIMAL-pinned before the sum. Scale: one hash
   // aggregate to 9 digit rows; everything after is model-sized.
@@ -307,7 +308,7 @@ object Analytics {
     digits.crossJoin(broadcast(tot))
       .withColumn("p_benford", expr(benfordCase("digit")))
       .withColumn("expected_dec",
-        expr("CAST(n AS DECIMAL(10,0)) * p_benford"))
+        expr("CAST(n AS DECIMAL(18,0)) * p_benford"))
       .withColumn("term_dec", expr(
         """CAST((CAST(n_obs AS DOUBLE) - CAST(expected_dec AS DOUBLE))
                * (CAST(n_obs AS DOUBLE) - CAST(expected_dec AS DOUBLE))
@@ -1390,7 +1391,7 @@ object Analytics {
          |), terms AS (
          |  SELECT digit, n_obs, n,
          |         ${benfordCase("digit")} AS p_benford,
-         |         CAST(n AS DECIMAL(10,0)) * (${benfordCase("digit")}) AS expected_dec
+         |         CAST(n AS DECIMAL(18,0)) * (${benfordCase("digit")}) AS expected_dec
          |  FROM counts, tot
          |), pinned AS (
          |  SELECT digit, n_obs, n, p_benford, expected_dec,

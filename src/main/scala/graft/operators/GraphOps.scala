@@ -293,11 +293,20 @@ object GraphOps {
       frontier = expanded
       round += 1
     }
-    if (n > 0)
-      throw new IllegalStateException(
-        s"BFS did not exhaust the graph in $BfsMaxRounds rounds — " +
-          "eccentricity exceeds the cap; raise BfsMaxRounds deliberately " +
-          "rather than shipping truncated centralities")
+    if (n > 0) {
+      // the loop exits on the round cap with the dist-32 frontier still
+      // in hand; eccentricity == cap is a COMPLETE result. Probe one
+      // more expansion and fail only if it finds an unvisited node.
+      val probe = frontier.join(adj, col("node") === col("a"))
+        .select(col("seed"), col("b").as("node"))
+        .join(visited.select(col("seed").as("vs"), col("node").as("vn")),
+          col("seed") === col("vs") && col("node") === col("vn"), "left_anti")
+      if (!probe.isEmpty)
+        throw new IllegalStateException(
+          s"BFS did not exhaust the graph in $BfsMaxRounds rounds — " +
+            "eccentricity exceeds the cap; raise BfsMaxRounds deliberately " +
+            "rather than shipping truncated centralities")
+    }
     visited.groupBy(col("seed"))
       .agg(
         count(lit(1)).as("n_reached"),

@@ -449,6 +449,11 @@ object Multimodal {
       .partitionBy("doc_id").orderBy(col("energy").desc, col("frame"))
     media
       .withColumn("n_samples", expr("CAST(length(media) DIV 2 AS BIGINT)"))
+      // guard: a sub-window clip (< 64 samples) contributes zero frames;
+      // without it sequence(0, negative) would yield a DESCENDING range
+      // and bogus slice() windows. Unreachable with synthPcm (n >= 64)
+      // but load-bearing the day the fixture changes.
+      .filter(col("n_samples") >= 64L)
       .withColumn("samples", expr(PcmSamplesExpr))
       .select(col("doc_id"), col("n_samples"),
         explode(expr("sequence(0L, (n_samples - 64L) DIV 32L)")).as("frame"),
