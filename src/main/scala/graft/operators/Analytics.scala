@@ -413,15 +413,15 @@ object Analytics {
   // up through a 10-row running sum — all counts exact BIGINTs, the
   // doubles are two final per-row ln() calls. Scale shape: one token
   // explode → term-keyed min-agg (linear in corpus tokens), one
-  // doc-grain agg, and a 10-row window. The doc rank is one global
-  // window sort at profile time — the exact-prefix price, same trade
-  // as q_deciles (and on an ingest-ordered corpus whose ids are
-  // monotone the rank collapses to arithmetic on doc_id).
+  // doc-grain agg, and a 10-row window. The doc rank comes from the
+  // two-level ScaleRank technique (doc_id-bucketed parallel local
+  // ranks + collected bucket offsets) — NO corpus-sized
+  // single-partition sort; the only unpartitioned window left is the
+  // 10-row decile running sum (aggregate-grain by construction).
   private def qVocabGrowth(s: SparkSession, d: String): DataFrame = {
-    val ranked = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val ranked = ScaleRank.withGlobalRank(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      col("doc_id"), Seq(col("doc_id")), "rn", "n")
       .withColumn("decile", expr("(rn * 10 + n - 1) DIV n"))
     val docTok = ranked
       .withColumn("n_toks", size(tokens()).cast("long"))
@@ -450,14 +450,16 @@ object Analytics {
   // The classic customer-value rollup: per customer, days since last
   // order (vs the corpus max day, so the query is self-contained and
   // deterministic), order count, and DECIMAL-exact spend, each scored
-  // into quintiles (5 = best) by ntile(5) over a deterministic total
-  // order (metric, then custkey — both engines define ntile's uneven
-  // buckets identically, the q_deciles precedent), then a fixed CASE
-  // segment label. Scale shape: one custkey aggregate over the fact
-  // table, then three global window sorts over the MODEL-SIZED
-  // per-customer frame (|customers| ≪ |orders| — the documented
-  // q_deciles trade; a 100 TB deployment would sample quintile
-  // thresholds instead of sorting, trading exactness it doesn't need).
+  // into quintiles (5 = best) over a deterministic total order
+  // (metric, then custkey), then a fixed CASE segment label. The
+  // quintiles keep EXACT ntile(5) semantics but come from the
+  // two-level ScaleRank technique — one bucket-partitioned rank per
+  // dimension over the once-checkpointed customer frame (descending
+  // metrics bucket on the negated value) — so the plan has NO
+  // single-partition window even when the customer grain is itself
+  // corpus-shaped at 100 TB. Scale shape: one custkey aggregate over
+  // the fact table, then three parallel window passes at customer
+  // grain.
   private val RfmSegmentCase =
     """CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
       |     WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'
@@ -474,15 +476,25 @@ object Analytics {
         expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").as("spend_dec"))
     val ref = Tables.orders(s, d)
       .agg(max(to_date(col("o_orderdate"))).as("ref_day"))
-    cust.crossJoin(broadcast(ref))
+    val base = cust.crossJoin(broadcast(ref))
       .withColumn("recency_days",
         datediff(col("ref_day"), col("last_day")).cast("long"))
-      .withColumn("r_score", (lit(6) - ntile(5).over(
-        Window.orderBy(col("recency_days"), col("custkey")))).cast("long"))
-      .withColumn("f_score", (lit(6) - ntile(5).over(
-        Window.orderBy(col("n_orders").desc, col("custkey")))).cast("long"))
-      .withColumn("m_score", (lit(6) - ntile(5).over(
-        Window.orderBy(col("spend_dec").desc, col("custkey")))).cast("long"))
+      .localCheckpoint() // 3 rank passes + their count scans share one materialization
+    val r = ScaleRank.withGlobalRank(base, col("recency_days"),
+      Seq(col("recency_days"), col("custkey")), "__rk", "__n")
+      .withColumn("r_score",
+        (lit(6) - ScaleRank.ntileExpr(5, "__rk", "__n")).cast("long"))
+      .drop("__rk", "__n")
+    val f = ScaleRank.withGlobalRank(r, -col("n_orders"),
+      Seq(col("n_orders").desc, col("custkey")), "__rk", "__n")
+      .withColumn("f_score",
+        (lit(6) - ScaleRank.ntileExpr(5, "__rk", "__n")).cast("long"))
+      .drop("__rk", "__n")
+    ScaleRank.withGlobalRank(f, -col("spend_dec"),
+      Seq(col("spend_dec").desc, col("custkey")), "__rk", "__n")
+      .withColumn("m_score",
+        (lit(6) - ScaleRank.ntileExpr(5, "__rk", "__n")).cast("long"))
+      .drop("__rk", "__n")
       .withColumn("segment", expr(RfmSegmentCase))
       .select(col("custkey"), col("recency_days"), col("n_orders"),
         col("spend_dec").cast("double").as("spend"),

@@ -155,19 +155,22 @@ object Functions2 {
   private def qHistogram(s: SparkSession, d: String): DataFrame =
     histogramOf(Tables.lineitem(s, d).select(col("l_extendedprice").as("x")))
 
-  /** Value deciles via ntile(10) over a total order — the quantile
-    * table a feature-engineering pass materializes. The tie-broken
-    * ORDER BY makes each row's decile assignment engine-exact (both
-    * engines give the first n mod 10 tiles one extra row), and the
-    * per-decile bounds/counts/DECIMAL-pinned sums are then plain
-    * aggregates. One global-sort shuffle at profile time — the price
-    * of exact deciles; the sketch path is q_approx_percentile. */
+  /** Exact value deciles — the quantile table a feature-engineering
+    * pass materializes — WITHOUT the global ntile(10) sort: the
+    * two-level ScaleRank technique (value-bucketed parallel local
+    * ranks + collected bucket-count offsets) reproduces ntile's exact
+    * uneven-bucket assignment over the tie-broken order
+    * (l_extendedprice, l_orderkey, l_linenumber) with no
+    * single-partition WindowExec anywhere in the plan (PlanAuditSpec
+    * pins this). The per-decile bounds/counts/DECIMAL-pinned sums are
+    * then plain aggregates; the sketch path is q_approx_percentile. */
   private def qDeciles(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .withColumn("decile", ntile(10).over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
-        .cast("long"))
+    ScaleRank.withGlobalRank(
+      Tables.lineitem(s, d),
+      col("l_extendedprice"),
+      Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+      "__rank", "__n")
+      .withColumn("decile", ScaleRank.ntileExpr(10, "__rank", "__n").cast("long"))
       .groupBy(col("decile"))
       .agg(
         count(lit(1)).as("n"),

@@ -425,6 +425,40 @@ class PlanAuditSpec extends SparkSpec {
       s"unpartitioned window:\n$p")
   }
 
+  test("q_deciles / q_rfm rank with ZERO unpartitioned windows (two-level ScaleRank)") {
+    // the r9 verdict's scale-killer class: ntile/row_number OVER a
+    // global ORDER BY serializes the corpus onto one executor. The
+    // two-level rewrite must keep every WindowExec partitioned —
+    // pinned on the OPTIMIZED LOGICAL plan so AQE re-planning can't
+    // hide a regression.
+    for (q <- Seq("q_deciles", "q_rfm")) {
+      val lp = SparkEntry.queries(q)(spark, Sf0001).queryExecution.optimizedPlan
+      val bad = lp.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$q has unpartitioned window(s):\n${bad.mkString("\n")}")
+    }
+  }
+
+  test("q_vocab_growth's only unpartitioned window is aggregate-grain (10 deciles)") {
+    val lp = SparkEntry.queries("q_vocab_growth")(spark, Sf0001)
+      .queryExecution.optimizedPlan
+    val global = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    // every global window must sit ABOVE an Aggregate — its input is a
+    // grain-reduced frame (the 10-row decile rollup), never the corpus
+    global.foreach { w =>
+      val reduced = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(reduced.nonEmpty,
+        s"global window runs over a non-aggregated (corpus-shaped) input:\n$w")
+    }
+  }
+
   test("q_psi shuffles nothing beyond the event_type aggregate") {
     val p = plan("q_psi")
     // every join in the plan is a broadcast of a scalar/model frame
