@@ -479,22 +479,19 @@ object Analytics {
     val base = cust.crossJoin(broadcast(ref))
       .withColumn("recency_days",
         datediff(col("ref_day"), col("last_day")).cast("long"))
-      .localCheckpoint() // 3 rank passes + their count scans share one materialization
-    val r = ScaleRank.withGlobalRank(base, col("recency_days"),
-      Seq(col("recency_days"), col("custkey")), "__rk", "__n")
+      .localCheckpoint() // rank passes + their model scans share one materialization
+    ScaleRank.withGlobalRanks(base, Seq(
+      (col("recency_days"), Seq(col("recency_days"), col("custkey")), "__rk_r"),
+      (-col("n_orders"), Seq(col("n_orders").desc, col("custkey")), "__rk_f"),
+      (-col("spend_dec"), Seq(col("spend_dec").desc, col("custkey")), "__rk_m")),
+      "__n")
       .withColumn("r_score",
-        (lit(6) - ScaleRank.ntileExpr(5, "__rk", "__n")).cast("long"))
-      .drop("__rk", "__n")
-    val f = ScaleRank.withGlobalRank(r, -col("n_orders"),
-      Seq(col("n_orders").desc, col("custkey")), "__rk", "__n")
+        (lit(6) - ScaleRank.ntileExpr(5, "__rk_r", "__n")).cast("long"))
       .withColumn("f_score",
-        (lit(6) - ScaleRank.ntileExpr(5, "__rk", "__n")).cast("long"))
-      .drop("__rk", "__n")
-    ScaleRank.withGlobalRank(f, -col("spend_dec"),
-      Seq(col("spend_dec").desc, col("custkey")), "__rk", "__n")
+        (lit(6) - ScaleRank.ntileExpr(5, "__rk_f", "__n")).cast("long"))
       .withColumn("m_score",
-        (lit(6) - ScaleRank.ntileExpr(5, "__rk", "__n")).cast("long"))
-      .drop("__rk", "__n")
+        (lit(6) - ScaleRank.ntileExpr(5, "__rk_m", "__n")).cast("long"))
+      .drop("__rk_r", "__rk_f", "__rk_m", "__n")
       .withColumn("segment", expr(RfmSegmentCase))
       .select(col("custkey"), col("recency_days"), col("n_orders"),
         col("spend_dec").cast("double").as("spend"),

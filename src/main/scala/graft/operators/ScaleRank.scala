@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   * (Windows.scala): a DETERMINISTIC coarse bucket, monotone in the
   * sort key, splits the corpus into parallel groups; each bucket ranks
   * locally (a WindowExec PARTITIONED by bucket — parallel); and the
-  * per-bucket row counts — bucket-grain, ≤ `buckets` rows, i.e. model
-  * state like the IVF codebooks — are collected once, prefix-summed on
-  * the driver, and broadcast back as each bucket's rank offset:
+  * per-bucket row counts — bucket-grain, ≤ `buckets` rows per
+  * dimension, i.e. model state like the IVF codebooks — are collected
+  * once, prefix-summed on the driver, and broadcast back as each
+  * bucket's rank offset:
   *
   *   global_rank = offset(bucket) + local_rank_within_bucket
   *
@@ -31,44 +32,81 @@ import org.apache.spark.sql.functions._
   */
 object ScaleRank {
 
-  /** Adds `rankCol` = exact 1-based global rank of each row under the
-    * ascending total order `order` (pass `.desc` columns for a
-    * descending metric — then `value` must be the NEGATED metric so
-    * the bucket stays monotone with the order), and `nCol` = total row
-    * count. `value` must be non-null and numeric (orderable through a
-    * double cast — monotone for ints/decimals); `order` must be a full
-    * tie-broken key so the rank is deterministic.
+  /** One rank dimension: (bucketing value, full tie-broken ascending
+    * order, output rank column). For a DESCENDING metric pass `.desc`
+    * order columns and the NEGATED metric as `value`, so the bucket
+    * stays monotone with the order. `value` must be non-null and
+    * numeric (orderable through a double cast — monotone for
+    * ints/decimals). */
+  type Dim = (Column, Seq[Column], String)
+
+  /** Adds one exact 1-based global-rank column per dimension, plus
+    * `nCol` = total row count — with ALL model state gathered in two
+    * jobs regardless of how many dimensions rank (one combined min/max
+    * aggregate, one exploded (dim, bucket) count pass), so ranking k
+    * metrics costs k parallel window passes and exactly two cheap
+    * column-pruned scans, never 2k.
     *
-    * Cost: two column-pruned partial-agg passes (min/max, bucket
-    * counts) + one bucket-partitioned window pass. No global sort, no
-    * unpartitioned WindowExec anywhere in the plan.
+    * No global sort, no unpartitioned WindowExec anywhere in the plan
+    * (PlanAuditSpec pins the call sites).
     */
-  def withGlobalRank(df: DataFrame, value: Column, order: Seq[Column],
-      rankCol: String, nCol: String, buckets: Int = 256): DataFrame = {
+  def withGlobalRanks(df: DataFrame, dims: Seq[Dim], nCol: String,
+      buckets: Int = 256): DataFrame = {
     val spark = df.sparkSession
-    val mm = df.agg(min(value.cast("double")).as("lo"),
-      max(value.cast("double")).as("hi")).collect()(0)
+    val aggs = dims.zipWithIndex.flatMap { case ((v, _, _), i) =>
+      Seq(min(v.cast("double")).as(s"__lo$i"), max(v.cast("double")).as(s"__hi$i"))
+    }
+    val mm = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     if (mm.isNullAt(0))
-      return df.withColumn(rankCol, lit(0L)).withColumn(nCol, lit(0L))
-    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
-    val bExpr =
+      return dims.foldLeft(df) { case (d, (_, _, rc)) =>
+        d.withColumn(rc, lit(0L))
+      }.withColumn(nCol, lit(0L))
+    val bExprs = dims.zipWithIndex.map { case ((v, _, _), i) =>
+      val (lo, hi) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
       if (hi == lo) lit(0L)
       else least(
-        floor((value.cast("double") - lit(lo)) / lit((hi - lo) / buckets)),
+        floor((v.cast("double") - lit(lo)) / lit((hi - lo) / buckets)),
         lit(buckets - 1L)).cast("long")
-    val withB = df.withColumn("__b", bExpr)
-    val cnt = withB.groupBy(col("__b")).agg(count(lit(1)).as("__cnt"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offRows = cnt.map { case (bId, c) => val o = acc; acc += c; (bId, o) }
-    val offDf = spark.createDataFrame(offRows.toIndexedSeq).toDF("__b", "__off")
-    withB.join(broadcast(offDf), Seq("__b"))
-      .withColumn(rankCol,
-        col("__off") + row_number().over(
-          Window.partitionBy(col("__b")).orderBy(order: _*)).cast("long"))
-      .withColumn(nCol, lit(acc))
-      .drop("__b", "__off")
+    }
+    val withB = bExprs.zipWithIndex.foldLeft(df) { case (d, (b, i)) =>
+      d.withColumn(s"__b$i", b)
+    }
+    // ONE counts pass for every dimension: explode each row into its
+    // (dim, bucket) memberships, then a single hash aggregate (for a
+    // single dimension the explode is pure overhead — group directly)
+    val cnt =
+      if (dims.size == 1)
+        withB.groupBy(col("__b0")).agg(count(lit(1)).as("c"))
+          .collect().map(r => (0, r.getLong(0), r.getLong(1)))
+      else withB
+        .select(explode(array(dims.indices.map(i =>
+          struct(lit(i).as("dim"), col(s"__b$i").as("b"))): _*)).as("e"))
+        .groupBy(col("e.dim").as("dim"), col("e.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val total = cnt.filter(_._1 == 0).map(_._3).sum
+    val ranked = dims.zipWithIndex.foldLeft(withB) {
+      case (d, ((_, order, rc), i)) =>
+        var acc = 0L
+        val offRows = cnt.filter(_._1 == i).sortBy(_._2).map {
+          case (_, bId, c) => val o = acc; acc += c; (bId, o)
+        }
+        val offDf = spark.createDataFrame(offRows.toIndexedSeq)
+          .toDF(s"__b$i", s"__off$i")
+        d.join(broadcast(offDf), Seq(s"__b$i"))
+          .withColumn(rc,
+            col(s"__off$i") + row_number().over(
+              Window.partitionBy(col(s"__b$i")).orderBy(order: _*)).cast("long"))
+          .drop(s"__off$i")
+    }
+    dims.indices.foldLeft(ranked)((d, i) => d.drop(s"__b$i"))
+      .withColumn(nCol, lit(total))
   }
+
+  /** Single-dimension convenience over [[withGlobalRanks]]. */
+  def withGlobalRank(df: DataFrame, value: Column, order: Seq[Column],
+      rankCol: String, nCol: String, buckets: Int = 256): DataFrame =
+    withGlobalRanks(df, Seq((value, order, rankCol)), nCol, buckets)
 
   /** SQL NTILE(k) from an exact 1-based rank column and a total-count
     * column: the first (n mod k) tiles get one extra row — the same

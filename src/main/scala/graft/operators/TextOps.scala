@@ -407,25 +407,40 @@ object TextOps {
     * (conjunction as counting). The registry frame is broadcast (it
     * is model-sized by definition) and zero-match queries survive via
     * the left join. All counting exact BIGINTs. */
-  private def qPercolate(s: SparkSession, d: String): DataFrame = {
+  /** Per-document percolate matches — the (doc_id, qid) routing pairs
+    * q_percolate aggregates, factored out so the STREAMING router
+    * (EventPipeline.startPercolateRouter) and the batch query share
+    * ONE matcher: same inverted evaluation (registry exploded to
+    * terms, joined on TERM against each doc's distinct tokens,
+    * conjunction as counting), same broadcast model-sized registry —
+    * stream/batch parity is by construction, not by coincidence.
+    * Input needs (doc_id, text); returns one row per matched
+    * (doc_id, qid) with the query text and its term count. */
+  private[graft] def percolateMatchesDf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val reg = PercolateQueries.toDF("qid", "query")
       .withColumn("terms", split(col("query"), " "))
       .withColumn("n_terms", size(col("terms")).cast("long"))
-    val regTerms = reg.select(col("qid"), col("n_terms"),
+    val regTerms = reg.select(col("qid"), col("query"), col("n_terms"),
       explode(col("terms")).as("tok"))
-    val docToks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(tokens()).as("tok")).distinct()
-    val matches = docToks
+    docs.select(col("doc_id"), explode(tokens()).as("tok")).distinct()
       .join(broadcast(regTerms), Seq("tok"))
-      .groupBy("qid", "n_terms", "doc_id")
+      .groupBy("doc_id", "qid", "query", "n_terms")
       .agg(count(lit(1)).as("n_hit"))
       .filter(col("n_hit") === col("n_terms"))
+      .select("doc_id", "qid", "query", "n_terms")
+  }
+
+  private def qPercolate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val reg = PercolateQueries.toDF("qid", "query")
+      .withColumn("n_terms", size(split(col("query"), " ")).cast("long"))
+    val matches = percolateMatchesDf(Tables.documents(s, d))
       .groupBy("qid")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
-    reg.select("qid", "query", "n_terms")
-      .join(matches, Seq("qid"), "left_outer")
+    reg.join(matches, Seq("qid"), "left_outer")
       .select(col("qid"), col("query"), col("n_terms"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
         col("first_doc"), col("last_doc"))

@@ -479,6 +479,39 @@ object EventPipeline {
       .foreachBatch(cmsIngestBatch(keyCol, outDir) _)
       .start()
 
+  /** foreachBatch sink for [[startPercolateRouter]]: match the
+    * micro-batch's documents against the broadcast percolate registry
+    * (TextOps.percolateMatchesDf — the exact q_percolate matcher) and
+    * land the (doc_id, qid) routes epoch-keyed — the idempotent-
+    * overwrite trade of routeDocumentsBatch/cmsIngestBatch, so a
+    * replayed micro-batch rewrites its own routes instead of
+    * double-alerting. */
+  def percolateRouteBatch(matchesDir: String)(batch: DataFrame, id: Long): Unit =
+    if (!batch.isEmpty) { // P9 empty-batch guard
+      graft.operators.TextOps.percolateMatchesDf(batch)
+        .write.mode("overwrite").parquet(s"$matchesDir/batch=$id")
+    }
+
+  /** Streaming PERCOLATE ROUTER — the stream twin of q_percolate:
+    * every arriving document is matched against the STORED conjunctive
+    * term queries as it lands (the Elasticsearch reverse-search /
+    * alerting primitive a curation pipeline uses to flag documents for
+    * review in-flight). The registry is model-sized by definition and
+    * broadcast into each micro-batch, so per-batch cost is Σ posting
+    * sizes of the registered terms — never docs × queries — and the
+    * union of epoch outputs equals the one-shot batch match over the
+    * same documents (StreamingSpec pins doc-for-doc parity and restart
+    * idempotence, mirroring startFrequencyMonitor). */
+  def startPercolateRouter(docs: DataFrame, matchesDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(percolateRouteBatch(matchesDir) _)
+      .start()
+
   /** 50-wide value bins over [0, 500), clamped into bin 9 — the fixed
     * binning shared by the drift monitor's batch and reference sides. */
   def valueBins(df: DataFrame): DataFrame =

@@ -932,6 +932,38 @@ class StreamingSpec extends SparkSpec {
     assert(java.util.Arrays.equals(bos2.toByteArray, oneShot),
       "restart changed the merged sketch")
   }
+
+  test("streaming percolate router: epoch routes equal the batch matcher, restart-safe") {
+    val src = tmp("perc-src"); val out = tmp("perc-out"); val chk = tmp("perc-chk")
+    val docs = Tables.documents(spark, Sf0001).filter($"doc_id" < 60)
+      .select($"doc_id", $"text")
+    // two files → two micro-batches under maxFilesPerTrigger=1: the
+    // registry must match docs in EVERY epoch, not just the first
+    docs.filter($"doc_id" < 30).coalesce(1).write.mode("overwrite").parquet(src)
+    Thread.sleep(1100)
+    docs.filter($"doc_id" >= 30).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def start() = EventPipeline.startPercolateRouter(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      out, chk, trigger = Trigger.AvailableNow())
+    val q = start(); q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+      .select($"doc_id", $"qid").as[(Long, Long)].collect().toSet
+    // doc-for-doc parity with the one-shot batch matcher — the shared
+    // percolateMatchesDf makes this equality structural
+    val batch = graft.operators.TextOps.percolateMatchesDf(docs)
+      .select($"doc_id", $"qid").as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "fixture must produce at least one route")
+    // both epochs must have routed something (matching isn't front-loaded)
+    val epochs = spark.read.parquet(out).select($"batch").distinct().count()
+    assert(epochs >= 2, s"expected routes from >=2 micro-batches, got $epochs")
+    // restart on the same checkpoint with no new input: the epoch-keyed
+    // overwrite keeps the route set duplicate-free
+    val q2 = start(); q2.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() == streamed.size)
+  }
 }
 
 object StreamingSpec {
