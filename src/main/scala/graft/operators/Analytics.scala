@@ -586,6 +586,50 @@ object Analytics {
       .orderBy("source_a", "source_b")
   }
 
+  // ---- q_mann_whitney: two-sample rank-sum test --------------------
+  //
+  // Mann–Whitney U between the returned ('R') and accepted ('A')
+  // populations of l_extendedprice — the distribution-free "did this
+  // segment shift" test an eval pipeline runs where a t-test's
+  // normality assumption won't hold. Everything is integer-exact up
+  // to the final z: U_A is computed value-grain as
+  // 2·U = Σ_v ca(v)·(2·prefix_cb(v) + cb(v)) (ties get the ½ credit
+  // via the ×2 trick, so 2U stays a BIGINT), the tie-correction term
+  // Σ(t³−t) is exact per-value BIGINT arithmetic summed through
+  // DECIMAL(38,0), and z is ONE fixed-shape IEEE composite over those
+  // exact casts — bit-identical cross-engine. Scale shape: one
+  // value-grain hash aggregate over the fact table, then the
+  // TWO-LEVEL prefix sum (ScaleRank.withPrefixSum: deterministic
+  // value buckets, bucket-partitioned running sums, collected
+  // bucket-grain offsets) — the value-grain frame is itself
+  // corpus-shaped at 100 TB and never single-partitions. Per-term
+  // BIGINT products fault loudly under ANSI if a single value ever
+  // carries >~2×10⁶ rows per arm (t³ ceiling) instead of drifting.
+  private def qMannWhitney(s: SparkSession, d: String): DataFrame = {
+    val vals = Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .groupBy(col("l_extendedprice").as("p"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("cb"))
+    ScaleRank.withPrefixSum(vals, col("p"), Seq(col("p")), col("cb"), "pb")
+      .agg(
+        sum(col("ca")).as("n_a"),
+        sum(col("cb")).as("n_b"),
+        expr("CAST(SUM(CAST(ca * (2*pb + cb) AS DECIMAL(38,0))) AS BIGINT)")
+          .as("two_u_a"),
+        expr("""CAST(SUM(CAST((ca+cb)*(ca+cb)*(ca+cb) - (ca+cb)
+                 AS DECIMAL(38,0))) AS BIGINT)""").as("tie_term"))
+      .withColumn("z", expr(
+        """(CAST(two_u_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+           / sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 3.0)
+                  * (CAST(n_a + n_b + 1 AS DOUBLE)
+                     - CAST(tie_term AS DOUBLE)
+                       / (CAST(n_a + n_b AS DOUBLE)
+                          * CAST(n_a + n_b - 1 AS DOUBLE))))"""))
+      .select("n_a", "n_b", "two_u_a", "tie_term", "z")
+  }
+
   // ---- q_gini: length-share inequality per source --------------------
   //
   // The Lorenz/Gini concentration of characters over documents within
@@ -895,6 +939,7 @@ object Analytics {
     "q_allen" -> (qAllen _),
     "q_sax" -> (qSax _),
     "q_ks_test" -> (qKsTest _),
+    "q_mann_whitney" -> (qMannWhitney _),
     "q_hill_tail" -> (qHillTail _),
     "q_spearman" -> (qSpearman _),
     "q_psi" -> (qPsi _),
@@ -917,6 +962,31 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mann_whitney" ->
+      """WITH v AS (
+        |  SELECT l_extendedprice AS p,
+        |         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM lineitem WHERE l_returnflag IN ('R','A') GROUP BY 1
+        |), w AS (
+        |  SELECT p, ca, cb,
+        |         CAST(COALESCE(SUM(cb) OVER (ORDER BY p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pb
+        |  FROM v
+        |), agg AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+        |         CAST(SUM(ca * (2*pb + cb)) AS BIGINT) AS two_u_a,
+        |         CAST(SUM((ca+cb)*(ca+cb)*(ca+cb) - (ca+cb)) AS BIGINT) AS tie_term
+        |  FROM w
+        |)
+        |SELECT n_a, n_b, two_u_a, tie_term,
+        |       (CAST(two_u_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |       / sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 3.0)
+        |              * (CAST(n_a + n_b + 1 AS DOUBLE)
+        |                 - CAST(tie_term AS DOUBLE)
+        |                   / (CAST(n_a + n_b AS DOUBLE)
+        |                      * CAST(n_a + n_b - 1 AS DOUBLE)))) AS z
+        |FROM agg""".stripMargin,
     "q_allen" ->
       """WITH spans AS (
         |  SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority AS priority,

@@ -108,6 +108,40 @@ object ScaleRank {
       rankCol: String, nCol: String, buckets: Int = 256): DataFrame =
     withGlobalRanks(df, Seq((value, order, rankCol)), nCol, buckets)
 
+  /** Adds `prefixCol` = exact running total of `weight` over all rows
+    * STRICTLY before this one in the ascending total order — the
+    * two-level cumulative-sum twin of [[withGlobalRanks]]: same
+    * deterministic value buckets, same collected bucket-grain model
+    * state (weight totals instead of row counts), same
+    * bucket-partitioned window — so a global running sum never
+    * single-partitions the frame. `weight` must be non-null integral
+    * (BIGINT math; ANSI faults loudly on overflow rather than
+    * drifting). */
+  def withPrefixSum(df: DataFrame, value: Column, order: Seq[Column],
+      weight: Column, prefixCol: String, buckets: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    val mm = df.agg(min(value.cast("double")).as("lo"),
+      max(value.cast("double")).as("hi")).collect()(0)
+    if (mm.isNullAt(0)) return df.withColumn(prefixCol, lit(0L))
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val bExpr =
+      if (hi == lo) lit(0L)
+      else least(
+        floor((value.cast("double") - lit(lo)) / lit((hi - lo) / buckets)),
+        lit(buckets - 1L)).cast("long")
+    val withB = df.withColumn("__b", bExpr).withColumn("__w", weight.cast("long"))
+    val tot = withB.groupBy(col("__b")).agg(sum(col("__w")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offRows = tot.map { case (bId, c) => val o = acc; acc += c; (bId, o) }
+    val offDf = spark.createDataFrame(offRows.toIndexedSeq).toDF("__b", "__off")
+    withB.join(broadcast(offDf), Seq("__b"))
+      .withColumn(prefixCol, col("__off") + coalesce(
+        sum(col("__w")).over(Window.partitionBy(col("__b")).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__b", "__off", "__w")
+  }
+
   /** SQL NTILE(k) from an exact 1-based rank column and a total-count
     * column: the first (n mod k) tiles get one extra row — the same
     * uneven-bucket rule Spark and DuckDB implement, so a two-level

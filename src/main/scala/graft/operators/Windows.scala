@@ -187,6 +187,82 @@ object Windows {
       .orderBy("day_idx")
   }
 
+  /** 7-day rolling DISTINCT active users per day — the WAU-by-day /
+    * stickiness readout (DAU/WAU) every engagement pipeline
+    * materializes. A windowed COUNT(DISTINCT) isn't a frame Spark (or
+    * any engine) can run without holding per-window user sets, so the
+    * distributed shape is COVER-EXPLODE: each distinct (user, day)
+    * activity pair covers the 7 window-ends it can influence
+    * (d .. d+6), a second distinct collapses multi-day users within a
+    * window, and a day-grain count finishes — ≤7× the distinct-pair
+    * volume, all hash aggregates, no window state anywhere. DAU joins
+    * in at day grain; stickiness is one IEEE division of exact
+    * BIGINTs. Bounds clamp phantom trailing days so the readout stays
+    * on observed days. */
+  private def qRollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+      .distinct()
+    val bounds = ud.agg(min(col("day_idx")).as("lo"), max(col("day_idx")).as("hi"))
+    val dau = ud.groupBy(col("day_idx")).agg(count(lit(1)).as("dau"))
+    ud.select(col("user_id"), explode(expr("sequence(day_idx, day_idx + 6L)")).as("d"))
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .filter(col("d") >= col("lo") && col("d") <= col("hi"))
+      .groupBy(col("d").as("day_idx"))
+      .agg(count(lit(1)).as("users_7d"))
+      .join(dau, Seq("day_idx"), "left_outer")
+      .withColumn("dau", coalesce(col("dau"), lit(0L)))
+      .select(col("day_idx"),
+        expr("CAST(DATE_ADD(DATE '1970-01-01', CAST(day_idx AS INT)) AS TIMESTAMP)").as("day"),
+        col("dau"), col("users_7d"),
+        (col("dau").cast("double") / col("users_7d").cast("double")).as("stickiness"))
+      .orderBy("day_idx")
+  }
+
+  /** Top user-journey trigrams — sequence n-grams over per-user event
+    * streams, the "what do users actually do" path-mining readout
+    * (the event-domain sibling of the text n-gram family). Two lead()
+    * hops inside the per-user (ts, event_id) window build each
+    * 3-step path; the counts are one hash aggregate; the top-20 is a
+    * deterministic (n DESC, path) TakeOrdered. All per-user windows —
+    * parallel at any scale; path cardinality is |types|³ ≤ model-
+    * sized. */
+  private def qCommonPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e3").isNotNull)
+      .groupBy(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  /** Audience overlap between event types — pairwise Jaccard of the
+    * DISTINCT user sets behind each type, the cross-sell / cohort-
+    * overlap readout. The user-keyed self-join fans out at most
+    * |types-per-user|² ≤ 25 rows per user (never all-pairs of users),
+    * type sizes are a broadcast model frame, and each Jaccard is ONE
+    * IEEE division of exact BIGINTs. */
+  private def qUserOverlap(s: SparkSession, d: String): DataFrame = {
+    val ut = Tables.events(s, d)
+      .select(col("event_type").as("t"), col("user_id")).distinct()
+    val sizes = ut.groupBy(col("t")).agg(count(lit(1)).as("sz"))
+    ut.select(col("t").as("ta"), col("user_id"))
+      .join(ut.select(col("t").as("tb"), col("user_id")), Seq("user_id"))
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("t").as("ta"), col("sz").as("sa"))), Seq("ta"))
+      .join(broadcast(sizes.select(col("t").as("tb"), col("sz").as("sb"))), Seq("tb"))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (col("sa") + col("sb") - col("inter")).cast("double"))
+      .select("ta", "tb", "sa", "sb", "inter", "jaccard")
+      .orderBy("ta", "tb")
+  }
+
   /** Navigation/distribution window breadth — first_value /
     * last_value / nth_value over an EXPLICIT unbounded-both-ways
     * frame (the default running frame would make last/nth
@@ -712,6 +788,9 @@ object Windows {
     "q_seq_pattern" -> (qSeqPattern _),
     "q_session_window" -> (qSessionWindow _),
     "q_concurrency" -> (qConcurrency _),
+    "q_rolling_distinct" -> (qRollingDistinct _),
+    "q_common_paths" -> (qCommonPaths _),
+    "q_user_overlap" -> (qUserOverlap _),
     "q_streaks" -> (qStreaks _),
     "q_window_nav" -> (qWindowNav _),
     "q_topk_typed" -> (qTopkTyped _),
@@ -733,6 +812,54 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_idx FROM events
+        |), cover AS (
+        |  SELECT DISTINCT user_id, day_idx + g.i AS d
+        |  FROM ud CROSS JOIN (SELECT UNNEST(range(0, 7)) AS i) g
+        |), b AS (
+        |  SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM ud
+        |), w AS (
+        |  SELECT d AS day_idx, CAST(COUNT(*) AS BIGINT) AS users_7d
+        |  FROM cover, b WHERE d BETWEEN lo AND hi GROUP BY 1
+        |), dau AS (
+        |  SELECT day_idx, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+        |)
+        |SELECT w.day_idx,
+        |       DATE '1970-01-01' + CAST(w.day_idx AS INTEGER) AS day,
+        |       COALESCE(dau.dau, 0) AS dau, w.users_7d,
+        |       CAST(COALESCE(dau.dau, 0) AS DOUBLE) / CAST(w.users_7d AS DOUBLE) AS stickiness
+        |FROM w LEFT JOIN dau ON dau.day_idx = w.day_idx
+        |ORDER BY w.day_idx""".stripMargin,
+    "q_common_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type AS e1,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events
+        |)
+        |SELECT concat_ws('>', e1, e2, e3) AS path,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM s WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q_user_overlap" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT event_type AS t, user_id FROM events
+        |), sizes AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS sz FROM ut GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.t AS ta, b.t AS tb, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.t < b.t
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.ta, p.tb, sa.sz AS sa, sb.sz AS sb, p.inter,
+        |       CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) AS jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON sa.t = p.ta
+        |JOIN sizes sb ON sb.t = p.tb
+        |ORDER BY p.ta, p.tb""".stripMargin,
     "q_kafka_envelope" ->
       """SELECT event_id,
         |       CAST(user_id AS VARCHAR) AS key,

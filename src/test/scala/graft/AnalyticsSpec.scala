@@ -940,4 +940,96 @@ class AnalyticsSpec extends SparkSpec {
     // the corpus must actually exercise every symbol or the banding is untested
     assert(rows.flatMap(_.getAs[String]("word")).toSet == Set('a', 'b', 'c', 'd'))
   }
+
+  test("q_mann_whitney: driver rank-sum replay is exact; z identity holds") {
+    val row = q("q_mann_whitney").collect().head
+    val xs = graft.sources.Tables.lineitem(spark, Sf0001)
+      .filter($"l_returnflag".isin("R", "A"))
+      .select($"l_returnflag", $"l_extendedprice".cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val byVal = xs.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, rs) =>
+      (v, rs.count(_._1 == "R").toLong, rs.count(_._1 == "A").toLong)
+    }
+    val nA = byVal.map(_._2).sum; val nB = byVal.map(_._3).sum
+    assert(row.getAs[Long]("n_a") == nA && row.getAs[Long]("n_b") == nB)
+    // 2·U_A via the ascending prefix of the B arm (ties get the ×2 half-credit)
+    var pb = 0L; var twoU = 0L; var tie = 0L
+    for ((_, ca, cb) <- byVal) {
+      twoU += ca * (2L * pb + cb); pb += cb
+      val t = ca + cb; tie += t * t * t - t
+    }
+    assert(row.getAs[Long]("two_u_a") == twoU, "2U mismatch")
+    assert(row.getAs[Long]("tie_term") == tie, "tie term mismatch")
+    // z replay with the exact same IEEE composite shape
+    val z = (twoU.toDouble - nA.toDouble * nB.toDouble) /
+      math.sqrt((nA.toDouble * nB.toDouble / 3.0) *
+        ((nA + nB + 1).toDouble - tie.toDouble /
+          ((nA + nB).toDouble * (nA + nB - 1).toDouble)))
+    assert(row.getAs[Double]("z") == z)
+    // U_A + U_B = n_a·n_b (rank-sum identity): 2U_B from the descending scan
+    var pa = 0L; var twoUB = 0L
+    for ((_, ca, cb) <- byVal) { twoUB += cb * (2L * pa + ca); pa += ca }
+    assert(twoU + twoUB == 2L * nA * nB, "U_A + U_B identity")
+  }
+
+  test("q_rolling_distinct: driver 7-day set replay matches; WAU >= DAU") {
+    val rows = q("q_rolling_distinct").collect()
+    assert(rows.nonEmpty)
+    val ud = graft.sources.Tables.events(spark, Sf0001)
+      .select($"user_id", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 86400000000L)).distinct
+    val lo = ud.map(_._2).min; val hi = ud.map(_._2).max
+    assert(rows.map(_.getAs[Long]("day_idx")).toSeq == (lo to hi).toSeq)
+    for (r <- rows) {
+      val d = r.getAs[Long]("day_idx")
+      val wau = ud.filter(t => t._2 >= d - 6 && t._2 <= d).map(_._1).distinct.length
+      val dau = ud.filter(_._2 == d).map(_._1).distinct.length
+      assert(r.getAs[Long]("users_7d") == wau, s"wau day $d")
+      assert(r.getAs[Long]("dau") == dau, s"dau day $d")
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("users_7d"))
+      assert(r.getAs[Double]("stickiness") == dau.toDouble / wau.toDouble)
+    }
+  }
+
+  test("q_common_paths: driver trigram mining replays the top-20 exactly") {
+    val rows = q("q_common_paths").collect()
+    assert(rows.length == 20)
+    val evs = graft.sources.Tables.events(spark, Sf0001)
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val tris = evs.groupBy(_._1).toSeq.flatMap { case (uid, rs) =>
+      val s = rs.sortBy(r => (r._2, r._3)).map(_._4)
+      s.sliding(3).filter(_.length == 3).map(w => (w.mkString(">"), uid))
+    }
+    val top = tris.groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.map(_._2).distinct.size.toLong))
+      .toSeq.map { case (p, (n, u)) => (p, n, u) }
+      .sortBy(t => (-t._2, t._1)).take(20)
+    assert(rows.map(r => (r.getAs[String]("path"), r.getAs[Long]("n"),
+      r.getAs[Long]("n_users"))).toSeq == top)
+  }
+
+  test("q_user_overlap: driver set-intersection replay; jaccard bounds") {
+    val rows = q("q_user_overlap").collect()
+    assert(rows.nonEmpty)
+    val ut = graft.sources.Tables.events(spark, Sf0001)
+      .select($"event_type", $"user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).distinct
+    val sets = ut.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = sets.keys.toSeq.sorted
+    val expect = for {
+      i <- types.indices; j <- (i + 1) until types.length
+    } yield (types(i), types(j))
+    assert(rows.map(r => (r.getAs[String]("ta"), r.getAs[String]("tb"))).toSeq
+      == expect)
+    for (r <- rows) {
+      val (a, b) = (sets(r.getAs[String]("ta")), sets(r.getAs[String]("tb")))
+      val inter = (a intersect b).size.toLong
+      assert(r.getAs[Long]("sa") == a.size && r.getAs[Long]("sb") == b.size)
+      assert(r.getAs[Long]("inter") == inter)
+      val j = r.getAs[Double]("jaccard")
+      assert(j == inter.toDouble / (a.size + b.size - inter).toDouble)
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
 }

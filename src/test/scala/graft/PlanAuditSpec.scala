@@ -431,7 +431,11 @@ class PlanAuditSpec extends SparkSpec {
     // two-level rewrite must keep every WindowExec partitioned —
     // pinned on the OPTIMIZED LOGICAL plan so AQE re-planning can't
     // hide a regression.
-    for (q <- Seq("q_deciles", "q_rfm")) {
+    // q_mann_whitney's prefix sum and q_common_paths' lead() hops ride
+    // bucket-/user-partitioned windows; q_rolling_distinct is pure
+    // cover-explode hash aggregation — none may global-sort the corpus
+    for (q <- Seq("q_deciles", "q_rfm", "q_mann_whitney", "q_common_paths",
+        "q_rolling_distinct")) {
       val lp = SparkEntry.queries(q)(spark, Sf0001).queryExecution.optimizedPlan
       val bad = lp.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
