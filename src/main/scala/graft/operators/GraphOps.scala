@@ -410,16 +410,25 @@ object GraphOps {
   // The K-core is the maximal subgraph where every node keeps degree
   // ≥ K — the standard "dense cohesive backbone" extraction (and, on a
   // dedup keeper graph, the "pathological template cluster" detector).
-  // Computed by iterative peeling (the distributed form of
-  // Batagelj–Zaveršnik): drop all nodes with degree < K, recompute
-  // degrees, repeat to fixpoint. Each round is one degree aggregation
-  // plus two semi-joins — all node-keyed shuffles, no edge blowup —
-  // and the round count is bounded by the peel depth of the degree
+  // Computed by DELTA-PEELING (the distributed form of
+  // Batagelj–Zaveršnik, incrementalized): maintain the per-node degree
+  // table, and each round touch ONLY the newly sub-K node set — the
+  // frontier. Per round: the frontier is a filter on the node-sized
+  // degree table; its incident edge losses come from two
+  // broadcast-semi scans of the edge list (the frontier is a shrinking
+  // few-percent of nodes — never a corpus-sized join side); surviving
+  // degrees are decremented by a node-keyed join against the
+  // frontier-sized loss counts. The edge list itself is NEVER
+  // re-shuffled or re-materialized per round (the r9 plan semi-joined
+  // and localCheckpointed all surviving edges every round — O(rounds ×
+  // |E|) shuffle+write; that was the measured 5.09 scaling exponent).
+  // Here rounds cost O(rounds × |E|) SCAN (broadcast joins, no
+  // exchange) + O(Σ frontier) everything else, and the only
+  // per-round materialization is the node-sized degree table. The
+  // round count is bounded by the peel depth of the degree
   // distribution, not by n (measured: 6 rounds at BOTH sf0.01 and
   // sf0.1 for K=80; the cap below fails loudly rather than emitting a
-  // half-peeled subgraph). Lineage is cut per round with
-  // localCheckpoint, same as the CC loop, so the plan does not grow
-  // with the iteration count.
+  // half-peeled subgraph).
   //
   // K is DERIVED from the degree distribution — K = ⌊0.65·median⌋ —
   // not hard-coded: a fixed K is meaningless across corpus sizes (this
@@ -444,42 +453,83 @@ object GraphOps {
   private val CoreMaxRounds = 40
   private[graft] val CoreOracleRounds = 12
 
+  /** Past this many cumulative removed nodes the broadcast hint on the
+    * removed-set joins is dropped and Spark's own join planning (AQE)
+    * takes over — the delta loop stays correct, it just stops
+    * promising the removed set fits one executor. ~8 B/node ⇒ ~160 MB
+    * at the cap; peel removes ~3% of nodes on this graph family, so
+    * the cap corresponds to a ~700 M-node graph. */
+  private val CoreBroadcastCap = 20000000L
+
   /** Nodes of the `k`-core of an undirected (u < v, distinct) edge
     * list, with their within-core degree. Loops to the true fixpoint
-    * (edge count stable — peeling is monotone decreasing, so count
-    * equality IS convergence) and throws past `CoreMaxRounds` instead
-    * of returning a half-peeled subgraph. */
+    * (the peel frontier is empty — peeling is monotone decreasing, so
+    * an empty frontier IS convergence) and throws past `CoreMaxRounds`
+    * instead of returning a half-peeled subgraph. */
   def kcore(edges0: DataFrame, k: Int): DataFrame = kcoreWithDepth(edges0, k)._1
 
   /** `kcore` plus the measured peel depth (rounds to reach the
-    * fixpoint, counting the final no-op confirmation round). Exposed
-    * so CoreDepthSpec can assert depth ≤ CoreOracleRounds — the
-    * invariant that keeps the 12-round unrolled DuckDB oracle an
+    * fixpoint, counting the final empty-frontier confirmation round).
+    * Exposed so CoreDepthSpec can assert depth ≤ CoreOracleRounds —
+    * the invariant that keeps the 12-round unrolled DuckDB oracle an
     * exact replay rather than a half-peeled graph. */
-  private[graft] def kcoreWithDepth(edges0: DataFrame, k: Int): (DataFrame, Int) = {
-    var edges = edges0.localCheckpoint()
-    var nEdges = edges.count()
+  private[graft] def kcoreWithDepth(edges0: DataFrame, k: Int): (DataFrame, Int) =
+    kcoreWithDepth(edges0, degrees(edges0), k)
+
+  /** Delta-peel from a precomputed degree table (reuses the memoized
+    * coEdgesDegM degrees in the q_kcore path — the full-graph degree
+    * aggregation happens ONCE per corpus, not once per kcore call). */
+  private[graft] def kcoreWithDepth(edges0: DataFrame, deg0: DataFrame,
+      k: Int): (DataFrame, Int) = {
+    val edges = edges0.localCheckpoint()
+    var deg = deg0.localCheckpoint()
+    // cumulative removed set — kept as a DataFrame (never collected:
+    // at scale it is data-sized, ~3% of nodes) and broadcast-hinted
+    // while it plausibly fits an executor
+    var removedAll = deg.select("node").limit(0).localCheckpoint()
+    var nRemovedAll = 0L
     var converged = false
     var round = 0
+    def hint(df: DataFrame): DataFrame =
+      if (nRemovedAll < CoreBroadcastCap) broadcast(df) else df
     while (!converged && round < CoreMaxRounds) {
-      val keep = degrees(edges).filter(col("deg") >= k).select("node")
-      val pruned = edges
-        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .select("u", "v")
-        .localCheckpoint()
-      val m = pruned.count()
-      converged = m == nEdges
-      edges = pruned
-      nEdges = m
       round += 1
+      val frontier = deg.filter(col("deg") < k).select("node").localCheckpoint()
+      val nF = frontier.count()
+      if (nF == 0) converged = true
+      else {
+        // current edge list = edges0 minus everything already removed
+        // (two broadcast ANTI scans — no exchange, no materialization)
+        val cur = edges
+          .join(hint(removedAll.withColumnRenamed("node", "u")), Seq("u"), "left_anti")
+          .join(hint(removedAll.withColumnRenamed("node", "v")), Seq("v"), "left_anti")
+        // each current edge into the frontier costs its SURVIVING
+        // endpoint one degree (unionAll keeps multiplicity; edges with
+        // both endpoints in the frontier die in the anti-join below)
+        val losses = cur
+          .join(broadcast(frontier.withColumnRenamed("node", "u")), Seq("u"), "left_semi")
+          .select(col("v").as("node"))
+          .unionAll(cur
+            .join(broadcast(frontier.withColumnRenamed("node", "v")), Seq("v"), "left_semi")
+            .select(col("u").as("node")))
+          .join(broadcast(frontier), Seq("node"), "left_anti")
+          .groupBy("node").agg(count(lit(1)).as("lost"))
+        deg = deg
+          .join(broadcast(frontier), Seq("node"), "left_anti")
+          .join(losses, Seq("node"), "left_outer")
+          .select(col("node"),
+            (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
+          .localCheckpoint()
+        removedAll = removedAll.unionAll(frontier).localCheckpoint()
+        nRemovedAll += nF
+      }
     }
     if (!converged)
       throw new IllegalStateException(
         s"k-core peeling did not converge in $CoreMaxRounds rounds — " +
           "K is near the core-collapse threshold for this graph; raise the " +
           "cap deliberately rather than shipping a half-peeled subgraph")
-    val core = degrees(edges).filter(col("deg") >= k)
+    val core = deg
       .select(col("node"), col("deg").as("core_deg"), lit(k.toLong).as("k"))
       .orderBy("node")
     (core, round)
@@ -487,34 +537,46 @@ object GraphOps {
 
   /** Instrumented replay of the q_kcore path for graft.KcoreDecompose:
     * builds the co-occurrence graph COLD (memo bypassed), derives K,
-    * and runs the peel with per-round wall times and surviving edge
-    * counts — the evidence that attributes the path's measured scaling
+    * and runs the DELTA peel with per-round wall times and frontier
+    * sizes — the evidence that attributes the path's measured scaling
     * exponent to per-round cost vs peel-depth growth. Returns
-    * (nEdges0, k, rounds: Seq[(edgesAfter, seconds)]). */
+    * (nEdges0, k, rounds: Seq[(frontierSize, seconds)]). */
   private[graft] def kcorePeelProfile(s: SparkSession, d: String)
       : (Long, Int, Seq[(Long, Double)]) = {
-    val edges0 = coEdges(s, d).localCheckpoint()
-    val deg0 = degrees(edges0).localCheckpoint()
-    val med = deg0.agg(expr("percentile(deg, 0.5d)").as("med")).head.getDouble(0)
+    val edges = coEdges(s, d).localCheckpoint()
+    var deg = degrees(edges).localCheckpoint()
+    val n0 = edges.count()
+    val med = deg.agg(expr("percentile(deg, 0.5d)").as("med")).head.getDouble(0)
     val k = math.floor(CoreFrac.toDouble * med).toInt
-    var edges = edges0
-    var nEdges = edges.count()
-    val n0 = nEdges
+    var removedAll = deg.select("node").limit(0).localCheckpoint()
     var converged = false
     val rounds = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
     while (!converged && rounds.size < CoreMaxRounds) {
       val t0 = System.nanoTime()
-      val keep = degrees(edges).filter(col("deg") >= k).select("node")
-      val pruned = edges
-        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .select("u", "v")
-        .localCheckpoint()
-      val m = pruned.count()
-      rounds += ((m, (System.nanoTime() - t0) / 1e9))
-      converged = m == nEdges
-      edges = pruned
-      nEdges = m
+      val frontier = deg.filter(col("deg") < k).select("node").localCheckpoint()
+      val nF = frontier.count()
+      if (nF == 0) converged = true
+      else {
+        val cur = edges
+          .join(broadcast(removedAll.withColumnRenamed("node", "u")), Seq("u"), "left_anti")
+          .join(broadcast(removedAll.withColumnRenamed("node", "v")), Seq("v"), "left_anti")
+        val losses = cur
+          .join(broadcast(frontier.withColumnRenamed("node", "u")), Seq("u"), "left_semi")
+          .select(col("v").as("node"))
+          .unionAll(cur
+            .join(broadcast(frontier.withColumnRenamed("node", "v")), Seq("v"), "left_semi")
+            .select(col("u").as("node")))
+          .join(broadcast(frontier), Seq("node"), "left_anti")
+          .groupBy("node").agg(count(lit(1)).as("lost"))
+        deg = deg
+          .join(broadcast(frontier), Seq("node"), "left_anti")
+          .join(losses, Seq("node"), "left_outer")
+          .select(col("node"),
+            (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
+          .localCheckpoint()
+        removedAll = removedAll.unionAll(frontier).localCheckpoint()
+      }
+      rounds += ((nF, (System.nanoTime() - t0) / 1e9))
     }
     (n0, k, rounds.toSeq)
   }
@@ -525,7 +587,7 @@ object GraphOps {
     val (edges, deg) = coEdgesDegM(s, d)
     val med = deg
       .agg(expr("percentile(deg, 0.5d)").as("med")).head.getDouble(0)
-    kcoreWithDepth(edges, math.floor(CoreFrac.toDouble * med).toInt)._2
+    kcoreWithDepth(edges, deg, math.floor(CoreFrac.toDouble * med).toInt)._2
   }
 
   private def qKcore(s: SparkSession, d: String): DataFrame = {
@@ -537,7 +599,7 @@ object GraphOps {
     // fetch (like the Lloyd centroid collects), never a data collect
     val med = deg
       .agg(expr("percentile(deg, 0.5d)").as("med")).head.getDouble(0)
-    kcore(edges, math.floor(CoreFrac.toDouble * med).toInt)
+    kcoreWithDepth(edges, deg, math.floor(CoreFrac.toDouble * med).toInt)._1
   }
 
   /** Minimum shared-order support for a strong-tie LPA edge — the
