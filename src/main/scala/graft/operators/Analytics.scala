@@ -630,6 +630,86 @@ object Analytics {
       .select("n_a", "n_b", "two_u_a", "tie_term", "z")
   }
 
+  // ---- q_trend: grouped OLS regression over monthly volumes ---------
+  //
+  // Per-priority least-squares trend line of monthly order volume —
+  // the "is this segment growing" readout every reporting layer fits.
+  // The corpus-shaped work is ONE hash aggregate to (priority, month)
+  // grain plus one 6-sum rollup to priority grain; the closed-form
+  // slope/intercept/r² then run on a model-sized frame. Exactness: x
+  // is months since the GLOBAL min month (small ints), so n, Σx, Σy,
+  // Σxy, Σx², Σy² are all exact BIGINTs; slope and intercept are each
+  // ONE IEEE division of two exact casts, and r² is the fixed shape
+  // (num·num)/(denx·deny) over casts that stay ≤2⁵³ while per-month
+  // segment volume stays under ~10⁸ rows (ANSI faults loudly past the
+  // BIGINT product ceiling rather than drifting).
+  private def qTrend(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"))
+      .agg(count(lit(1)).as("y"))
+    val lo = broadcast(monthly.agg(min(col("m")).as("m0")))
+    monthly.crossJoin(lo)
+      .withColumn("x", (col("m") - col("m0")).cast("long"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_months"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      .withColumn("num", col("n_months") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("denx", col("n_months") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("deny", col("n_months") * col("syy") - col("sy") * col("sy"))
+      .withColumn("slope", when(col("denx") =!= 0L,
+        col("num").cast("double") / col("denx").cast("double")))
+      .withColumn("intercept", when(col("denx") =!= 0L,
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+          / col("denx").cast("double")))
+      .withColumn("r2", when(col("denx") =!= 0L && col("deny") =!= 0L,
+        (col("num").cast("double") * col("num").cast("double"))
+          / (col("denx").cast("double") * col("deny").cast("double"))))
+      .select("priority", "n_months", "sy", "slope", "intercept", "r2")
+      .orderBy("priority")
+  }
+
+  // ---- q_changepoint: binary-segmentation mean shift -----------------
+  //
+  // The single change point that maximizes the between-segment
+  // sum-of-squares reduction over the daily order-count series — the
+  // first split of binary segmentation (the batch twin of q_cusum's
+  // peak election, but scored by variance reduction rather than
+  // cumulative deviation). Shape: one day-grain hash aggregate over
+  // orders, then prefix sums over the DAY-GRAIN frame (a global window
+  // ABOVE an Aggregate — calendar-sized, never corpus-sized), then a
+  // deterministic top-1. Exactness: counts and prefix sums are
+  // BIGINTs; the score for split i is num²/(i·(n−i)·n) with
+  // num = S_i·n − S·i, computed as the fixed IEEE shape
+  // (numD·numD)/(denD·nD) from casts ≤2⁵³ — bit-identical in both
+  // engines, so the argmax (score DESC, day ASC) elects the same day.
+  private def qChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day_idx"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.orderBy("day_idx")
+    val tot = broadcast(daily.agg(count(lit(1)).as("n"), sum(col("y")).as("s")))
+    daily.crossJoin(tot)
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("s_l", sum(col("y")).over(w))
+      .filter(col("i") < col("n"))
+      .withColumn("num", col("s_l") * col("n") - col("s") * col("i"))
+      .withColumn("score",
+        (col("num").cast("double") * col("num").cast("double"))
+          / ((col("i") * (col("n") - col("i"))).cast("double")
+             * col("n").cast("double")))
+      .withColumn("mean_l", col("s_l").cast("double") / col("i").cast("double"))
+      .withColumn("mean_r", (col("s") - col("s_l")).cast("double")
+        / (col("n") - col("i")).cast("double"))
+      .orderBy(col("score").desc, col("day_idx"))
+      .limit(1)
+      .select(col("day_idx").as("split_day"), col("i").as("n_left"),
+        (col("n") - col("i")).as("n_right"), col("s_l").as("sum_left"),
+        (col("s") - col("s_l")).as("sum_right"), col("mean_l"), col("mean_r"),
+        col("score"))
+  }
+
   // ---- q_gini: length-share inequality per source --------------------
   //
   // The Lorenz/Gini concentration of characters over documents within
@@ -940,6 +1020,8 @@ object Analytics {
     "q_sax" -> (qSax _),
     "q_ks_test" -> (qKsTest _),
     "q_mann_whitney" -> (qMannWhitney _),
+    "q_trend" -> (qTrend _),
+    "q_changepoint" -> (qChangepoint _),
     "q_hill_tail" -> (qHillTail _),
     "q_spearman" -> (qSpearman _),
     "q_psi" -> (qPsi _),
@@ -962,6 +1044,57 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_trend" ->
+      """WITH monthly AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m,
+        |         CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2
+        |), lo AS (SELECT MIN(m) AS m0 FROM monthly
+        |), sums AS (
+        |  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_months,
+        |         CAST(SUM(m - m0) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM((m - m0) * y) AS BIGINT) AS sxy,
+        |         CAST(SUM((m - m0) * (m - m0)) AS BIGINT) AS sxx,
+        |         CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM monthly CROSS JOIN lo GROUP BY 1
+        |), t AS (
+        |  SELECT *, n_months * sxy - sx * sy AS num,
+        |         n_months * sxx - sx * sx AS denx,
+        |         n_months * syy - sy * sy AS deny
+        |  FROM sums
+        |)
+        |SELECT priority, n_months, sy,
+        |       CASE WHEN denx <> 0 THEN CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) END AS slope,
+        |       CASE WHEN denx <> 0 THEN CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(denx AS DOUBLE) END AS intercept,
+        |       CASE WHEN denx <> 0 AND deny <> 0 THEN
+        |         (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+        |         / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)) END AS r2
+        |FROM t ORDER BY priority""".stripMargin,
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_idx,
+        |         CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s FROM daily
+        |), pre AS (
+        |  SELECT day_idx, n, s,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY day_idx) AS BIGINT) AS i,
+        |         CAST(SUM(y) OVER (ORDER BY day_idx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_l
+        |  FROM daily CROSS JOIN tot
+        |), scored AS (
+        |  SELECT *, s_l * n - s * i AS num,
+        |         (CAST(s_l * n - s * i AS DOUBLE) * CAST(s_l * n - s * i AS DOUBLE))
+        |         / (CAST(i * (n - i) AS DOUBLE) * CAST(n AS DOUBLE)) AS score
+        |  FROM pre WHERE i < n
+        |)
+        |SELECT day_idx AS split_day, i AS n_left, n - i AS n_right,
+        |       s_l AS sum_left, s - s_l AS sum_right,
+        |       CAST(s_l AS DOUBLE) / CAST(i AS DOUBLE) AS mean_l,
+        |       CAST(s - s_l AS DOUBLE) / CAST(n - i AS DOUBLE) AS mean_r,
+        |       score
+        |FROM scored ORDER BY score DESC, day_idx LIMIT 1""".stripMargin,
     "q_mann_whitney" ->
       """WITH v AS (
         |  SELECT l_extendedprice AS p,

@@ -268,6 +268,53 @@ object Relational {
         |ORDER BY s.m""".stripMargin)
   }
 
+  /** Linear gap-fill of the per-region daily order series — the
+    * interpolation twin of q_month_spine's zero-fill: reporting wants
+    * missing interior days estimated from the surrounding
+    * observations, not zeroed. Shape: the corpus-shaped work is one
+    * (region, day) hash aggregate (3 dim joins, all broadcast-sized);
+    * the spine explode and both bracketing windows run on the
+    * region×calendar grid — day grain, partitioned by region, never
+    * corpus-sized. Each missing day finds its bracketing observations
+    * via IGNORE NULLS navigation (last over the preceding frame,
+    * first over the following frame — both engines implement the
+    * same SQL-standard semantics), and the interpolated value is
+    * emitted as the EXACT rational (fill_num, fill_den) plus ONE IEEE
+    * division — bit-identical cross-engine, no float accumulation.
+    * Spine bounds are per-region [first observed, last observed], so
+    * every gap is interior and both brackets always exist. */
+  private def qGapFill(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day_idx"))
+      .agg(count(lit(1)).as("n_orders"))
+    val spine = daily.groupBy("region")
+      .agg(min("day_idx").as("lo"), max("day_idx").as("hi"))
+      .select(col("region"), explode(expr("sequence(lo, hi)")).as("day_idx"))
+    val w = Window.partitionBy("region").orderBy("day_idx")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(daily, Seq("region", "day_idx"), "left_outer")
+      .withColumn("a_day",
+        last(when(col("n_orders").isNotNull, col("day_idx")), ignoreNulls = true).over(wPrev))
+      .withColumn("a_val", last(col("n_orders"), ignoreNulls = true).over(wPrev))
+      .withColumn("b_day",
+        first(when(col("n_orders").isNotNull, col("day_idx")), ignoreNulls = true).over(wNext))
+      .withColumn("b_val", first(col("n_orders"), ignoreNulls = true).over(wNext))
+      .withColumn("fill_num", when(col("n_orders").isNotNull, col("n_orders"))
+        .otherwise(col("a_val") * (col("b_day") - col("day_idx"))
+          + col("b_val") * (col("day_idx") - col("a_day"))))
+      .withColumn("fill_den", when(col("n_orders").isNotNull, lit(1L))
+        .otherwise(col("b_day") - col("a_day")))
+      .select(col("region"), col("day_idx"), col("n_orders"),
+        col("n_orders").isNull.as("is_filled"), col("fill_num"), col("fill_den"),
+        (col("fill_num").cast("double") / col("fill_den").cast("double")).as("filled"))
+      .orderBy("region", "day_idx")
+  }
+
   /** Recursive inventory replay — a STATEFUL fold a window function
     * cannot express: monthly per-region stock evolves as
     * stock_m = max(0, stock_{m−1} + supply − demand_m); the clamp at
@@ -1448,12 +1495,51 @@ object Relational {
     "q_join_volume_flow" -> (qJoinVolumeFlow _),
     "q_market_share" -> (qMarketShare _),
     "q_month_spine" -> (qMonthSpine _),
+    "q_gap_fill" -> (qGapFill _),
     "q_stock_replay" -> (qStockReplay _),
     "q_bag_ops" -> (qBagOps _),
     "q_skyline" -> (qSkyline _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT r.r_name AS region,
+        |         CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_idx,
+        |         CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT region, CAST(UNNEST(range(MIN(day_idx), MAX(day_idx) + 1)) AS BIGINT) AS day_idx
+        |  FROM daily GROUP BY region
+        |), nav AS (
+        |  SELECT s.region, s.day_idx, d.n_orders,
+        |         last_value(CASE WHEN d.n_orders IS NOT NULL THEN s.day_idx END IGNORE NULLS)
+        |           OVER (PARTITION BY s.region ORDER BY s.day_idx
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_day,
+        |         last_value(d.n_orders IGNORE NULLS)
+        |           OVER (PARTITION BY s.region ORDER BY s.day_idx
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_val,
+        |         first_value(CASE WHEN d.n_orders IS NOT NULL THEN s.day_idx END IGNORE NULLS)
+        |           OVER (PARTITION BY s.region ORDER BY s.day_idx
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS b_day,
+        |         first_value(d.n_orders IGNORE NULLS)
+        |           OVER (PARTITION BY s.region ORDER BY s.day_idx
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS b_val
+        |  FROM spine s LEFT JOIN daily d ON d.region = s.region AND d.day_idx = s.day_idx
+        |), f AS (
+        |  SELECT region, day_idx, n_orders, n_orders IS NULL AS is_filled,
+        |         CAST(CASE WHEN n_orders IS NOT NULL THEN n_orders
+        |              ELSE a_val * (b_day - day_idx) + b_val * (day_idx - a_day) END AS BIGINT) AS fill_num,
+        |         CAST(CASE WHEN n_orders IS NOT NULL THEN 1
+        |              ELSE b_day - a_day END AS BIGINT) AS fill_den
+        |  FROM nav
+        |)
+        |SELECT region, day_idx, n_orders, is_filled, fill_num, fill_den,
+        |       CAST(fill_num AS DOUBLE) / CAST(fill_den AS DOUBLE) AS filled
+        |FROM f ORDER BY region, day_idx""".stripMargin,
     // single-pass recompute ON PURPOSE: the hash match proves the
     // Spark-side base+delta merge is equivalent to recomputation
     "q_view_maintenance" ->

@@ -972,6 +972,98 @@ class AnalyticsSpec extends SparkSpec {
     assert(twoU + twoUB == 2L * nA * nB, "U_A + U_B identity")
   }
 
+  test("q_trend: driver OLS replay is exact; fit reproduces the monthly points") {
+    val rows = q("q_trend").collect()
+    assert(rows.nonEmpty)
+    val monthly = graft.sources.Tables.orders(spark, Sf0001)
+      .select($"o_orderpriority",
+        (year($"o_orderdate") * 12 + month($"o_orderdate") - 1).as("m"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((p, m), y) => (p, m.toLong, y) }
+    val m0 = monthly.map(_._2).min
+    for (r <- rows) {
+      val pts = monthly.filter(_._1 == r.getAs[String]("priority"))
+        .map(t => (t._2 - m0, t._3))
+      val n = pts.length.toLong
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(t => t._1 * t._2).sum
+      val sxx = pts.map(t => t._1 * t._1).sum
+      val syy = pts.map(t => t._2 * t._2).sum
+      assert(r.getAs[Long]("n_months") == n && r.getAs[Long]("sy") == sy)
+      val (num, denx, deny) = (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+      assert(r.getAs[Double]("slope") == num.toDouble / denx.toDouble)
+      assert(r.getAs[Double]("intercept") ==
+        (sy * sxx - sx * sxy).toDouble / denx.toDouble)
+      assert(r.getAs[Double]("r2") ==
+        (num.toDouble * num.toDouble) / (denx.toDouble * deny.toDouble))
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12, s"r2 out of range: $r2")
+    }
+  }
+
+  test("q_changepoint: the elected split maximizes between-segment SS exactly") {
+    val row = q("q_changepoint").collect().head
+    val daily = graft.sources.Tables.orders(spark, Sf0001)
+      .select(datediff($"o_orderdate", lit("1970-01-01")).cast("long"))
+      .collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val n = daily.length.toLong
+    val s = daily.map(_._2).sum
+    // exact rational comparison across ALL splits (no double ranking):
+    // num²/(i(n−i)) vs num'²/(i'(n−i')) by cross-multiplication in BigInt
+    var best: (BigInt, BigInt, Long, Long, Long) = null // num², den, day, i, s_l
+    var sl = 0L
+    for (((day, y), idx) <- daily.zipWithIndex; if idx < n - 1) {
+      sl += y
+      val i = idx + 1L
+      val num2 = BigInt(sl) * n - BigInt(s) * i
+      val cand = (num2 * num2, BigInt(i) * (n - i), day, i, sl)
+      if (best == null || cand._1 * best._2 > best._1 * cand._2) best = cand
+    }
+    assert(row.getAs[Long]("split_day") == best._3, "elected split differs from exact argmax")
+    assert(row.getAs[Long]("n_left") == best._4)
+    assert(row.getAs[Long]("sum_left") == best._5)
+    assert(row.getAs[Long]("n_right") == n - best._4)
+    assert(row.getAs[Long]("sum_right") == s - best._5)
+    val numD = (BigInt(best._5) * n - BigInt(s) * best._4).toDouble
+    assert(row.getAs[Double]("score") ==
+      (numD * numD) / ((best._4 * (n - best._4)).toDouble * n.toDouble))
+  }
+
+  test("q_gap_fill: every gap interpolates its exact bracketing rational") {
+    val rows = SparkEntry.queries("q_gap_fill")(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Boolean]("is_filled")), "fixture has no gaps — query untested")
+    val byRegion = rows.groupBy(_.getAs[String]("region"))
+    for ((_, rs) <- byRegion) {
+      val sorted = rs.sortBy(_.getAs[Long]("day_idx"))
+      // spine is contiguous and bounded by observed days
+      val days = sorted.map(_.getAs[Long]("day_idx"))
+      assert(days.zip(days.tail).forall(t => t._2 == t._1 + 1), "spine not contiguous")
+      assert(!sorted.head.getAs[Boolean]("is_filled") && !sorted.last.getAs[Boolean]("is_filled"))
+      val obs = sorted.filter(!_.getAs[Boolean]("is_filled"))
+        .map(r => r.getAs[Long]("day_idx") -> r.getAs[Long]("n_orders")).toVector
+      for (r <- sorted; if r.getAs[Boolean]("is_filled")) {
+        val d = r.getAs[Long]("day_idx")
+        val (aDay, aVal) = obs.filter(_._1 < d).last
+        val (bDay, bVal) = obs.find(_._1 > d).get
+        val num = aVal * (bDay - d) + bVal * (d - aDay)
+        val den = bDay - aDay
+        assert(r.isNullAt(r.fieldIndex("n_orders")))
+        assert(r.getAs[Long]("fill_num") == num, s"day $d num")
+        assert(r.getAs[Long]("fill_den") == den, s"day $d den")
+        assert(r.getAs[Double]("filled") == num.toDouble / den.toDouble)
+      }
+      for (r <- sorted; if !r.getAs[Boolean]("is_filled")) {
+        assert(r.getAs[Long]("fill_num") == r.getAs[Long]("n_orders"))
+        assert(r.getAs[Long]("fill_den") == 1L)
+        assert(r.getAs[Double]("filled") == r.getAs[Long]("n_orders").toDouble)
+      }
+    }
+  }
+
   test("q_rolling_distinct: driver 7-day set replay matches; WAU >= DAU") {
     val rows = q("q_rolling_distinct").collect()
     assert(rows.nonEmpty)

@@ -435,7 +435,7 @@ class PlanAuditSpec extends SparkSpec {
     // bucket-/user-partitioned windows; q_rolling_distinct is pure
     // cover-explode hash aggregation — none may global-sort the corpus
     for (q <- Seq("q_deciles", "q_rfm", "q_mann_whitney", "q_common_paths",
-        "q_rolling_distinct")) {
+        "q_rolling_distinct", "q_trend", "q_gap_fill")) {
       val lp = SparkEntry.queries(q)(spark, Sf0001).queryExecution.optimizedPlan
       val bad = lp.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
@@ -445,21 +445,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q_vocab_growth's only unpartitioned window is aggregate-grain (10 deciles)") {
-    val lp = SparkEntry.queries("q_vocab_growth")(spark, Sf0001)
-      .queryExecution.optimizedPlan
-    val global = lp.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window
-          if w.partitionSpec.isEmpty => w
-    }
-    // every global window must sit ABOVE an Aggregate — its input is a
-    // grain-reduced frame (the 10-row decile rollup), never the corpus
-    global.foreach { w =>
-      val reduced = w.child.collectFirst {
-        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+  test("q_vocab_growth / q_changepoint: unpartitioned windows are aggregate-grain only") {
+    for (q <- Seq("q_vocab_growth", "q_changepoint")) {
+      val lp = SparkEntry.queries(q)(spark, Sf0001)
+        .queryExecution.optimizedPlan
+      val global = lp.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
       }
-      assert(reduced.nonEmpty,
-        s"global window runs over a non-aggregated (corpus-shaped) input:\n$w")
+      // every global window must sit ABOVE an Aggregate — its input is
+      // a grain-reduced frame (the 10-row decile rollup / the calendar
+      // day-grain series), never the corpus
+      global.foreach { w =>
+        val reduced = w.child.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }
+        assert(reduced.nonEmpty,
+          s"$q: global window runs over a non-aggregated (corpus-shaped) input:\n$w")
+      }
     }
   }
 
