@@ -630,6 +630,42 @@ object Analytics {
       .select("n_a", "n_b", "two_u_a", "tie_term", "z")
   }
 
+  // ---- q_k_anonymity: privacy audit over quasi-identifiers ----------
+  //
+  // The k-anonymity / l-diversity readout a training-data pipeline
+  // runs before releasing user-derived records: bucket every customer
+  // into its quasi-identifier cell (nation × $2000 account-balance
+  // band), then report per nation how many cells violate k=5 (any
+  // record in such a cell is re-identifiable to ≤4 candidates), how
+  // many rows a suppress-small-cells policy would drop, and how many
+  // cells have NO diversity in the sensitive attribute (market
+  // segment — an l=1 cell leaks the segment of everyone in it even
+  // when k holds). Shape: two hash aggregates (record grain → cell
+  // grain → nation grain), no joins, no windows — embarrassingly
+  // parallel at any corpus size. The balance band floors an exact
+  // DECIMAL(12,2)/100 quotient, so the bucket boundary can never
+  // hinge on a float representation; suppression_rate is ONE IEEE
+  // division of exact BIGINTs.
+  private val AnonK = 5L
+  private def qKAnonymity(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        expr("CAST(FLOOR(CAST(c_acctbal AS DECIMAL(12,2)) / 2000) AS BIGINT)")
+          .as("bal_bucket"))
+      .groupBy("nation", "bal_bucket")
+      .agg(count(lit(1)).as("n"), countDistinct(col("segment")).as("l"))
+    cells.groupBy("nation")
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_rows"),
+        min(col("n")).as("min_cell"),
+        sum(when(col("n") < AnonK, 1L).otherwise(0L)).as("k_violations"),
+        sum(when(col("n") < AnonK, col("n")).otherwise(0L)).as("suppressed_rows"),
+        sum(when(col("l") === 1L, 1L).otherwise(0L)).as("l1_cells"))
+      .withColumn("suppression_rate",
+        col("suppressed_rows").cast("double") / col("n_rows").cast("double"))
+      .orderBy("nation")
+  }
+
   // ---- q_trend: grouped OLS regression over monthly volumes ---------
   //
   // Per-priority least-squares trend line of monthly order volume —
@@ -1021,6 +1057,7 @@ object Analytics {
     "q_ks_test" -> (qKsTest _),
     "q_mann_whitney" -> (qMannWhitney _),
     "q_trend" -> (qTrend _),
+    "q_k_anonymity" -> (qKAnonymity _),
     "q_changepoint" -> (qChangepoint _),
     "q_hill_tail" -> (qHillTail _),
     "q_spearman" -> (qSpearman _),
@@ -1044,6 +1081,22 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_k_anonymity" ->
+      """WITH cells AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |         CAST(FLOOR(CAST(c_acctbal AS DECIMAL(12,2)) / 2000) AS BIGINT) AS bal_bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |       CAST(SUM(n) AS BIGINT) AS n_rows, MIN(n) AS min_cell,
+        |       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS k_violations,
+        |       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS suppressed_rows,
+        |       CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS l1_cells,
+        |       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+        |         / CAST(SUM(n) AS DOUBLE) AS suppression_rate
+        |FROM cells GROUP BY nation ORDER BY nation""".stripMargin,
     "q_trend" ->
       """WITH monthly AS (
         |  SELECT o_orderpriority AS priority,

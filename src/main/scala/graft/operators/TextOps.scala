@@ -1049,6 +1049,56 @@ object TextOps {
       posexplode(expr("transform(sequence(0, 7), b -> xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4))))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
 
+  /** LSH-banding quality diagnostic — the text-dedup twin of
+    * q_ann_recall: for a deterministic probe set (the 16 lowest
+    * doc_ids, every one carrying a planted near-dup in the doubled
+    * fixture), compute EXACT shingle-set Jaccard against the whole
+    * corpus (probe-side broadcast — O(|probes|·n), never all-pairs,
+    * fanout bounded by the same DF cap the production path uses) and
+    * compare the ≥0.8 ground-truth pairs against the 8×4 banding's
+    * candidate pairs. The 0.8 threshold is decided in INTEGER
+    * arithmetic (5·common ≥ 4·union), so no boundary hinges on a
+    * float compare; recall/precision are each ONE IEEE division of
+    * exact BIGINTs. This is the measurement behind the banding
+    * parameters' recall claim — the tuning loop a deployment runs
+    * before committing band/row counts at 100 TB. */
+  private def qMinhashRecall(s: SparkSession, d: String): DataFrame = {
+    val docs = minhashSigFrame(s, d)
+    val probes = docs.select(col("doc_id")).orderBy("doc_id").limit(16)
+    val sh = docs.select(col("doc_id"), explode(col("sh_hash")).as("h"))
+    val pSh = docs.join(broadcast(probes), Seq("doc_id"))
+      .select(col("doc_id").as("p_id"), explode(col("sh_hash")).as("h"))
+    val common = sh.join(broadcast(pSh), Seq("h"))
+      .filter(col("doc_id") =!= col("p_id"))
+      .groupBy(col("p_id"), col("doc_id").as("o_id"))
+      .agg(count(lit(1)).as("common"))
+    val nsh = docs.select(col("doc_id"), size(col("sh_hash")).cast("long").as("n_sh"))
+    val truePairs = common
+      .join(nsh.select(col("doc_id").as("p_id"), col("n_sh").as("np")), Seq("p_id"))
+      .join(nsh.select(col("doc_id").as("o_id"), col("n_sh").as("no")), Seq("o_id"))
+      .filter(col("common") * 5L >= (col("np") + col("no") - col("common")) * 4L)
+      .select(least(col("p_id"), col("o_id")).as("a"),
+        greatest(col("p_id"), col("o_id")).as("b"))
+      .distinct().localCheckpoint() // two consumers: count + hits semi-join
+    val banded = minhashBands(docs)
+    val pBand = banded.join(broadcast(probes), Seq("doc_id"))
+      .select(col("doc_id").as("p_id"), col("band"), col("band_hash"))
+    val cand = banded.join(broadcast(pBand), Seq("band", "band_hash"))
+      .filter(col("doc_id") =!= col("p_id"))
+      .select(least(col("p_id"), col("doc_id")).as("a"),
+        greatest(col("p_id"), col("doc_id")).as("b"))
+      .distinct().localCheckpoint() // two consumers: count + hits semi-join
+    val hits = truePairs.join(cand, Seq("a", "b"), "left_semi")
+    probes.agg(count(lit(1)).as("n_probes"))
+      .crossJoin(truePairs.agg(count(lit(1)).as("n_true")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_true").cast("double"))
+      .withColumn("cand_precision",
+        col("n_hits").cast("double") / col("n_cand").cast("double"))
+  }
+
   private def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
     val docs = minhashSigFrame(s, d)
     val banded = minhashBands(docs)
@@ -3523,6 +3573,7 @@ object TextOps {
     "q_containment" -> (qContainment _),
     "q_dedup_edit" -> (qDedupEdit _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_minhash_recall" -> (qMinhashRecall _),
     "q_decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
     "q_minhash_estimate" -> (qMinhashEstimate _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -5099,6 +5150,34 @@ object TextOps {
          |SELECT s.doc_id, l.cluster_keeper
          |FROM sigd s JOIN groups g USING (simhash) JOIN lbl l USING (keeper_id)
          |ORDER BY doc_id""".stripMargin,
+    "q_minhash_recall" ->
+      s"""${XxOracleSql.prelude}WITH $xxMinhashSql, probes AS (
+         |  SELECT doc_id FROM docn ORDER BY doc_id LIMIT 16
+         |), pc AS (
+         |  SELECT k1.doc_id AS p_id, k2.doc_id AS o_id, CAST(COUNT(*) AS BIGINT) AS common
+         |  FROM probes p JOIN kept k1 ON k1.doc_id = p.doc_id
+         |  JOIN kept k2 ON k2.h = k1.h AND k2.doc_id <> p.doc_id
+         |  GROUP BY 1, 2
+         |), truep AS MATERIALIZED (
+         |  SELECT DISTINCT least(pc.p_id, pc.o_id) AS a, greatest(pc.p_id, pc.o_id) AS b
+         |  FROM pc JOIN docn na ON na.doc_id = pc.p_id
+         |  JOIN docn nb ON nb.doc_id = pc.o_id
+         |  WHERE 5 * common >= 4 * (na.n_sh + nb.n_sh - common)
+         |), cand AS MATERIALIZED (
+         |  SELECT DISTINCT least(b1.doc_id, b2.doc_id) AS a, greatest(b1.doc_id, b2.doc_id) AS b
+         |  FROM probes p JOIN banded b1 ON b1.doc_id = p.doc_id
+         |  JOIN banded b2 ON b2.band = b1.band AND b2.bh = b1.bh AND b2.doc_id <> p.doc_id
+         |), hits AS MATERIALIZED (
+         |  SELECT a, b FROM truep INTERSECT SELECT a, b FROM cand
+         |)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM truep) AS n_true,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+         |       CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+         |         / CAST((SELECT COUNT(*) FROM truep) AS DOUBLE) AS recall,
+         |       CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+         |         / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE) AS cand_precision""".stripMargin,
     "q_dedup_minhash" ->
       s"""${XxOracleSql.prelude}WITH $xxMinhashSql, cand AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id

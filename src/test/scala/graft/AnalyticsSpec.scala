@@ -972,6 +972,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(twoU + twoUB == 2L * nA * nB, "U_A + U_B identity")
   }
 
+  test("q_k_anonymity: driver recount of cells, violations and suppression") {
+    val rows = q("q_k_anonymity").collect()
+    assert(rows.nonEmpty)
+    val cust = graft.sources.Tables.customer(spark, Sf0001)
+      .select($"c_nationkey".cast("long"), $"c_mktsegment", $"c_acctbal")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // exact cents, then floor-division — the integer twin of the
+    // query's FLOOR(DECIMAL/2000)
+    val cells = cust.groupBy { case (nat, _, bal) =>
+      (nat, Math.floorDiv(math.round(bal * 100), 200000L))
+    }.map { case ((nat, b), rs) =>
+      (nat, b, rs.length.toLong, rs.map(_._2).distinct.length.toLong)
+    }.toSeq
+    for (r <- rows) {
+      val nat = r.getAs[Long]("nation")
+      val mine = cells.filter(_._1 == nat)
+      assert(r.getAs[Long]("n_cells") == mine.length.toLong, s"cells nation $nat")
+      assert(r.getAs[Long]("n_rows") == mine.map(_._3).sum)
+      assert(r.getAs[Long]("min_cell") == mine.map(_._3).min)
+      assert(r.getAs[Long]("k_violations") == mine.count(_._3 < 5L).toLong)
+      val sup = mine.filter(_._3 < 5L).map(_._3).sum
+      assert(r.getAs[Long]("suppressed_rows") == sup)
+      assert(r.getAs[Long]("l1_cells") == mine.count(_._4 == 1L).toLong)
+      assert(r.getAs[Double]("suppression_rate") ==
+        sup.toDouble / mine.map(_._3).sum.toDouble)
+    }
+  }
+
   test("q_trend: driver OLS replay is exact; fit reproduces the monthly points") {
     val rows = q("q_trend").collect()
     assert(rows.nonEmpty)

@@ -45,6 +45,43 @@ class OperatorsSpec extends SparkSpec {
     assert(q("q_dedup_minhash").filter($"jaccard" < 0.8).count() == 0)
   }
 
+  test("q_minhash_recall: ground truth recounted from raw shingle strings") {
+    val row = q("q_minhash_recall").collect().head
+    // independent recount: string shingles instead of the production
+    // 64-bit hashes — agreement also certifies the hash path collision-free
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val doubled = docs ++ docs.map { case (id, t) => (id + 1000000L, t) }
+    def shingles(t: String): Seq[String] = {
+      val tok = t.split(" ")
+      (0 until math.max(tok.length - 2, 1))
+        .map(i => tok.slice(i, i + 3).mkString(" ")).distinct
+    }
+    val perDoc = doubled.map { case (id, t) => id -> shingles(t) }.toMap
+    val df = perDoc.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val kept = perDoc.view
+      .mapValues(_.filter(df(_) <= graft.operators.TextOps.ShingleDfCap).toSet)
+      .filter(_._2.nonEmpty).toMap
+    val probes = kept.keys.toSeq.sorted.take(16)
+    val truePairs = (for {
+      p <- probes; (o, so) <- kept; if o != p
+      sp = kept(p); common = (sp intersect so).size
+      if 5L * common >= 4L * (sp.size + so.size - common)
+    } yield (math.min(p, o), math.max(p, o))).distinct
+    assert(row.getAs[Long]("n_probes") == 16L)
+    assert(row.getAs[Long]("n_true") == truePairs.size.toLong,
+      s"driver recount ${truePairs.size} vs query ${row.getAs[Long]("n_true")}")
+    // every probe's planted replay twin is a true pair with identical
+    // signatures, so the banding cannot miss it
+    assert(truePairs.count { case (a, b) => b - a == 1000000L } >= 16)
+    assert(row.getAs[Long]("n_hits") >= 16L)
+    val (t, c, h) = (row.getAs[Long]("n_true"), row.getAs[Long]("n_cand"),
+      row.getAs[Long]("n_hits"))
+    assert(h <= math.min(t, c))
+    assert(row.getAs[Double]("recall") == h.toDouble / t.toDouble)
+    assert(row.getAs[Double]("cand_precision") == h.toDouble / c.toDouble)
+  }
+
   test("fuzzy decontamination flags every cross-split replay copy at jaccard 1.0") {
     val out = q("q_decontaminate_fuzzy").collect()
       .map(r => r.getLong(0) -> r).toMap
