@@ -251,7 +251,16 @@ object ScaleProbe {
       // sum (day-partitioned running sums, day-grain broadcast carry)
       // — the claim the two-level rewrite makes is exactly linearity,
       // so it carries its own measurement
-      "q_concurrency" -> Windows.queries("q_concurrency")
+      "q_concurrency" -> Windows.queries("q_concurrency"),
+      // the ScaleRank two-level exact-rank family — the r9 verdict's
+      // single-partition-window fixes. Their entire reason to exist is
+      // the scale exponent, so each carries its own measurement:
+      // corpus-grain ntile (deciles), three ranked dimensions at
+      // customer grain (rfm), and the value-grain prefix sum
+      // (mann_whitney)
+      "q_deciles" -> Functions2.queries("q_deciles"),
+      "q_rfm" -> Analytics.queries("q_rfm"),
+      "q_mann_whitney" -> Analytics.queries("q_mann_whitney")
     )
   }
 

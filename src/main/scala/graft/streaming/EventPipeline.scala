@@ -614,6 +614,29 @@ object EventPipeline {
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"))
 
+  /** T8: sliding-window DISTINCT active users (streaming WAU) — the
+    * stream twin of q_rolling_distinct, composed from TWO chained
+    * stateful operators with one watermark: per-window user
+    * deduplication (dropDuplicates keyed on (window, user), state
+    * expired by the 1-day watermark) feeding a windowed count in
+    * append mode. The window() assignment IS the batch query's
+    * cover-explode — each event lands in its 7 sliding windows, the
+    * dedup collapses a user's repeat activity inside each window, and
+    * the count finishes — so a closed window's `wau` equals the batch
+    * users_7d for the day the window ends. The same function runs as
+    * a plain batch transform (watermark is a no-op there), which is
+    * what the parity test pins. */
+  def wauCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .select(window(col("ts"), "7 days", "1 day").as("win"), col("user_id"),
+        col("ts"))
+      .dropDuplicates("win", "user_id")
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("wau"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col("wau"))
+
   /** T8: stream-stream event-time range join — the conversion-funnel
     * pattern (click followed by a purchase within 1 hour, same user).
     * Both sides carry watermarks and the join condition bounds event

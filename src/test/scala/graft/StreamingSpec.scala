@@ -336,6 +336,50 @@ class StreamingSpec extends SparkSpec {
     assert(wins == Set(ts("2024-01-01 09:00:00"), ts("2024-01-01 10:00:00")))
   }
 
+  test("streaming WAU: chained dedup->window agg matches the batch cover, repeats collapse (T8)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvIn]
+    val q = EventPipeline.wauCounts(ms.toDF())
+      .writeStream.format("memory").queryName("wau_out")
+      .outputMode("append").start()
+    val data = Seq(
+      EvIn(1L, ts("2024-01-01 10:00:00"), 1L, "play", 1.0, "{}"),
+      EvIn(2L, ts("2024-01-01 11:00:00"), 1L, "play", 1.0, "{}"), // user 1 repeat
+      EvIn(3L, ts("2024-01-01 12:00:00"), 2L, "click", 1.0, "{}"),
+      EvIn(4L, ts("2024-01-03 09:00:00"), 2L, "play", 1.0, "{}"))
+    try {
+      ms.addData(data: _*)
+      q.processAllAvailable()
+      // advance the watermark far past every window containing the data
+      ms.addData(EvIn(9L, ts("2024-02-15 00:00:00"), 9L, "play", 1.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("wau_out")
+      .filter($"win_end" <= ts("2024-01-15 00:00:00"))
+      .select($"win_end".cast("date").cast("string"), $"wau")
+      .as[(String, Long)].collect().toMap
+    // batch cover replay: window ending day d (exclusive) holds the
+    // distinct users active in [d-7, d)
+    val acts = Seq((1L, "2024-01-01"), (2L, "2024-01-01"), (2L, "2024-01-03"))
+    val fmt = java.time.LocalDate.parse(_: String)
+    val expected = (for {
+      (_, day) <- acts; k <- 1L to 7L
+      end = fmt(day).plusDays(k).toString
+    } yield end).distinct.map { end =>
+      val e = fmt(end)
+      end -> acts.filter { case (_, d) =>
+        !fmt(d).isBefore(e.minusDays(7)) && fmt(d).isBefore(e)
+      }.map(_._1).distinct.size.toLong
+    }.toMap
+    assert(out == expected, s"streaming $out vs batch cover $expected")
+    // the same transform as a plain BATCH DataFrame agrees window-for-window
+    val batch = EventPipeline.wauCounts(
+      spark.createDataset(data).toDF())
+      .select($"win_end".cast("date").cast("string"), $"wau")
+      .as[(String, Long)].collect().toMap
+    assert(batch == expected)
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions via event-time timeout (T8)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
