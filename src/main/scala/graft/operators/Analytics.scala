@@ -630,6 +630,34 @@ object Analytics {
       .select("n_a", "n_b", "two_u_a", "tie_term", "z")
   }
 
+  // ---- q_burstiness: index of dispersion per event type --------------
+  //
+  // Fano factor / index of dispersion D = s²/ȳ of the daily event
+  // counts per type — the "is this traffic Poisson or bursty"
+  // readout (D > 1 ⇔ over-dispersed) that decides whether a rate
+  // alert needs a burst-tolerant threshold. Two hash aggregates
+  // (event grain → day grain → type grain); D is ONE IEEE division of
+  // the exact BIGINT cross-terms n·Σy²−S² and (n−1)·S, and the bursty
+  // flag is decided by the same INTEGER comparison, so the boundary
+  // never hinges on a float.
+  private def qBurstiness(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+      .agg(count(lit(1)).as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("total"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("mean", col("total").cast("double") / col("n_days").cast("double"))
+      .withColumn("dispersion", when(col("n_days") > 1L,
+        (col("n_days") * col("syy") - col("total") * col("total")).cast("double")
+          / ((col("n_days") - 1L) * col("total")).cast("double")))
+      .withColumn("is_bursty",
+        col("n_days") * col("syy") - col("total") * col("total")
+          > (col("n_days") - 1L) * col("total"))
+      .orderBy("event_type")
+  }
+
   // ---- q_k_anonymity: privacy audit over quasi-identifiers ----------
   //
   // The k-anonymity / l-diversity readout a training-data pipeline
@@ -1058,6 +1086,7 @@ object Analytics {
     "q_mann_whitney" -> (qMannWhitney _),
     "q_trend" -> (qTrend _),
     "q_k_anonymity" -> (qKAnonymity _),
+    "q_burstiness" -> (qBurstiness _),
     "q_changepoint" -> (qChangepoint _),
     "q_hill_tail" -> (qHillTail _),
     "q_spearman" -> (qSpearman _),
@@ -1081,6 +1110,24 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_burstiness" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+        |         CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |         CAST(SUM(y) AS BIGINT) AS total,
+        |         CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM daily GROUP BY 1
+        |)
+        |SELECT event_type, n_days, total, syy,
+        |       CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+        |       CASE WHEN n_days > 1 THEN
+        |         CAST(n_days * syy - total * total AS DOUBLE)
+        |           / CAST((n_days - 1) * total AS DOUBLE) END AS dispersion,
+        |       n_days * syy - total * total > (n_days - 1) * total AS is_bursty
+        |FROM t ORDER BY event_type""".stripMargin,
     "q_k_anonymity" ->
       """WITH cells AS (
         |  SELECT CAST(c_nationkey AS BIGINT) AS nation,

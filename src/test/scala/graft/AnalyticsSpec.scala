@@ -972,6 +972,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(twoU + twoUB == 2L * nA * nB, "U_A + U_B identity")
   }
 
+  test("q_burstiness: dispersion recomputed from driver daily counts; flag coherent") {
+    val rows = q("q_burstiness").collect()
+    assert(rows.nonEmpty)
+    val daily = graft.sources.Tables.events(spark, Sf0001)
+      .select($"event_type", unix_micros($"ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 86400000000L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((t, d), y) => (t, d, y) }
+    for (r <- rows) {
+      val ys = daily.filter(_._1 == r.getAs[String]("event_type")).map(_._3)
+      val (n, s, syy) = (ys.length.toLong, ys.sum, ys.map(y => y * y).sum)
+      assert(r.getAs[Long]("n_days") == n && r.getAs[Long]("total") == s)
+      assert(r.getAs[Long]("syy") == syy)
+      assert(r.getAs[Double]("mean") == s.toDouble / n.toDouble)
+      val num = n * syy - s * s
+      assert(r.getAs[Double]("dispersion") == num.toDouble / ((n - 1) * s).toDouble)
+      assert(r.getAs[Boolean]("is_bursty") == (num > (n - 1) * s))
+      // the sample-variance identity: dispersion · mean == s² (within ulp)
+      val mean = s.toDouble / n
+      val varSample = ys.map(y => (y - mean) * (y - mean)).sum / (n - 1)
+      assert(math.abs(r.getAs[Double]("dispersion") * mean - varSample)
+        < 1e-6 * varSample + 1e-9)
+    }
+  }
+
   test("q_k_anonymity: driver recount of cells, violations and suppression") {
     val rows = q("q_k_anonymity").collect()
     assert(rows.nonEmpty)
