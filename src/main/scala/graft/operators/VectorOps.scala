@@ -66,6 +66,47 @@ object VectorOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Matryoshka (MRL) prefix-dimension retrieval audit — how much of
+    * the full-dimension top-5 neighborhood survives when ranking by
+    * only the first 16 / 32 of the 64 dimensions (Kusupati et al.
+    * 2022: nested representations are cheap-to-serve prefixes; this
+    * measures what that truncation costs on OUR vectors before a
+    * deployment commits to it). One probe-broadcast pass computes all
+    * three cosines per candidate (full + both prefixes — same fused
+    * fold as q_sim_bruteforce, bit-identical cross-engine, so the
+    * rankings agree exactly); per-probe overlap counts are exact
+    * BIGINTs and recall is one IEEE division by the literal 5. Scale
+    * shape: O(|probes|·n) with a broadcast probe side — the
+    * q_sim_bruteforce pattern, never all-pairs. */
+  private def qMrlRecall(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), asDouble("embedding").as("q_vec"))
+    val c = e.select(col("vec_id").as("c_id"), asDouble("embedding").as("c_vec"))
+    val scored = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine("q_vec", "c_vec").as("cos_full"),
+        expr("graft_cosine(slice(q_vec, 1, 16), slice(c_vec, 1, 16))").as("cos_16"),
+        expr("graft_cosine(slice(q_vec, 1, 32), slice(c_vec, 1, 32))").as("cos_32"))
+      .localCheckpoint() // three rank-window consumers of one scan
+    def top5(scoreCol: String): DataFrame = scored
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col(scoreCol).desc, col("c_id"))))
+      .filter(col("rk") <= 5).select("q_id", "c_id")
+    val full = top5("cos_full").localCheckpoint() // ground truth, two consumers
+    val probes = full.select("q_id").distinct()
+    Seq(16, 32).map { m =>
+      val hits = top5(s"cos_$m").join(full, Seq("q_id", "c_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_common"))
+      probes.join(hits, Seq("q_id"), "left_outer")
+        .select(lit(m.toLong).as("prefix_dim"), col("q_id"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"))
+    }.reduce(_ unionAll _)
+      .withColumn("recall_at_5", col("n_common").cast("double") / lit(5.0))
+      .orderBy("prefix_dim", "q_id")
+  }
+
   /** Mutual (reciprocal) k-nearest-neighbor pairs within each label
     * block — the bitext-mining / ANN-graph-construction filter
     * (cf. Artetxe & Schwenk 2019's margin-based mining): keep (a,b)
@@ -1228,6 +1269,7 @@ object VectorOps {
     "q_centroid_outliers" -> (qCentroidOutliers _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_sim_bruteforce" -> (qSimBruteforce _),
+    "q_mrl_recall" -> (qMrlRecall _),
     "q_mutual_nn" -> (qMutualNn _),
     "q_embed_norms" -> (qEmbedNorms _),
     "q_embed_stats" -> (qEmbedStats _),
@@ -1402,6 +1444,53 @@ object VectorOps {
         |JOIN ranked r2 ON r1.label = r2.label AND r1.a = r2.b AND r1.b = r2.a
         |WHERE r1.a < r1.b
         |ORDER BY r1.label, r1.a, r1.b""".stripMargin,
+    "q_mrl_recall" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |sc AS MATERIALIZED (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         list_dot_product(q.vec, c.vec)
+        |           / (sqrt(list_dot_product(q.vec, q.vec))
+        |              * sqrt(list_dot_product(c.vec, c.vec))) AS cos_full,
+        |         list_dot_product(q.vec[1:16], c.vec[1:16])
+        |           / (sqrt(list_dot_product(q.vec[1:16], q.vec[1:16]))
+        |              * sqrt(list_dot_product(c.vec[1:16], c.vec[1:16]))) AS cos_16,
+        |         list_dot_product(q.vec[1:32], c.vec[1:32])
+        |           / (sqrt(list_dot_product(q.vec[1:32], q.vec[1:32]))
+        |              * sqrt(list_dot_product(c.vec[1:32], c.vec[1:32]))) AS cos_32
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |), full5 AS MATERIALIZED (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id,
+        |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_full DESC, c_id) AS rk
+        |    FROM sc) WHERE rk <= 5
+        |), p16 AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id,
+        |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_16 DESC, c_id) AS rk
+        |    FROM sc) WHERE rk <= 5
+        |), p32 AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id,
+        |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_32 DESC, c_id) AS rk
+        |    FROM sc) WHERE rk <= 5
+        |), probes AS (SELECT DISTINCT q_id FROM full5
+        |), h16 AS (
+        |  SELECT p.q_id, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM p16 p JOIN full5 f ON f.q_id = p.q_id AND f.c_id = p.c_id GROUP BY 1
+        |), h32 AS (
+        |  SELECT p.q_id, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM p32 p JOIN full5 f ON f.q_id = p.q_id AND f.c_id = p.c_id GROUP BY 1
+        |), u AS (
+        |  SELECT CAST(16 AS BIGINT) AS prefix_dim, probes.q_id,
+        |         COALESCE(h16.n_common, 0) AS n_common
+        |  FROM probes LEFT JOIN h16 ON h16.q_id = probes.q_id
+        |  UNION ALL
+        |  SELECT CAST(32 AS BIGINT), probes.q_id, COALESCE(h32.n_common, 0)
+        |  FROM probes LEFT JOIN h32 ON h32.q_id = probes.q_id
+        |)
+        |SELECT prefix_dim, q_id, n_common,
+        |       CAST(n_common AS DOUBLE) / 5.0 AS recall_at_5
+        |FROM u ORDER BY prefix_dim, q_id""".stripMargin,
     "q_sim_bruteforce" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         |scored AS (

@@ -1979,6 +1979,34 @@ class OperatorsSpec extends SparkSpec {
     expected.foreach { case (k, v) => assert(got(k) == v, s"pair $k") }
   }
 
+  test("q_mrl_recall: overlaps replay a driver prefix-cosine scan at all three dims") {
+    val rows = q("q_mrl_recall").collect()
+    assert(rows.length == 20) // 2 prefix dims x 10 probes
+    val vecs = graft.sources.Tables.embeddings(spark, Sf0001)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double], m: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < m) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def top5(qv: Array[Double], qid: Long, m: Int): Set[Long] =
+      vecs.filter(_._1 != qid)
+        .map { case (oid, ov) => (oid, cos(qv, ov, m)) }
+        .sortBy { case (oid, c) => (-c, oid) }.take(5).map(_._1).toSet
+    val probes = vecs.filter(_._1 < 10)
+    for ((qid, qv) <- probes; m <- Seq(16, 32)) {
+      val expected = (top5(qv, qid, m) intersect top5(qv, qid, 64)).size.toLong
+      val r = rows.find(r => r.getAs[Long]("q_id") == qid
+        && r.getAs[Long]("prefix_dim") == m.toLong).get
+      assert(r.getAs[Long]("n_common") == expected, s"probe $qid dim $m")
+      assert(r.getAs[Double]("recall_at_5") == expected.toDouble / 5.0)
+    }
+    // truncation must actually cost something somewhere, or the probe
+    // set isn't exercising the measurement
+    assert(rows.exists(_.getAs[Long]("n_common") < 5L))
+  }
+
   test("seq pattern: regex counts replay a driver scan of every week word") {
     val rows = q("q_seq_pattern").collect()
     assert(rows.nonEmpty)
