@@ -405,6 +405,60 @@ object GraphOps {
       .orderBy(col("role"), col("id"))
   }
 
+  // ---- personalized PageRank ----------------------------------------
+  //
+  // PPR from a deterministic seed set (the 4 highest-degree parts,
+  // ties by id) over the co-occurrence graph — the "what's relevant
+  // around THESE nodes" recommendation/expansion primitive, vs
+  // q_pagerank's global centrality. Two unrolled synchronous power
+  // iterations of r' = 0.15·e_seed + 0.85·Σ_{u→v} r(u)/d(u): per
+  // iteration one edge equi-join + one node-keyed agg (O(|E|), the
+  // HITS/PageRank shape), per-edge contributions pinned to
+  // DECIMAL(18,12) before the sum (r ≤ 1, so the ≤2⁵³-unscaled
+  // precondition holds at any SF) — the DuckDB oracle unrolls the
+  // same two rounds and matches bit for bit. The seed election is a
+  // model-sized TakeOrdered broadcast back into the plan, never a
+  // driver literal.
+  private def qPpr(s: SparkSession, d: String): DataFrame = {
+    val (edges, deg) = coEdgesDegM(s, d)
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val seeds = deg.orderBy(col("deg").desc, col("node")).limit(4)
+      .select(col("node"), lit(1L).as("seed")).localCheckpoint()
+    def blend(contrib: DataFrame): DataFrame = deg.select(col("node"))
+      .join(broadcast(seeds), Seq("node"), "left_outer")
+      .join(contrib, Seq("node"), "left_outer")
+      .withColumn("r",
+        when(col("seed") === 1L, lit(0.15) * lit(0.25)).otherwise(lit(0.0))
+          + lit(0.85) * coalesce(col("sc").cast("double"), lit(0.0)))
+      .select("node", "r")
+    var rank = deg.select(col("node"))
+      .join(broadcast(seeds), Seq("node"), "left_outer")
+      .withColumn("r", when(col("seed") === 1L, lit(0.25)).otherwise(lit(0.0)))
+      .select("node", "r").localCheckpoint()
+    for (_ <- 1 to 2) {
+      val contrib = sym
+        .join(rank.select(col("node").as("src"), col("r")), Seq("src"))
+        .join(deg.select(col("node").as("src"), col("deg")), Seq("src"))
+        .withColumn("c", expr("CAST(r / CAST(deg AS DOUBLE) AS DECIMAL(18,12))"))
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("sc"))
+      rank = blend(contrib).localCheckpoint()
+    }
+    // Output pin at scale 14, NOT 12: the ideal r terminates at
+    // exactly 14 decimals (4-decimal teleport + 0.85 × a 12-decimal
+    // contribution sum), so a scale-12 pin rounds AT a decimal tie —
+    // where Spark (exact-binary HALF_UP) and DuckDB (shortest-repr
+    // half-even) disagree. At scale 14 the pin grid CONTAINS the
+    // ideal value (the double sits within ~4e-18 of it, half-tick is
+    // 5e-15), so both engines snap to the same tick with no tie.
+    rank.join(deg, Seq("node"))
+      .join(broadcast(seeds), Seq("node"), "left_outer")
+      .select(col("node"), col("deg").as("degree"),
+        col("seed").isNotNull.as("is_seed"),
+        expr("CAST(CAST(r AS DECIMAL(18,14)) AS DOUBLE)").as("ppr"))
+      .orderBy("node")
+  }
+
   // ---- k-core decomposition ----------------------------------------
   //
   // The K-core is the maximal subgraph where every node keeps degree
@@ -806,6 +860,7 @@ object GraphOps {
     "q_basket_lift" -> (qBasketLift _),
     "q_hits" -> (qHits _),
     "q_kcore" -> (qKcore _),
+    "q_ppr" -> (qPpr _),
     "q_communities" -> (qCommunities _),
     "q_link_jaccard" -> (qLinkJaccard _),
     "q_link_scores" -> (qLinkScores _),
@@ -938,6 +993,49 @@ object GraphOps {
 
   val oracle: Map[String, String] = Map(
     "q_kcore" -> kcoreSql(CoreOracleRounds),
+    "q_ppr" ->
+      s"""WITH pairs AS (
+         |$pairsSql
+         |), deg AS (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+         |  ) GROUP BY node
+         |), sym AS (
+         |  SELECT u AS src, v AS dst FROM pairs
+         |  UNION ALL SELECT v AS src, u AS dst FROM pairs
+         |), seeds AS (SELECT node FROM deg ORDER BY deg DESC, node LIMIT 4),
+         |r0 AS (
+         |  SELECT d.node, CASE WHEN s.node IS NOT NULL THEN CAST(0.25 AS DOUBLE)
+         |                      ELSE CAST(0.0 AS DOUBLE) END AS r
+         |  FROM deg d LEFT JOIN seeds s ON s.node = d.node
+         |), c1 AS (
+         |  SELECT sym.dst AS node,
+         |         SUM(CAST(r0.r / CAST(deg.deg AS DOUBLE) AS DECIMAL(18,12))) AS sc
+         |  FROM sym JOIN r0 ON r0.node = sym.src JOIN deg ON deg.node = sym.src
+         |  GROUP BY 1
+         |), r1 AS (
+         |  SELECT d.node,
+         |         CASE WHEN s.node IS NOT NULL THEN 0.15 * 0.25 ELSE 0.0 END
+         |           + 0.85 * COALESCE(CAST(c1.sc AS DOUBLE), 0.0) AS r
+         |  FROM deg d LEFT JOIN seeds s ON s.node = d.node
+         |  LEFT JOIN c1 ON c1.node = d.node
+         |), c2 AS (
+         |  SELECT sym.dst AS node,
+         |         SUM(CAST(r1.r / CAST(deg.deg AS DOUBLE) AS DECIMAL(18,12))) AS sc
+         |  FROM sym JOIN r1 ON r1.node = sym.src JOIN deg ON deg.node = sym.src
+         |  GROUP BY 1
+         |), r2 AS (
+         |  SELECT d.node,
+         |         CASE WHEN s.node IS NOT NULL THEN 0.15 * 0.25 ELSE 0.0 END
+         |           + 0.85 * COALESCE(CAST(c2.sc AS DOUBLE), 0.0) AS r
+         |  FROM deg d LEFT JOIN seeds s ON s.node = d.node
+         |  LEFT JOIN c2 ON c2.node = d.node
+         |)
+         |SELECT r2.node, deg.deg AS degree, s.node IS NOT NULL AS is_seed,
+         |       CAST(CAST(r2.r AS DECIMAL(18,14)) AS DOUBLE) AS ppr
+         |FROM r2 JOIN deg ON deg.node = r2.node
+         |LEFT JOIN seeds s ON s.node = r2.node
+         |ORDER BY r2.node""".stripMargin,
     "q_communities" -> lpaSql(LpaRounds),
     "q_modularity" -> modularitySql(LpaRounds),
     "q_assortativity" ->

@@ -972,6 +972,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(twoU + twoUB == 2L * nA * nB, "U_A + U_B identity")
   }
 
+  test("q_ppr: driver replay of both pinned iterations is bit-exact; mass conserved") {
+    val rows = q("q_ppr").collect()
+    assert(rows.nonEmpty)
+    val li = graft.sources.Tables.lineitem(spark, Sf0001)
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toVector
+    val edges = li.groupBy(_._1).values.toVector.flatMap { g =>
+      val ps = g.map(_._2).distinct
+      for (a <- ps; b <- ps; if a < b) yield (a, b)
+    }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val seeds = deg.toSeq.sortBy { case (n, dv) => (-dv, n) }.take(4).map(_._1).toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var r = deg.keys.map(n => n -> (if (seeds(n)) 0.25 else 0.0)).toMap
+    for (_ <- 1 to 2) {
+      // same pin the query applies: each contribution r(u)/d(u) through
+      // DECIMAL(18,12) (exact-binary HALF_UP), summed exactly
+      val sc = deg.keys.map { v =>
+        val terms = adj(v).map { u =>
+          new java.math.BigDecimal(r(u) / deg(u).toDouble)
+            .setScale(12, java.math.RoundingMode.HALF_UP)
+        }
+        v -> terms.foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+      }.toMap
+      r = deg.keys.map { v =>
+        v -> ((if (seeds(v)) 0.15 * 0.25 else 0.0) + 0.85 * sc(v).doubleValue)
+      }.toMap
+    }
+    for (row <- rows) {
+      val n = row.getAs[Long]("node")
+      assert(row.getAs[Long]("degree") == deg(n))
+      assert(row.getAs[Boolean]("is_seed") == seeds(n))
+      val pinned = new java.math.BigDecimal(r(n))
+        .setScale(14, java.math.RoundingMode.HALF_UP).doubleValue
+      assert(row.getAs[Double]("ppr") == pinned, s"node $n")
+    }
+    // PPR conserves mass up to pin dust: Σr = 0.15 + 0.85·Σr_prev
+    val mass = rows.map(_.getAs[Double]("ppr")).sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"mass $mass")
+    rows.foreach(row => assert(row.getAs[Double]("ppr") >= 0.0))
+  }
+
   test("q_burstiness: dispersion recomputed from driver daily counts; flag coherent") {
     val rows = q("q_burstiness").collect()
     assert(rows.nonEmpty)
