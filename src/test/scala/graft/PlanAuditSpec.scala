@@ -466,6 +466,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_ppr: seed joins broadcast, iteration joins stay node-keyed, no cartesian") {
+    val p = plan("q_ppr")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"seed-indicator join must broadcast:\n$p")
+  }
+
+  test("q_mrl_recall: no cartesian anywhere in the overlap plan") {
+    // the probe join (non-equi q_id <> c_id, broadcast(q) hinted) sits
+    // BEHIND the scored frame's localCheckpoint, so the final plan
+    // starts at the checkpointed scan — pin what is visible: the
+    // overlap joins and unions must never fall back to a cartesian
+    val p = plan("q_mrl_recall")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
   test("q_psi shuffles nothing beyond the event_type aggregate") {
     val p = plan("q_psi")
     // every join in the plan is a broadcast of a scalar/model frame
