@@ -405,6 +405,43 @@ object GraphOps {
       .orderBy(col("role"), col("id"))
   }
 
+  // ---- categorical (brand) assortativity ----------------------------
+  //
+  // Newman's CATEGORICAL assortativity over the co-purchase graph with
+  // part brand as the node class — "do brands co-occur with
+  // themselves" (q_assortativity is the DEGREE variant; this is the
+  // attribute-mixing-matrix variant: r = (Σᵢeᵢᵢ − Σᵢaᵢbᵢ)/(1 − Σᵢaᵢbᵢ),
+  // Newman 2003 eq. 2). Everything is counted on the DOUBLED directed
+  // edge view so marginals are symmetric, then r is cleared of
+  // denominators: r = (m₂·Σdiag − Σ rowsumᵢ²)/(m₂² − Σ rowsumᵢ²) over
+  // exact BIGINTs (m₂ ≤ 2|E|; products ≤ ~10¹³ at 16× sf0.1 — far
+  // under the ANSI fault line), ONE IEEE division at the end. Shape:
+  // two node-keyed brand joins + a 25-row class aggregate.
+  private def qBrandMixing(s: SparkSession, d: String): DataFrame = {
+    val (edges, _) = coEdgesDegM(s, d)
+    val brands = Tables.part(s, d)
+      .select(col("p_partkey").as("node"), col("p_brand").as("brand"))
+    val dir = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+    val lab = dir
+      .join(brands.select(col("node").as("a"), col("brand").as("ba")), Seq("a"))
+      .join(brands.select(col("node").as("b"), col("brand").as("bb")), Seq("b"))
+    val byBrand = lab.groupBy(col("ba").as("brand")).agg(
+      count(lit(1)).as("row_edges"),
+      sum(when(col("ba") === col("bb"), 1L).otherwise(0L)).as("intra_edges"))
+    val tot = byBrand.agg(sum(col("row_edges")).as("m2"),
+      sum(col("intra_edges")).as("diag"),
+      sum(col("row_edges") * col("row_edges")).as("sq"))
+    byBrand.crossJoin(broadcast(tot))
+      .withColumn("intra_share",
+        col("intra_edges").cast("double") / col("row_edges").cast("double"))
+      .withColumn("assortativity_r",
+        (col("m2") * col("diag") - col("sq")).cast("double")
+          / (col("m2") * col("m2") - col("sq")).cast("double"))
+      .select("brand", "row_edges", "intra_edges", "intra_share", "assortativity_r")
+      .orderBy("brand")
+  }
+
   // ---- personalized PageRank ----------------------------------------
   //
   // PPR from a deterministic seed set (the 4 highest-degree parts,
@@ -861,6 +898,7 @@ object GraphOps {
     "q_hits" -> (qHits _),
     "q_kcore" -> (qKcore _),
     "q_ppr" -> (qPpr _),
+    "q_brand_mixing" -> (qBrandMixing _),
     "q_communities" -> (qCommunities _),
     "q_link_jaccard" -> (qLinkJaccard _),
     "q_link_scores" -> (qLinkScores _),
@@ -993,6 +1031,32 @@ object GraphOps {
 
   val oracle: Map[String, String] = Map(
     "q_kcore" -> kcoreSql(CoreOracleRounds),
+    "q_brand_mixing" ->
+      s"""WITH pairs AS (
+         |$pairsSql
+         |), dir AS (
+         |  SELECT u AS a, v AS b FROM pairs
+         |  UNION ALL SELECT v AS a, u AS b FROM pairs
+         |), lab AS (
+         |  SELECT pa.p_brand AS ba, pb.p_brand AS bb
+         |  FROM dir JOIN part pa ON pa.p_partkey = dir.a
+         |  JOIN part pb ON pb.p_partkey = dir.b
+         |), by_brand AS (
+         |  SELECT ba AS brand, CAST(COUNT(*) AS BIGINT) AS row_edges,
+         |         CAST(SUM(CASE WHEN ba = bb THEN 1 ELSE 0 END) AS BIGINT) AS intra_edges
+         |  FROM lab GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(SUM(row_edges) AS BIGINT) AS m2,
+         |         CAST(SUM(intra_edges) AS BIGINT) AS diag,
+         |         CAST(SUM(row_edges * row_edges) AS BIGINT) AS sq
+         |  FROM by_brand
+         |)
+         |SELECT brand, row_edges, intra_edges,
+         |       CAST(intra_edges AS DOUBLE) / CAST(row_edges AS DOUBLE) AS intra_share,
+         |       CAST(m2 * diag - sq AS DOUBLE)
+         |         / CAST(m2 * m2 - sq AS DOUBLE) AS assortativity_r
+         |FROM by_brand CROSS JOIN tot
+         |ORDER BY brand""".stripMargin,
     "q_ppr" ->
       s"""WITH pairs AS (
          |$pairsSql

@@ -467,6 +467,35 @@ object Windows {
       .orderBy("click_user", "click_id", "purchase_id")
   }
 
+  /** Time-to-convert — the latency half of the funnel readout: for
+    * every converting click (same pairing as q_funnel: same user,
+    * first purchase in [click_ts, click_ts + 1 h], ties by purchase
+    * id), the exact µs delta, rolled up by click hour-of-day. The
+    * median is Spark's exact interpolated `percentile` over BIGINT µs
+    * (≤ 3.6×10⁹ — exact in double; DuckDB percentile_cont is the same
+    * interpolation — the derived-K precedent), mean is one IEEE
+    * division of exact BIGINTs. Shape: the event-time range join +
+    * one click-keyed first-purchase window + a 24-row rollup — all
+    * key-partitioned. */
+  private def qFunnelTime(s: SparkSession, d: String): DataFrame = {
+    val pairs = graft.streaming.EventPipeline
+      .clickPurchaseFunnel(Tables.events(s, d))
+      .select(col("click_id"), col("click_ts"), col("purchase_ts"), col("purchase_id"))
+    val w = Window.partitionBy(col("click_id"))
+      .orderBy(col("purchase_ts"), col("purchase_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("delta_us",
+        unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+      .groupBy(hour(col("click_ts")).cast("long").as("click_hour"))
+      .agg(count(lit(1)).as("n_conversions"),
+        min(col("delta_us")).as("min_us"),
+        max(col("delta_us")).as("max_us"),
+        expr("percentile(delta_us, 0.5d)").as("median_us"),
+        (sum(col("delta_us")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_us"))
+      .orderBy("click_hour")
+  }
+
   /** Sliding event-time window (2 h wide, 1 h slide): every event
     * lands in exactly two overlapping windows. Spark's `window()`
     * generator expands slots inline (no self-join); the oracle mirrors
@@ -795,6 +824,7 @@ object Windows {
     "q_window_nav" -> (qWindowNav _),
     "q_topk_typed" -> (qTopkTyped _),
     "q_funnel" -> (qFunnel _),
+    "q_funnel_time" -> (qFunnelTime _),
     "q_funnel_outer" -> (qFunnelOuter _),
     "q_asof_join" -> (qAsofJoin _),
     "q_window_sliding" -> (qWindowSliding _),
@@ -832,6 +862,32 @@ object Windows {
         |       CAST(COALESCE(dau.dau, 0) AS DOUBLE) / CAST(w.users_7d AS DOUBLE) AS stickiness
         |FROM w LEFT JOIN dau ON dau.day_idx = w.day_idx
         |ORDER BY w.day_idx""".stripMargin,
+    "q_funnel_time" ->
+      """WITH clicks AS (
+        |  SELECT user_id AS u, ts AS cts, event_id AS cid
+        |  FROM events WHERE event_type = 'click'
+        |), purch AS (
+        |  SELECT user_id AS u, ts AS pts, event_id AS pid
+        |  FROM events WHERE event_type = 'purchase'
+        |), pairs AS (
+        |  SELECT cid, cts, pts, pid FROM clicks JOIN purch USING (u)
+        |  WHERE pts >= cts AND pts <= cts + INTERVAL 1 HOUR
+        |), firstp AS (
+        |  SELECT cid, cts, pts FROM (
+        |    SELECT cid, cts, pts,
+        |           ROW_NUMBER() OVER (PARTITION BY cid ORDER BY pts, pid) AS rn
+        |    FROM pairs) WHERE rn = 1
+        |), d AS (
+        |  SELECT CAST(hour(cts) AS BIGINT) AS click_hour,
+        |         epoch_us(pts) - epoch_us(cts) AS delta_us
+        |  FROM firstp
+        |)
+        |SELECT click_hour, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |       CAST(MIN(delta_us) AS BIGINT) AS min_us,
+        |       CAST(MAX(delta_us) AS BIGINT) AS max_us,
+        |       percentile_cont(0.5) WITHIN GROUP (ORDER BY delta_us) AS median_us,
+        |       CAST(SUM(delta_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_us
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_common_paths" ->
       """WITH s AS (
         |  SELECT user_id, event_type AS e1,

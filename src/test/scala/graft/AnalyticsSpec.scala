@@ -972,6 +972,67 @@ class AnalyticsSpec extends SparkSpec {
     assert(twoU + twoUB == 2L * nA * nB, "U_A + U_B identity")
   }
 
+  test("q_funnel_time: driver first-purchase replay; interpolated median exact") {
+    val rows = q("q_funnel_time").collect()
+    assert(rows.nonEmpty)
+    val evs = graft.sources.Tables.events(spark, Sf0001)
+      .select($"event_type", $"user_id", unix_micros($"ts"), $"event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val clicks = evs.filter(_._1 == "click"); val purch = evs.filter(_._1 == "purchase")
+    val deltas = clicks.flatMap { case (_, u, cts, cid) =>
+      val within = purch.filter(p => p._2 == u && p._3 >= cts && p._3 <= cts + 3600000000L)
+      if (within.isEmpty) None
+      else {
+        val first = within.minBy(p => (p._3, p._4))
+        Some(((cts / 3600000000L) % 24L, first._3 - cts))
+      }
+    }
+    for (r <- rows) {
+      val h = r.getAs[Long]("click_hour")
+      val ds = deltas.filter(_._1 == h).map(_._2).sorted
+      assert(r.getAs[Long]("n_conversions") == ds.length.toLong, s"hour $h")
+      assert(r.getAs[Long]("min_us") == ds.head && r.getAs[Long]("max_us") == ds.last)
+      // Spark percentile / DuckDB percentile_cont interpolation replay
+      val pos = 0.5 * (ds.length - 1)
+      val (lo, hi) = (ds(pos.toInt), ds(math.ceil(pos).toInt))
+      val med = lo + (hi - lo) * (pos - pos.toInt)
+      assert(r.getAs[Double]("median_us") == med, s"median hour $h")
+      assert(r.getAs[Double]("mean_us") == ds.sum.toDouble / ds.length.toDouble)
+    }
+    assert(rows.map(_.getAs[Long]("n_conversions")).sum == deltas.length.toLong)
+  }
+
+  test("q_brand_mixing: driver mixing-matrix recount; Newman r bounded and exact") {
+    val rows = q("q_brand_mixing").collect()
+    assert(rows.nonEmpty)
+    val li = graft.sources.Tables.lineitem(spark, Sf0001)
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toVector
+    val edges = li.groupBy(_._1).values.toVector.flatMap { g =>
+      val ps = g.map(_._2).distinct
+      for (a <- ps; b <- ps; if a < b) yield (a, b)
+    }.toSet
+    val brand = graft.sources.Tables.part(spark, Sf0001)
+      .select($"p_partkey", $"p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dir = edges.toVector.flatMap(e => Vector(e, e.swap))
+    val byBrand = dir.groupBy(e => brand(e._1)).view.mapValues { es =>
+      (es.size.toLong, es.count(e => brand(e._1) == brand(e._2)).toLong)
+    }.toMap
+    val m2 = byBrand.values.map(_._1).sum
+    val diag = byBrand.values.map(_._2).sum
+    val sq = byBrand.values.map(v => v._1 * v._1).sum
+    val rExp = (m2 * diag - sq).toDouble / (m2 * m2 - sq).toDouble
+    for (r <- rows) {
+      val (re, ie) = byBrand(r.getAs[String]("brand"))
+      assert(r.getAs[Long]("row_edges") == re && r.getAs[Long]("intra_edges") == ie)
+      assert(r.getAs[Double]("intra_share") == ie.toDouble / re.toDouble)
+      assert(r.getAs[Double]("assortativity_r") == rExp)
+    }
+    val rv = rows.head.getAs[Double]("assortativity_r")
+    assert(rv >= -1.0 && rv <= 1.0, s"r out of range: $rv")
+  }
+
   test("q_ppr: driver replay of both pinned iterations is bit-exact; mass conserved") {
     val rows = q("q_ppr").collect()
     assert(rows.nonEmpty)
