@@ -630,6 +630,34 @@ object Analytics {
       .select("n_a", "n_b", "two_u_a", "tie_term", "z")
   }
 
+  // ---- q_weekday_mix: χ² uniformity of order volume by weekday ------
+  //
+  // Order volume per weekday plus Pearson's χ² against the uniform
+  // null — the seasonality sanity check behind capacity planning.
+  // Weekday is epoch-day mod 7 (locale-free, identical in both
+  // engines — Spark dayofweek() and DuckDB dayofweek() disagree on
+  // the week origin, so neither is used). χ² against uniform clears
+  // to (7·Σoᵢ² − n²)/n over exact BIGINTs — ONE IEEE division — and
+  // the 95 % rejection (critical value 12.592 at 6 dof) is decided in
+  // INTEGER arithmetic: 1000·(7·Σoᵢ² − n²) > 12592·n.
+  private def qWeekdayMix(s: SparkSession, d: String): DataFrame = {
+    val byDay = Tables.orders(s, d)
+      .groupBy((datediff(col("o_orderdate"), lit("1970-01-01")) % 7).cast("long")
+        .as("weekday"))
+      .agg(count(lit(1)).as("n_orders"))
+    val tot = byDay.agg(sum(col("n_orders")).as("n"),
+      sum(col("n_orders") * col("n_orders")).as("sq"))
+    byDay.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_orders").cast("double") / col("n").cast("double"))
+      .withColumn("chi2", (lit(7L) * col("sq") - col("n") * col("n")).cast("double")
+        / col("n").cast("double"))
+      .withColumn("reject_uniform",
+        lit(1000L) * (lit(7L) * col("sq") - col("n") * col("n"))
+          > lit(12592L) * col("n"))
+      .select("weekday", "n_orders", "share", "chi2", "reject_uniform")
+      .orderBy("weekday")
+  }
+
   // ---- q_burstiness: index of dispersion per event type --------------
   //
   // Fano factor / index of dispersion D = s²/ȳ of the daily event
@@ -1087,6 +1115,7 @@ object Analytics {
     "q_trend" -> (qTrend _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_burstiness" -> (qBurstiness _),
+    "q_weekday_mix" -> (qWeekdayMix _),
     "q_changepoint" -> (qChangepoint _),
     "q_hill_tail" -> (qHillTail _),
     "q_spearman" -> (qSpearman _),
@@ -1110,6 +1139,21 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_weekday_mix" ->
+      """WITH byday AS (
+        |  SELECT CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 7 AS BIGINT) AS weekday,
+        |         CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(n_orders) AS BIGINT) AS n,
+        |         CAST(SUM(n_orders * n_orders) AS BIGINT) AS sq
+        |  FROM byday
+        |)
+        |SELECT weekday, n_orders,
+        |       CAST(n_orders AS DOUBLE) / CAST(n AS DOUBLE) AS share,
+        |       CAST(7 * sq - n * n AS DOUBLE) / CAST(n AS DOUBLE) AS chi2,
+        |       1000 * (7 * sq - n * n) > 12592 * n AS reject_uniform
+        |FROM byday CROSS JOIN tot ORDER BY weekday""".stripMargin,
     "q_burstiness" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,

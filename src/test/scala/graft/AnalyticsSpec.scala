@@ -1077,6 +1077,27 @@ class AnalyticsSpec extends SparkSpec {
     rows.foreach(row => assert(row.getAs[Double]("ppr") >= 0.0))
   }
 
+  test("q_weekday_mix: chi2 recomputed from driver weekday counts; flag is the integer compare") {
+    val rows = q("q_weekday_mix").collect()
+    assert(rows.length == 7)
+    val days = graft.sources.Tables.orders(spark, Sf0001)
+      .select(datediff($"o_orderdate", lit("1970-01-01"))).collect()
+      .map(r => (r.getInt(0) % 7).toLong)
+    val counts = days.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = days.length.toLong
+    val sq = counts.values.map(c => c * c).sum
+    for (r <- rows) {
+      val wd = r.getAs[Long]("weekday")
+      assert(r.getAs[Long]("n_orders") == counts(wd))
+      assert(r.getAs[Double]("share") == counts(wd).toDouble / n.toDouble)
+      assert(r.getAs[Double]("chi2") == (7L * sq - n * n).toDouble / n.toDouble)
+      assert(r.getAs[Boolean]("reject_uniform") ==
+        (1000L * (7L * sq - n * n) > 12592L * n))
+    }
+    // chi2 is nonnegative by Cauchy-Schwarz (7·Σo² >= (Σo)²)
+    assert(rows.head.getAs[Double]("chi2") >= 0.0)
+  }
+
   test("q_burstiness: dispersion recomputed from driver daily counts; flag coherent") {
     val rows = q("q_burstiness").collect()
     assert(rows.nonEmpty)
