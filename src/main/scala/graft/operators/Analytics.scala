@@ -637,23 +637,27 @@ object Analytics {
   // Weekday is epoch-day mod 7 (locale-free, identical in both
   // engines — Spark dayofweek() and DuckDB dayofweek() disagree on
   // the week origin, so neither is used). χ² against uniform clears
-  // to (7·Σoᵢ² − n²)/n over exact BIGINTs — ONE IEEE division — and
-  // the 95 % rejection (critical value 12.592 at 6 dof) is decided in
-  // INTEGER arithmetic: 1000·(7·Σoᵢ² − n²) > 12592·n.
+  // to (7·Σoᵢ² − n²)/n — ONE IEEE division — and the 95 % rejection
+  // (critical value 12.592 at 6 dof) is decided in exact integer
+  // arithmetic: 1000·(7·Σoᵢ² − n²) > 12592·n. The squared terms are
+  // routed through DECIMAL(38,0) (Spark) / HUGEINT (oracle) so the
+  // n² and Σoᵢ² products stay exact past the ~3×10⁹-order BIGINT
+  // square ceiling instead of faulting at corpus scale.
   private def qWeekdayMix(s: SparkSession, d: String): DataFrame = {
     val byDay = Tables.orders(s, d)
       .groupBy((datediff(col("o_orderdate"), lit("1970-01-01")) % 7).cast("long")
         .as("weekday"))
       .agg(count(lit(1)).as("n_orders"))
     val tot = byDay.agg(sum(col("n_orders")).as("n"),
-      sum(col("n_orders") * col("n_orders")).as("sq"))
+      expr("SUM(CAST(n_orders AS DECIMAL(19,0)) * CAST(n_orders AS DECIMAL(19,0)))")
+        .as("sq"))
     byDay.crossJoin(broadcast(tot))
       .withColumn("share", col("n_orders").cast("double") / col("n").cast("double"))
-      .withColumn("chi2", (lit(7L) * col("sq") - col("n") * col("n")).cast("double")
-        / col("n").cast("double"))
+      .withColumn("__num", expr(
+        "7 * sq - CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))"))
+      .withColumn("chi2", col("__num").cast("double") / col("n").cast("double"))
       .withColumn("reject_uniform",
-        lit(1000L) * (lit(7L) * col("sq") - col("n") * col("n"))
-          > lit(12592L) * col("n"))
+        expr("1000 * __num > 12592 * CAST(n AS DECIMAL(19,0))"))
       .select("weekday", "n_orders", "share", "chi2", "reject_uniform")
       .orderBy("weekday")
   }
@@ -665,9 +669,13 @@ object Analytics {
   // readout (D > 1 ⇔ over-dispersed) that decides whether a rate
   // alert needs a burst-tolerant threshold. Two hash aggregates
   // (event grain → day grain → type grain); D is ONE IEEE division of
-  // the exact BIGINT cross-terms n·Σy²−S² and (n−1)·S, and the bursty
-  // flag is decided by the same INTEGER comparison, so the boundary
-  // never hinges on a float.
+  // the exact cross-terms n·Σy²−S² and (n−1)·S, and the bursty flag
+  // is decided by the same exact-integer comparison, so the boundary
+  // never hinges on a float. The squares route through DECIMAL(38,0)
+  // (Spark) / HUGEINT (oracle) so S² stays exact past the ~3×10⁹
+  // BIGINT square ceiling; only the reported syy COLUMN narrows back
+  // to BIGINT (per-day counts — faults loudly under ANSI if a single
+  // type ever logs >3×10⁹ events/day).
   private def qBurstiness(s: SparkSession, d: String): DataFrame = {
     Tables.events(s, d)
       .groupBy(col("event_type"),
@@ -675,14 +683,20 @@ object Analytics {
       .agg(count(lit(1)).as("y"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_days"), sum(col("y")).as("total"),
-        sum(col("y") * col("y")).as("syy"))
+        expr("SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))")
+          .as("__syy"))
+      .withColumn("syy", col("__syy").cast("long"))
       .withColumn("mean", col("total").cast("double") / col("n_days").cast("double"))
+      .withColumn("__num", expr(
+        """CAST(n_days AS DECIMAL(19,0)) * __syy
+           - CAST(total AS DECIMAL(19,0)) * CAST(total AS DECIMAL(19,0))"""))
       .withColumn("dispersion", when(col("n_days") > 1L,
-        (col("n_days") * col("syy") - col("total") * col("total")).cast("double")
-          / ((col("n_days") - 1L) * col("total")).cast("double")))
+        col("__num").cast("double")
+          / ((col("n_days") - 1L).cast("double") * col("total").cast("double"))))
       .withColumn("is_bursty",
-        col("n_days") * col("syy") - col("total") * col("total")
-          > (col("n_days") - 1L) * col("total"))
+        expr("__num > CAST(n_days - 1 AS DECIMAL(19,0)) * CAST(total AS DECIMAL(19,0))"))
+      .select("event_type", "n_days", "total", "syy", "mean", "dispersion",
+        "is_bursty")
       .orderBy("event_type")
   }
 
@@ -912,18 +926,20 @@ object Analytics {
   // permutation form ρ = 1 − 6·Σd²/(n·(n²−1)) is EXACT: Σd² is a
   // BIGINT and ρ one IEEE expression (denominator assembled in DOUBLE
   // so n³ can't overflow the integer envelope at corpus scale).
-  // Scale shape: one o_custkey hash agg, then two window sorts over
-  // the MODEL-SIZED per-customer frame (the q_rfm trade), one final
-  // scalar agg.
+  // Scale shape: one o_custkey hash agg, then BOTH global ranks via
+  // the two-level ScaleRank primitive — the per-customer frame grows
+  // linearly with the corpus (q_rfm grain), so a single-partition
+  // window sort here would put every customer on one executor at
+  // 100 TB; ScaleRank ranks in bucket-partitioned parallel windows
+  // with only bucket-grain (≤256-row) model state collected.
   private def qSpearman(s: SparkSession, d: String): DataFrame = {
     val per = Tables.orders(s, d).groupBy(col("o_custkey")).agg(
       count(lit(1)).as("n_orders"),
       sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
-    val ranked = per
-      .withColumn("r_freq", row_number().over(
-        Window.orderBy(col("n_orders"), col("o_custkey"))).cast("long"))
-      .withColumn("r_spend", row_number().over(
-        Window.orderBy(col("spend"), col("o_custkey"))).cast("long"))
+    val ranked = ScaleRank.withGlobalRanks(per, Seq(
+      (col("n_orders"), Seq(col("n_orders"), col("o_custkey")), "r_freq"),
+      (col("spend"), Seq(col("spend"), col("o_custkey")), "r_spend")),
+      "__n_total")
     ranked.agg(
         count(lit(1)).as("n"),
         sum((col("r_freq") - col("r_spend")) * (col("r_freq") - col("r_spend")))
@@ -1146,13 +1162,15 @@ object Analytics {
         |  FROM orders GROUP BY 1
         |), tot AS (
         |  SELECT CAST(SUM(n_orders) AS BIGINT) AS n,
-        |         CAST(SUM(n_orders * n_orders) AS BIGINT) AS sq
+        |         SUM(CAST(n_orders AS HUGEINT) * CAST(n_orders AS HUGEINT)) AS sq
         |  FROM byday
         |)
         |SELECT weekday, n_orders,
         |       CAST(n_orders AS DOUBLE) / CAST(n AS DOUBLE) AS share,
-        |       CAST(7 * sq - n * n AS DOUBLE) / CAST(n AS DOUBLE) AS chi2,
-        |       1000 * (7 * sq - n * n) > 12592 * n AS reject_uniform
+        |       CAST(7 * sq - CAST(n AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE)
+        |         / CAST(n AS DOUBLE) AS chi2,
+        |       1000 * (7 * sq - CAST(n AS HUGEINT) * CAST(n AS HUGEINT))
+        |         > 12592 * CAST(n AS HUGEINT) AS reject_uniform
         |FROM byday CROSS JOIN tot ORDER BY weekday""".stripMargin,
     "q_burstiness" ->
       """WITH daily AS (
@@ -1162,15 +1180,18 @@ object Analytics {
         |), t AS (
         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
         |         CAST(SUM(y) AS BIGINT) AS total,
-        |         CAST(SUM(y * y) AS BIGINT) AS syy
+        |         SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy_h
         |  FROM daily GROUP BY 1
         |)
-        |SELECT event_type, n_days, total, syy,
+        |SELECT event_type, n_days, total, CAST(syy_h AS BIGINT) AS syy,
         |       CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
         |       CASE WHEN n_days > 1 THEN
-        |         CAST(n_days * syy - total * total AS DOUBLE)
-        |           / CAST((n_days - 1) * total AS DOUBLE) END AS dispersion,
-        |       n_days * syy - total * total > (n_days - 1) * total AS is_bursty
+        |         CAST(n_days * syy_h - CAST(total AS HUGEINT) * CAST(total AS HUGEINT)
+        |              AS DOUBLE)
+        |           / (CAST(n_days - 1 AS DOUBLE) * CAST(total AS DOUBLE)) END
+        |         AS dispersion,
+        |       n_days * syy_h - CAST(total AS HUGEINT) * CAST(total AS HUGEINT)
+        |         > (n_days - 1) * CAST(total AS HUGEINT) AS is_bursty
         |FROM t ORDER BY event_type""".stripMargin,
     "q_k_anonymity" ->
       """WITH cells AS (

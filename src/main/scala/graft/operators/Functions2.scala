@@ -462,22 +462,30 @@ object Functions2 {
   // rows the surviving shards force it to read. This is the number a
   // 100 TB layout decision is actually made on: the z-ordered layout
   // should skip on BOTH dimensions, the arrival layout on at most
-  // one. Everything is integer-exact: ntile over deterministic total
-  // orders (the q_deciles parity precedent), BIGINT zone bounds,
-  // skippable ⇔ max < lo OR min > hi. Scale shape: two sorts of the
-  // DIM table (zone-map collection is per-file metadata at real
-  // scale), one 32-key agg per layout, a 4-row output.
+  // one. Everything is integer-exact: shard = NTILE(32) over
+  // deterministic total orders, computed via the two-level ScaleRank
+  // primitive + ntileExpr (bit-identical to `ntile(32) OVER (ORDER
+  // BY …)` on the same tie-broken order) — the part table scales with
+  // the corpus, so a global single-partition ntile sort here would be
+  // the exact scale-killer class ScaleRank exists for. BIGINT zone
+  // bounds, skippable ⇔ max < lo OR min > hi. Scale shape: two
+  // bucket-partitioned parallel rank passes over part, one 32-key agg
+  // per layout, a 4-row output.
   private def qSkippingStats(s: SparkSession, d: String): DataFrame = {
     val z = zValueSql("p_size", "(p_partkey % 64)")
     val base = Tables.part(s, d)
       .withColumn("pmod", (col("p_partkey") % 64).cast("long"))
       .withColumn("z", expr(z))
-    val arrival = base.withColumn("layout", lit("arrival"))
-      .withColumn("shard", ntile(32).over(
-        Window.orderBy(col("p_partkey"))).cast("long"))
-    val zord = base.withColumn("layout", lit("zorder"))
-      .withColumn("shard", ntile(32).over(
-        Window.orderBy(col("z"), col("p_partkey"))).cast("long"))
+    val arrival = ScaleRank.withGlobalRank(base,
+        col("p_partkey"), Seq(col("p_partkey")), "__rk", "__n")
+      .withColumn("layout", lit("arrival"))
+      .withColumn("shard", ScaleRank.ntileExpr(32, "__rk", "__n").cast("long"))
+      .drop("__rk", "__n")
+    val zord = ScaleRank.withGlobalRank(base,
+        col("z"), Seq(col("z"), col("p_partkey")), "__rk", "__n")
+      .withColumn("layout", lit("zorder"))
+      .withColumn("shard", ScaleRank.ntileExpr(32, "__rk", "__n").cast("long"))
+      .drop("__rk", "__n")
     // pin the 64-row zone-map table: both predicate reports consume
     // it, and its lineage is the two layout sorts
     val zones = arrival.unionAll(zord)
@@ -568,9 +576,13 @@ object Functions2 {
             }
             rm(root)
           }))
+      // key by dataset hash AND process id: two concurrent JVMs on the
+      // same dataset (bench + verify) must not share a dir — overwrite
+      // mode would let one clobber files the other is mid-read on
       val safe = java.lang.Integer.toHexString(d.hashCode)
+      val pid = java.lang.ProcessHandle.current().pid()
       val p = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), s"graft_fmt_$safe")
+        System.getProperty("java.io.tmpdir"), s"graft_fmt_${safe}_$pid")
       java.nio.file.Files.createDirectories(p)
       p.toString
     })

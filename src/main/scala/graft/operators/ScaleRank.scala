@@ -37,8 +37,20 @@ object ScaleRank {
     * order columns and the NEGATED metric as `value`, so the bucket
     * stays monotone with the order. `value` must be non-null and
     * numeric (orderable through a double cast — monotone for
-    * ints/decimals). */
+    * ints/decimals). The non-null contract is ENFORCED: the model
+    * aggregate counts each dim alongside the row total and the call
+    * fails loudly on any NULL (a silently dropped null bucket would
+    * make ranks a non-permutation with no visible error). */
   type Dim = (Column, Seq[Column], String)
+
+  /** Worst-bucket mass fraction of the most recent [[withGlobalRanks]]
+    * counts pass (max bucket rows / total rows) — observability for
+    * the documented equal-width-bucket skew edge: under heavy value
+    * skew the plan stays partitioned but the DATA degrades to the
+    * biggest bucket. ScalingSpec probes this with a zipf-skewed
+    * column; production callers can read it after ranking to alarm.
+    */
+  @volatile private[graft] var lastMaxBucketFraction: Double = 0.0
 
   /** Adds one exact 1-based global-rank column per dimension, plus
     * `nCol` = total row count — with ALL model state gathered in two
@@ -54,15 +66,24 @@ object ScaleRank {
       buckets: Int = 256): DataFrame = {
     val spark = df.sparkSession
     val aggs = dims.zipWithIndex.flatMap { case ((v, _, _), i) =>
-      Seq(min(v.cast("double")).as(s"__lo$i"), max(v.cast("double")).as(s"__hi$i"))
-    }
+      Seq(min(v.cast("double")).as(s"__lo$i"), max(v.cast("double")).as(s"__hi$i"),
+        count(v).as(s"__nn$i"))
+    } :+ count(lit(1)).as("__rows")
     val mm = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    if (mm.isNullAt(0))
+    val rows = mm.getLong(3 * dims.size)
+    if (rows == 0L)
       return dims.foldLeft(df) { case (d, (_, _, rc)) =>
         d.withColumn(rc, lit(0L))
       }.withColumn(nCol, lit(0L))
+    dims.zipWithIndex.foreach { case ((_, _, rc), i) =>
+      val nn = mm.getLong(3 * i + 2)
+      require(nn == rows, s"ScaleRank.withGlobalRanks: dim '$rc' has " +
+        s"${rows - nn} NULL value(s) out of $rows rows — the rank value " +
+        "must be non-null (a silently dropped null bucket would make " +
+        "ranks a non-permutation)")
+    }
     val bExprs = dims.zipWithIndex.map { case ((v, _, _), i) =>
-      val (lo, hi) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+      val (lo, hi) = (mm.getDouble(3 * i), mm.getDouble(3 * i + 1))
       if (hi == lo) lit(0L)
       else least(
         floor((v.cast("double") - lit(lo)) / lit((hi - lo) / buckets)),
@@ -85,6 +106,17 @@ object ScaleRank {
         .agg(count(lit(1)).as("c"))
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     val total = cnt.filter(_._1 == 0).map(_._3).sum
+    // skew observability: equal-width buckets keep the PLAN partitioned
+    // but a heavy-hitter value concentrates the DATA in one bucket —
+    // surface the worst fraction so probes/callers can alarm (the plan
+    // audit cannot see data-level skew)
+    val maxBucket = if (cnt.isEmpty) 0L else cnt.map(_._3).max
+    lastMaxBucketFraction = if (total > 0) maxBucket.toDouble / total else 0.0
+    if (total > buckets.toLong * 64 && maxBucket > total / 2)
+      Console.err.println(f"WARN ScaleRank: worst bucket holds " +
+        f"$maxBucket of $total rows (${100.0 * maxBucket / total}%.1f%%) — " +
+        "value skew is defeating equal-width buckets; consider ranking a " +
+        "de-skewed transform of the metric")
     val ranked = dims.zipWithIndex.foldLeft(withB) {
       case (d, ((_, order, rc), i)) =>
         var acc = 0L
@@ -121,8 +153,14 @@ object ScaleRank {
       weight: Column, prefixCol: String, buckets: Int = 256): DataFrame = {
     val spark = df.sparkSession
     val mm = df.agg(min(value.cast("double")).as("lo"),
-      max(value.cast("double")).as("hi")).collect()(0)
-    if (mm.isNullAt(0)) return df.withColumn(prefixCol, lit(0L))
+      max(value.cast("double")).as("hi"), count(value).as("nnv"),
+      count(weight).as("nnw"), count(lit(1)).as("rows")).collect()(0)
+    val rows = mm.getLong(4)
+    if (rows == 0L) return df.withColumn(prefixCol, lit(0L))
+    require(mm.getLong(2) == rows && mm.getLong(3) == rows,
+      s"ScaleRank.withPrefixSum: value/weight must be non-null " +
+        s"(${rows - mm.getLong(2)} null values, ${rows - mm.getLong(3)} " +
+        s"null weights out of $rows rows)")
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val bExpr =
       if (hi == lo) lit(0L)

@@ -3207,9 +3207,10 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_matched"),
         expr("CAST(SUM(sterm) AS DOUBLE)").as("score"))
-      .withColumn("rank", row_number().over(
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k) // TakeOrderedAndProject over the survivors — no global sort
+      .withColumn("rank", row_number().over( // k-row frame only
         Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
-      .filter(col("rank") <= k)
       .select("rank", "doc_id", "n_matched", "score")
       .orderBy("rank")
     (res, cand)
@@ -3256,12 +3257,15 @@ object TextOps {
        |)""".stripMargin
   }
 
-  private def qBm25(s: SparkSession, d: String): DataFrame = {
-    val byScore = Window.orderBy(col("score").desc, col("doc_id"))
-    bm25Frame(s, d)
-      .withColumn("rank", row_number().over(byScore).cast("long"))
+  // rank via the two-level ScaleRank primitive (negated score keeps
+  // the bucket monotone with the DESC order): the per-doc frame is
+  // corpus-grain, so a global row_number window would single-partition
+  // the corpus — the exact class q_deciles/q_rfm were rewritten for
+  private def qBm25(s: SparkSession, d: String): DataFrame =
+    ScaleRank.withGlobalRank(bm25Frame(s, d), -col("score"),
+        Seq(col("score").desc, col("doc_id")), "rank", "__n")
+      .select("doc_id", "dl", "n_matched", "score", "rank")
       .orderBy("doc_id")
-  }
 
   /** Hybrid retrieval via reciprocal-rank fusion — the standard way a
     * search stack combines a lexical ranker with a vector ranker
@@ -3272,32 +3276,37 @@ object TextOps {
     * determinism-friendly fusion: the fused score is pure rational
     * arithmetic over INTEGER ranks, so unlike score-interpolation
     * there is no cross-engine float risk beyond the already-pinned
-    * inputs. Scale shape: two global top-rank windows over per-doc
-    * scores (production shards them per query), one broadcast of the
-    * 1-row query vector, one equi-join of the two rank frames. */
+    * inputs. Scale shape: both per-doc rank frames ride the two-level
+    * ScaleRank primitive (the old global windows single-partitioned
+    * the corpus-grain score/cosine frames), one broadcast of the
+    * 1-row query vector, one equi-join of the two rank frames, and
+    * the fused top-20 is an orderBy+limit (TakeOrderedAndProject —
+    * per-partition top-k, no global sort) with the output rank
+    * numbered over the 20 survivors only. */
   private def qHybridRrf(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    val byLex = Window.orderBy(col("score").desc, col("doc_id"))
-    val lexRank = bm25Frame(s, d)
-      .withColumn("rank_lex", row_number().over(byLex).cast("long"))
+    val lexRank = ScaleRank.withGlobalRank(bm25Frame(s, d), -col("score"),
+        Seq(col("score").desc, col("doc_id")), "rank_lex", "__nl")
       .select("doc_id", "rank_lex")
     val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>").as("q_vec"))
-    val byVec = Window.orderBy(col("cos").desc, col("doc_id"))
-    val vecRank = Tables.embeddings(s, d)
+    val cosFrame = Tables.embeddings(s, d)
       .select(col("vec_id").as("doc_id"),
         col("embedding").cast("array<double>").as("c_vec"))
       .crossJoin(broadcast(qv))
       .withColumn("cos", expr("graft_cosine(c_vec, q_vec)"))
-      .withColumn("rank_vec", row_number().over(byVec).cast("long"))
+    val vecRank = ScaleRank.withGlobalRank(cosFrame, -col("cos"),
+        Seq(col("cos").desc, col("doc_id")), "rank_vec", "__nv")
       .select("doc_id", "rank_vec")
-    lexRank.join(vecRank, Seq("doc_id"))
+    val top = lexRank.join(vecRank, Seq("doc_id"))
       .withColumn("rrf",
         lit(1.0) / (lit(60.0) + col("rank_lex").cast("double"))
           + lit(1.0) / (lit(60.0) + col("rank_vec").cast("double")))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
-      .filter(col("rank") <= 20)
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+    top
+      .withColumn("rank", row_number().over( // over the 20 survivors only
+        Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
       .select("doc_id", "rank_lex", "rank_vec", "rrf", "rank")
       .orderBy("rank")
   }
@@ -3335,14 +3344,18 @@ object TextOps {
   private val RelevanceBar = 10L
 
   /** BM25 ranking relevance-joined: (doc_id, rel, rank) — graded rel
-    * from the shared tf frame, system rank from the shared scorer. */
+    * from the shared tf frame, system rank from the shared scorer.
+    * The global rank rides ScaleRank (two-level, bucket-partitioned
+    * windows only): the per-doc frame is corpus-grain, so the old
+    * `row_number() OVER (ORDER BY score)` would serialize the corpus
+    * onto one executor at 100 TB. */
   private def rankedRelevance(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val rel = bm25Tf(docs).groupBy("doc_id").agg(sum(col("tf")).as("rel"))
-    bm25Frame(s, d).join(rel, Seq("doc_id"), "left_outer")
+    val joined = bm25Frame(s, d).join(rel, Seq("doc_id"), "left_outer")
       .withColumn("rel", coalesce(col("rel"), lit(0L)).cast("long"))
-      .withColumn("rank", row_number()
-        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+    ScaleRank.withGlobalRank(joined, -col("score"),
+        Seq(col("score").desc, col("doc_id")), "rank", "__n")
       .select("doc_id", "rel", "rank")
   }
 
@@ -3353,16 +3366,16 @@ object TextOps {
     * ordering of the same docs; each per-rank term is pinned to
     * DECIMAL(18,9) before the sum (the BM25 device) so the exposed
     * doubles are cross-engine identical, and ndcg = dcg/idcg is one
-    * IEEE division of two identical doubles. Scale shape: the global
-    * rank windows are the same single-query evaluation shape as
-    * q_bm25 (production shards by query id); the cutoff join
+    * IEEE division of two identical doubles. Scale shape: BOTH global
+    * ranks ride the two-level ScaleRank primitive (no unpartitioned
+    * window anywhere — the multi-query production shape is also
+    * demonstrated in-plan by q_eval_multiprobe); the cutoff join
     * broadcasts a 5-row frame; everything else is hash aggregation. */
   private def qNdcg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ranked = rankedRelevance(s, d)
-    val ideal = ranked
-      .withColumn("irank", row_number()
-        .over(Window.orderBy(col("rel").desc, col("doc_id"))).cast("long"))
+    val ideal = ScaleRank.withGlobalRank(ranked, -col("rel"),
+      Seq(col("rel").desc, col("doc_id")), "irank", "__ni")
     val ks = broadcast(EvalCutoffs.toDF("k"))
     val gain =
       """CAST(SUM(CAST(CAST(rel AS DOUBLE)
@@ -3386,17 +3399,20 @@ object TextOps {
     * relevant = graded rel >= RelevanceBar. All metrics are rational
     * arithmetic over integer ranks/counts: the P@i AP terms are
     * DECIMAL(18,9)-pinned before the sum, every other exposed double
-    * is a single IEEE division of exact integers. Scale shape: one
-    * global rank window (per-query in production), one running-sum
-    * window over it, 5-row broadcast cutoff join, 1-row broadcast of
-    * the AP/MRR/total aggregates. */
+    * is a single IEEE division of exact integers. Scale shape: the
+    * global rank AND the running relevant-count both ride the
+    * two-level ScaleRank primitives (rank via rankedRelevance, the
+    * cumulative count via withPrefixSum — no unpartitioned window in
+    * the plan), 5-row broadcast cutoff join, 1-row broadcast of the
+    * AP/MRR/total aggregates. */
   private def qRetrievalMetrics(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val cum = rankedRelevance(s, d)
+    val flagged = rankedRelevance(s, d)
       .withColumn("is_rel", when(col("rel") >= RelevanceBar, 1L).otherwise(0L))
-      .withColumn("cum_rel", sum(col("is_rel"))
-        .over(Window.orderBy(col("rank")).rowsBetween(Window.unboundedPreceding, 0))
-        .cast("long"))
+    val cum = ScaleRank.withPrefixSum(flagged, col("rank"), Seq(col("rank")),
+        col("is_rel"), "__pref")
+      .withColumn("cum_rel", (col("__pref") + col("is_rel")).cast("long"))
+      .drop("__pref")
     val tot = cum.agg(sum(col("is_rel")).cast("long").as("n_rel"),
       expr("""CAST(SUM(CASE WHEN is_rel = 1 THEN
                 CAST(CAST(cum_rel AS DOUBLE) / CAST(rank AS DOUBLE) AS DECIMAL(18,9))
@@ -3414,6 +3430,77 @@ object TextOps {
         (lit(1.0) / col("first_rel").cast("double")).as("mrr"),
         col("n_rel"))
       .orderBy("k")
+  }
+
+  /** Deterministic multi-query probe set for the SHARDED retrieval
+    * eval — four stand-in "user queries" with disjoint term sets
+    * spanning distinct document frequencies (dup is rare: ~25 docs at
+    * sf0.01). Disjointness keeps per-term df unambiguous; the scorer
+    * uses countDistinct anyway so overlap would stay correct. */
+  private val MultiProbes: Seq[(String, Seq[String])] = Seq(
+    "p1" -> Seq("spark", "vector", "hash"),
+    "p2" -> Seq("stream", "window", "join"),
+    "p3" -> Seq("sort", "merge", "dup"),
+    "p4" -> Seq("filter", "scan"))
+
+  /** NDCG@k per PROBE QUERY — the production shape of the q_ndcg
+    * evaluation: a probe SET scored in one pass and ranked with
+    * `Window.partitionBy(q_id)`, so every rank window in the plan is
+    * PARTITIONED (the single-query family's "production shards by
+    * query id" comment, demonstrated in-plan; PlanAuditSpec pins zero
+    * unpartitioned WindowExec here). Scale shape: ONE corpus token
+    * scan serves all probes (broadcast join against the |probes|-row
+    * term table — the asymmetric eval-broadcast device from the
+    * decontamination family), per-(q,doc) frames carry only matched
+    * docs, and ranking parallelizes across query shards exactly as a
+    * 100 TB eval over thousands of probes would. Determinism: the
+    * same DECIMAL(18,9) per-term pins as q_bm25/q_ndcg. */
+  private def qEvalMultiprobe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val probes = broadcast(
+      MultiProbes.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("q_id", "term"))
+    val docs = Tables.documents(s, d).withColumn("dl", size(tokens()).cast("long"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = docs.select(col("doc_id"), explode(tokens()).as("term"))
+      .join(probes, Seq("term"))
+      .groupBy(col("q_id"), col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(broadcast(dft), Seq("term"))
+      .join(docs.select("doc_id", "dl"), Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("sterm", expr(
+        """CAST(
+             ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+             * ((CAST(tf AS DOUBLE) * 2.2)
+                / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+           AS DECIMAL(18,9))"""))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(expr("CAST(SUM(sterm) AS DOUBLE)").as("score"),
+        sum(col("tf")).as("rel"))
+    val ranked = scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .withColumn("irank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("rel").desc, col("doc_id"))).cast("long"))
+    val ks = broadcast(EvalCutoffs.toDF("k"))
+    val gain =
+      """CAST(SUM(CAST(CAST(rel AS DOUBLE)
+        |  / (ln(CAST(%s + 1 AS DOUBLE)) / ln(2.0))
+        |  AS DECIMAL(18,9))) AS DOUBLE)""".stripMargin
+    val dcg = ks.join(ranked, col("rank") <= col("k"))
+      .groupBy("q_id", "k")
+      .agg(sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_scored"),
+        expr(gain.format("rank")).as("dcg"))
+    val idcg = ks.join(ranked, col("irank") <= col("k"))
+      .groupBy("q_id", "k").agg(expr(gain.format("irank")).as("idcg"))
+    dcg.join(idcg, Seq("q_id", "k"))
+      .withColumn("ndcg", col("dcg") / col("idcg"))
+      .select("q_id", "k", "n_scored", "dcg", "idcg", "ndcg")
+      .orderBy("q_id", "k")
   }
 
   /** Winnowing window size (consecutive k-grams per window) — w=5
@@ -3509,6 +3596,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> (qBm25 _),
     "q_ndcg" -> (qNdcg _),
+    "q_eval_multiprobe" -> (qEvalMultiprobe _),
     "q_retrieval_metrics" -> (qRetrievalMetrics _),
     "q_winnow" -> (qWinnow _),
     "q_winnow_pairs" -> (qWinnowPairs _),
@@ -4377,6 +4465,59 @@ object TextOps {
          |SELECT d.k, d.n_scored, d.dcg, i.idcg, d.dcg / i.idcg AS ndcg
          |FROM dcg d JOIN idcg i USING (k)
          |ORDER BY k""".stripMargin,
+    "q_eval_multiprobe" ->
+      s"""WITH probes(q_id, term) AS (VALUES ${MultiProbes.flatMap {
+        case (q, ts) => ts.map(t => s"('$q', '$t')")
+      }.mkString(", ")}),
+         |dd AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |  FROM documents
+         |), st AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dd
+         |), tok AS (
+         |  SELECT doc_id, unnest(toks) AS term FROM dd
+         |), tf AS (
+         |  SELECT p.q_id, t.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM tok t JOIN probes p USING (term) GROUP BY 1, 2, 3
+         |), dft AS (
+         |  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tf GROUP BY 1
+         |), sc AS (
+         |  SELECT f.q_id, f.doc_id,
+         |         CAST(SUM(CAST(
+         |           ln(1.0 + (CAST(s.n_docs - x.df AS DOUBLE) + 0.5) / (CAST(x.df AS DOUBLE) + 0.5))
+         |           * ((CAST(f.tf AS DOUBLE) * 2.2)
+         |              / (CAST(f.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE)
+         |                   / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
+         |         AS DECIMAL(18,9))) AS DOUBLE) AS score,
+         |         CAST(SUM(f.tf) AS BIGINT) AS rel
+         |  FROM tf f JOIN dft x USING (term) JOIN dd d USING (doc_id) CROSS JOIN st s
+         |  GROUP BY 1, 2
+         |), rk AS (
+         |  SELECT q_id, rel,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, doc_id) AS BIGINT) AS irank
+         |  FROM sc
+         |), ks AS (SELECT CAST(unnest([1, 3, 5, 10, 20]) AS BIGINT) AS k),
+         |dcg AS (
+         |  SELECT r.q_id, k.k,
+         |         CAST(SUM(CASE WHEN r.rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+         |         CAST(SUM(CAST(CAST(r.rel AS DOUBLE)
+         |           / (ln(CAST(r.rank + 1 AS DOUBLE)) / ln(2.0))
+         |           AS DECIMAL(18,9))) AS DOUBLE) AS dcg
+         |  FROM ks k JOIN rk r ON r.rank <= k.k GROUP BY 1, 2
+         |), idcg AS (
+         |  SELECT r.q_id, k.k,
+         |         CAST(SUM(CAST(CAST(r.rel AS DOUBLE)
+         |           / (ln(CAST(r.irank + 1 AS DOUBLE)) / ln(2.0))
+         |           AS DECIMAL(18,9))) AS DOUBLE) AS idcg
+         |  FROM ks k JOIN rk r ON r.irank <= k.k GROUP BY 1, 2
+         |)
+         |SELECT d.q_id, d.k, d.n_scored, d.dcg, i.idcg, d.dcg / i.idcg AS ndcg
+         |FROM dcg d JOIN idcg i USING (q_id, k)
+         |ORDER BY q_id, k""".stripMargin,
     "q_retrieval_metrics" ->
       s"""WITH $bm25Sql,
          |relv AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS rel FROM tft GROUP BY doc_id),

@@ -434,8 +434,14 @@ class PlanAuditSpec extends SparkSpec {
     // q_mann_whitney's prefix sum and q_common_paths' lead() hops ride
     // bucket-/user-partitioned windows; q_rolling_distinct is pure
     // cover-explode hash aggregation — none may global-sort the corpus
+    // r11 additions: q_spearman (customer-grain ranks), q_skipping_stats
+    // (part-table ntile layouts), and the whole retrieval family
+    // (per-doc score/cosine/relevance ranks + the running relevant-count)
+    // — all rewritten onto ScaleRank/limit this round
     for (q <- Seq("q_deciles", "q_rfm", "q_mann_whitney", "q_common_paths",
-        "q_rolling_distinct", "q_trend", "q_gap_fill")) {
+        "q_rolling_distinct", "q_trend", "q_gap_fill",
+        "q_spearman", "q_skipping_stats", "q_bm25", "q_ndcg",
+        "q_retrieval_metrics", "q_eval_multiprobe")) {
       val lp = SparkEntry.queries(q)(spark, Sf0001).queryExecution.optimizedPlan
       val bad = lp.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
@@ -539,5 +545,59 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"expected broadcast grid joins:\n$p")
+  }
+
+  test("GLOBAL-WINDOW SWEEP: every unpartitioned window in EVERY query plan " +
+      "is declared and grain-reduced") {
+    // q_spearman/q_skipping_stats survived TWO manual sweeps before the
+    // r10 verdict caught them — so the sweep is now automatic: walk all
+    // registered queries' OPTIMIZED logical plans, and require each
+    // unpartitioned Window to (a) belong to a query on this explicit
+    // allow-list with a documented grain, and (b) sit above an Aggregate
+    // or a Limit in its own child lineage — structural proof its input
+    // frame is grain-reduced, never the corpus. Anyone adding a global
+    // window over a corpus-shaped frame fails this test by name.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
+    val allow: Map[String, String] = Map(
+      "q_auc" -> "cumulative TPR/FPR over DISTINCT-SCORE groups",
+      "q_benford" -> "9-row leading-digit frame",
+      "q_bm25_wand" -> "rank over the k=20 survivors of a TakeOrdered limit",
+      "q_boilerplate" -> "DF-thresholded boilerplate-gram ranks",
+      "q_hybrid_rrf" -> "rank over the 20 survivors of a TakeOrdered limit",
+      "q_changepoint" -> "calendar day-grain series",
+      "q_chi2" -> "contingency-cell grain (|segments|x|flags|)",
+      "q_collocations" -> "PMI rank over count-thresholded bigram vocabulary",
+      "q_concurrency" -> "day-grain delta carry (PlanAuditSpec pins exactly one)",
+      "q_corpus_mix" -> "language-grain budget frames (|langs| rows)",
+      "q_cusum" -> "calendar day-grain series",
+      "q_histogram" -> "fixed bin-grain frame",
+      "q_lang_temperature" -> "language-grain weight frame",
+      "q_sample_weighted" -> "rank over the 64 survivors of a TakeOrdered limit",
+      "q_session_paths" -> "rank over count-thresholded distinct journey paths",
+      "q_skyline" -> "dominance scan over the skyline-candidate aggregate",
+      "q_vocab_growth" -> "decile-grain growth curve (10 rows)")
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    for (q <- SparkEntry.queries.keys.toSeq.sorted) {
+      val lp = SparkEntry.queries(q)(spark, Sf0001).queryExecution.optimizedPlan
+      val global = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      if (global.nonEmpty) {
+        if (!allow.contains(q))
+          offenders += s"$q: UNDECLARED global window(s) — declare the grain " +
+            s"here or re-rank via ScaleRank:\n${global.mkString("\n")}"
+        else global.foreach { w =>
+          val reduced = w.child.collectFirst {
+            case a: Aggregate => a
+            case l: GlobalLimit => l
+            case l: LocalLimit => l
+          }
+          if (reduced.isEmpty)
+            offenders += s"$q: global window input has NO Aggregate/Limit below " +
+              s"(corpus-shaped?) despite allow-list entry '${allow(q)}':\n$w"
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"${offenders.size} global-window violation(s):\n${offenders.mkString("\n\n")}")
   }
 }
