@@ -736,6 +736,43 @@ object Analytics {
       .orderBy("nation")
   }
 
+  // ---- q_dp_release: ε-DP noisy count release (Laplace mechanism) ---
+  //
+  // The differential-privacy release step a pipeline runs AFTER the
+  // k-anonymity audit: per-nation customer counts (sensitivity 1 —
+  // one customer moves one cell by one) released with Laplace(1/ε)
+  // noise at ε=0.5, via the inverse-CDF branch form
+  // noise = (1/ε)·ln(2u) for u<½, −(1/ε)·ln(2(1−u)) otherwise. The
+  // noise SOURCE is the deterministic md5-uniform device from
+  // q_sample_weighted (u = (int(md5₈)+0.5)/2³² — strictly inside
+  // (0,1), never exactly ½ since the numerator is a half-integer), so
+  // the whole mechanism — sensitivity, scale, budget column — is
+  // testable bit-for-bit cross-engine; a production deployment swaps
+  // in a real entropy source and keeps every other line. Shape: one
+  // hash aggregate + per-row IEEE math — embarrassingly parallel.
+  private val DpEps = 0.5
+  private def qDpRelease(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("true_n"))
+      .withColumn("u",
+        (expr("CAST(conv(substring(md5(CAST(nation AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+          .cast("double") + lit(0.5)) / lit(4294967296.0))
+      .withColumn("epsilon", lit(DpEps))
+      // ln is a libm call — Spark (Math.log) and DuckDB (C libm) can
+      // differ in the last ulp, so the noise is pinned to
+      // DECIMAL(18,9) (the BM25 per-term device) before exposure;
+      // released is then ONE IEEE add of two identical doubles
+      .withColumn("noise", expr(
+        s"""CAST(CAST(
+              CASE WHEN u < 0.5 THEN (1.0 / $DpEps) * ln(2.0 * u)
+                   ELSE -(1.0 / $DpEps) * ln(2.0 * (1.0 - u)) END
+            AS DECIMAL(18,9)) AS DOUBLE)"""))
+      .withColumn("released", col("true_n").cast("double") + col("noise"))
+      .select("nation", "true_n", "epsilon", "u", "noise", "released")
+      .orderBy("nation")
+  }
+
   // ---- q_trend: grouped OLS regression over monthly volumes ---------
   //
   // Per-priority least-squares trend line of monthly order volume —
@@ -1130,6 +1167,7 @@ object Analytics {
     "q_mann_whitney" -> (qMannWhitney _),
     "q_trend" -> (qTrend _),
     "q_k_anonymity" -> (qKAnonymity _),
+    "q_dp_release" -> (qDpRelease _),
     "q_burstiness" -> (qBurstiness _),
     "q_weekday_mix" -> (qWeekdayMix _),
     "q_changepoint" -> (qChangepoint _),
@@ -1209,6 +1247,27 @@ object Analytics {
         |       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
         |         / CAST(SUM(n) AS DOUBLE) AS suppression_rate
         |FROM cells GROUP BY nation ORDER BY nation""".stripMargin,
+    "q_dp_release" ->
+      """WITH c AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |         CAST(COUNT(*) AS BIGINT) AS true_n
+        |  FROM customer GROUP BY 1
+        |), withu AS (
+        |  SELECT nation, true_n,
+        |         (CAST(CAST('0x' || substring(md5(CAST(nation AS VARCHAR)), 1, 8)
+        |                    AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+        |  FROM c
+        |), withn AS (
+        |  SELECT nation, true_n, u,
+        |         CAST(CAST(
+        |           CASE WHEN u < 0.5 THEN (1.0 / 0.5) * ln(2.0 * u)
+        |                ELSE -(1.0 / 0.5) * ln(2.0 * (1.0 - u)) END
+        |         AS DECIMAL(18,9)) AS DOUBLE) AS noise
+        |  FROM withu
+        |)
+        |SELECT nation, true_n, CAST(0.5 AS DOUBLE) AS epsilon, u, noise,
+        |       CAST(true_n AS DOUBLE) + noise AS released
+        |FROM withn ORDER BY nation""".stripMargin,
     "q_trend" ->
       """WITH monthly AS (
         |  SELECT o_orderpriority AS priority,

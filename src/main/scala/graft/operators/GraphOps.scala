@@ -458,8 +458,15 @@ object GraphOps {
   // driver literal.
   private def qPpr(s: SparkSession, d: String): DataFrame = {
     val (edges, deg) = coEdgesDegM(s, d)
+    // hoist the loop-INVARIANT degree join out of the iterations: each
+    // directed edge carries its source degree once (one O(|E|) join +
+    // checkpoint total), so every power iteration is exactly ONE edge
+    // equi-join with the rank table + one node agg — not two edge-list
+    // shuffles per round
     val sym = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .join(deg.select(col("node").as("src"), col("deg")), Seq("src"))
+      .localCheckpoint()
     val seeds = deg.orderBy(col("deg").desc, col("node")).limit(4)
       .select(col("node"), lit(1L).as("seed")).localCheckpoint()
     def blend(contrib: DataFrame): DataFrame = deg.select(col("node"))
@@ -476,7 +483,6 @@ object GraphOps {
     for (_ <- 1 to 2) {
       val contrib = sym
         .join(rank.select(col("node").as("src"), col("r")), Seq("src"))
-        .join(deg.select(col("node").as("src"), col("deg")), Seq("src"))
         .withColumn("c", expr("CAST(r / CAST(deg AS DOUBLE) AS DECIMAL(18,12))"))
         .groupBy(col("dst").as("node")).agg(sum(col("c")).as("sc"))
       rank = blend(contrib).localCheckpoint()

@@ -116,6 +116,17 @@ object ScaleProbe {
     scaledCust.write.mode("overwrite").parquet(s"$outDir/customer.parquet")
     Tables.nation(s, srcDir).write.mode("overwrite").parquet(s"$outDir/nation.parquet")
     Tables.region(s, srcDir).write.mode("overwrite").parquet(s"$outDir/region.parquet")
+    // part (q_brand_mixing brand labels): copy c shifts p_partkey in
+    // lockstep with lineitem's l_partkey shift; brand/size columns
+    // verbatim — every replica carries the base brand mix, so the
+    // co-purchase graph's degree-brand moments scale m× under an
+    // unchanged mixing matrix.
+    val part = Tables.part(s, srcDir)
+    val scaledPart = (0 until m).map { c =>
+      if (c == 0) part
+      else part.withColumn("p_partkey", col("p_partkey") + lit(c * 10000000L))
+    }.reduce(_ union _)
+    scaledPart.write.mode("overwrite").parquet(s"$outDir/part.parquet")
     // events (q_concurrency sweep line): copy c shifts user_id and
     // event_id into disjoint spaces, timestamps verbatim — m× the
     // users over the SAME day range, so per-day delta volume grows m×
@@ -260,7 +271,23 @@ object ScaleProbe {
       // (mann_whitney)
       "q_deciles" -> Functions2.queries("q_deciles"),
       "q_rfm" -> Analytics.queries("q_rfm"),
-      "q_mann_whitney" -> Analytics.queries("q_mann_whitney")
+      "q_mann_whitney" -> Analytics.queries("q_mann_whitney"),
+      // the heavy round-10 additions (r10 verdict asked for exponents):
+      // personalized PageRank — two unrolled power iterations over the
+      // cold co-purchase graph build; each iteration is one edge join +
+      // node agg, so the replica construction should hold it linear
+      "q_ppr" -> GraphOps.queries("q_ppr"),
+      // Newman assortativity: one scored-edge frame + degree-grain
+      // moment aggregates — probed because its bench line (3.7 s)
+      // rides the same cold co-graph build as q_ppr
+      "q_brand_mixing" -> GraphOps.queries("q_brand_mixing"),
+      // banding recall/precision vs exact Jaccard on a probe-broadcast
+      // O(|probes|·n) plan — the probe validates the asymmetric-join
+      // claim (fixed probe set, corpus side grows m×)
+      "q_minhash_recall" -> TextOps.queries("q_minhash_recall"),
+      // exact-rational gap fill: spine grid join + per-key carry
+      // windows — all key-partitioned, measured rather than argued
+      "q_gap_fill" -> Relational.queries("q_gap_fill")
     )
   }
 

@@ -44,13 +44,74 @@ object ScaleRank {
   type Dim = (Column, Seq[Column], String)
 
   /** Worst-bucket mass fraction of the most recent [[withGlobalRanks]]
-    * counts pass (max bucket rows / total rows) — observability for
-    * the documented equal-width-bucket skew edge: under heavy value
-    * skew the plan stays partitioned but the DATA degrades to the
-    * biggest bucket. ScalingSpec probes this with a zipf-skewed
-    * column; production callers can read it after ranking to alarm.
-    */
+    * counts pass (max bucket rows / total rows, AFTER any skew
+    * refinement) — observability for the bucket-skew edge: under
+    * heavy value skew the plan stays partitioned but the DATA can
+    * degrade toward the biggest bucket. ScalingSpec probes this with
+    * a zipf-skewed column; production callers can read it after
+    * ranking to alarm. */
   @volatile private[graft] var lastMaxBucketFraction: Double = 0.0
+
+  /** A dimension whose equal-width worst bucket exceeds this multiple
+    * of the ideal N/B mass gets boundary REFINEMENT (below): the
+    * outlier-stretched-range failure — one huge value inflates
+    * [min,max] so every real row lands in bucket 0 — collapses back
+    * to ~even buckets. The irreducible floor that remains is a single
+    * VALUE carrying a large mass fraction: the bucket is a pure
+    * function of the value (that is what makes the two passes agree
+    * under any scheduling), so equal sort-key rows cannot be split —
+    * they rank within one bucket, and `lastMaxBucketFraction` reports
+    * it. */
+  private val SkewFactor = 8L
+
+  /** Bucket id from ascending boundary literals: number of boundaries
+    * ≤ value — monotone in the value, pure, O(|bounds|) codegen'd
+    * HOF (bounds stay ≤ a few thousand literals). */
+  private def boundaryBucket(value: Column, bounds: Array[Double]): Column =
+    if (bounds.isEmpty) lit(0L)
+    else size(filter(lit(bounds), b => b <= value.cast("double"))).cast("long")
+
+  /** Skew refinement — EXACT and sample-free (a hash-gated sample
+    * cannot see value mass: every row of a heavy value hashes alike,
+    * so the value gets one vote regardless of holding half the
+    * corpus). Up to 3 rounds; each round is ONE aggregate scan
+    * returning per-bucket (count, min, max) — ≤ |bounds| rows of
+    * driver model state. A bucket above the skew bar whose range
+    * spans >1 value gets (a) a boundary at nextUp(min) — a heavy
+    * MINIMUM value is isolated into its own bucket immediately (the
+    * zipf head) — and (b) 15 equal-width sub-boundaries over its
+    * OBSERVED [min,max] — zooming into the dense range and shedding
+    * outlier stretch geometrically. Single-value buckets are the
+    * documented irreducible floor and stop refining. Ranks are exact
+    * under ANY pure monotone bucketing (the counts and rank passes
+    * share the same literal boundaries), so all of this affects
+    * parallelism only.
+    * @return (bucket expression, (bucketId, count) rows) */
+  private def refineBuckets(df: DataFrame, value: Column, total: Long,
+      buckets: Int, lo: Double, hi: Double): (Column, Array[(Long, Long)]) = {
+    val idealMax = SkewFactor * math.max(total / buckets, 1L)
+    var bounds: Array[Double] =
+      if (hi == lo) Array.empty
+      else (1 until buckets).map(i => lo + (hi - lo) * i / buckets).toArray
+    var rounds = 0
+    while (true) {
+      val bexpr = boundaryBucket(value, bounds)
+      val stats = df.groupBy(bexpr.as("__b"))
+        .agg(count(lit(1)).as("c"), min(value.cast("double")).as("mn"),
+          max(value.cast("double")).as("mx"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      val heavy = stats.filter(s => s._2 > idealMax && s._3 < s._4)
+      if (heavy.isEmpty || rounds >= 3)
+        return (bexpr, stats.map(s => (s._1, s._2)))
+      val extra = heavy.flatMap { case (_, _, mn, mx) =>
+        Math.nextUp(mn) +: (1 until 16).map(i => mn + (mx - mn) * i / 16)
+      }
+      bounds = (bounds ++ extra).distinct.sorted
+      rounds += 1
+    }
+    sys.error("unreachable")
+  }
 
   /** Adds one exact 1-based global-rank column per dimension, plus
     * `nCol` = total row count — with ALL model state gathered in two
@@ -64,7 +125,6 @@ object ScaleRank {
     */
   def withGlobalRanks(df: DataFrame, dims: Seq[Dim], nCol: String,
       buckets: Int = 256): DataFrame = {
-    val spark = df.sparkSession
     val aggs = dims.zipWithIndex.flatMap { case ((v, _, _), i) =>
       Seq(min(v.cast("double")).as(s"__lo$i"), max(v.cast("double")).as(s"__hi$i"),
         count(v).as(s"__nn$i"))
@@ -89,47 +149,70 @@ object ScaleRank {
         floor((v.cast("double") - lit(lo)) / lit((hi - lo) / buckets)),
         lit(buckets - 1L)).cast("long")
     }
-    val withB = bExprs.zipWithIndex.foldLeft(df) { case (d, (b, i)) =>
+    val withB0 = bExprs.zipWithIndex.foldLeft(df) { case (d, (b, i)) =>
       d.withColumn(s"__b$i", b)
     }
     // ONE counts pass for every dimension: explode each row into its
     // (dim, bucket) memberships, then a single hash aggregate (for a
     // single dimension the explode is pure overhead — group directly)
-    val cnt =
+    val cnt0 =
       if (dims.size == 1)
-        withB.groupBy(col("__b0")).agg(count(lit(1)).as("c"))
+        withB0.groupBy(col("__b0")).agg(count(lit(1)).as("c"))
           .collect().map(r => (0, r.getLong(0), r.getLong(1)))
-      else withB
+      else withB0
         .select(explode(array(dims.indices.map(i =>
           struct(lit(i).as("dim"), col(s"__b$i").as("b"))): _*)).as("e"))
         .groupBy(col("e.dim").as("dim"), col("e.b").as("b"))
         .agg(count(lit(1)).as("c"))
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    val total = cnt.filter(_._1 == 0).map(_._3).sum
-    // skew observability: equal-width buckets keep the PLAN partitioned
-    // but a heavy-hitter value concentrates the DATA in one bucket —
-    // surface the worst fraction so probes/callers can alarm (the plan
-    // audit cannot see data-level skew)
+    val total = cnt0.filter(_._1 == 0).map(_._3).sum
+    // skew refinement (rare path): a dimension whose worst equal-width
+    // bucket exceeds SkewFactor × the ideal N/B mass — e.g. an
+    // outlier-stretched [min,max] that drops every real row into
+    // bucket 0 — gets exact boundary refinement ([[refineBuckets]]).
+    // Ranks are exact under ANY pure monotone bucketing (the counts
+    // and rank passes share the same literal boundaries), so the
+    // refinement affects parallelism only.
+    val idealMax = SkewFactor * math.max(total / buckets, 1L)
+    val (finalBuckets, cnt) = dims.zipWithIndex.foldLeft((bExprs, cnt0)) {
+      case ((bs, cs), ((v, _, _), i)) =>
+        val worst = cs.filter(_._1 == i).map(_._3).maxOption.getOrElse(0L)
+        if (worst <= idealMax || total <= buckets.toLong * 64) (bs, cs)
+        else {
+          val (lo, hi) = (mm.getDouble(3 * i), mm.getDouble(3 * i + 1))
+          val (nb, ncs) = refineBuckets(df, v, total, buckets, lo, hi)
+          (bs.updated(i, nb),
+            cs.filterNot(_._1 == i) ++ ncs.map { case (b, c) => (i, b, c) })
+        }
+    }
+    val withB = finalBuckets.zipWithIndex.foldLeft(df) { case (d, (b, i)) =>
+      d.withColumn(s"__b$i", b)
+    }
+    // skew observability: even quantile boundaries cannot split a
+    // single heavy VALUE (bucketing must stay a pure function of the
+    // value) — surface the post-refinement worst fraction so
+    // probes/callers can alarm (the plan audit cannot see data skew)
     val maxBucket = if (cnt.isEmpty) 0L else cnt.map(_._3).max
     lastMaxBucketFraction = if (total > 0) maxBucket.toDouble / total else 0.0
     if (total > buckets.toLong * 64 && maxBucket > total / 2)
       Console.err.println(f"WARN ScaleRank: worst bucket holds " +
         f"$maxBucket of $total rows (${100.0 * maxBucket / total}%.1f%%) — " +
-        "value skew is defeating equal-width buckets; consider ranking a " +
-        "de-skewed transform of the metric")
+        "a single value carries most of the mass; equal sort keys rank " +
+        "within one bucket by construction")
+    // the ≤|buckets|-row offset table is DRIVER model state — embed it
+    // as a map literal (element_at) instead of a broadcast join: no
+    // join operator at all, and no join-key rewrite can inline the
+    // bucket expression into a condition bound against the wrong side
+    // (the refined HOF bucket expr tripped exactly that)
     val ranked = dims.zipWithIndex.foldLeft(withB) {
       case (d, ((_, order, rc), i)) =>
         var acc = 0L
-        val offRows = cnt.filter(_._1 == i).sortBy(_._2).map {
+        val offMap: Map[Long, Long] = cnt.filter(_._1 == i).sortBy(_._2).map {
           case (_, bId, c) => val o = acc; acc += c; (bId, o)
-        }
-        val offDf = spark.createDataFrame(offRows.toIndexedSeq)
-          .toDF(s"__b$i", s"__off$i")
-        d.join(broadcast(offDf), Seq(s"__b$i"))
-          .withColumn(rc,
-            col(s"__off$i") + row_number().over(
-              Window.partitionBy(col(s"__b$i")).orderBy(order: _*)).cast("long"))
-          .drop(s"__off$i")
+        }.toMap
+        d.withColumn(rc,
+          element_at(typedlit(offMap), col(s"__b$i")) + row_number().over(
+            Window.partitionBy(col(s"__b$i")).orderBy(order: _*)).cast("long"))
     }
     dims.indices.foldLeft(ranked)((d, i) => d.drop(s"__b$i"))
       .withColumn(nCol, lit(total))
@@ -151,7 +234,6 @@ object ScaleRank {
     * drifting). */
   def withPrefixSum(df: DataFrame, value: Column, order: Seq[Column],
       weight: Column, prefixCol: String, buckets: Int = 256): DataFrame = {
-    val spark = df.sparkSession
     val mm = df.agg(min(value.cast("double")).as("lo"),
       max(value.cast("double")).as("hi"), count(value).as("nnv"),
       count(weight).as("nnw"), count(lit(1)).as("rows")).collect()(0)
@@ -171,13 +253,15 @@ object ScaleRank {
     val tot = withB.groupBy(col("__b")).agg(sum(col("__w")).as("c"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
-    val offRows = tot.map { case (bId, c) => val o = acc; acc += c; (bId, o) }
-    val offDf = spark.createDataFrame(offRows.toIndexedSeq).toDF("__b", "__off")
-    withB.join(broadcast(offDf), Seq("__b"))
-      .withColumn(prefixCol, col("__off") + coalesce(
+    // bucket-grain offsets as a map literal — same no-join device as
+    // withGlobalRanks
+    val offMap: Map[Long, Long] =
+      tot.map { case (bId, c) => val o = acc; acc += c; (bId, o) }.toMap
+    withB
+      .withColumn(prefixCol, element_at(typedlit(offMap), col("__b")) + coalesce(
         sum(col("__w")).over(Window.partitionBy(col("__b")).orderBy(order: _*)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("__b", "__off", "__w")
+      .drop("__b", "__w")
   }
 
   /** SQL NTILE(k) from an exact 1-based rank column and a total-count

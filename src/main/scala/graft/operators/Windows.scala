@@ -70,6 +70,28 @@ object Windows {
       .orderBy("user_id")
   }
 
+  /** CDC apply with DELETE tombstones — the missing half of the
+    * latest-per-key serving read: treat the event stream as a change
+    * log keyed by user (Debezium-envelope shape — op + ordered
+    * offsets), where 'error' events are tombstones ('D') and
+    * everything else upserts ('U'), and materialize the post-apply
+    * table: each key's LAST change wins, and a key whose last change
+    * is a delete is ABSENT. This is how a snapshot is rebuilt from a
+    * CDC topic at any scale; shape: one key-partitioned window (no
+    * global sort), embarrassingly parallel across keys. */
+  private def qCdcApply(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("op",
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "U")
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"), expr("unix_micros(ts)").as("last_us"))
+      .orderBy("user_id")
+  }
+
   // K2/K3/P7: the keyed serving projection — deterministic key (the
   // engine's fix for the reference's random-UUID minting, SURVEY §2.8
   // U1) plus stringified fields, exactly the Redis hash shape.
@@ -496,6 +518,23 @@ object Windows {
       .orderBy("click_hour")
   }
 
+  /** Funnel latency rollup — the BATCH run of the shared streaming
+    * transform (EventPipeline.funnelLatencyRollup — watermarks no-op
+    * in batch): per click-hour event-time window, count / min / max /
+    * exact-BIGINT sum of the µs click→purchase deltas over ALL
+    * converting pairs, plus mean as one IEEE division. The oracled
+    * batch anchor for the streaming parity + restart test. Shape:
+    * the event-time range join + one hour-window hash agg — all
+    * key-partitioned. */
+  private def qFunnelLatency(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventPipeline
+      .funnelLatencyRollup(Tables.events(s, d))
+      .withColumn("mean_us",
+        col("sum_us").cast("double") / col("n_pairs").cast("double"))
+      .select("win_start", "win_end", "n_pairs", "min_us", "max_us",
+        "sum_us", "mean_us")
+      .orderBy("win_start")
+
   /** Sliding event-time window (2 h wide, 1 h slide): every event
     * lands in exactly two overlapping windows. Spark's `window()`
     * generator expands slots inline (no self-join); the oracle mirrors
@@ -810,6 +849,7 @@ object Windows {
     "q_window_running" -> (qWindowRunning _),
     "q_window_lag" -> (qWindowLag _),
     "q_latest_per_key" -> (qLatestPerKey _),
+    "q_cdc_apply" -> (qCdcApply _),
     "q_serving_kv" -> (qServingKv _),
     "q_window_tumbling" -> (qWindowTumbling _),
     "q_sessionize" -> (qSessionize _),
@@ -825,6 +865,7 @@ object Windows {
     "q_topk_typed" -> (qTopkTyped _),
     "q_funnel" -> (qFunnel _),
     "q_funnel_time" -> (qFunnelTime _),
+    "q_funnel_latency" -> (qFunnelLatency _),
     "q_funnel_outer" -> (qFunnelOuter _),
     "q_asof_join" -> (qAsofJoin _),
     "q_window_sliding" -> (qWindowSliding _),
@@ -888,6 +929,25 @@ object Windows {
         |       percentile_cont(0.5) WITHIN GROUP (ORDER BY delta_us) AS median_us,
         |       CAST(SUM(delta_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_us
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_funnel_latency" ->
+      """WITH clicks AS (
+        |  SELECT user_id AS u, ts AS cts FROM events WHERE event_type = 'click'
+        |), purch AS (
+        |  SELECT user_id AS u, ts AS pts FROM events WHERE event_type = 'purchase'
+        |), pairs AS (
+        |  SELECT date_trunc('hour', cts) AS win_start,
+        |         epoch_us(pts) - epoch_us(cts) AS delta_us
+        |  FROM clicks JOIN purch USING (u)
+        |  WHERE pts >= cts AND pts <= cts + INTERVAL 1 HOUR
+        |)
+        |SELECT CAST(win_start AS TIMESTAMP) AS win_start,
+        |       CAST(win_start + INTERVAL 1 HOUR AS TIMESTAMP) AS win_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(MIN(delta_us) AS BIGINT) AS min_us,
+        |       CAST(MAX(delta_us) AS BIGINT) AS max_us,
+        |       CAST(SUM(delta_us) AS BIGINT) AS sum_us,
+        |       CAST(SUM(delta_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_us
+        |FROM pairs GROUP BY win_start ORDER BY win_start""".stripMargin,
     "q_common_paths" ->
       """WITH s AS (
         |  SELECT user_id, event_type AS e1,
@@ -1039,6 +1099,16 @@ object Windows {
         |                               ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "q_cdc_apply" ->
+      """SELECT user_id, event_type AS last_type, value AS last_value,
+        |       epoch_us(ts) AS last_us
+        |FROM (
+        |  SELECT *, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND op = 'U'
         |ORDER BY user_id""".stripMargin,
     "q_serving_kv" ->
       """SELECT 'event:' || CAST(event_id AS VARCHAR) AS redis_key,

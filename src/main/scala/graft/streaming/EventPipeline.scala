@@ -668,6 +668,30 @@ object EventPipeline {
   def clickPurchaseFunnelOuter(events: DataFrame): DataFrame =
     clickPurchaseFunnel(events, "leftOuter")
 
+  /** T8: funnel LATENCY rollup on the stream-stream join output —
+    * the streaming twin of the q_funnel_time readout: every
+    * click→purchase pair inside the hour contributes its exact µs
+    * delta to the click's event-time hour window, which closes (and
+    * emits count/min/max/sum) once the watermark passes. Two chained
+    * stateful operators (range join → windowed agg) in append mode —
+    * the WAU-chaining precedent. Sum over ALL converting pairs (not
+    * first-purchase-only: a deterministic streaming "first" would
+    * need per-click state the rollup doesn't, and pair-grain is the
+    * latency DISTRIBUTION a monitor actually wants). The same
+    * function is a plain batch transform (watermarks no-op) — the
+    * oracled q_funnel_latency and the parity test both pin it. */
+  def funnelLatencyRollup(events: DataFrame): DataFrame =
+    clickPurchaseFunnel(events)
+      .withColumn("delta_us",
+        unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+      .groupBy(window(col("click_ts"), "1 hour").as("win"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("delta_us")).as("min_us"),
+        max(col("delta_us")).as("max_us"),
+        sum(col("delta_us")).as("sum_us"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col("n_pairs"), col("min_us"), col("max_us"), col("sum_us"))
+
   // ---- custom sessionization state machine (flatMapGroupsWithState) --
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -1002,6 +1002,51 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_conversions")).sum == deltas.length.toLong)
   }
 
+  test("q_cdc_apply: driver change-log replay; tombstoned keys absent") {
+    val rows = q("q_cdc_apply").collect()
+    assert(rows.nonEmpty)
+    val evs = graft.sources.Tables.events(spark, Sf0001)
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val lastPerKey = evs.groupBy(_._1).view
+      .mapValues(_.maxBy(e => (e._2, e._3))).toMap
+    val expected = lastPerKey.filter(_._2._4 != "error")
+    assert(rows.length == expected.size,
+      s"${rows.length} survivors vs driver ${expected.size}")
+    // every tombstoned key (last change = 'error') must be ABSENT
+    val out = rows.map(r => r.getAs[Long]("user_id") ->
+      (r.getAs[String]("last_type"), r.getAs[Double]("last_value"),
+        r.getAs[Long]("last_us"))).toMap
+    val deleted = lastPerKey.filter(_._2._4 == "error").keySet
+    assert(deleted.nonEmpty, "fixture sanity: some key must end on a tombstone")
+    deleted.foreach(k => assert(!out.contains(k), s"tombstoned key $k survived"))
+    expected.foreach { case (k, (_, us, _, tpe, v)) =>
+      assert(out(k) == ((tpe, v, us)), s"key $k")
+    }
+  }
+
+  test("q_dp_release: Laplace inverse-CDF replayed on the driver; noise scale = 1/eps") {
+    val rows = q("q_dp_release").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (u, eps) = (r.getAs[Double]("u"), r.getAs[Double]("epsilon"))
+      assert(u > 0.0 && u < 1.0 && u != 0.5)
+      val raw =
+        if (u < 0.5) (1.0 / eps) * math.log(2.0 * u)
+        else -(1.0 / eps) * math.log(2.0 * (1.0 - u))
+      // replay the DECIMAL(18,9) pin (exact-binary HALF_UP, the Spark cast)
+      val expected = new java.math.BigDecimal(raw)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(r.getAs[Double]("noise") == expected, s"nation ${r.getLong(0)}")
+      assert(r.getAs[Double]("released") ==
+        r.getAs[Long]("true_n").toDouble + expected)
+    }
+    // the mechanism actually perturbs: not every noise is ~0
+    assert(rows.exists(r => math.abs(r.getAs[Double]("noise")) > 0.1))
+  }
+
   test("q_brand_mixing: driver mixing-matrix recount; Newman r bounded and exact") {
     val rows = q("q_brand_mixing").collect()
     assert(rows.nonEmpty)

@@ -45,6 +45,29 @@ class OperatorsSpec extends SparkSpec {
     assert(q("q_dedup_minhash").filter($"jaccard" < 0.8).count() == 0)
   }
 
+  test("q_eval_multiprobe: probe p1 reproduces the single-query q_ndcg exactly") {
+    // p1's term set IS the q_ndcg query; unmatched docs carry rel=0 and
+    // score 0 (BM25 idf is strictly positive on matched terms), so for
+    // every cutoff the sharded evaluation must equal the single-query
+    // one bit-for-bit — the cross-check that the partitioned-window
+    // rewrite changed the PLAN, not the metric
+    val multi = q("q_eval_multiprobe").filter($"q_id" === "p1")
+      .select("k", "n_scored", "dcg", "idcg", "ndcg").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    val single = q("q_ndcg")
+      .select("k", "n_scored", "dcg", "idcg", "ndcg").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    assert(multi.keySet == single.keySet && multi.keySet == Set(1L, 3L, 5L, 10L, 20L))
+    for (k <- single.keySet)
+      assert(multi(k) == single(k), s"cutoff $k: multi ${multi(k)} vs single ${single(k)}")
+    // and the other probes are genuinely distinct evaluations
+    val all = q("q_eval_multiprobe").select("q_id").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(all == Set("p1", "p2", "p3", "p4"))
+  }
+
   test("q_minhash_recall: ground truth recounted from raw shingle strings") {
     val row = q("q_minhash_recall").collect().head
     // independent recount: string shingles instead of the production

@@ -32,6 +32,36 @@ class ScalingSpec extends SparkSpec {
     }
   }
 
+  test("ScaleRank under zipf skew: quantile refinement rebalances buckets; " +
+      "ranks stay the exact total order") {
+    import org.apache.spark.sql.functions._
+    // deterministic zipf-ish column: v = n DIV (id+1) → value 1 holds
+    // ~50% of the mass and the value RANGE is stretched to n, so
+    // equal-width buckets would drop ~every row into bucket 0 (worst
+    // fraction ≈ 1.0). The sampled-quantile refinement must pull the
+    // worst bucket back to ≈ the heavy value's own mass — the
+    // irreducible floor, since a bucket is a pure function of the
+    // value and equal sort keys cannot split.
+    val n = 200000L
+    val df = spark.range(n)
+      .select(col("id"), expr(s"CAST($n DIV (id + 1) AS BIGINT)").as("v"))
+    val ranked = graft.operators.ScaleRank.withGlobalRank(
+      df, col("v"), Seq(col("v"), col("id")), "rk", "nn")
+    val frac = graft.operators.ScaleRank.lastMaxBucketFraction
+    info(f"worst-bucket fraction under zipf skew: $frac%.3f (heavy-value mass ≈ 0.5)")
+    assert(frac < 0.6,
+      f"quantile refinement failed to rebalance: worst bucket $frac%.2f of mass")
+    // exactness: rank must equal the corpus-wide row_number over the
+    // same tie-broken order (the test may use the global window the
+    // production path exists to avoid)
+    val expected = df.withColumn("xrk", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("id")))
+      .cast("long"))
+    val mism = ranked.join(expected, Seq("id"))
+      .filter(col("rk") =!= col("xrk")).count()
+    assert(mism == 0L, s"$mism rows rank differently from the global sort")
+  }
+
   test("Scaling merge mode parses its own artifact and refuses a base-dir mismatch") {
     val f = java.nio.file.Files.createTempFile("scaling", ".json")
     val json = """{"base":"/data/sf0.1","multipliers":[4,16],"linear_ratio":4.0,""" +

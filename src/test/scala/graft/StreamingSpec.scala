@@ -380,6 +380,70 @@ class StreamingSpec extends SparkSpec {
     assert(batch == expected)
   }
 
+  test("streaming funnel latency rollup: chained join→window agg matches the " +
+      "batch transform, restart-safe (T8)") {
+    implicit val ctx = spark.sqlContext
+    // pair-grain latency rollup on the stream-stream range join output:
+    // user 1's click converts TWICE inside its hour (both pairs count),
+    // user 2's click converts once in the NEXT hour window, user 3's
+    // purchase has no click (no pair), and the late sentinels advance
+    // BOTH sides' watermarks (the join output's click_ts watermark is
+    // bounded by purchase_wm − 1 h, so a click-only sentinel would
+    // leave the last window open) without pairing with each other
+    // (different users) so every data window closes
+    val data = Seq(
+      EvIn(1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0, "{}"),
+      EvIn(2L, ts("2024-01-01 10:10:00"), 1L, "purchase", 5.0, "{}"),
+      EvIn(3L, ts("2024-01-01 10:40:00"), 1L, "purchase", 7.0, "{}"),
+      EvIn(4L, ts("2024-01-01 11:30:00"), 2L, "click", 0.0, "{}"),
+      EvIn(5L, ts("2024-01-01 12:10:00"), 2L, "purchase", 3.0, "{}"),
+      EvIn(6L, ts("2024-01-01 12:20:00"), 3L, "purchase", 2.0, "{}"))
+    val ms = MemoryStream[EvIn]
+    val q = EventPipeline.funnelLatencyRollup(ms.toDF())
+      .writeStream.format("memory").queryName("fl_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(data: _*)
+      q.processAllAvailable()
+      ms.addData(
+        EvIn(9L, ts("2024-02-01 00:00:00"), 9L, "click", 0.0, "{}"),
+        EvIn(10L, ts("2024-02-01 00:00:00"), 8L, "purchase", 0.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("fl_out")
+      .select($"win_start".cast("string"), $"n_pairs", $"min_us", $"max_us", $"sum_us")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val expected = Set(
+      ("2024-01-01 10:00:00", 2L, 600000000L, 2400000000L, 3000000000L),
+      ("2024-01-01 11:00:00", 1L, 2400000000L, 2400000000L, 2400000000L))
+    assert(out == expected, s"streaming $out vs hand-computed $expected")
+    // the SAME transform as a plain batch DataFrame agrees window-for-window
+    // (this is also what the oracled q_funnel_latency pins corpus-wide)
+    val batch = EventPipeline.funnelLatencyRollup(spark.createDataset(data).toDF())
+      .select($"win_start".cast("string"), $"n_pairs", $"min_us", $"max_us", $"sum_us")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(batch == expected)
+    // restart on a checkpointed file-source run: AvailableNow over the
+    // same input, then a second start with nothing new → no duplicate
+    // windows in the append sink
+    val src = tmp("fl-src"); val sink = tmp("fl-sink"); val chk = tmp("fl-chk")
+    val all = data ++ Seq(
+      EvIn(9L, ts("2024-02-01 00:00:00"), 9L, "click", 0.0, "{}"),
+      EvIn(10L, ts("2024-02-01 00:00:00"), 8L, "purchase", 0.0, "{}"))
+    spark.createDataset(all).toDF().write.mode("overwrite").parquet(src)
+    def start() = EventPipeline.funnelLatencyRollup(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .start(sink)
+    val q1 = start(); q1.awaitTermination(120000)
+    val n1 = spark.read.parquet(sink).count()
+    assert(n1 == 2, s"expected the two closed windows, got $n1")
+    val q2 = start(); q2.awaitTermination(120000)
+    assert(spark.read.parquet(sink).count() == n1) // no reprocessing
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions via event-time timeout (T8)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
