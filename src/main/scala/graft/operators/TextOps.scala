@@ -3262,7 +3262,9 @@ object TextOps {
   // corpus-grain, so a global row_number window would single-partition
   // the corpus — the exact class q_deciles/q_rfm were rewritten for
   private def qBm25(s: SparkSession, d: String): DataFrame =
-    ScaleRank.withGlobalRank(bm25Frame(s, d), -col("score"),
+    // per-doc frame pinned once — ScaleRank's two model passes would
+    // otherwise replay the BM25 chain per pass
+    ScaleRank.withGlobalRank(bm25Frame(s, d).localCheckpoint(), -col("score"),
         Seq(col("score").desc, col("doc_id")), "rank", "__n")
       .select("doc_id", "dl", "n_matched", "score", "rank")
       .orderBy("doc_id")
@@ -3285,7 +3287,10 @@ object TextOps {
     * numbered over the 20 survivors only. */
   private def qHybridRrf(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    val lexRank = ScaleRank.withGlobalRank(bm25Frame(s, d), -col("score"),
+    // both per-doc score frames pinned once (multi-consumer rule:
+    // ScaleRank's model passes would replay the scoring chains)
+    val lexRank = ScaleRank.withGlobalRank(
+        bm25Frame(s, d).localCheckpoint(), -col("score"),
         Seq(col("score").desc, col("doc_id")), "rank_lex", "__nl")
       .select("doc_id", "rank_lex")
     val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
@@ -3295,6 +3300,7 @@ object TextOps {
         col("embedding").cast("array<double>").as("c_vec"))
       .crossJoin(broadcast(qv))
       .withColumn("cos", expr("graft_cosine(c_vec, q_vec)"))
+      .localCheckpoint()
     val vecRank = ScaleRank.withGlobalRank(cosFrame, -col("cos"),
         Seq(col("cos").desc, col("doc_id")), "rank_vec", "__nv")
       .select("doc_id", "rank_vec")
@@ -3352,8 +3358,13 @@ object TextOps {
   private def rankedRelevance(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val rel = bm25Tf(docs).groupBy("doc_id").agg(sum(col("tf")).as("rel"))
+    // pin the per-doc frame once: ScaleRank's model passes (min/max
+    // agg + bucket counts) plus the output plan would otherwise replay
+    // the whole BM25 scoring chain three times per consumer (the
+    // multi-consumer lineage-replay rule)
     val joined = bm25Frame(s, d).join(rel, Seq("doc_id"), "left_outer")
       .withColumn("rel", coalesce(col("rel"), lit(0L)).cast("long"))
+      .localCheckpoint()
     ScaleRank.withGlobalRank(joined, -col("score"),
         Seq(col("score").desc, col("doc_id")), "rank", "__n")
       .select("doc_id", "rel", "rank")
@@ -3373,6 +3384,9 @@ object TextOps {
     * broadcasts a 5-row frame; everything else is hash aggregation. */
   private def qNdcg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // NOT re-pinned: rankedRelevance pins its per-doc frame internally,
+    // so consumer replays only repeat the cheap bucket window — an A/B
+    // showed a second checkpoint here costs more than it saves
     val ranked = rankedRelevance(s, d)
     val ideal = ScaleRank.withGlobalRank(ranked, -col("rel"),
       Seq(col("rel").desc, col("doc_id")), "irank", "__ni")
@@ -3409,6 +3423,7 @@ object TextOps {
     import s.implicits._
     val flagged = rankedRelevance(s, d)
       .withColumn("is_rel", when(col("rel") >= RelevanceBar, 1L).otherwise(0L))
+      .localCheckpoint() // consumed by the prefix sum's model passes + plan
     val cum = ScaleRank.withPrefixSum(flagged, col("rank"), Seq(col("rank")),
         col("is_rel"), "__pref")
       .withColumn("cum_rel", (col("__pref") + col("is_rel")).cast("long"))
