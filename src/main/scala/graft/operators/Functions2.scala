@@ -84,6 +84,39 @@ object Functions2 {
         max(col("l_shipdate")).as("last_ship"))
       .orderBy("l_returnflag")
 
+  /** EXACT corpus-grain order statistics with NO global sort — the
+    * 100 TB answer to "the exact p99, not a sketch": q_percentile's
+    * exact `percentile()` holds per-group sort state (fine at bounded
+    * group cardinality, corpus-fatal ungrouped), and
+    * q_approx_percentile trades exactness for mergeability. This
+    * query gets the exact k-th order statistic of the FULL lineitem
+    * price column via value-grain counting: one hash aggregate to
+    * (value, count) — map-side partials, the biggest shuffle carries
+    * distinct values only — then ScaleRank.withPrefixSum (two-level:
+    * deterministic value buckets, bucket-partitioned running sums,
+    * bucket-grain offsets as a map literal) gives each value its
+    * exact preceding-row count, and the quantile row is the one whose
+    * [pref, pref+cnt) interval contains k. k itself is exact integer
+    * arithmetic — k = ⌈p·n⌉ as (num·n + den − 1) DIV den over the
+    * rational p — so no boundary ever hinges on a float; both engines
+    * run the IDENTICAL selection (the oracle does not call a
+    * percentile builtin). */
+  private def qExactQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vals = Tables.lineitem(s, d)
+      .groupBy(col("l_extendedprice").as("v")).agg(count(lit(1)).as("cnt"))
+    val pref = ScaleRank.withPrefixSum(vals, col("v"), Seq(col("v")),
+      col("cnt"), "pref")
+    val tot = vals.agg(sum(col("cnt")).as("n"))
+    val qs = Seq((1L, 4L, "p25"), (1L, 2L, "p50"), (3L, 4L, "p75"),
+      (99L, 100L, "p99")).toDF("num", "den", "p")
+    pref.crossJoin(broadcast(tot)).crossJoin(broadcast(qs))
+      .withColumn("k", expr("(num * n + den - 1) DIV den"))
+      .filter(col("pref") < col("k") && col("k") <= col("pref") + col("cnt"))
+      .select(col("p"), col("k"), col("n"), col("v").cast("double").as("value"))
+      .orderBy("p")
+  }
+
   /** Winsorized robust means — clip each group's values to its exact
     * [p05, p95] band, report the clip counts and the raw vs winsorized
     * DECIMAL-pinned means (the outlier-robust statistic a metrics
@@ -632,6 +665,7 @@ object Functions2 {
     "q_string_funcs2" -> (qStringFuncs2 _),
     "q_date_funcs2" -> (qDateFuncs2 _),
     "q_percentile" -> (qPercentile _),
+    "q_exact_quantiles" -> (qExactQuantiles _),
     "q_winsorize" -> (qWinsorize _),
     "q_histogram" -> (qHistogram _),
     "q_deciles" -> (qDeciles _),
@@ -893,6 +927,25 @@ object Functions2 {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q_exact_quantiles" ->
+      """WITH vals AS (
+        |  SELECT l_extendedprice AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1
+        |), pref AS (
+        |  SELECT v, cnt,
+        |         CAST(COALESCE(SUM(cnt) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS pref
+        |  FROM vals
+        |), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vals),
+        |qs(num, den, p) AS (VALUES (1, 4, 'p25'), (1, 2, 'p50'),
+        |                           (3, 4, 'p75'), (99, 100, 'p99'))
+        |SELECT p, CAST((num * n + den - 1) // den AS BIGINT) AS k, n,
+        |       CAST(v AS DOUBLE) AS value
+        |FROM pref CROSS JOIN tot CROSS JOIN qs
+        |WHERE pref < (num * n + den - 1) // den
+        |  AND (num * n + den - 1) // den <= pref + cnt
+        |ORDER BY p""".stripMargin,
     "q_anomaly" ->
       """WITH stats AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

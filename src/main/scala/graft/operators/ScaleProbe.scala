@@ -287,7 +287,11 @@ object ScaleProbe {
       "q_minhash_recall" -> TextOps.queries("q_minhash_recall"),
       // exact-rational gap fill: spine grid join + per-key carry
       // windows — all key-partitioned, measured rather than argued
-      "q_gap_fill" -> Relational.queries("q_gap_fill")
+      "q_gap_fill" -> Relational.queries("q_gap_fill"),
+      // exact corpus order statistics via value-grain counting + the
+      // two-level prefix sum — the "exact p99 with no global sort"
+      // claim carries its own exponent
+      "q_exact_quantiles" -> Functions2.queries("q_exact_quantiles")
     )
   }
 

@@ -1002,6 +1002,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_conversions")).sum == deltas.length.toLong)
   }
 
+  test("q_exact_quantiles: driver sort replay — the k-th order statistic, exactly") {
+    val rows = q("q_exact_quantiles").collect()
+    assert(rows.map(_.getAs[String]("p")).sorted.toSeq ==
+      Seq("p25", "p50", "p75", "p99"))
+    val prices = graft.sources.Tables.lineitem(spark, Sf0001)
+      .select($"l_extendedprice".cast("double")).collect()
+      .map(_.getDouble(0)).sorted
+    val n = prices.length.toLong
+    val expectK = Map("p25" -> (n + 3) / 4, "p50" -> (n + 1) / 2,
+      "p75" -> (3 * n + 3) / 4, "p99" -> (99 * n + 99) / 100)
+    for (r <- rows) {
+      val p = r.getAs[String]("p")
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("k") == expectK(p), s"$p k")
+      assert(r.getAs[Double]("value") == prices(expectK(p).toInt - 1),
+        s"$p order statistic")
+    }
+  }
+
   test("q_cdc_apply: driver change-log replay; tombstoned keys absent") {
     val rows = q("q_cdc_apply").collect()
     assert(rows.nonEmpty)

@@ -441,7 +441,7 @@ class PlanAuditSpec extends SparkSpec {
     for (q <- Seq("q_deciles", "q_rfm", "q_mann_whitney", "q_common_paths",
         "q_rolling_distinct", "q_trend", "q_gap_fill",
         "q_spearman", "q_skipping_stats", "q_bm25", "q_ndcg",
-        "q_retrieval_metrics", "q_eval_multiprobe")) {
+        "q_retrieval_metrics", "q_eval_multiprobe", "q_exact_quantiles")) {
       val lp = SparkEntry.queries(q)(spark, Sf0001).queryExecution.optimizedPlan
       val bad = lp.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
