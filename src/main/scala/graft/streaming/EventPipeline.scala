@@ -809,4 +809,69 @@ object EventPipeline {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  // ---- CDC materializer (streaming twin of q_cdc_apply) --------------
+
+  /** The materialized per-key CDC row: the key's LATEST change by
+    * (event-time, event_id), with 'error' events acting as DELETE
+    * tombstones (`deleted` = the key is absent from the serving
+    * view). */
+  final case class CdcState(user_id: Long, last_us: Long, last_id: Long,
+      last_type: String, last_value: Double, deleted: Boolean)
+
+  /** Streaming CDC apply on transformWithState — the stateful twin of
+    * the batch q_cdc_apply window: per key, keep the change that is
+    * MAXIMAL in (event_time, event_id) and emit the current winner
+    * whenever a micro-batch touches the key (Update mode). Crucially
+    * this is OUT-OF-ORDER SAFE: a late-arriving older change compares
+    * below the stored winner and cannot regress the materialized row —
+    * the property a log-compaction consumer needs and a naive
+    * "last write wins by arrival" foreachBatch upsert does not have.
+    * Tombstones stay IN STATE (deleted=true) rather than clearing it:
+    * clearing would let a late pre-delete change resurrect the key.
+    * RocksDB-backed like RunningUserCounts, so key cardinality is
+    * bounded by disk, not executor memory. */
+  class CdcMaterializer
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, CdcState] {
+    @transient private var cur:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, String, Double)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      cur = getHandle.getValueState[(Long, Long, String, Double)]("cur",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[CdcState] = {
+      var best: Option[(Long, Long, String, Double)] =
+        if (cur.exists()) Some(cur.get()) else None
+      rows.foreach { e =>
+        val us = e.ts.getTime * 1000L
+        if (best.isEmpty
+            || us > best.get._1
+            || (us == best.get._1 && e.event_id > best.get._2))
+          best = Some((us, e.event_id, e.event_type, e.value))
+      }
+      val b = best.get // rows is non-empty for a touched key
+      cur.update(b)
+      Iterator.single(CdcState(key, b._1, b._2, b._3, b._4, b._3 == "error"))
+    }
+  }
+
+  /** Streaming entry for [[CdcMaterializer]] (Update mode — each
+    * micro-batch emits the current winner for every touched key). */
+  def cdcMaterialized(events: Dataset[Ev]): Dataset[CdcState] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new CdcMaterializer,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

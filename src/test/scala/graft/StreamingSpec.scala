@@ -548,6 +548,76 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(history).count() == 50) // no duplicate batch
   }
 
+  test("streaming CDC materializer: out-of-order changes cannot regress the row; " +
+      "tombstones flag deletion (RocksDB state)") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = EventPipeline.cdcMaterialized(ms.toDS())
+        .writeStream.format("memory").queryName("cdc_out")
+        .outputMode("update").start()
+      try {
+        // batch 1: u1 gets two changes (purchase wins by time), u2 one
+        ms.addData(
+          Ev(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+          Ev(2L, ts("2024-01-01 10:20:00"), 1L, "purchase", 9.0),
+          Ev(3L, ts("2024-01-01 10:05:00"), 2L, "view", 2.0))
+        q.processAllAvailable()
+        // batch 2: a LATE change for u1 older than its stored winner —
+        // must NOT regress the materialized row; u2 is tombstoned
+        ms.addData(
+          Ev(4L, ts("2024-01-01 10:10:00"), 1L, "view", 3.0),
+          Ev(5L, ts("2024-01-01 11:00:00"), 2L, "error", 0.0))
+        q.processAllAvailable()
+        // batch 3: a post-delete change for u2 resurrects it (newer
+        // than the tombstone — correct compaction semantics)
+        ms.addData(Ev(6L, ts("2024-01-01 12:00:00"), 2L, "signup", 4.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table("cdc_out")
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+            .orderBy($"last_us".desc, $"last_id".desc)))
+        .filter($"rn" === 1)
+        .select($"user_id", $"last_id", $"last_type", $"deleted")
+        .as[(Long, Long, String, Boolean)].collect()
+        .map { case (u, id, tpe, del) => u -> ((id, tpe, del)) }.toMap
+      // u1's winner is still the 10:20 purchase — the late 10:10 view
+      // emitted a row but could not displace it
+      assert(out(1L) == ((2L, "purchase", false)))
+      // u2's final state is the 12:00 signup (resurrected after the
+      // tombstone); the intermediate emission history must show the
+      // tombstone was the winner between batches 2 and 3
+      assert(out(2L) == ((6L, "signup", false)))
+      val u2hist = spark.table("cdc_out").filter($"user_id" === 2L)
+        .select($"last_id", $"deleted").as[(Long, Boolean)].collect().toSet
+      assert(u2hist.contains((5L, true)), s"tombstone emission missing: $u2hist")
+      // parity with the batch q_cdc_apply shape: latest-per-key over
+      // the same rows, driver-recounted
+      val all = Seq(
+        (1L, ts("2024-01-01 10:00:00").getTime, 1L, "click"),
+        (2L, ts("2024-01-01 10:20:00").getTime, 1L, "purchase"),
+        (3L, ts("2024-01-01 10:05:00").getTime, 2L, "view"),
+        (4L, ts("2024-01-01 10:10:00").getTime, 1L, "view"),
+        (5L, ts("2024-01-01 11:00:00").getTime, 2L, "error"),
+        (6L, ts("2024-01-01 12:00:00").getTime, 2L, "signup"))
+      val expect = all.groupBy(_._3).view.mapValues(
+        _.maxBy(e => (e._2, e._1))).toMap
+      expect.foreach { case (u, e) =>
+        assert(out(u)._1 == e._1 && out(u)._3 == (e._4 == "error"), s"user $u")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState running counters accumulate across micro-batches (RocksDB state)") {
     implicit val ctx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
