@@ -103,14 +103,19 @@ object Functions2 {
     * percentile builtin). */
   private def qExactQuantiles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // n from the parquet metadata count (no column scan); the
+    // value-grain frame is pinned once — the prefix sum's model passes
+    // plus the final plan would otherwise re-run the corpus aggregate
+    // three times (the multi-consumer rule)
+    val n = Tables.lineitem(s, d).count()
     val vals = Tables.lineitem(s, d)
       .groupBy(col("l_extendedprice").as("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val pref = ScaleRank.withPrefixSum(vals, col("v"), Seq(col("v")),
       col("cnt"), "pref")
-    val tot = vals.agg(sum(col("cnt")).as("n"))
     val qs = Seq((1L, 4L, "p25"), (1L, 2L, "p50"), (3L, 4L, "p75"),
       (99L, 100L, "p99")).toDF("num", "den", "p")
-    pref.crossJoin(broadcast(tot)).crossJoin(broadcast(qs))
+    pref.withColumn("n", lit(n)).crossJoin(broadcast(qs))
       .withColumn("k", expr("(num * n + den - 1) DIV den"))
       .filter(col("pref") < col("k") && col("k") <= col("pref") + col("cnt"))
       .select(col("p"), col("k"), col("n"), col("v").cast("double").as("value"))
