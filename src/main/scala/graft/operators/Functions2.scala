@@ -122,6 +122,35 @@ object Functions2 {
       .orderBy("p")
   }
 
+  /** GROUPED exact order statistics — the per-key companion of
+    * q_exact_quantiles: per return flag, the exact p50/p90/p99 of the
+    * price column by value-grain counting inside each group. Here the
+    * prefix sum needs NO two-level machinery: the running count
+    * partitions by the group key, so every window in the plan is
+    * key-partitioned and the shape is trivially parallel at any
+    * group cardinality (the two-level ScaleRank form is only for the
+    * UNGROUPED corpus-total order). k = ⌈p·n_g⌉ in exact integer
+    * arithmetic per group, identical selection in the oracle. */
+  private def qGroupQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vals = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val byFlag = Window.partitionBy(col("flag")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = vals
+      .withColumn("pref", coalesce(sum(col("cnt")).over(byFlag), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("flag"))))
+    val qs = Seq((1L, 2L, "p50"), (9L, 10L, "p90"), (99L, 100L, "p99"))
+      .toDF("num", "den", "p")
+    pref.crossJoin(broadcast(qs))
+      .withColumn("k", expr("(num * n + den - 1) DIV den"))
+      .filter(col("pref") < col("k") && col("k") <= col("pref") + col("cnt"))
+      .select(col("flag"), col("p"), col("k"), col("n"),
+        col("v").cast("double").as("value"))
+      .orderBy("flag", "p")
+  }
+
   /** Winsorized robust means — clip each group's values to its exact
     * [p05, p95] band, report the clip counts and the raw vs winsorized
     * DECIMAL-pinned means (the outlier-robust statistic a metrics
@@ -671,6 +700,7 @@ object Functions2 {
     "q_date_funcs2" -> (qDateFuncs2 _),
     "q_percentile" -> (qPercentile _),
     "q_exact_quantiles" -> (qExactQuantiles _),
+    "q_group_quantiles" -> (qGroupQuantiles _),
     "q_winsorize" -> (qWinsorize _),
     "q_histogram" -> (qHistogram _),
     "q_deciles" -> (qDeciles _),
@@ -951,6 +981,26 @@ object Functions2 {
         |WHERE pref < (num * n + den - 1) // den
         |  AND (num * n + den - 1) // den <= pref + cnt
         |ORDER BY p""".stripMargin,
+    "q_group_quantiles" ->
+      """WITH vals AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2
+        |), pref AS (
+        |  SELECT flag, v, cnt,
+        |         CAST(COALESCE(SUM(cnt) OVER (PARTITION BY flag ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS pref,
+        |         CAST(SUM(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM vals
+        |), qs(num, den, p) AS (VALUES (1, 2, 'p50'), (9, 10, 'p90'),
+        |                             (99, 100, 'p99'))
+        |SELECT flag, p, CAST((num * n + den - 1) // den AS BIGINT) AS k, n,
+        |       CAST(v AS DOUBLE) AS value
+        |FROM pref CROSS JOIN qs
+        |WHERE pref < (num * n + den - 1) // den
+        |  AND (num * n + den - 1) // den <= pref + cnt
+        |ORDER BY flag, p""".stripMargin,
     "q_anomaly" ->
       """WITH stats AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

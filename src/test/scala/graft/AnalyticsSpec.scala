@@ -1021,6 +1021,24 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_group_quantiles: per-group driver sort replay") {
+    val rows = q("q_group_quantiles").collect()
+    val byFlag = graft.sources.Tables.lineitem(spark, Sf0001)
+      .select($"l_returnflag", $"l_extendedprice".cast("double")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(rows.map(_.getAs[String]("flag")).distinct.sorted.toSeq ==
+      byFlag.keys.toSeq.sorted)
+    for (r <- rows) {
+      val prices = byFlag(r.getAs[String]("flag"))
+      val n = prices.length.toLong
+      assert(r.getAs[Long]("n") == n)
+      val k = r.getAs[Long]("k")
+      assert(r.getAs[Double]("value") == prices(k.toInt - 1),
+        s"${r.getAs[String]("flag")}/${r.getAs[String]("p")}")
+    }
+  }
+
   test("q_cdc_apply: driver change-log replay; tombstoned keys absent") {
     val rows = q("q_cdc_apply").collect()
     assert(rows.nonEmpty)
