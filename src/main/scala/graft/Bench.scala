@@ -1,7 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE final JSON line with per-query medians,
+  * and — crucially — a complete, parseable PARTIAL JSON line after
+  * EVERY finished query: the driver keeps the tail of stdout and kills
+  * the run at a fixed wall budget, so a timeout must still yield an
+  * artifact of record (r11's run was killed at ~3600 s and produced
+  * `parsed: null` because the old harness wrote the artifact only at
+  * the very end — 2900+ s of finished passes discarded).
+  *
+  * Structure per query: GC-settle barrier → 1 warmup pass → 3 timed
+  * passes → median. Grouping passes per query (instead of whole-suite
+  * passes) is what makes incremental emission possible: a query is
+  * DONE minutes into the run, not only after the last suite-wide pass.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val wall0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -23,7 +38,7 @@ object Bench {
     // tripwire only fires on slower): record the failure, keep it out
     // of the JSON numbers, and exit nonzero at the end
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    def run(name: String): Option[Double] = {
+    def clearResidue(): Unit = {
       // drop cross-query residue BEFORE the clock starts: queries using
       // localCheckpoint (CC loop, tfidf, minhash) leave their blocks
       // registered until the ContextCleaner catches up, and ~200
@@ -38,6 +53,8 @@ object Bench {
       graft.operators.GraphOps.clearGraphCache()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    def gcSettle(): Unit = {
       // GC → settle → GC barrier: the first collection queues the
       // now-unreferenced checkpoint/shuffle blocks to the async
       // ContextCleaner, the settle gives the cleaner thread a beat to
@@ -47,6 +64,10 @@ object Bench {
       // GC mid-flight (the documented ±30%-plus swing class on the
       // heavy graph lines: same binary, 15 vs 31 s across artifacts)
       System.gc(); Thread.sleep(150); System.gc()
+    }
+    def run(name: String, barrier: Boolean): Option[Double] = {
+      clearResidue()
+      if (barrier) gcSettle()
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -75,95 +96,111 @@ object Bench {
         asked
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
-    // full warmup pass: JVM/codegen warmup, parquet footer caches, and
-    // per-query plan compilation jitter land here, so the timed pass
-    // is comparable round over round
-    names.foreach(run)
+    // regression tripwire baseline: load the previous artifact's
+    // per-query medians BEFORE overwriting it, and flag live per query
+    // (one loud stderr line beats round-over-round JSON archaeology).
+    // optional exponent: 1.0E-4 must parse as 1e-4, not 1.0 — a
+    // sub-millisecond prior time would otherwise corrupt the baseline
+    val prevFile = java.nio.file.Paths.get("BENCH_FULL.json")
+    val prevTimes: Map[String, Double] =
+      if (java.nio.file.Files.exists(prevFile)) {
+        val prev = new String(java.nio.file.Files.readAllBytes(prevFile), "UTF-8")
+        val entry = "\"(q_[a-z0-9_]+)\":([0-9.]+(?:[Ee][+-]?[0-9]+)?)".r
+        entry.findAllMatchIn(prev)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
     // median of 3 timed passes per query: single-pass totals swung
     // 79 vs 93 s across runs of the SAME binary from host contention
     // alone, so a per-query median (and a total OF medians) is the
     // smallest sample that yields a reproducible regression signal.
-    // HEAVY lines (median > 5 s) get 2 extra passes (median of 5):
-    // they are exactly where host contention lands hardest (2x driver-
-    // vs-builder swings on the same code), and 5 samples cost little
-    // relative to the lines themselves while halving the chance one
-    // contended pass decides the published number. The artifact
-    // records each query's per-pass [min, max] spread so a cross-run
-    // delta can be read against the measured within-run envelope
-    // instead of guessed at.
+    // (r12: the former median-of-5 on >5 s lines is retired — the 22
+    // heavy lines' 2 extra passes cost ~300 s of suite wall, a big
+    // slice of the r11 timeout, and the per-pass [min,max] spreads
+    // already expose within-run variance for cross-run reads.)
     val passes = 3
-    val HeavySeconds = 5.0
-    val HeavyExtraPasses = 2
-    val spreads = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Int)]()
-    val results = names.flatMap { n =>
-      val base = Seq.fill(passes)(run(n)).flatten
-      // a query that failed ANY pass gets no numeric entry — a partial
-      // median would still under-report it
-      if (base.size != passes) None
-      else {
-        val isHeavy = base.sorted.apply(passes / 2) > HeavySeconds
-        val extra =
-          if (isHeavy) Seq.fill(HeavyExtraPasses)(run(n)).flatten else Nil
-        // extra passes obey the same rule: a failed pass voids the
-        // entry (a partial 4-sample set would publish its upper-middle
-        // value as a "median" while the query also sits in `failed`)
-        if (isHeavy && extra.size != HeavyExtraPasses) None
-        else {
-          val ts = (base ++ extra).sorted
-          spreads(n) = (ts.head, ts.last, ts.size)
-          Some(n -> ts(ts.size / 2))
-        }
-      }
-    }
-    // regression tripwire: compare per-query medians against the
-    // previous artifact BEFORE overwriting it — with median-of-3 the
-    // numbers are stable enough that a >2x jump (beyond sub-second
-    // noise) is signal, and it should be one loud stderr line instead
-    // of round-over-round JSON archaeology
-    val prevFile = java.nio.file.Paths.get("BENCH_FULL.json")
-    if (java.nio.file.Files.exists(prevFile)) {
-      val prev = new String(java.nio.file.Files.readAllBytes(prevFile), "UTF-8")
-      // optional exponent: 1.0E-4 must parse as 1e-4, not 1.0 — a
-      // sub-millisecond prior time would otherwise corrupt the baseline
-      val entry = "\"(q_[a-z0-9_]+)\":([0-9.]+(?:[Ee][+-]?[0-9]+)?)".r
-      val prevTimes = entry.findAllMatchIn(prev)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      results.foreach { case (n, t) =>
-        prevTimes.get(n).filter(p => t > 2 * p && t - p > 0.5).foreach { p =>
-          System.err.println(
-            f"[bench] REGRESSION $n: $p%.2f s -> $t%.2f s (${t / p}%.1fx)")
-        }
-      }
-    }
-    // the driver's artifact keeps the TAIL of the stdout line (BENCH_r*
-    // "tail" fields all start mid-line and end at sbt's success line),
-    // so the end of the JSON object is what survives truncation: put
-    // the FASTEST queries first (heavy hitters last → kept) and the
-    // headline metric/value/sf fields AFTER the queries map — key order
-    // is irrelevant to any JSON parser that sees the whole line, and
-    // the truncated tail now carries the numbers that matter. Times are
-    // ms-precision (3 decimals) to shorten the line; BENCH_FULL.json
-    // keeps the same rounding (sub-ms digits are noise at this scale).
-    // Locale.ROOT: the f-interpolator honors the JVM default locale,
-    // and a comma decimal separator would corrupt the JSON
+    // Barrier policy (r12): the full GC-settle barrier runs before
+    // every query's warmup pass (clearing the PREVIOUS query's
+    // residue), but between the timed passes of a SUB-SECOND query it
+    // is skipped — a query that finishes in <1 s neither leaves enough
+    // residue to poison its own next pass nor amortizes a ~1 s
+    // barrier. ~270 of 297 queries are sub-second-to-low-second, so
+    // this alone buys back ~800 of the ~930 barrier-seconds that
+    // helped push r11 past the driver's wall budget. Cache clears
+    // (cheap, race-free) still run before every pass.
+    val BarrierSeconds = 1.0
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.sortBy(_._2).map { case (k, v) => s""""$k":${ms(v)}""" }
-      .mkString("{", ",", "}")
-    // per-pass spreads lead the object (truncation-safe position: the
-    // driver keeps the TAIL of the line, so queries + headline survive
-    // even if the spreads don't): [min, max, n_passes] per query
-    val sp = results.sortBy(_._2).map { case (k, _) =>
-      val (lo, hi, np) = spreads(k)
-      s""""$k":[${ms(lo)},${ms(hi)},$np]"""
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val failedJson =
-      if (failed.isEmpty) ""
-      else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    val json =
-      s"""{"spread":$sp,"queries":$qs$failedJson,"passes_per_query":$passes,"heavy_extra_passes":$HeavyExtraPasses,"stat":"median","n_queries":${results.size},"sf":"$sfDir","metric":"total","unit":"sec","value":${ms(total)}}"""
-    println(json)
+    // Locale.ROOT: the f-interpolator honors the JVM default locale,
+    // and a comma decimal separator would corrupt the JSON
+    val spreads = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Int)]()
+    val results = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    // one complete JSON line per finished query, headline fields LAST:
+    // the driver's artifact keeps the TAIL of the stdout stream, so
+    // whatever was flushed most recently survives a wall-clock kill,
+    // and within a line the totals sit at the truncation-safe end.
+    // "partial":true marks every line but the last; a parser that
+    // takes the final complete JSON line gets the full artifact on a
+    // clean run and the best-available prefix on a timeout.
+    def artifactLine(partial: Boolean): String = {
+      val sorted = results.sortBy(_._2)
+      val qs = sorted.map { case (k, v) => s""""$k":${ms(v)}""" }
+        .mkString("{", ",", "}")
+      val sp = sorted.map { case (k, _) =>
+        val (lo, hi, np) = spreads(k)
+        s""""$k":[${ms(lo)},${ms(hi)},$np]"""
+      }.mkString("{", ",", "}")
+      val total = results.map(_._2).sum
+      val failedJson =
+        if (failed.isEmpty) ""
+        else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      val partialJson = if (partial) s""","partial":true""" else ""
+      s"""{"spread":$sp,"queries":$qs$failedJson$partialJson,"passes_per_query":$passes,"stat":"median","n_queries":${results.size},"n_asked":${names.size},"sf":"$sfDir","metric":"total","unit":"sec","value":${ms(total)}}"""
+    }
+    @volatile var lastLine = ""
+    def emit(partial: Boolean): Unit = {
+      lastLine = artifactLine(partial)
+      println(lastLine)
+      System.out.flush()
+    }
+    // belt-and-braces for a SIGTERM kill: flush one final complete
+    // line from the shutdown hook (sbt's forked-process destroy sends
+    // TERM, so hooks run; if the pipe is already gone this is a no-op)
+    val hook = new Thread(() => if (lastLine.nonEmpty) {
+      println(lastLine); System.out.flush()
+    })
+    Runtime.getRuntime.addShutdownHook(hook)
+    names.zipWithIndex.foreach { case (n, i) =>
+      // warmup pass (always behind a full barrier): JVM/codegen warmup,
+      // parquet footer caches, and plan compilation jitter land here,
+      // so the timed passes are comparable round over round
+      val warm = run(n, barrier = true)
+      warm match {
+        case None => // warmup threw — timed passes would throw the same
+          // way; n is already in `failed`, skip the redundant 3 passes
+        case Some(w) =>
+          val perPassBarrier = w > BarrierSeconds
+          val ts = Seq.fill(passes)(run(n, barrier = perPassBarrier)).flatten
+          // a query that failed ANY pass gets no numeric entry — a
+          // partial median would still under-report it
+          if (ts.size == passes) {
+            val sorted = ts.sorted
+            val med = sorted(passes / 2)
+            spreads(n) = (sorted.head, sorted.last, passes)
+            results += (n -> med)
+            prevTimes.get(n).filter(p => med > 2 * p && med - p > 0.5).foreach { p =>
+              System.err.println(
+                f"[bench] REGRESSION $n: $p%.2f s -> $med%.2f s (${med / p}%.1fx)")
+            }
+          }
+      }
+      emit(partial = i < names.size - 1)
+      // wall-budget log: growth must be visible per run, not discovered
+      // as a driver timeout two rounds later
+      val wall = (System.nanoTime() - wall0) / 1e9
+      System.err.println(
+        f"[bench] ${i + 1}/${names.size} done, wall $wall%.0f s, sum-of-medians ${results.map(_._2).sum}%.1f s")
+    }
+    Runtime.getRuntime.removeShutdownHook(hook)
     // belt-and-braces: the full result also lands in the repo so no
     // stdout truncation can lose per-query times. FULL runs only — a
     // filtered run must never replace the suite-wide artifact with a
@@ -172,7 +209,7 @@ object Bench {
     // (its total silently omits the broken queries)
     if (args.isEmpty && failed.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-        json.getBytes("UTF-8"))
+        lastLine.getBytes("UTF-8"))
     else if (args.nonEmpty)
       System.err.println("[bench] filtered run — BENCH_FULL.json not updated")
     spark.stop()

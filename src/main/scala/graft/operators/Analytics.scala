@@ -750,6 +750,15 @@ object Analytics {
   // testable bit-for-bit cross-engine; a production deployment swaps
   // in a real entropy source and keeps every other line. Shape: one
   // hash aggregate + per-row IEEE math — embarrassingly parallel.
+  //
+  // NON-PRIVATE BY CONSTRUCTION — the column names say so: the
+  // deterministic u is a publicly computable function of the group
+  // key, so released_test = true_n + f(nation) is exactly invertible
+  // and provides ZERO differential privacy. `epsilon_nominal` is the
+  // budget the mechanism WOULD spend with a real entropy source;
+  // `released_test` is the deterministic test-harness release. The
+  // names exist so the output schema cannot be mistaken for a private
+  // release and wired into production as-is.
   private val DpEps = 0.5
   private def qDpRelease(s: SparkSession, d: String): DataFrame = {
     Tables.customer(s, d)
@@ -758,7 +767,7 @@ object Analytics {
       .withColumn("u",
         (expr("CAST(conv(substring(md5(CAST(nation AS STRING)), 1, 8), 16, 10) AS BIGINT)")
           .cast("double") + lit(0.5)) / lit(4294967296.0))
-      .withColumn("epsilon", lit(DpEps))
+      .withColumn("epsilon_nominal", lit(DpEps))
       // ln is a libm call — Spark (Math.log) and DuckDB (C libm) can
       // differ in the last ulp, so the noise is pinned to
       // DECIMAL(18,9) (the BM25 per-term device) before exposure;
@@ -768,8 +777,8 @@ object Analytics {
               CASE WHEN u < 0.5 THEN (1.0 / $DpEps) * ln(2.0 * u)
                    ELSE -(1.0 / $DpEps) * ln(2.0 * (1.0 - u)) END
             AS DECIMAL(18,9)) AS DOUBLE)"""))
-      .withColumn("released", col("true_n").cast("double") + col("noise"))
-      .select("nation", "true_n", "epsilon", "u", "noise", "released")
+      .withColumn("released_test", col("true_n").cast("double") + col("noise"))
+      .select("nation", "true_n", "epsilon_nominal", "u", "noise", "released_test")
       .orderBy("nation")
   }
 
@@ -970,9 +979,15 @@ object Analytics {
   // 100 TB; ScaleRank ranks in bucket-partitioned parallel windows
   // with only bucket-grain (≤256-row) model state collected.
   private def qSpearman(s: SparkSession, d: String): DataFrame = {
+    // pin the per-customer frame: ScaleRank's model passes (combined
+    // min/max agg + the exploded counts pass) plus the ranked output
+    // plan each replay the upstream lineage — without the pin the
+    // orders scan + hash agg recompute 3× (the q_bm25 multi-consumer
+    // discipline)
     val per = Tables.orders(s, d).groupBy(col("o_custkey")).agg(
       count(lit(1)).as("n_orders"),
       sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+      .localCheckpoint()
     val ranked = ScaleRank.withGlobalRanks(per, Seq(
       (col("n_orders"), Seq(col("n_orders"), col("o_custkey")), "r_freq"),
       (col("spend"), Seq(col("spend"), col("o_custkey")), "r_spend")),
@@ -1265,8 +1280,8 @@ object Analytics {
         |         AS DECIMAL(18,9)) AS DOUBLE) AS noise
         |  FROM withu
         |)
-        |SELECT nation, true_n, CAST(0.5 AS DOUBLE) AS epsilon, u, noise,
-        |       CAST(true_n AS DOUBLE) + noise AS released
+        |SELECT nation, true_n, CAST(0.5 AS DOUBLE) AS epsilon_nominal, u, noise,
+        |       CAST(true_n AS DOUBLE) + noise AS released_test
         |FROM withn ORDER BY nation""".stripMargin,
     "q_trend" ->
       """WITH monthly AS (

@@ -540,9 +540,15 @@ object Functions2 {
   // per layout, a 4-row output.
   private def qSkippingStats(s: SparkSession, d: String): DataFrame = {
     val z = zValueSql("p_size", "(p_partkey % 64)")
+    // pin the interleaved base: it feeds TWO ScaleRank calls, each of
+    // whose model passes (min/max agg + bucket counts) plus output
+    // plan replays the upstream lineage — without the pin the part
+    // scan + 16-term Morton interleave recompute ~6× (the q_bm25
+    // multi-consumer discipline)
     val base = Tables.part(s, d)
       .withColumn("pmod", (col("p_partkey") % 64).cast("long"))
       .withColumn("z", expr(z))
+      .localCheckpoint()
     val arrival = ScaleRank.withGlobalRank(base,
         col("p_partkey"), Seq(col("p_partkey")), "__rk", "__n")
       .withColumn("layout", lit("arrival"))

@@ -43,14 +43,12 @@ object ScaleRank {
     * make ranks a non-permutation with no visible error). */
   type Dim = (Column, Seq[Column], String)
 
-  /** Worst-bucket mass fraction of the most recent [[withGlobalRanks]]
-    * counts pass (max bucket rows / total rows, AFTER any skew
-    * refinement) — observability for the bucket-skew edge: under
-    * heavy value skew the plan stays partitioned but the DATA can
-    * degrade toward the biggest bucket. ScalingSpec probes this with
-    * a zipf-skewed column; production callers can read it after
-    * ranking to alarm. */
-  @volatile private[graft] var lastMaxBucketFraction: Double = 0.0
+  // (observability for the bucket-skew edge — the worst-bucket mass
+  // fraction — is reported through the per-call `skewSink` parameter
+  // of withGlobalRanks; a former object-level `lastMaxBucketFraction`
+  // var raced under concurrent queries and was overwritten per call
+  // within multi-rank queries, so a reader could observe another
+  // query's value)
 
   /** A dimension whose equal-width worst bucket exceeds this multiple
     * of the ideal N/B mass gets boundary REFINEMENT (below): the
@@ -124,7 +122,7 @@ object ScaleRank {
     * (PlanAuditSpec pins the call sites).
     */
   def withGlobalRanks(df: DataFrame, dims: Seq[Dim], nCol: String,
-      buckets: Int = 256): DataFrame = {
+      buckets: Int = 256, skewSink: Double => Unit = _ => ()): DataFrame = {
     val aggs = dims.zipWithIndex.flatMap { case ((v, _, _), i) =>
       Seq(min(v.cast("double")).as(s"__lo$i"), max(v.cast("double")).as(s"__hi$i"),
         count(v).as(s"__nn$i"))
@@ -190,10 +188,12 @@ object ScaleRank {
     }
     // skew observability: even quantile boundaries cannot split a
     // single heavy VALUE (bucketing must stay a pure function of the
-    // value) — surface the post-refinement worst fraction so
-    // probes/callers can alarm (the plan audit cannot see data skew)
+    // value) — surface the post-refinement worst fraction through the
+    // caller's sink so probes/callers can alarm (the plan audit cannot
+    // see data skew; a per-call sink, unlike shared mutable state,
+    // cannot observe another concurrent query's value)
     val maxBucket = if (cnt.isEmpty) 0L else cnt.map(_._3).max
-    lastMaxBucketFraction = if (total > 0) maxBucket.toDouble / total else 0.0
+    skewSink(if (total > 0) maxBucket.toDouble / total else 0.0)
     if (total > buckets.toLong * 64 && maxBucket > total / 2)
       Console.err.println(f"WARN ScaleRank: worst bucket holds " +
         f"$maxBucket of $total rows (${100.0 * maxBucket / total}%.1f%%) — " +
@@ -220,8 +220,9 @@ object ScaleRank {
 
   /** Single-dimension convenience over [[withGlobalRanks]]. */
   def withGlobalRank(df: DataFrame, value: Column, order: Seq[Column],
-      rankCol: String, nCol: String, buckets: Int = 256): DataFrame =
-    withGlobalRanks(df, Seq((value, order, rankCol)), nCol, buckets)
+      rankCol: String, nCol: String, buckets: Int = 256,
+      skewSink: Double => Unit = _ => ()): DataFrame =
+    withGlobalRanks(df, Seq((value, order, rankCol)), nCol, buckets, skewSink)
 
   /** Adds `prefixCol` = exact running total of `weight` over all rows
     * STRICTLY before this one in the ascending total order — the

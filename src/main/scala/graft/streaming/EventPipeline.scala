@@ -851,7 +851,12 @@ object EventPipeline {
       var best: Option[(Long, Long, String, Double)] =
         if (cur.exists()) Some(cur.get()) else None
       rows.foreach { e =>
-        val us = e.ts.getTime * 1000L
+        // microsecond-exact event time: Timestamp.getTime is
+        // millisecond-grain (sub-ms lives in getNanos), and the events
+        // fixture is timestamp[us] — truncating here would order two
+        // same-millisecond changes by event_id instead of full time and
+        // diverge from batch q_cdc_apply's unix_micros
+        val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000L
         if (best.isEmpty
             || us > best.get._1
             || (us == best.get._1 && e.event_id > best.get._2))

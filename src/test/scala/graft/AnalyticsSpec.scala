@@ -1068,7 +1068,7 @@ class AnalyticsSpec extends SparkSpec {
     val rows = q("q_dp_release").collect()
     assert(rows.nonEmpty)
     for (r <- rows) {
-      val (u, eps) = (r.getAs[Double]("u"), r.getAs[Double]("epsilon"))
+      val (u, eps) = (r.getAs[Double]("u"), r.getAs[Double]("epsilon_nominal"))
       assert(u > 0.0 && u < 1.0 && u != 0.5)
       val raw =
         if (u < 0.5) (1.0 / eps) * math.log(2.0 * u)
@@ -1077,7 +1077,7 @@ class AnalyticsSpec extends SparkSpec {
       val expected = new java.math.BigDecimal(raw)
         .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
       assert(r.getAs[Double]("noise") == expected, s"nation ${r.getLong(0)}")
-      assert(r.getAs[Double]("released") ==
+      assert(r.getAs[Double]("released_test") ==
         r.getAs[Long]("true_n").toDouble + expected)
     }
     // the mechanism actually perturbs: not every noise is ~0

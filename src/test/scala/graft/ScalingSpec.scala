@@ -45,9 +45,10 @@ class ScalingSpec extends SparkSpec {
     val n = 200000L
     val df = spark.range(n)
       .select(col("id"), expr(s"CAST($n DIV (id + 1) AS BIGINT)").as("v"))
+    var frac = -1.0
     val ranked = graft.operators.ScaleRank.withGlobalRank(
-      df, col("v"), Seq(col("v"), col("id")), "rk", "nn")
-    val frac = graft.operators.ScaleRank.lastMaxBucketFraction
+      df, col("v"), Seq(col("v"), col("id")), "rk", "nn",
+      skewSink = f => frac = f)
     info(f"worst-bucket fraction under zipf skew: $frac%.3f (heavy-value mass ≈ 0.5)")
     assert(frac < 0.6,
       f"quantile refinement failed to rebalance: worst bucket $frac%.2f of mass")

@@ -618,6 +618,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CDC materializer orders by MICROSECOND event time: two changes " +
+      "within the same millisecond resolve by sub-ms time, not event_id") {
+    // the events fixture is timestamp[us]: 999/1000 rows carry sub-ms
+    // components, so a Timestamp.getTime-only comparison (ms grain)
+    // would order same-millisecond changes by event_id and emit a
+    // truncated last_us — both diverging from batch q_cdc_apply's
+    // unix_micros. Two changes 300µs apart inside one ms, where the
+    // LOWER event_id is the LATER change: micros ordering must win.
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = EventPipeline.cdcMaterialized(ms.toDS())
+        .writeStream.format("memory").queryName("cdc_us_out")
+        .outputMode("update").start()
+      try {
+        ms.addData(
+          Ev(9L, ts("2024-01-01 10:00:00.000500"), 7L, "purchase", 9.0),
+          Ev(10L, ts("2024-01-01 10:00:00.000200"), 7L, "view", 1.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val win = spark.table("cdc_us_out")
+        .orderBy($"last_us".desc, $"last_id".desc)
+        .select($"last_id", $"last_type", $"last_us")
+        .as[(Long, String, Long)].head()
+      // winner is event 9 (t+500µs) despite event 10's higher id
+      assert(win._1 == 9L && win._2 == "purchase", s"got $win")
+      // and last_us is the exact unix_micros, not ms-truncated
+      val t = ts("2024-01-01 10:00:00.000500")
+      val expectUs = t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+      assert(win._3 == expectUs && expectUs % 1000L == 500L, s"last_us=${win._3}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState running counters accumulate across micro-batches (RocksDB state)") {
     implicit val ctx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
