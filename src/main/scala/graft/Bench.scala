@@ -39,8 +39,8 @@ object Bench {
     // of the JSON numbers, and exit nonzero at the end
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     def clearResidue(): Unit = {
-      // drop cross-query residue BEFORE the clock starts: queries using
-      // localCheckpoint (CC loop, tfidf, minhash) leave their blocks
+      // drop cross-query residue BEFORE the clock starts: the several
+      // queries using localCheckpoint leave their blocks
       // registered until the ContextCleaner catches up, and ~200
       // executions of residue in one JVM turns into GC churn that lands
       // on whichever query runs when the heap fills (measured: a 1.3 s
@@ -178,6 +178,11 @@ object Bench {
         case None => // warmup threw — timed passes would throw the same
           // way; n is already in `failed`, skip the redundant 3 passes
         case Some(w) =>
+          // decided from the WARMUP time, which includes one-time
+          // JIT/codegen cost — conservatively biased: a borderline
+          // sub-second query with a slow warmup still pays the
+          // barriers (accepted: over-barriering only costs wall,
+          // never measurement quality)
           val perPassBarrier = w > BarrierSeconds
           val ts = Seq.fill(passes)(run(n, barrier = perPassBarrier)).flatten
           // a query that failed ANY pass gets no numeric entry — a

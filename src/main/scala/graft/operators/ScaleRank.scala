@@ -58,8 +58,8 @@ object ScaleRank {
     * VALUE carrying a large mass fraction: the bucket is a pure
     * function of the value (that is what makes the two passes agree
     * under any scheduling), so equal sort-key rows cannot be split —
-    * they rank within one bucket, and `lastMaxBucketFraction` reports
-    * it. */
+    * they rank within one bucket, and the `skewSink` callback of
+    * `withGlobalRanks` reports it. */
   private val SkewFactor = 8L
 
   /** Bucket id from ascending boundary literals: number of boundaries
