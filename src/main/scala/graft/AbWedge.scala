@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Interleaved same-JVM A/B for the round-13 wedge/prefix rewrites —
+  * the measurement protocol the host's cross-run variance forces: two
+  * back-to-back `graft.Bench` runs of UNCHANGED queries have differed
+  * by ±2× on this class of machine (r11/r12 drift family;
+  * BENCH_NOTES.md), so an old-run-vs-new-run comparison cannot
+  * attribute a delta to code. Here each pass times every variant once,
+  * variants alternate WITHIN the pass (A, B, A', B', …), and the
+  * verdict reads the per-variant median across passes — host drift
+  * moves both sides of each pair together, so the PAIRWISE delta
+  * survives it.
+  *
+  * Variants (old form first, suite form second):
+  *   prefix_hash / prefix_ge  — q_dedup_prefix verify:
+  *     size(array_intersect) vs graft_sorted_intersect_ge early-exit
+  *   lcc_union3 / lcc_explode — q_local_cc corners: 3× unionAll
+  *     re-read of the triangle checkpoint vs one explode pass
+  *   links_hash / links_merge — scored-edge family triangle stream:
+  *     explode(array_intersect) vs explode(graft_sorted_intersect)
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=… SPARK_GRAFT_CPUS=32
+  *        sbt "runMain graft.AbWedge [passes] [variantSubstr,…]"
+  */
+object AbWedge {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = args.headOption.map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val allVariants: Seq[(String, () => DataFrame)] = Seq(
+      "prefix_hash" -> (() =>
+        graft.operators.TextOps.dedupPrefixPlan(spark, sfDir, geVerify = false)),
+      "prefix_ge" -> (() =>
+        graft.operators.TextOps.dedupPrefixPlan(spark, sfDir, geVerify = true)),
+      "lcc_union3" -> (() =>
+        graft.operators.GraphOps.localCcPlan(spark, sfDir, singleExplode = false)),
+      "lcc_explode" -> (() =>
+        graft.operators.GraphOps.localCcPlan(spark, sfDir, singleExplode = true)),
+      "links_hash" -> (() =>
+        graft.operators.GraphOps.linkScoresPlan(spark, sfDir, merge = false)),
+      "links_merge" -> (() =>
+        graft.operators.GraphOps.linkScoresPlan(spark, sfDir, merge = true)),
+      // the r12-flagged unvalidated pin (verdict "what's wrong" #3)
+      "skip_nopin" -> (() =>
+        graft.operators.Functions2.skippingStatsPlan(spark, sfDir, pinBase = false)),
+      "skip_pin" -> (() =>
+        graft.operators.Functions2.skippingStatsPlan(spark, sfDir, pinBase = true)))
+
+    // optional second arg: comma-separated substring filter so a
+    // 2-variant question doesn't pay the whole sweep
+    val variants = args.drop(1).headOption match {
+      case Some(f) =>
+        val subs = f.split(",").toSeq
+        allVariants.filter { case (n, _) => subs.exists(n.contains) }
+      case None => allVariants
+    }
+    require(variants.nonEmpty, "variant filter matched nothing")
+
+    // Bench's cold-path discipline verbatim: clear cross-query memos +
+    // cached blocks, then a GC → settle → GC barrier before the clock
+    def clearResidue(): Unit = {
+      graft.operators.TextOps.clearGraphCache()
+      graft.operators.GraphOps.clearGraphCache()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    def timed(build: () => DataFrame): Double = {
+      clearResidue()
+      System.gc(); Thread.sleep(150); System.gc()
+      val t0 = System.nanoTime()
+      build().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    // one untimed warmup sweep (JIT/codegen/parquet footers), then the
+    // interleaved timed passes
+    variants.foreach { case (_, b) => timed(b) }
+    (1 to passes).foreach { p =>
+      variants.foreach { case (n, b) =>
+        val t = timed(b)
+        times(n) = times(n) :+ t
+        System.err.println(f"[ab] pass $p $n%-12s $t%7.3f s")
+      }
+    }
+    println(variants.map { case (n, _) =>
+      val ts = times(n).sorted
+      val med = ts(ts.size / 2)
+      f""""$n":{"median":$med%.3f,"min":${ts.head}%.3f,"max":${ts.last}%.3f}"""
+    }.mkString("{", ",", "}"))
+    spark.stop()
+  }
+}

@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 
 /** Native Catalyst expressions for the vector-similarity operators.
   *
@@ -232,6 +232,193 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** a ∩ b AS AN ARRAY for two SORTED ARRAY<BIGINT> inputs via the same
+  * two-pointer merge as [[SortedIntersectCount]] — the triangle-ROWS
+  * hot loop (the census wants the count, the row stream wants the
+  * closing corners themselves, exploded). `array_intersect` builds an
+  * OpenHashSet per row (allocation + random probes over the larger
+  * array); the merge emits the matches in one strictly-sequential pass
+  * into a primitive long buffer. Output order is ascending — identical
+  * to `array_intersect` on sorted inputs (it preserves left order), so
+  * the exploded triangle stream is row-for-row the same.
+  * PRECONDITION: both arrays sorted ascending with distinct non-null
+  * elements (orientedAdj sorts them). */
+case class SortedIntersectArray(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sorted_intersect expects ARRAY<BIGINT> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_sorted_intersect"
+
+  // two merge passes — count, then fill an EXACT-size primitive array:
+  // a min(na,nb)-sized scratch buffer + copyOf would allocate ~2× the
+  // result per row, and over a ~10⁹-row triangle stream that young-gen
+  // churn is the regression class this expression exists to remove
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var cnt = 0
+    var i = 0
+    var j = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { cnt += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val buf = new Array[Long](cnt)
+    var k = 0
+    i = 0
+    j = 0
+    while (k < cnt) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { buf(k) = x; k += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(buf)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val k = ctx.freshName("k")
+      val cnt = ctx.freshName("cnt")
+      val buf = ctx.freshName("buf")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $cnt = 0;
+         |int $i = 0;
+         |int $j = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x == $y) { $cnt++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |long[] $buf = new long[$cnt];
+         |int $k = 0;
+         |$i = 0;
+         |$j = 0;
+         |while ($k < $cnt) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x == $y) { $buf[$k++] = $x; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($buf);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectArray =
+    copy(left = newLeft, right = newRight)
+}
+
+/** |a ∩ b| with a THRESHOLD EARLY-EXIT, for two SORTED ARRAY<STRING>
+  * inputs — the PPJoin verify hot loop. The two-pointer merge carries
+  * the lossless invariant `count_so_far + min(remaining_a,
+  * remaining_b) >= overlap`, so the moment that bound drops below the
+  * required overlap `alpha` the pair is PROVABLY dead and the merge
+  * returns −1 (any value < alpha fails the caller's `common >= alpha`
+  * filter identically). Pairs that reach alpha finish the merge and
+  * return the EXACT count — survivors are bit-identical to
+  * `size(array_intersect(a, b))`, which is what keeps the DuckDB
+  * oracle hash-exact. vs `array_intersect`: no per-row OpenHashSet
+  * allocation, strictly sequential byte-wise UTF8String compares, and
+  * most candidate pairs (the overwhelming majority are near-misses by
+  * construction of the prefix filter) exit in the first few steps.
+  * PRECONDITION: both arrays sorted ascending (binary/UTF8 order, the
+  * `sort_array` default) with distinct non-null elements. */
+case class SortedIntersectGE(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def arr(t: DataType): Boolean = t match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (arr(first.dataType) && arr(second.dataType) &&
+        third.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_sorted_intersect_ge expects (ARRAY<STRING>, ARRAY<STRING>, " +
+        s"BIGINT), got ${first.dataType} / ${second.dataType} / ${third.dataType}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_sorted_intersect_ge"
+
+  override def nullSafeEval(l: Any, r: Any, t: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val alpha = t.asInstanceOf[Long]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var cnt = 0L
+    var i = 0
+    var j = 0
+    while (i < na && j < nb) {
+      if (cnt + math.min(na - i, nb - j) < alpha) return -1L
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { cnt += 1L; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, t) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |long $cnt = 0L;
+         |int $i = 0;
+         |int $j = 0;
+         |while ($i < $na && $j < $nb) {
+         |  if ($cnt + java.lang.Math.min($na - $i, $nb - $j) < $t) {
+         |    $cnt = -1L; break;
+         |  }
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $cnt++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): SortedIntersectGE =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorExpressions {
   /** Register `graft_dot` / `graft_cosine` /
     * `graft_sorted_intersect_count` in the session's function registry
@@ -246,5 +433,11 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_intersect_ge",
+      exprs => SortedIntersectGE(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_intersect",
+      exprs => SortedIntersectArray(exprs(0), exprs(1)), "scala_udf")
   }
 }

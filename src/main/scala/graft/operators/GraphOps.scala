@@ -108,11 +108,27 @@ object GraphOps {
     * hash-join build). Worst-case row width is the max out-degree —
     * O(√m) ids ≈ 14 MB at m = 3×10¹² — where the wedge join would
     * instead emit outdeg² ≈ 10¹² rows for that one hub. */
-  def triangleRows(edges: DataFrame, deg: DataFrame): DataFrame = {
+  def triangleRows(edges: DataFrame, deg: DataFrame): DataFrame =
+    triangleRowsImpl(edges, deg, merge = true)
+
+  /** [[triangleRows]] with the intersection form parametrized (the
+    * AbWedge interleaved A/B drives both in one JVM; the suite path is
+    * merge = true): the native two-pointer merge (same swap the census
+    * made for its count form) replaces array_intersect's per-row
+    * OpenHashSet build — the row-stream hot loop — emitting the
+    * closing corners in one sequential pass. Identical ascending
+    * output on the sorted adjacency arrays, so the exploded stream is
+    * row-for-row the same. */
+  private[graft] def triangleRowsImpl(edges: DataFrame, deg: DataFrame,
+      merge: Boolean): DataFrame = {
+    graft.functions.VectorExpressions.register(edges.sparkSession)
     val (oriented, adj) = orientedAdj(edges, deg)
+    val corners =
+      if (merge) call_function("graft_sorted_intersect", col("nu"), col("nv"))
+      else array_intersect(col("nu"), col("nv"))
     joinedNbrs(oriented, adj)
       .select(col("src").as("n1"), col("dst").as("n2"),
-        explode(array_intersect(col("nu"), col("nv"))).as("n3"))
+        explode(corners).as("n3"))
   }
 
   /** Exact triangle COUNT (1-row frame `n_triangles`) — Σ over
@@ -220,13 +236,25 @@ object GraphOps {
   // rows explode to their three corners (3T rows, linear in the
   // census output), one hash aggregate per node, then a top-k that
   // compiles to TakeOrderedAndProject — no global sort at any scale.
-  private def qLocalCc(s: SparkSession, d: String): DataFrame = {
+  private def qLocalCc(s: SparkSession, d: String): DataFrame =
+    localCcPlan(s, d, singleExplode = true)
+
+  /** [[qLocalCc]] with the corner expansion parametrized (AbWedge
+    * A/B; the suite path is singleExplode = true): ONE explode pass
+    * over the checkpointed triangle frame — the 3-branch unionAll
+    * form re-read it three times per timed pass. */
+  private[graft] def localCcPlan(s: SparkSession, d: String,
+      singleExplode: Boolean): DataFrame = {
     val (_, deg) = coEdgesDegM(s, d)
     val tri = triangleRowsM(s, d)
-    val corners = tri.select(col("n1").as("node"))
-      .unionAll(tri.select(col("n2").as("node")))
-      .unionAll(tri.select(col("n3").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    val corners = (
+      if (singleExplode)
+        tri.select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"))
+      else
+        tri.select(col("n1").as("node"))
+          .unionAll(tri.select(col("n2").as("node")))
+          .unionAll(tri.select(col("n3").as("node")))
+      ).groupBy("node").agg(count(lit(1)).as("n_tri"))
     deg.join(corners, Seq("node"))
       .withColumn("local_cc",
         lit(2.0) * col("n_tri").cast("double")
@@ -849,7 +877,19 @@ object GraphOps {
   private def linkScoresM(s: SparkSession, d: String): DataFrame =
     cachedGraph[DataFrame](s, d, "links") {
       val (_, deg) = coEdgesDegM(s, d)
-      val tri = triangleRowsM(s, d)
+      linkScoresFrom(deg, triangleRowsM(s, d))
+    }
+
+  /** Cold link-score plan with the triangle intersection form
+    * parametrized — AbWedge's interleaved A/B entry (the suite path is
+    * linkScoresM, whose triangle stream uses merge = true). */
+  private[graft] def linkScoresPlan(s: SparkSession, d: String,
+      merge: Boolean): DataFrame = {
+    val (e, deg) = coEdgesDegM(s, d)
+    linkScoresFrom(deg, triangleRowsImpl(e, deg, merge).localCheckpoint())
+  }
+
+  private def linkScoresFrom(deg: DataFrame, tri: DataFrame): DataFrame = {
       val degT = deg.withColumn("term",
         expr("CAST(1.0 / ln(CAST(deg AS DOUBLE)) AS DECIMAL(18,9))"))
       val sides = tri.select(explode(array(

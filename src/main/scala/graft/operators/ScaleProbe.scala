@@ -307,7 +307,14 @@ object ScaleProbe {
       TextOps.clearGraphCache()
       GraphOps.clearGraphCache()
       s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      System.gc()
+      // GC → settle → GC, not a single collection: unpersist only
+      // QUEUES block drops to the async ContextCleaner; without the
+      // settle the next pass starts with the previous paths' checkpoint
+      // blocks still resident and pays their eviction + full GC
+      // mid-flight — the documented random-victim spike class (Bench's
+      // barrier rationale; observed here as one heavy path per probe
+      // run spiking 4-20× with a different victim each run)
+      System.gc(); Thread.sleep(150); System.gc()
       val t0 = System.nanoTime()
       f.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9

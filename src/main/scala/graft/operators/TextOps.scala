@@ -831,24 +831,43 @@ object TextOps {
         expr("transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))")))
         .as("sh"))
 
-  private def qDedupPrefix(s: SparkSession, d: String): DataFrame = {
+  private def qDedupPrefix(s: SparkSession, d: String): DataFrame =
+    dedupPrefixPlan(s, d, geVerify = true)
+
+  /** q_dedup_prefix with the verify stage parametrized (the AbWedge
+    * interleaved A/B drives both forms in one JVM; the suite query is
+    * geVerify = true). Verify: exact intersection via per-doc sorted
+    * shingle ARRAYS — the pair stream stays |candidates| rows (each
+    * carrying two ~|doc|-shingle payloads) instead of re-exploding to
+    * |candidates|×|doc| narrow rows through two shuffle joins + a
+    * groupBy. The graft_sorted_intersect_ge merge carries the lossless
+    * bound count + min(remaining) ≥ overlap and bails to −1 the moment
+    * a pair provably can't reach α = ⌈t/(1+t)·(|A|+|B|)⌉ (jaccard ≥ t
+    * ⟺ overlap ≥ α, so −1 fails the final filter exactly when the
+    * true count would) — survivors finish the merge and get the EXACT
+    * count, bit-identical to the size(array_intersect(..)) form it
+    * replaced, with no per-row hash-set build. */
+  private[graft] def dedupPrefixPlan(s: SparkSession, d: String,
+      geVerify: Boolean): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
     val sh = prefixShingles(s, d)
     val cand = ppjoinCandidates(sh)
-    // Verify: exact intersection via per-doc sorted hash ARRAYS and a
-    // codegen'd array_intersect — the pair stream stays |candidates|
-    // rows (each carrying two ~|doc|-hash payloads) instead of
-    // re-exploding to |candidates|×|doc| narrow rows through two
-    // shuffle joins + a groupBy. Same exact counts, same output.
     val sets = sh.groupBy(col("doc_id")).agg(
       sort_array(collect_list(col("sh"))).as("shs"),
       count(lit(1)).as("sz"))
+    val common =
+      if (geVerify)
+        call_function("graft_sorted_intersect_ge",
+          col("a_shs"), col("b_shs"),
+          ceil(lit(PrefixAlpha) * (col("a_sz") + col("b_sz")).cast("double"))
+            .cast("long"))
+      else expr("CAST(size(array_intersect(a_shs, b_shs)) AS BIGINT)")
     cand
       .join(sets.select(col("doc_id").as("a_id"),
         col("shs").as("a_shs"), col("sz").as("a_sz")), Seq("a_id"))
       .join(sets.select(col("doc_id").as("b_id"),
         col("shs").as("b_shs"), col("sz").as("b_sz")), Seq("b_id"))
-      .withColumn("common",
-        expr("CAST(size(array_intersect(a_shs, b_shs)) AS BIGINT)"))
+      .withColumn("common", common)
       .withColumn("jaccard", col("common").cast("double")
         / (col("a_sz") + col("b_sz") - col("common")).cast("double"))
       .filter(col("jaccard") >= PrefixJaccard)

@@ -879,4 +879,88 @@ object EventPipeline {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  // ---- streaming exact group quantiles (twin of q_group_quantiles) ---
+
+  /** One keyed value observation — the streaming grain of the batch
+    * value-grain count frame (`Functions2.qGroupQuantiles`). */
+  final case class KeyedValue(flag: String, v: Double)
+
+  /** One exact order statistic for a key as of the current state —
+    * the same output shape as batch q_group_quantiles. */
+  final case class QuantileOut(flag: String, p: String, k: Long, n: Long,
+      value: Double)
+
+  /** The (numerator, denominator, label) quantile set — shared with
+    * the batch twin so k = ⌈p·n⌉ is the IDENTICAL integer selection. */
+  val GroupQuantilePs: Seq[(Long, Long, String)] =
+    Seq((1L, 2L, "p50"), (9L, 10L, "p90"), (99L, 100L, "p99"))
+
+  /** Streaming EXACT per-key quantiles on transformWithState — the
+    * stateful twin of the batch q_group_quantiles. State per key is
+    * the VALUE-GRAIN count map (value → running count), the same grain
+    * the batch query aggregates to before its prefix sum — NOT the raw
+    * observations — so state size is bounded by the key's distinct
+    * values (prices here: bounded domain), never by event volume, and
+    * it lives in RocksDB MapState so even a wide domain spills to disk
+    * rather than executor heap. Every micro-batch that touches a key
+    * re-selects k = ⌈p·n⌉ = (num·n + den − 1) DIV den over the sorted
+    * value grain with the batch twin's exact integer arithmetic and
+    * emits the key's current quantile rows (Update mode) — after any
+    * prefix of the stream, the emitted rows ARE the batch answer over
+    * the rows seen so far, which is what the parity spec pins.
+    *
+    * Scale shape: per-key selection is O(distinct values · log) inside
+    * one state partition; keys are independent (the same "every window
+    * key-partitioned" property the batch twin relies on). A truly
+    * unbounded value domain would move to the sketch path
+    * (q_approx_percentile's twin) — same posture as batch. */
+  class GroupQuantileMaterializer
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, KeyedValue, QuantileOut] {
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[Double, Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[Double, Long]("counts",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedValue],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[QuantileOut] = {
+      rows.foreach { r =>
+        val c = if (counts.containsKey(r.v)) counts.getValue(r.v) else 0L
+        counts.updateValue(r.v, c + 1L)
+      }
+      // exact selection over the sorted value grain — the in-state
+      // replay of the batch prefix-sum filter pref < k ≤ pref + cnt
+      val grain = counts.iterator().toArray.sortBy(_._1)
+      val n = grain.iterator.map(_._2).sum
+      GroupQuantilePs.iterator.map { case (num, den, p) =>
+        val k = (num * n + den - 1) / den
+        var pref = 0L
+        var i = 0
+        while (i < grain.length && pref + grain(i)._2 < k) {
+          pref += grain(i)._2
+          i += 1
+        }
+        QuantileOut(key, p, k, n, grain(i)._1)
+      }
+    }
+  }
+
+  /** Streaming entry for [[GroupQuantileMaterializer]] (Update mode —
+    * each micro-batch emits the current exact quantile rows for every
+    * touched key). */
+  def groupQuantiles(rows: Dataset[KeyedValue]): Dataset[QuantileOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .groupByKey(_.flag)
+      .transformWithState(new GroupQuantileMaterializer,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

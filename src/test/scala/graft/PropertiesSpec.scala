@@ -289,6 +289,54 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("graft_sorted_intersect == array_intersect element-for-element on " +
+      "random sorted arrays") {
+    graft.functions.VectorExpressions.register(spark)
+    val arrGen = for {
+      na <- Gen.choose(0, 30)
+      nb <- Gen.choose(0, 30)
+      a <- Gen.listOfN(na, Gen.choose(0L, 40L))
+      b <- Gen.listOfN(nb, Gen.choose(0L, 40L))
+    } yield (a.distinct.sorted, b.distinct.sorted)
+    forAllSampled(arrGen, trials = 30) { case (a, b) =>
+      val row = Seq((a, b)).toDF("a", "b")
+        .select(
+          call_function("graft_sorted_intersect", col("a"), col("b")).as("merge"),
+          array_intersect(col("a"), col("b")).as("hash"))
+        .head()
+      assert(row.getSeq[Long](0) == row.getSeq[Long](1),
+        s"merge=${row.getSeq[Long](0)} hash=${row.getSeq[Long](1)} a=$a b=$b")
+      assert(row.getSeq[Long](0) == a.filter(b.toSet))
+    }
+  }
+
+  test("graft_sorted_intersect_ge: exact count for pairs reaching alpha; any " +
+      "early-exit value agrees with the truth on which side of alpha it falls") {
+    graft.functions.VectorExpressions.register(spark)
+    val arrGen = for {
+      na <- Gen.choose(0, 25)
+      nb <- Gen.choose(0, 25)
+      a <- Gen.listOfN(na, Gen.choose(0, 30).map(i => f"tok$i%02d"))
+      b <- Gen.listOfN(nb, Gen.choose(0, 30).map(i => f"tok$i%02d"))
+      alpha <- Gen.choose(0L, 20L)
+    } yield (a.distinct.sorted, b.distinct.sorted, alpha)
+    forAllSampled(arrGen, trials = 40) { case (a, b, alpha) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(call_function("graft_sorted_intersect_ge",
+          col("a"), col("b"), lit(alpha)).as("ge"))
+        .head().getLong(0)
+      val truth = a.toSet.intersect(b.toSet).size.toLong
+      // the lossless contract: reaching alpha ⇒ the EXACT count comes
+      // back; below alpha ⇒ whatever comes back is also below alpha
+      if (truth >= alpha)
+        assert(got == truth, s"survivor must be exact: got=$got truth=$truth " +
+          s"alpha=$alpha a=$a b=$b")
+      else
+        assert(got < alpha, s"dead pair leaked past alpha: got=$got " +
+          s"truth=$truth alpha=$alpha a=$a b=$b")
+    }
+  }
+
   test("triangleCount == triangleRows count == brute force on random graphs") {
     val graphGen = for {
       n <- Gen.choose(3, 25)

@@ -27,8 +27,31 @@ class ScalingSpec extends SparkSpec {
       info(f"$n%-18s t4=${res(4)(n)}%6.2fs t16=${res(16)(n)}%6.2fs ratio=$r%4.2f")
       n -> r
     }.toMap
-    ratios.foreach { case (n, r) =>
-      assert(r < 6.0, f"$n grew super-linearly: t(16x)/t(4x) = $r%.2f >= 6.0")
+    // One-off host stalls (a GC/compaction pause landing on a single
+    // path's 3-pass window) have produced >6 ratios on paths that
+    // measure 2-3 in the adjacent run (r13: q_winnow_pairs 23.95 then
+    // 2.56, q_hits 2.23 then 9.08 — different victim each run, both
+    // normal elsewhere, code untouched). A genuinely super-linear path
+    // reproduces its exponent on a re-measure — it is a property of
+    // the plan, not of the moment — so tripped paths get ONE isolated
+    // retry and the assertion reads the retry ratio. A real quadratic
+    // blowup still fails deterministically (both measurements trip).
+    val tripped = ratios.filter(_._2 >= 6.0).keys.toSet
+    val finalRatios =
+      if (tripped.isEmpty) ratios
+      else {
+        val again = graft.operators.ScaleProbe.run(
+          spark, Sf001, work, Seq(4, 16), only = Some(tripped))
+        ratios ++ tripped.map { n =>
+          val r = again(16)(n) / again(4)(n)
+          info(f"RETRY $n%-18s t4=${again(4)(n)}%6.2fs " +
+            f"t16=${again(16)(n)}%6.2fs ratio=$r%4.2f")
+          n -> r
+        }
+      }
+    finalRatios.foreach { case (n, r) =>
+      assert(r < 6.0, f"$n grew super-linearly: t(16x)/t(4x) = $r%.2f >= 6.0" +
+        (if (tripped(n)) " (reproduced on isolated retry)" else ""))
     }
   }
 

@@ -1184,6 +1184,131 @@ class StreamingSpec extends SparkSpec {
     val q2 = start(); q2.awaitTermination(120000)
     assert(spark.read.parquet(out).count() == streamed.size)
   }
+
+  /** Latest emission per (flag, p) from an Update-mode memory table —
+    * n grows monotonically per key, so max-n identifies the final
+    * state without relying on sink row order. */
+  private def latestQuantiles(table: String): Map[(String, String), (Long, Long, Double)] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"flag", $"p").orderBy($"n".desc)
+    spark.table(table)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"flag", $"p", $"k", $"n", $"value")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map { case (f, p, k, n, v) => (f, p) -> ((k, n, v)) }.toMap
+  }
+
+  test("streaming exact group quantiles: after every prefix of the stream the " +
+      "emitted rows ARE the batch q_group_quantiles answer (RocksDB MapState)") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val li = Tables.lineitem(spark, Sf0001)
+        .select($"l_returnflag".as("flag"), $"l_extendedprice".as("v"))
+        .as[EventPipeline.KeyedValue].collect().toSeq
+      val (chunk1, chunk2) = li.splitAt(li.size / 2)
+      val ms = MemoryStream[EventPipeline.KeyedValue]
+      val q = EventPipeline.groupQuantiles(ms.toDS())
+        .writeStream.format("memory").queryName("gq_out")
+        .outputMode("update").start()
+      def driverExpected(rows: Seq[EventPipeline.KeyedValue])
+          : Map[(String, String), (Long, Long, Double)] =
+        rows.groupBy(_.flag).flatMap { case (f, rs) =>
+          val sorted = rs.map(_.v).sorted
+          val n = sorted.size.toLong
+          EventPipeline.GroupQuantilePs.map { case (num, den, p) =>
+            val k = (num * n + den - 1) / den
+            (f, p) -> ((k, n, sorted((k - 1).toInt)))
+          }
+        }
+      try {
+        // prefix parity: the mid-stream state is already the exact
+        // batch answer over the rows seen so far
+        ms.addData(chunk1)
+        q.processAllAvailable()
+        assert(latestQuantiles("gq_out") == driverExpected(chunk1))
+        ms.addData(chunk2)
+        q.processAllAvailable()
+      } finally q.stop()
+      // full-stream parity against the ORACLED batch query itself
+      val batch = SparkEntry.queries("q_group_quantiles")(spark, Sf0001)
+        .select($"flag", $"p", $"k", $"n", $"value")
+        .as[(String, String, Long, Long, Double)].collect()
+        .map { case (f, p, k, n, v) => (f, p) -> ((k, n, v)) }.toMap
+      assert(latestQuantiles("gq_out") == batch)
+      assert(batch.size == 9, s"fixture should have 3 flags x 3 ps: ${batch.size}")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("streaming exact group quantiles resume from a checkpointed restart: " +
+      "value-grain state survives, final rows equal the batch answer") {
+    val src = tmp("gq-src"); val out = tmp("gq-out"); val chk = tmp("gq-chk")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // deterministic half-split on line number parity: file 1 before
+      // the first run, file 2 only after the stop
+      val h = Tables.lineitem(spark, Sf0001)
+        .select($"l_returnflag".as("flag"), $"l_extendedprice".as("v"),
+          pmod($"l_linenumber", lit(2)).as("b"))
+      h.filter($"b" === 0).select("flag", "v").coalesce(1)
+        .write.mode("overwrite").parquet(src)
+      Thread.sleep(1100)
+      val schema = spark.read.parquet(src).schema
+      // foreachBatch parquet sink: the memory sink cannot recover from
+      // a checkpoint, and the whole point here is the restart
+      def start() = EventPipeline.groupQuantiles(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .as[EventPipeline.KeyedValue])
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[EventPipeline.QuantileOut],
+            id: Long) =>
+          df.write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", chk)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      val q1 = start(); q1.awaitTermination(120000)
+      // second half lands AFTER the stop; the restarted query must
+      // combine restored state with the new file, not reprocess
+      h.filter($"b" === 1).select("flag", "v").coalesce(1)
+        .write.mode("append").parquet(src)
+      val q2 = start(); q2.awaitTermination(120000)
+      val batch = SparkEntry.queries("q_group_quantiles")(spark, Sf0001)
+        .select($"flag", $"p", $"k", $"n", $"value")
+        .as[(String, String, Long, Long, Double)].collect()
+        .map { case (f, p, k, n, v) => (f, p) -> ((k, n, v)) }.toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"flag", $"p").orderBy($"n".desc)
+      val got = spark.read.parquet(out)
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"flag", $"p", $"k", $"n", $"value")
+        .as[(String, String, Long, Long, Double)].collect()
+        .map { case (f, p, k, n, v) => (f, p) -> ((k, n, v)) }.toMap
+      assert(got == batch)
+      // each key must have emitted in BOTH runs (one micro-batch each):
+      // exactly two rows per (flag, p) with different n proves run 2
+      // combined restored state with the new file instead of either
+      // reprocessing file 1 (n would double-count, failing parity
+      // above) or seeing everything in one run (one row here)
+      val perKey = spark.read.parquet(out).groupBy($"flag", $"p")
+        .agg(count(lit(1)).as("rows"), countDistinct($"n").as("ns"))
+        .select($"rows", $"ns").as[(Long, Long)].collect()
+      assert(perKey.nonEmpty && perKey.forall(_ == ((2L, 2L))),
+        s"expected 2 emissions x 2 distinct n per key: ${perKey.toSeq}")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
 
 object StreamingSpec {
