@@ -296,9 +296,12 @@ object ScaleProbe {
   }
 
   /** Median of `passes` noop-sink materializations (first pass doubles
-    * as warmup — the median sheds it). Residue is dropped outside the
-    * clock, as in Bench. */
-  private def timeMedian(s: SparkSession, passes: Int)(f: => DataFrame): Double = {
+    * as warmup — the median sheds it; `useMin` switches the estimator
+    * to min-of-passes for ScalingSpec's retry, where late-session JVM
+    * stalls are strictly one-sided additive noise). Residue is dropped
+    * outside the clock, as in Bench. */
+  private def timeMedian(s: SparkSession, passes: Int,
+      useMin: Boolean = false)(f: => DataFrame): Double = {
     val ts = Seq.fill(passes) {
       // memo first (as in Bench): unpersist would orphan its
       // checkpoint blocks, and the probe's exponents must price the
@@ -319,15 +322,26 @@ object ScaleProbe {
       f.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    ts.sorted.apply(passes / 2)
+    if (useMin) ts.min else ts.sorted.apply(passes / 2)
   }
 
   /** Synthesize each multiplier under `workDir` and time every path
-    * (or just the ones named by `only` — the Scaling merge mode).
-    * @return multiplier → (path → median seconds) */
+    * (or just the ones named by `only` — the Scaling merge mode and
+    * ScalingSpec's retry). `useMin` = estimate each path by the
+    * MINIMUM of its passes instead of the median: in a long probe JVM
+    * session (39 paths × 2 scales × builds, ~40 min) late-session
+    * stalls (code-cache/GC storms) are strictly ONE-SIDED additive
+    * noise that can inflate all 3 consecutive passes of a single
+    * path 10-25× (observed: the same plan on the same corpus measures
+    * 6-12 s under an interleaved A/B in a fresh JVM), while a genuine
+    * super-linear exponent inflates EVERY pass including the minimum —
+    * so min-of-passes still fails a real quadratic blowup
+    * deterministically but sheds the stall class.
+    * @return multiplier → (path → seconds) */
   def run(s: SparkSession, baseDir: String, workDir: String,
       multipliers: Seq[Int], passes: Int = 3,
-      only: Option[Set[String]] = None): Map[Int, Map[String, Double]] =
+      only: Option[Set[String]] = None,
+      useMin: Boolean = false): Map[Int, Map[String, Double]] =
     multipliers.map { m =>
       val dir = s"$workDir/x$m"
       writeScaled(s, baseDir, dir, m)
@@ -339,7 +353,7 @@ object ScaleProbe {
         ps
       }
       m -> selected.map { case (name, q) =>
-        name -> timeMedian(s, passes)(q(s, dir))
+        name -> timeMedian(s, passes, useMin)(q(s, dir))
       }.toMap
     }.toMap
 }
