@@ -20,6 +20,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     re-read of the triangle checkpoint vs one explode pass
   *   links_hash / links_merge — scored-edge family triangle stream:
   *     explode(array_intersect) vs explode(graft_sorted_intersect)
+  *   skip_nopin / skip_pin   — q_skipping_stats base-frame pin:
+  *     recompute per branch vs localCheckpoint once
   *
   * Usage: SPARK_GRAFT_SF_DIR=… SPARK_GRAFT_CPUS=32
   *        sbt "runMain graft.AbWedge [passes] [variantSubstr,…]"
@@ -57,7 +59,27 @@ object AbWedge {
       "skip_nopin" -> (() =>
         graft.operators.Functions2.skippingStatsPlan(spark, sfDir, pinBase = false)),
       "skip_pin" -> (() =>
-        graft.operators.Functions2.skippingStatsPlan(spark, sfDir, pinBase = true)))
+        graft.operators.Functions2.skippingStatsPlan(spark, sfDir, pinBase = true)),
+      // r14 ≥5 s-family trim: LPA per-round winner — row_number window
+      // (sort per round) vs max(struct) hash argmax (identical winner,
+      // map-side partial agg). Timed through qModularity's full
+      // consumer chain, the heaviest LPA rider.
+      "lpa_window" -> (() =>
+        graft.operators.GraphOps.modularityPlan(spark, sfDir, argMax = false)),
+      "lpa_argmax" -> (() =>
+        graft.operators.GraphOps.modularityPlan(spark, sfDir, argMax = true)),
+      // same pattern on the quality-aware keeper election (the window
+      // is doc-grain there — one sort over every labeled document)
+      "keeperq_window" -> (() =>
+        graft.operators.TextOps.keeperQualityPlan(spark, sfDir, argMax = false)),
+      "keeperq_argmax" -> (() =>
+        graft.operators.TextOps.keeperQualityPlan(spark, sfDir, argMax = true)),
+      // strong-edge support counting: countDistinct over the ~36 M-row
+      // pair stream vs distinct BEFORE the pair join + plain count
+      "sedge_cd" -> (() =>
+        graft.operators.GraphOps.strongEdgesPlan(spark, sfDir, distinctFirst = false)),
+      "sedge_dc" -> (() =>
+        graft.operators.GraphOps.strongEdgesPlan(spark, sfDir, distinctFirst = true)))
 
     // optional second arg: comma-separated substring filter so a
     // 2-variant question doesn't pay the whole sweep
@@ -99,7 +121,12 @@ object AbWedge {
     }
     println(variants.map { case (n, _) =>
       val ts = times(n).sorted
-      val med = ts(ts.size / 2)
+      // even pass counts average the two middle elements — an
+      // upper-middle pick would bias the stat high exactly when the
+      // user asks for an even number of passes
+      val med =
+        if (ts.size % 2 == 1) ts(ts.size / 2)
+        else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
       f""""$n":{"median":$med%.3f,"min":${ts.head}%.3f,"max":${ts.last}%.3f}"""
     }.mkString("{", ",", "}"))
     spark.stop()

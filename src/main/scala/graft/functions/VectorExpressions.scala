@@ -171,14 +171,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // containsNull=true is REJECTED, not null-checked: the merge loop
+  // reads elements with getLong, which on a null slot silently returns
+  // garbage (wrong count, no error). This expression is registered as
+  // a session SQL function, so arbitrary queries can reach it — an
+  // analysis-time failure beats a silent wrong answer. Every intended
+  // call site produces containsNull=false arrays (sort_array over
+  // collect_list / array_distinct output).
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, containsNull) => !containsNull
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_sorted_intersect_count expects ARRAY<BIGINT> inputs, got ${left.dataType} / ${right.dataType}")
+      "graft_sorted_intersect_count expects ARRAY<BIGINT> inputs with " +
+        s"non-nullable elements, got ${left.dataType} / ${right.dataType}")
   }
 
   override def dataType: DataType = LongType
@@ -246,14 +254,17 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 case class SortedIntersectArray(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // containsNull=true rejected for the same reason as
+  // [[SortedIntersectCount]]: getLong on a null slot reads garbage
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, containsNull) => !containsNull
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_sorted_intersect expects ARRAY<BIGINT> inputs, got ${left.dataType} / ${right.dataType}")
+      "graft_sorted_intersect expects ARRAY<BIGINT> inputs with " +
+        s"non-nullable elements, got ${left.dataType} / ${right.dataType}")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -354,16 +365,20 @@ case class SortedIntersectArray(left: Expression, right: Expression)
 case class SortedIntersectGE(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression {
 
+  // containsNull=true rejected: getUTF8String(i) on a null slot NPEs
+  // mid-merge; same registered-SQL-function exposure as
+  // [[SortedIntersectCount]], same analysis-time fix
   override def checkInputDataTypes(): TypeCheckResult = {
     def arr(t: DataType): Boolean = t match {
-      case ArrayType(StringType, _) => true
+      case ArrayType(StringType, containsNull) => !containsNull
       case _ => false
     }
     if (arr(first.dataType) && arr(second.dataType) &&
         third.dataType == LongType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "graft_sorted_intersect_ge expects (ARRAY<STRING>, ARRAY<STRING>, " +
-        s"BIGINT), got ${first.dataType} / ${second.dataType} / ${third.dataType}")
+      "graft_sorted_intersect_ge expects (ARRAY<STRING> with non-nullable " +
+        "elements, ARRAY<STRING> with non-nullable elements, BIGINT), got " +
+        s"${first.dataType} / ${second.dataType} / ${third.dataType}")
   }
 
   override def dataType: DataType = LongType

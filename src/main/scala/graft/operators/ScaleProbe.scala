@@ -301,7 +301,8 @@ object ScaleProbe {
     * stalls are strictly one-sided additive noise). Residue is dropped
     * outside the clock, as in Bench. */
   private def timeMedian(s: SparkSession, passes: Int,
-      useMin: Boolean = false)(f: => DataFrame): Double = {
+      useMin: Boolean = false,
+      sink: Seq[Double] => Unit = _ => ())(f: => DataFrame): Double = {
     val ts = Seq.fill(passes) {
       // memo first (as in Bench): unpersist would orphan its
       // checkpoint blocks, and the probe's exponents must price the
@@ -322,8 +323,17 @@ object ScaleProbe {
       f.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    if (useMin) ts.min else ts.sorted.apply(passes / 2)
+    sink(ts)
+    estimate(ts, useMin)
   }
+
+  /** The pass-vector estimator, extracted so ScalingSpec can pin its
+    * discriminating property as a fixture: min-of-passes sheds
+    * ONE-SIDED additive stalls (some passes inflated, the fastest
+    * clean) but still trips on a genuine super-linear path, whose
+    * growth inflates EVERY pass — including the minimum. */
+  private[graft] def estimate(ts: Seq[Double], useMin: Boolean): Double =
+    if (useMin) ts.min else ts.sorted.apply(ts.size / 2)
 
   /** Synthesize each multiplier under `workDir` and time every path
     * (or just the ones named by `only` — the Scaling merge mode and
@@ -337,11 +347,17 @@ object ScaleProbe {
     * super-linear exponent inflates EVERY pass including the minimum —
     * so min-of-passes still fails a real quadratic blowup
     * deterministically but sheds the stall class.
+    * @param spreadSink called with (path, multiplier, per-pass times)
+    *   after each path's passes — ScalingSpec's retry logs the full
+    *   spread through it so a bimodal path (min fast, median 10×) is
+    *   surfaced in test output rather than silently passed by the min
     * @return multiplier → (path → seconds) */
   def run(s: SparkSession, baseDir: String, workDir: String,
       multipliers: Seq[Int], passes: Int = 3,
       only: Option[Set[String]] = None,
-      useMin: Boolean = false): Map[Int, Map[String, Double]] =
+      useMin: Boolean = false,
+      spreadSink: (String, Int, Seq[Double]) => Unit = (_, _, _) => ())
+      : Map[Int, Map[String, Double]] =
     multipliers.map { m =>
       val dir = s"$workDir/x$m"
       writeScaled(s, baseDir, dir, m)
@@ -353,7 +369,8 @@ object ScaleProbe {
         ps
       }
       m -> selected.map { case (name, q) =>
-        name -> timeMedian(s, passes, useMin)(q(s, dir))
+        name -> timeMedian(s, passes, useMin,
+          sink = ts => spreadSink(name, m, ts))(q(s, dir))
       }.toMap
     }.toMap
 }

@@ -1545,16 +1545,36 @@ object TextOps {
     * quality chain and must elect the same keeper row for row. Cost:
     * cluster labels come from the memoized graph build, z is a narrow
     * map, and the election is one cluster-partitioned window. */
-  private def qKeeperQuality(s: SparkSession, d: String): DataFrame = {
+  private def qKeeperQuality(s: SparkSession, d: String): DataFrame =
+    keeperQualityPlan(s, d, argMax = true)
+
+  /** [[qKeeperQuality]] with the per-cluster election parametrized
+    * (AbWedge pair keeperq_window / keeperq_argmax). The winner is
+    * "highest z, lowest doc_id on ties"; argMax = true (the suite
+    * path) computes the IDENTICAL winner as `max(struct(z, -doc_id))`
+    * — struct order compares z first, then −doc_id — running as a
+    * hash aggregate with map-side partial aggregation instead of a
+    * doc-grain partition sort (the LPA trim's pattern). z is non-null
+    * (a computed score) and doc_id ≥ 0, so neither field perturbs the
+    * struct ordering. */
+  private[graft] def keeperQualityPlan(s: SparkSession, d: String,
+      argMax: Boolean): DataFrame = {
     val (sigsM, groups) = md5SigsGroups(s, d)
     val labels = clusterLabelJoin(sigsM, groups, md5KeeperLabels(s, d))
     val z = withQualityZ(doubled(s, d)).select(col("doc_id"), col("z"))
     val lab = labels.join(z, Seq("doc_id"))
-    val byQ = Window.partitionBy(col("cluster_keeper"))
-      .orderBy(col("z").desc, col("doc_id"))
-    val best = lab.withColumn("rk", row_number().over(byQ))
-      .filter(col("rk") === 1)
-      .select(col("cluster_keeper"), col("doc_id").as("best_id"))
+    val best =
+      if (argMax)
+        lab.groupBy(col("cluster_keeper"))
+          .agg(max(struct(col("z"), (-col("doc_id")).as("nd"))).as("m"))
+          .select(col("cluster_keeper"), (-col("m.nd")).as("best_id"))
+      else {
+        val byQ = Window.partitionBy(col("cluster_keeper"))
+          .orderBy(col("z").desc, col("doc_id"))
+        lab.withColumn("rk", row_number().over(byQ))
+          .filter(col("rk") === 1)
+          .select(col("cluster_keeper"), col("doc_id").as("best_id"))
+      }
     lab.join(best, Seq("cluster_keeper"))
       .select(col("doc_id"), col("cluster_keeper"), col("z"),
         col("best_id"), (col("doc_id") === col("best_id")).as("is_best"))

@@ -937,16 +937,25 @@ object EventPipeline {
       // exact selection over the sorted value grain — the in-state
       // replay of the batch prefix-sum filter pref < k ≤ pref + cnt
       val grain = counts.iterator().toArray.sortBy(_._1)
-      val n = grain.iterator.map(_._2).sum
-      GroupQuantilePs.iterator.map { case (num, den, p) =>
-        val k = (num * n + den - 1) / den
-        var pref = 0L
-        var i = 0
-        while (i < grain.length && pref + grain(i)._2 < k) {
-          pref += grain(i)._2
-          i += 1
+      // guard an engine-semantics invariant rather than borrow it:
+      // transformWithState today only invokes a key WITH rows, so
+      // state is non-empty here — but an empty grain would send the
+      // selection loop to grain(0) on a zero-length array. If the
+      // engine ever adds row-less invocations (e.g. timer-only), emit
+      // nothing for the key instead of crashing the query.
+      if (grain.isEmpty) Iterator.empty
+      else {
+        val n = grain.iterator.map(_._2).sum
+        GroupQuantilePs.iterator.map { case (num, den, p) =>
+          val k = (num * n + den - 1) / den
+          var pref = 0L
+          var i = 0
+          while (i < grain.length && pref + grain(i)._2 < k) {
+            pref += grain(i)._2
+            i += 1
+          }
+          QuantileOut(key, p, k, n, grain(i)._1)
         }
-        QuantileOut(key, p, k, n, grain(i)._1)
       }
     }
   }

@@ -320,8 +320,21 @@ class PropertiesSpec extends SparkSpec {
       b <- Gen.listOfN(nb, Gen.choose(0, 30).map(i => f"tok$i%02d"))
       alpha <- Gen.choose(0L, 20L)
     } yield (a.distinct.sorted, b.distinct.sorted, alpha)
+    // explicit schema: the Seq[String] encoder writes
+    // ArrayType(containsNull = true), which the expression now REJECTS
+    // at analysis (getUTF8String on a null slot would NPE mid-merge) —
+    // the fixture must carry the same containsNull=false contract the
+    // real call sites (sort_array ∘ collect_list) produce
+    val geSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false))))
     forAllSampled(arrGen, trials = 40) { case (a, b, alpha) =>
-      val got = Seq((a, b)).toDF("a", "b")
+      val got = spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(a, b)), geSchema)
         .select(call_function("graft_sorted_intersect_ge",
           col("a"), col("b"), lit(alpha)).as("ge"))
         .head().getLong(0)
@@ -335,6 +348,35 @@ class PropertiesSpec extends SparkSpec {
         assert(got < alpha, s"dead pair leaked past alpha: got=$got " +
           s"truth=$truth alpha=$alpha a=$a b=$b")
     }
+  }
+
+  test("sorted-intersect expressions reject containsNull=true arrays at analysis") {
+    graft.functions.VectorExpressions.register(spark)
+    // Seq[String] / Option-element encodings produce
+    // ArrayType(containsNull = true); the merge loops read elements
+    // null-unsafely (getLong → garbage, getUTF8String → NPE), so the
+    // typecheck must fail LOUDLY instead of silently computing wrong
+    // counts — these are session-registered SQL functions reachable
+    // from arbitrary queries
+    val nullableArrs = Seq((Seq("x", "y"), Seq("y"))).toDF("a", "b")
+    val ge = intercept[org.apache.spark.sql.AnalysisException] {
+      nullableArrs.select(call_function("graft_sorted_intersect_ge",
+        col("a"), col("b"), lit(1L))).head()
+    }
+    assert(ge.getMessage.contains("non-nullable"))
+    val longNullable = Seq((Seq(1L, 2L), Seq(2L))).toDF("a", "b")
+      .select(col("a").cast("array<bigint>").as("a"),
+        transform(col("b"), x => when(x > 0, x)).as("b"))
+    val cnt = intercept[org.apache.spark.sql.AnalysisException] {
+      longNullable.select(call_function("graft_sorted_intersect_count",
+        col("a"), col("b"))).head()
+    }
+    assert(cnt.getMessage.contains("non-nullable"))
+    val arr = intercept[org.apache.spark.sql.AnalysisException] {
+      longNullable.select(call_function("graft_sorted_intersect",
+        col("a"), col("b"))).head()
+    }
+    assert(arr.getMessage.contains("non-nullable"))
   }
 
   test("triangleCount == triangleRows count == brute force on random graphs") {

@@ -43,8 +43,18 @@ class ScalingSpec extends SparkSpec {
     val finalRatios =
       if (tripped.isEmpty) ratios
       else {
+        // the retry logs its FULL per-pass spread: min-of-passes
+        // deliberately sheds one-sided stalls, so a bimodal path (min
+        // fast, median 10×) must at least be visible in test output —
+        // a silent min would hide exactly the case worth investigating
         val again = graft.operators.ScaleProbe.run(
-          spark, Sf001, work, Seq(4, 16), only = Some(tripped), useMin = true)
+          spark, Sf001, work, Seq(4, 16), only = Some(tripped), useMin = true,
+          spreadSink = (n, m, ts) => {
+            val spread = ts.map(t => f"$t%.2f").mkString("[", ", ", "]")
+            val ratio = ts.max / ts.min
+            info(f"RETRY-SPREAD $n%-18s x$m%-2d passes=$spread max/min=$ratio%.1f" +
+              (if (ratio > 4.0) "  << BIMODAL — min shed a recurring slow pass" else ""))
+          })
         ratios ++ tripped.map { n =>
           val r = again(16)(n) / again(4)(n)
           info(f"RETRY $n%-18s t4=${again(4)(n)}%6.2fs " +
@@ -56,6 +66,30 @@ class ScalingSpec extends SparkSpec {
       assert(r < 6.0, f"$n grew super-linearly: t(16x)/t(4x) = $r%.2f >= 6.0" +
         (if (tripped(n)) " (reproduced on isolated retry)" else ""))
     }
+  }
+
+  test("min-of-passes estimator sheds one-sided stalls but a genuine " +
+      "quadratic still trips from its fastest pass") {
+    import graft.operators.ScaleProbe.estimate
+    // stall class (the case the retry exists for): one-sided ADDITIVE
+    // noise lands on some passes only — the fastest pass of each scale
+    // is clean, so the min-of-passes ratio reads the true ~4× linear
+    // growth and the 6.0 gate passes
+    val stall4 = Seq(1.0, 11.4, 1.1)   // stall on pass 2 at 4×
+    val stall16 = Seq(4.1, 4.0, 25.0)  // stall on pass 3 at 16×
+    assert(estimate(stall16, useMin = true) / estimate(stall4, useMin = true) < 6.0)
+    // the property a future loosening of the gate must NOT lose: a
+    // genuinely super-linear path inflates EVERY pass — its t(16×)
+    // MINIMUM is ~16× the t(4×) minimum (ratio ~16 for quadratic), so
+    // min-of-passes still fails the 6.0 gate deterministically even
+    // with stalls stacked on top of the growth
+    val quad4 = Seq(1.0, 1.2, 9.0)        // stall on a 4× pass too
+    val quad16 = Seq(16.0, 17.5, 40.0)    // every pass carries the x16 growth
+    val quadRatio = estimate(quad16, useMin = true) / estimate(quad4, useMin = true)
+    assert(quadRatio >= 6.0,
+      f"quadratic must still trip from its fastest pass: $quadRatio%.1f")
+    // and the median estimator (the non-retry path) agrees on both
+    assert(estimate(quad16, useMin = false) / estimate(quad4, useMin = false) >= 6.0)
   }
 
   test("ScaleRank under zipf skew: quantile refinement rebalances buckets; " +
