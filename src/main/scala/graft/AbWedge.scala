@@ -79,7 +79,54 @@ object AbWedge {
       "sedge_cd" -> (() =>
         graft.operators.GraphOps.strongEdgesPlan(spark, sfDir, distinctFirst = false)),
       "sedge_dc" -> (() =>
-        graft.operators.GraphOps.strongEdgesPlan(spark, sfDir, distinctFirst = true)))
+        graft.operators.GraphOps.strongEdgesPlan(spark, sfDir, distinctFirst = true)),
+      // co-occurrence edge build: raw lineitem pairs vs dedup before
+      // the pair join (shrinks the quadratic product; same output)
+      "coedge_raw" -> (() =>
+        graft.operators.GraphOps.coEdgesPlan(spark, sfDir, distinctFirst = false)),
+      "coedge_dc" -> (() =>
+        graft.operators.GraphOps.coEdgesPlan(spark, sfDir, distinctFirst = true)),
+      // ---- cold chain-prefix cost profiles (r14 trim targeting):
+      // each stage prices the chain cut at a memoized prefix, so
+      // stage(i+1) − stage(i) locates the expensive link
+      "closure_s1" -> (() =>
+        graft.operators.TextOps.simhashClosureStage(spark, sfDir, 1)),
+      "closure_s2" -> (() =>
+        graft.operators.TextOps.simhashClosureStage(spark, sfDir, 2)),
+      "closure_s3" -> (() =>
+        graft.operators.TextOps.simhashClosureStage(spark, sfDir, 3)),
+      "closure_s4" -> (() =>
+        graft.operators.TextOps.simhashClosureStage(spark, sfDir, 4)),
+      "linkch_s1" -> (() =>
+        graft.operators.GraphOps.linkChainStage(spark, sfDir, 1)),
+      "linkch_s2" -> (() =>
+        graft.operators.GraphOps.linkChainStage(spark, sfDir, 2)),
+      "linkch_s3" -> (() =>
+        graft.operators.GraphOps.linkChainStage(spark, sfDir, 3)),
+      "hits_s1" -> (() =>
+        graft.operators.GraphOps.hitsStage(spark, sfDir, 1)),
+      "hits_s2" -> (() =>
+        graft.operators.GraphOps.hitsStage(spark, sfDir, 2)),
+      "hits_s3" -> (() =>
+        graft.operators.GraphOps.hitsStage(spark, sfDir, 3)),
+      // q_dedup_simhash group materialization: rely on exchange reuse
+      // across the three groups consumers vs one localCheckpoint
+      "dsim_plain" -> (() =>
+        graft.operators.TextOps.dedupSimhashPlan(spark, sfDir, ckpt = false)),
+      "dsim_ckpt" -> (() =>
+        graft.operators.TextOps.dedupSimhashPlan(spark, sfDir, ckpt = true)),
+      // CC doubling deferral over the md5 keeper graph: unconditional
+      // pointer doubling vs plain min-prop for the first 4 rounds
+      "cc_dbl" -> (() =>
+        graft.operators.TextOps.closureCcPlan(spark, sfDir, doubleAfter = 0)),
+      "cc_hybrid" -> (() =>
+        graft.operators.TextOps.closureCcPlan(spark, sfDir, doubleAfter = 4)),
+      // HITS normalizer subtree duplication: lazy denominator frames
+      // vs per-iteration node-sized checkpoints
+      "hits_plain" -> (() =>
+        graft.operators.GraphOps.hitsStage(spark, sfDir, 3, ckptIters = false)),
+      "hits_ckpt" -> (() =>
+        graft.operators.GraphOps.hitsStage(spark, sfDir, 3, ckptIters = true)))
 
     // optional second arg: comma-separated substring filter so a
     // 2-variant question doesn't pay the whole sweep

@@ -58,8 +58,26 @@ object GraphOps {
       s"$kind|${System.identityHashCode(s)}|$d", build).asInstanceOf[T]
 
   /** Distinct undirected co-occurrence edges (u < v) from lineitem. */
-  private def coEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+  private def coEdges(s: SparkSession, d: String): DataFrame =
+    coEdgesPlan(s, d, distinctFirst = false)
+
+  /** [[coEdges]] with the input dedup parametrized (AbWedge pair
+    * coedge_raw / coedge_dc). distinctFirst = true dedups
+    * (l_orderkey, l_partkey) BEFORE the intra-order pair join — a part
+    * appearing in j lineitems of one order multiplies every pair it
+    * joins by j on the raw stream, so the narrow upfront distinct
+    * shrinks the quadratic product itself; the trailing distinct-pairs
+    * output is identical. The SUITE path stays distinctFirst = false
+    * (r14 A/B: a wash — 2/5 pairwise, medians 2.543 vs 2.529 s):
+    * unlike [[strongEdgesPlan]] there is no countDistinct to remove,
+    * and TPC-H-shaped orders rarely repeat a part, so the upfront
+    * shuffle buys no pair-stream reduction here. On a corpus whose
+    * orders DO repeat keys heavily, flip to true — the plan is kept
+    * for exactly that re-adjudication. */
+  private[graft] def coEdgesPlan(s: SparkSession, d: String,
+      distinctFirst: Boolean): DataFrame = {
+    val li0 = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    val li = if (distinctFirst) li0.distinct() else li0
     val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
     val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
     a.join(b, Seq("k")).filter(col("u") < col("v"))
@@ -399,7 +417,34 @@ object GraphOps {
     * anywhere, linear to 100 TB. Decimal-cast magnitudes stay ≤ ~10³
     * (scores are L1-normalized ≤ 1 before every pinned sum), so the
     * ≤2⁵³-unscaled exact-double-cast precondition holds at any SF. */
-  private def qHits(s: SparkSession, d: String): DataFrame = {
+  private def qHits(s: SparkSession, d: String): DataFrame =
+    hitsStage(s, d, stage = 3)
+
+  /** [[qHits]] cut at chain prefixes for the AbWedge cost profile:
+    * stage 1 = the distinct bipartite edge checkpoint, stage 2 = the
+    * first full hub iteration (edge join + agg + normalize), stage 3 =
+    * the whole query. Differences between cold stage timings locate
+    * the expensive half of the chain.
+    *
+    * ckptIters (suite path true since r14): every L1 normalization is
+    * `scores ⋈ broadcast(scores.agg(sum))` — with the un-normalized
+    * score frame left lazy, both sides of that pattern re-reference
+    * the upstream edge join, and the duplication compounds across the
+    * four half-iterations (~8 edge-join executions vs 3; exchange
+    * reuse recovers some). Checkpointing each node-sized denominator
+    * frame (h1d/a2d/h2d — ≤|V| rows of (id, decimal)) makes every
+    * subtree linear: each edge join runs exactly once per iteration
+    * at ANY scale. The r14 sf0.1 cold A/B was a WASH (hits_ckpt
+    * 9.22 s vs hits_plain 9.09 s median, 3/5 pairwise, spreads
+    * overlapping — iteration wall here is per-stage overhead, not the
+    * ~550 k-row joins), so this ships on the scale argument, not a
+    * suite win: at 100 TB the edge frame dominates and 3 passes vs 8
+    * is the difference that matters, while the checkpoints it adds
+    * stay node-sized at every SF. */
+  private[graft] def hitsStage(s: SparkSession, d: String, stage: Int,
+      ckptIters: Boolean = true): DataFrame = {
+    def iterCkpt(df: DataFrame): DataFrame =
+      if (ckptIters) df.localCheckpoint() else df
     val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
@@ -407,6 +452,7 @@ object GraphOps {
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
       .localCheckpoint()
+    if (stage == 1) return e
     val mRow = e.agg(count(lit(1)).as("m"))
     val inDeg = e.groupBy("p").agg(count(lit(1)).as("in_deg")).localCheckpoint()
     val outDeg = e.groupBy("c").agg(count(lit(1)).as("out_deg"))
@@ -414,23 +460,24 @@ object GraphOps {
     val a1 = inDeg.crossJoin(broadcast(mRow))
       .withColumn("a1", col("in_deg").cast("double") / col("m").cast("double"))
       .select("p", "a1")
-    val h1d = e.join(a1, Seq("p"))
+    val h1d = iterCkpt(e.join(a1, Seq("p"))
       .withColumn("t", expr("CAST(a1 AS DECIMAL(18,12))"))
-      .groupBy("c").agg(sum(col("t")).as("h1d"))
+      .groupBy("c").agg(sum(col("t")).as("h1d")))
     val h1 = h1d.crossJoin(broadcast(h1d.agg(sum(col("h1d")).as("h1t"))))
       .withColumn("h1", col("h1d").cast("double") / col("h1t").cast("double"))
       .select("c", "h1")
+    if (stage == 2) return h1
     // iteration 2
-    val a2d = e.join(h1, Seq("c"))
+    val a2d = iterCkpt(e.join(h1, Seq("c"))
       .withColumn("t", expr("CAST(h1 AS DECIMAL(18,12))"))
-      .groupBy("p").agg(sum(col("t")).as("a2d"))
+      .groupBy("p").agg(sum(col("t")).as("a2d")))
     val a2 = a2d.crossJoin(broadcast(a2d.agg(sum(col("a2d")).as("a2t"))))
       .withColumn("a2", col("a2d").cast("double") / col("a2t").cast("double"))
       .select("p", "a2")
       .localCheckpoint()
-    val h2d = e.join(a2, Seq("p"))
+    val h2d = iterCkpt(e.join(a2, Seq("p"))
       .withColumn("t", expr("CAST(a2 AS DECIMAL(18,12))"))
-      .groupBy("c").agg(sum(col("t")).as("h2d"))
+      .groupBy("c").agg(sum(col("t")).as("h2d")))
     val h2 = h2d.crossJoin(broadcast(h2d.agg(sum(col("h2d")).as("h2t"))))
       .withColumn("h2", col("h2d").cast("double") / col("h2t").cast("double"))
       .select("c", "h2")
@@ -943,6 +990,17 @@ object GraphOps {
       val (_, deg) = coEdgesDegM(s, d)
       linkScoresFrom(deg, triangleRowsM(s, d))
     }
+
+  /** Scored-edge chain cut at its memoized prefixes for the AbWedge
+    * cost profile (memos are cleared before each timed pass, so each
+    * stage prices its full cold build): 1 = co-occurrence edges +
+    * degrees, 2 = + triangle rows, 3 = the full scored-edge frame. */
+  private[graft] def linkChainStage(s: SparkSession, d: String,
+      stage: Int): DataFrame = stage match {
+    case 1 => coEdgesDegM(s, d)._1
+    case 2 => triangleRowsM(s, d)
+    case _ => linkScoresM(s, d)
+  }
 
   /** Cold link-score plan with the triangle intersection form
     * parametrized — AbWedge's interleaved A/B entry (the suite path is

@@ -1307,10 +1307,23 @@ object TextOps {
       .select("a_sig", "b_sig").distinct()
   }
 
-  private def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
+  private def qDedupSimhash(s: SparkSession, d: String): DataFrame =
+    dedupSimhashPlan(s, d, ckpt = true)
+
+  /** [[qDedupSimhash]] with the signature-group materialization
+    * parametrized (AbWedge pair dsim_plain / dsim_ckpt). groups feeds
+    * three consumers (both band-join sides and the final join); ckpt =
+    * true (the suite path since the r14 A/B: 2.27 vs 3.75 s median,
+    * 3/3 pairwise in the quiet window and 4/5 in the noisy rerun)
+    * localCheckpoints it so the doc-grain signature build runs once
+    * instead of relying on exchange reuse across the three
+    * subtrees. */
+  private[graft] def dedupSimhashPlan(s: SparkSession, d: String,
+      ckpt: Boolean): DataFrame = {
     val sigs = simhashSigs(doubled(s, d))
-    val groups = sigs.groupBy(col("simhash"))
+    val groups0 = sigs.groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_members"))
+    val groups = if (ckpt) groups0.localCheckpoint() else groups0
     // symmetrize the ordered pairs back so each signature counts ALL
     // its near neighbors, exactly as the pre-refactor both-direction
     // band join did
@@ -1514,6 +1527,33 @@ object TextOps {
     clusterLabelJoin(sigsM, groups, md5KeeperLabels(s, d)).orderBy("doc_id")
   }
 
+  /** md5-family cluster chain cut at its memoized prefixes for the
+    * AbWedge cost profile (memos are cleared before each timed pass,
+    * so each stage prices its full cold build): 1 = signatures +
+    * keeper groups, 2 = + Hamming-≤3 signature pairs, 3 = + keeper CC
+    * labels, 4 = the full q_simhash_closure (per-doc label join +
+    * order). */
+  /** The closure chain's CC stage with the doubling deferral
+    * parametrized (AbWedge pair cc_dbl / cc_hybrid): groups and near
+    * edges ride the memo, the CC labels are built fresh with the
+    * given `doubleAfter`. Output identical either way (both converge
+    * to the component-min fixpoint). */
+  private[graft] def closureCcPlan(s: SparkSession, d: String,
+      doubleAfter: Int): DataFrame = {
+    val groups = md5SigsGroups(s, d)._2
+    connectedComponents(
+      groups.select(col("keeper_id").as("doc_id")), md5NearEdges(s, d),
+      doubleAfter = doubleAfter)
+  }
+
+  private[graft] def simhashClosureStage(s: SparkSession, d: String,
+      stage: Int): DataFrame = stage match {
+    case 1 => md5SigsGroups(s, d)._2
+    case 2 => md5SigPairs(s, d)
+    case 3 => md5KeeperLabels(s, d)
+    case _ => qSimhashClosure(s, d)
+  }
+
   // Per-CLUSTER aggregate over the same md5-family CC labels — the
   // keep/drop accounting a dedup stage reports (cluster size, last
   // member, multi-doc flag), hash-gated end-to-end: the oracle runs
@@ -1660,9 +1700,18 @@ object TextOps {
   }
 
   /** Distributed connected components over a near-dup edge set:
-    * iterative min-label propagation PLUS pointer doubling
-    * (label(u) ← label(label(u)) each round), so a chain of diameter D
-    * converges in O(log D) rounds instead of O(D). The loop is
+    * iterative min-label propagation with DEFERRED pointer doubling —
+    * the first `doubleAfter` rounds run plain min propagation (one
+    * edge join + one min agg), and only rounds after that add the
+    * label(u) ← label(label(u)) self-join hop. Rationale (r14 cold
+    * A/B over the md5 keeper graph: cc_hybrid 6.45 s vs cc_dbl
+    * 11.26 s median, 5/5 pairwise): near-dup components are star/clique
+    * shaped — banded Hamming blocks and exact-digest stars have
+    * diameter 1–3 — so unconditional doubling paid an extra
+    * node-keyed self-join (two more exchanges) EVERY round to save
+    * rounds that shallow graphs never run. A pathological chain still
+    * converges in O(doubleAfter + log D) total rounds once doubling
+    * kicks in, so the asymptotic guarantee survives. The loop is
     * driver-coordinated but every round is a distributed join+agg;
     * localCheckpoint truncates the growing lineage; the only
     * driver-side action per round is a one-row label-sum fetch (the
@@ -1670,15 +1719,18 @@ object TextOps {
     *
     * Fails LOUDLY if the round cap is hit — silently returning
     * unconverged labels would split real clusters and leak duplicates
-    * into a training corpus. With doubling, 25 rounds cover diameters
-    * up to ~2²⁵, so the throw is a defect signal, never a data path.
+    * into a training corpus. With doubling from round `doubleAfter`,
+    * 25 rounds still cover diameters up to ~2²⁰, so the throw is a
+    * defect signal, never a data path.
     *
     * @param nodes (doc_id)   — one row per document
     * @param edges (src, dst) — near-dup pairs, symmetrized internally
+    * @param doubleAfter rounds of plain propagation before the
+    *   doubling hop joins in (0 = always double, the pre-r14 form)
     * @return (doc_id, label) — label = min doc_id of the component
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, doubleAfter: Int = 4): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
@@ -1723,13 +1775,16 @@ object TextOps {
         .union(labels)
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("label"))
-      // pointer doubling: follow the label one hop (labels are always
-      // doc_ids, so the hop is a self-join) — halves remaining depth
-      val next = propagated
-        .join(propagated.select(col("doc_id").as("label"), col("label").as("hop")),
-          Seq("label"), "left_outer")
-        .select(col("doc_id"), coalesce(col("hop"), col("label")).as("label"))
-        .localCheckpoint()
+      // pointer doubling (deferred, see scaladoc): follow the label
+      // one hop (labels are always doc_ids, so the hop is a
+      // self-join) — halves remaining depth on deep components
+      val next = (
+        if (iter < doubleAfter) propagated
+        else propagated
+          .join(propagated.select(col("doc_id").as("label"), col("label").as("hop")),
+            Seq("label"), "left_outer")
+          .select(col("doc_id"), coalesce(col("hop"), col("label")).as("label"))
+        ).localCheckpoint()
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

@@ -166,6 +166,20 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents converges on a deep chain within the round cap") {
+    // the r14 hybrid defers pointer doubling for 4 plain rounds (star/
+    // clique near-dup graphs converge before it would help); this pins
+    // that a genuinely DEEP component still converges under the default
+    // cap — a 300-node path needs ~300 plain rounds, so only the
+    // doubling phase (O(log D) after the plain prefix) can get there
+    val n = 300L
+    val nodes = (1L to n).toDF("doc_id")
+    val chain = (1L until n).map(i => (i, i + 1L)).toDF("src", "dst")
+    val got = graft.operators.TextOps.connectedComponents(nodes, chain)
+      .collect()
+    assert(got.length == n.toInt && got.forall(_.getLong(1) == 1L))
+  }
+
   test("starEdges yields the same components as all-pairs edges on random blockings") {
     // the r3 rewrite claim, as a property: for ANY (key, id) blocking,
     // the linear star edge set (member -> min id per block) must give
