@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * moves both sides of each pair together, so the PAIRWISE delta
   * survives it.
   *
-  * Variants (old form first, suite form second):
+  * Variants (old form first, suite form second) — see the Seq below
+  * for the authoritative list; families:
   *   prefix_hash / prefix_ge  — q_dedup_prefix verify:
   *     size(array_intersect) vs graft_sorted_intersect_ge early-exit
   *   lcc_union3 / lcc_explode — q_local_cc corners: 3× unionAll
@@ -22,6 +23,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     explode(array_intersect) vs explode(graft_sorted_intersect)
   *   skip_nopin / skip_pin   — q_skipping_stats base-frame pin:
   *     recompute per branch vs localCheckpoint once
+  *   lpa_* / keeperq_* / sedge_* / coedge_* — r14 ≥5 s-family trims
+  *   closure_s* / linkch_s* / hits_s*      — chain-prefix cost profiles
+  *   cc_* / dsim_* / hits_plain|ckpt / sig* — r14 second trim wave
   *
   * Usage: SPARK_GRAFT_SF_DIR=… SPARK_GRAFT_CPUS=32
   *        sbt "runMain graft.AbWedge [passes] [variantSubstr,…]"
@@ -126,7 +130,17 @@ object AbWedge {
       "hits_plain" -> (() =>
         graft.operators.GraphOps.hitsStage(spark, sfDir, 3, ckptIters = false)),
       "hits_ckpt" -> (() =>
-        graft.operators.GraphOps.hitsStage(spark, sfDir, 3, ckptIters = true)))
+        graft.operators.GraphOps.hitsStage(spark, sfDir, 3, ckptIters = true)),
+      // signature build form: token-grain aggregate pipeline vs the
+      // one-pass per-doc scalar expression (graft_simhash_doc_*)
+      "sigxx_agg" -> (() =>
+        graft.operators.TextOps.sigBuildPlan(spark, sfDir, "xx", onePass = false)),
+      "sigxx_expr" -> (() =>
+        graft.operators.TextOps.sigBuildPlan(spark, sfDir, "xx", onePass = true)),
+      "sigmd5_agg" -> (() =>
+        graft.operators.TextOps.sigBuildPlan(spark, sfDir, "md5", onePass = false)),
+      "sigmd5_expr" -> (() =>
+        graft.operators.TextOps.sigBuildPlan(spark, sfDir, "md5", onePass = true)))
 
     // optional second arg: comma-separated substring filter so a
     // 2-variant question doesn't pay the whole sweep

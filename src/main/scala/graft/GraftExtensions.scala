@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, DotProduct, SimHash64}
+import graft.functions.{CosineSimilarity, DotProduct, SimHash64, SimHashDoc}
 
 /** Session-extension entry point: installs the engine's native
   * functions at session build time —
@@ -37,6 +37,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash64(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_simhash_doc_xx"),
+      new ExpressionInfo(classOf[SimHashDoc].getName, "graft_simhash_doc_xx"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHashDoc(exprs.head, md5Family = false)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_simhash_doc_md5"),
+      new ExpressionInfo(classOf[SimHashDoc].getName, "graft_simhash_doc_md5"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHashDoc(exprs.head, md5Family = true)))
     // composed dot/(sqrt*sqrt) cosine → fused single-pass expression
     e.injectOptimizerRule(_ => graft.plans.FuseCosine)
   }

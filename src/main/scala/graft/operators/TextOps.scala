@@ -1276,16 +1276,35 @@ object TextOps {
     * two bit-identical, and SimHashAgg's scaladoc states the 100 TB
     * rationale). Input needs (doc_id, text); returns
     * (doc_id, simhash). */
-  def simhashSigs(docs: DataFrame): DataFrame = {
-    graft.functions.SimHashAgg.register(docs.sparkSession)
-    docs
-      .select(col("doc_id"), explode(tokens()).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("w"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"), col("w"))
-      .groupBy(col("doc_id"))
-      .agg(expr("graft_simhash_agg(h, w)").as("simhash"))
-  }
+  def simhashSigs(docs: DataFrame): DataFrame =
+    simhashSigsPlan(docs, onePass = true)
+
+  /** [[simhashSigs]] with the build form parametrized (AbWedge pair
+    * sigxx_agg / sigxx_expr). onePass = true (the suite path since
+    * r14) computes each signature as ONE scalar map over the token
+    * array ([[graft.functions.SimHashDoc]] — bit-parity with the
+    * aggregate form pinned by a ScalaCheck property): the aggregate
+    * form exchanges the corpus at token grain twice (explode →
+    * groupBy(doc_id, tok) → groupBy(doc_id)) before a signature
+    * exists; the one-pass form is a shuffle-free projection of the
+    * corpus scan — the difference between two corpus-scale shuffles
+    * and none at 100 TB. */
+  private[graft] def simhashSigsPlan(docs: DataFrame,
+      onePass: Boolean): DataFrame =
+    if (onePass) {
+      graft.functions.SimHashDoc.register(docs.sparkSession)
+      docs.select(col("doc_id"),
+        call_function("graft_simhash_doc_xx", tokens()).as("simhash"))
+    } else {
+      graft.functions.SimHashAgg.register(docs.sparkSession)
+      docs
+        .select(col("doc_id"), explode(tokens()).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("w"))
+        .select(col("doc_id"), xxhash64(col("tok")).as("h"), col("w"))
+        .groupBy(col("doc_id"))
+        .agg(expr("graft_simhash_agg(h, w)").as("simhash"))
+    }
 
   /** Hamming-≤3 pairs over DISTINCT signatures via 4×16-bit band join
     * (pigeonhole: ≤3 differing bits leave ≥1 of the 4 bands
@@ -1352,18 +1371,32 @@ object TextOps {
     */
   /** 60-bit md5-family SimHash signatures — the cross-engine hash
     * family shared by q_simhash_estimate and q_simhash_closure. */
-  private def md5SimhashSigs(s: SparkSession, docs: DataFrame): DataFrame = {
-    graft.functions.SimHashAgg.register(s)
-    docs
-      .select(col("doc_id"), explode(tokens()).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("w"))
-      .select(col("doc_id"),
-        expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"),
-        col("w"))
-      .groupBy(col("doc_id"))
-      .agg(expr("graft_simhash_agg(h, w)").as("simhash"))
-  }
+  private def md5SimhashSigs(s: SparkSession, docs: DataFrame): DataFrame =
+    md5SimhashSigsPlan(s, docs, onePass = true)
+
+  /** [[md5SimhashSigs]] with the build form parametrized (AbWedge
+    * pair sigmd5_agg / sigmd5_expr) — same one-pass rationale as
+    * [[simhashSigsPlan]]; the md5-family DuckDB oracles recompute the
+    * weighted bit sums from tokens in SQL, so the hash gate pins the
+    * two forms to the same signatures end-to-end. */
+  private[graft] def md5SimhashSigsPlan(s: SparkSession, docs: DataFrame,
+      onePass: Boolean): DataFrame =
+    if (onePass) {
+      graft.functions.SimHashDoc.register(s)
+      docs.select(col("doc_id"),
+        call_function("graft_simhash_doc_md5", tokens()).as("simhash"))
+    } else {
+      graft.functions.SimHashAgg.register(s)
+      docs
+        .select(col("doc_id"), explode(tokens()).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("w"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"),
+          col("w"))
+        .groupBy(col("doc_id"))
+        .agg(expr("graft_simhash_agg(h, w)").as("simhash"))
+    }
 
   /** Cross-QUERY memo for the md5-family signature graph: SIX queries
     * (estimate, closure, sizes, degrees, pagerank, keeper_quality)
@@ -1545,6 +1578,19 @@ object TextOps {
       groups.select(col("keeper_id").as("doc_id")), md5NearEdges(s, d),
       doubleAfter = doubleAfter)
   }
+
+  /** Cold signature-build plan over the doubled corpus for the
+    * AbWedge sig pairs (family = "xx" | "md5"). */
+  private[graft] def sigBuildPlan(s: SparkSession, d: String,
+      family: String, onePass: Boolean): DataFrame =
+    sigBuildPlanForTest(s, doubled(s, d), family, onePass)
+
+  /** Signature build over an arbitrary (doc_id, text) frame — the
+    * parity property's entry point. */
+  private[graft] def sigBuildPlanForTest(s: SparkSession, docs: DataFrame,
+      family: String, onePass: Boolean): DataFrame =
+    if (family == "md5") md5SimhashSigsPlan(s, docs, onePass)
+    else simhashSigsPlan(docs, onePass)
 
   private[graft] def simhashClosureStage(s: SparkSession, d: String,
       stage: Int): DataFrame = stage match {

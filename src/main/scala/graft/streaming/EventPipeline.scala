@@ -246,17 +246,18 @@ object EventPipeline {
 
   /** Per-row 64-bit SimHash signature over whitespace tokens — the
     * SAME semantics as the batch signature path (xxhash64 term hashes,
-    * term-frequency weights, graft_simhash's bit fold; SimHash is
-    * order-invariant, so per-distinct-token tf via filter+size equals
-    * the batch explode+groupBy tf) but computed WITHOUT an
-    * aggregation, which is what lets it sit upstream of a streaming
-    * stateful operator. Per-row cost is O(distinct·tokens) lambda
-    * steps — bounded by document length, independent of corpus size.
-    * StreamingSpec pins it bit-identical to [[graft.operators.TextOps.simhashSigs]]. */
-  def perRowSimhash(textCol: String = "text"): org.apache.spark.sql.Column = expr(
-    s"""graft_simhash(transform(array_distinct(split($textCol, ' ')),
-          t -> struct(xxhash64(t) AS h,
-                      CAST(size(filter(split($textCol, ' '), x -> x = t)) AS BIGINT) AS w)))""")
+    * term-frequency weights, the same sign fold) but computed WITHOUT
+    * an aggregation, which is what lets it sit upstream of a streaming
+    * stateful operator. Since r14 this is the native one-pass
+    * [[graft.functions.SimHashDoc]] expression the batch build also
+    * runs — O(tokens) hashmap counting + one hash per distinct token,
+    * replacing the interpreted HOF composition whose
+    * `filter(split(...))` per distinct token cost O(distinct·tokens)
+    * lambda frames per document. StreamingSpec pins it bit-identical
+    * to [[graft.operators.TextOps.simhashSigs]]. */
+  def perRowSimhash(textCol: String = "text"): org.apache.spark.sql.Column = {
+    expr(s"graft_simhash_doc_xx(split($textCol, ' '))")
+  }
 
   /** Streaming NEAR-dup dedup — the signature-identical stage of the
     * batch SimHash stack on the streaming surface: a document whose
@@ -271,7 +272,7 @@ object EventPipeline {
     * streaming stage is the exact-signature filter in front of it. */
   def nearDedupedDocuments(docs: DataFrame,
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    graft.functions.TextExpressions.register(docs.sparkSession)
+    graft.functions.SimHashDoc.register(docs.sparkSession)
     docs
       .withColumn("simhash", perRowSimhash())
       .withWatermark("ingest_ts", watermarkDelay)

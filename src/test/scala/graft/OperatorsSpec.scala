@@ -231,11 +231,12 @@ class OperatorsSpec extends SparkSpec {
     assert(both.count() == 500)
   }
 
-  test("graft_simhash_agg streaming aggregate is bit-identical to the array form") {
-    // the TypedImperativeAggregate (64 bit-sums accumulating in the
-    // agg buffer, no per-doc token array) must produce the same
-    // signature as collect_list + the scalar expression — this is the
-    // production path TextOps.simhashSigs now runs
+  test("the production signature build is bit-identical to the array form") {
+    // whatever form TextOps.simhashSigs runs (the r14 one-pass
+    // SimHashDoc expression; before that the TypedImperativeAggregate)
+    // must produce the same signature as collect_list + the scalar
+    // graft_simhash fold over grouped term frequencies — the original
+    // reference formulation
     graft.functions.TextExpressions.register(spark)
     val tf = spark.read.parquet(s"$Sf0001/documents.parquet")
       .select($"doc_id", explode(split($"text", " ")).as("tok"))

@@ -166,6 +166,34 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("one-pass SimHashDoc matches the aggregate signature build, both families") {
+    // the r14 shuffle-free signature build must be BIT-IDENTICAL to
+    // the explode → groupBy(doc_id, tok) → graft_simhash_agg pipeline
+    // it replaces — same multiplicity weighting, same per-family
+    // hashes, same sign fold — on arbitrary token streams (repeats,
+    // empty tokens, unicode, single-token docs)
+    val tokGen = Gen.oneOf("a", "b", "bb", "the", "x1", "", "çé", "日本",
+      "zz9", "longish-token-value")
+    val docGen = for {
+      n <- Gen.choose(0, 40)
+      toks <- Gen.listOfN(n, tokGen)
+    } yield toks.mkString(" ") // join/split round-trips "" tokens too
+    forAllSampled(Gen.listOfN(25, docGen), trials = 3) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def sigs(family: String, onePass: Boolean): Map[Long, Option[Long]] =
+        graft.operators.TextOps.sigBuildPlanForTest(spark, docs, family, onePass)
+          .collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      for (fam <- Seq("xx", "md5")) {
+        val agg = sigs(fam, onePass = false)
+        val one = sigs(fam, onePass = true)
+        assert(one == agg, s"family=$fam texts=$texts")
+      }
+    }
+  }
+
   test("connectedComponents converges on a deep chain within the round cap") {
     // the r14 hybrid defers pointer doubling for 4 plain rounds (star/
     // clique near-dup graphs converge before it would help); this pins

@@ -264,7 +264,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("per-row streaming simhash is bit-identical to the batch signature path") {
-    graft.functions.TextExpressions.register(spark)
+    graft.functions.SimHashDoc.register(spark)
     val docs = graft.sources.Tables.documents(spark, Sf0001)
       .select($"doc_id", $"text")
     val perRow = docs.select($"doc_id",
@@ -911,6 +911,7 @@ class StreamingSpec extends SparkSpec {
 
   test("composed corpus-clean stream: dedup → quality → route matches the batch composition, restart-safe") {
     graft.functions.TextExpressions.register(spark)
+    graft.functions.SimHashDoc.register(spark)
     val src = tmp("cc-src")
     val acc = tmp("cc-acc")
     val quar = tmp("cc-quar")
