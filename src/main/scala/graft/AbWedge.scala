@@ -84,12 +84,23 @@ object AbWedge {
         graft.operators.GraphOps.strongEdgesPlan(spark, sfDir, distinctFirst = false)),
       "sedge_dc" -> (() =>
         graft.operators.GraphOps.strongEdgesPlan(spark, sfDir, distinctFirst = true)),
+      "sedge_dcp" -> (() =>
+        graft.operators.GraphOps.strongEdgesPlan(spark, sfDir,
+          distinctFirst = true, prepart = true)),
       // co-occurrence edge build: raw lineitem pairs vs dedup before
       // the pair join (shrinks the quadratic product; same output)
       "coedge_raw" -> (() =>
         graft.operators.GraphOps.coEdgesPlan(spark, sfDir, distinctFirst = false)),
       "coedge_dc" -> (() =>
         graft.operators.GraphOps.coEdgesPlan(spark, sfDir, distinctFirst = true)),
+      // co-occurrence edge build, round 2: one pre-exchange shared by
+      // both join sides, and the no-join grouped in-row pair form
+      "coedge_prepart" -> (() =>
+        graft.operators.GraphOps.coEdgesPlan(spark, sfDir,
+          distinctFirst = false, mode = "prepart")),
+      "coedge_grouped" -> (() =>
+        graft.operators.GraphOps.coEdgesPlan(spark, sfDir,
+          distinctFirst = false, mode = "grouped")),
       // ---- cold chain-prefix cost profiles (r14 trim targeting):
       // each stage prices the chain cut at a memoized prefix, so
       // stage(i+1) − stage(i) locates the expensive link

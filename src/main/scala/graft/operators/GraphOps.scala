@@ -57,9 +57,17 @@ object GraphOps {
     graphCache.getOrElseUpdate(
       s"$kind|${System.identityHashCode(s)}|$d", build).asInstanceOf[T]
 
-  /** Distinct undirected co-occurrence edges (u < v) from lineitem. */
+  /** Distinct undirected co-occurrence edges (u < v) from lineitem.
+    * Suite path is mode = "prepart" since the r14 A/B (1.52 vs 2.71 s
+    * median, 5/5 pairwise): the plain join form exchanges the lineitem
+    * scan once PER SIDE (the aliased projections canonicalize
+    * differently, so ReuseExchange cannot dedup them); one shared
+    * repartition + checkpoint halves the pre-join exchange volume at
+    * any scale. The "grouped" no-join form (C(k,2) pairs generated
+    * in-row) also beat the raw join (2.21, 5/5) but lost to prepart —
+    * its HOF expansion is interpreted. */
   private def coEdges(s: SparkSession, d: String): DataFrame =
-    coEdgesPlan(s, d, distinctFirst = false)
+    coEdgesPlan(s, d, distinctFirst = false, mode = "prepart")
 
   /** [[coEdges]] with the input dedup parametrized (AbWedge pair
     * coedge_raw / coedge_dc). distinctFirst = true dedups
@@ -75,9 +83,31 @@ object GraphOps {
     * orders DO repeat keys heavily, flip to true — the plan is kept
     * for exactly that re-adjudication. */
   private[graft] def coEdgesPlan(s: SparkSession, d: String,
-      distinctFirst: Boolean): DataFrame = {
+      distinctFirst: Boolean, mode: String = "join"): DataFrame = {
     val li0 = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-    val li = if (distinctFirst) li0.distinct() else li0
+    if (mode == "grouped") {
+      // one exchange total before the trailing distinct: group each
+      // order's distinct parts into a sorted array and generate the
+      // C(k,2) ascending pairs IN-ROW — no self-join, no second
+      // lineitem exchange. k is small (TPC-H ~4 lineitems/order), so
+      // the per-row HOF expansion is a handful of lambda frames.
+      return li0.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps) - i - 1),
+                 y -> struct(x AS u, y AS v))))""")).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+        .distinct()
+    }
+    val li1 = if (distinctFirst) li0.distinct() else li0
+    // "prepart": exchange lineitem by orderkey ONCE and let the hash
+    // partitioning propagate through both aliased projections — the
+    // plain join form exchanges the scan separately per side because
+    // the renamed projections canonicalize differently
+    val li = if (mode == "prepart")
+      li1.repartition(col("l_orderkey")).localCheckpoint()
+    else li1
     val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
     val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
     a.join(b, Seq("k")).filter(col("u") < col("v"))
@@ -813,9 +843,13 @@ object GraphOps {
     * the |lineitem| rows that FEED the quadratic blowup. Dedup before
     * the explosion, not after — the shape that survives 100×. */
   private[graft] def strongEdgesPlan(s: SparkSession, d: String,
-      distinctFirst: Boolean): DataFrame = {
+      distinctFirst: Boolean, prepart: Boolean = false): DataFrame = {
     val li0 = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-    val li = if (distinctFirst) li0.distinct() else li0
+    val li1 = if (distinctFirst) li0.distinct() else li0
+    // same shared-exchange device as coEdges mode = "prepart": one
+    // orderkey repartition feeds both aliased join sides
+    val li = if (prepart) li1.repartition(col("l_orderkey")).localCheckpoint()
+    else li1
     val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
     val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
     val support =

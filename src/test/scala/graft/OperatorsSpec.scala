@@ -12,6 +12,21 @@ class OperatorsSpec extends SparkSpec {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, Sf0001)
 
+  test("coEdges alternate builds (prepart/grouped) equal the join form") {
+    // the r14 AbWedge candidates must be drop-in: identical distinct
+    // (u < v) edge sets at both test SFs
+    for (sf <- Seq(Sf0001, Sf001)) {
+      val base = graft.operators.GraphOps.coEdgesPlan(spark, sf,
+        distinctFirst = false)
+      for (m <- Seq("prepart", "grouped")) {
+        val alt = graft.operators.GraphOps.coEdgesPlan(spark, sf,
+          distinctFirst = false, mode = m)
+        assert(alt.exceptAll(base).count() == 0 &&
+          base.exceptAll(alt).count() == 0, s"mode=$m sf=$sf")
+      }
+    }
+  }
+
   test("edit-distance gate precondition: corpus is ASCII; Spark counts code points") {
     // q_dedup_edit's oracle is valid only while bytes == code points:
     // Spark's levenshtein counts Unicode CODE POINTS, DuckDB's counts
