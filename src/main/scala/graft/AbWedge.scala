@@ -142,6 +142,15 @@ object AbWedge {
         graft.operators.GraphOps.hitsStage(spark, sfDir, 3, ckptIters = false)),
       "hits_ckpt" -> (() =>
         graft.operators.GraphOps.hitsStage(spark, sfDir, 3, ckptIters = true)),
+      // modularity chain-prefix profile (r15 adjudication: the one
+      // non-stall-shaped r14 regression — 2.4x on both driver passes
+      // while q_communities, sharing stages 1-2, priced 1.05x)
+      "mod_s1" -> (() =>
+        graft.operators.GraphOps.modularityStage(spark, sfDir, 1)),
+      "mod_s2" -> (() =>
+        graft.operators.GraphOps.modularityStage(spark, sfDir, 2)),
+      "mod_s3" -> (() =>
+        graft.operators.GraphOps.modularityStage(spark, sfDir, 3)),
       // signature build form: token-grain aggregate pipeline vs the
       // one-pass per-doc scalar expression (graft_simhash_doc_*)
       "sigxx_agg" -> (() =>

@@ -40,11 +40,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - sign fold: bit j set iff the signed sum is > 0 (ties fold to 0,
   *    matching [[SimHashAgg]]).
   *
-  * A null tokens ARRAY yields a null signature (the aggregate path
-  * instead emits no row for such a doc because `explode` drops it —
-  * call sites feed `split` output, which is never null for non-null
-  * text; the one-pass call sites keep the row with a null signature,
-  * and no current corpus has null text).
+  * A null tokens ARRAY yields a null signature, and so does an EMPTY
+  * one (the aggregate path emits no row for either: `explode` drops
+  * null AND zero-element arrays, so "doc absent" maps to null here,
+  * never to the would-be all-zero-sums signature 0L — which a doc
+  * whose token hashes cancel exactly could legitimately produce).
+  * Call sites feed `split` output, which is never null and never
+  * empty for non-null text (`split("")` is `[""]`), so neither case
+  * is reachable today; both are pinned conservatively so a future
+  * call site feeding e.g. `filter`-ed token arrays cannot silently
+  * diverge from the aggregate form.
   */
 case class SimHashDoc(child: Expression, md5Family: Boolean)
     extends UnaryExpression {
@@ -89,9 +94,12 @@ object SimHashDoc {
   private val XxSeed = 42L
 
   /** One-pass signature over a token array; null = poisoned (md5
-    * family with a null token). Called from both eval and codegen. */
+    * family with a null token) or doc absent (empty array — the
+    * aggregate path's explode drops such docs, so no signature
+    * exists to be matched). Called from both eval and codegen. */
   def compute(arr: ArrayData, md5Family: Boolean): java.lang.Long = {
     val n = arr.numElements()
+    if (n == 0) return null
     // multiplicity map: one hash per DISTINCT token (the aggregate
     // path's groupBy(doc_id, tok) did the same dedup); UTF8String
     // keys are content-hashed views into the row buffer, stable for

@@ -627,17 +627,16 @@ object Functions2 {
         expr("CAST(bit_count(type_mask) AS BIGINT)").as("n_types"))
       .orderBy("user_id", "month_idx")
 
-  /** Storage-format roundtrip audit — writes the same lineitem
-    * projection to ORC, CSV and JSON, reads each back (CSV/JSON with
-    * the explicit source schema — schema-on-read, no inference
-    * nondeterminism) and aggregates; the ORACLE computes the single
-    * expected aggregate straight from parquet and expects all three
-    * format rows IDENTICAL, so the hash gate proves each writer→
-    * reader path is value-lossless (doubles survive shortest-repr
-    * text, timestamps survive the NTZ formatter, ORC is binary). The
-    * interchange-format insurance a multi-engine lake runs before
-    * trusting a new export path. Scale shape: three narrow
-    * write+scan+agg pipelines, no shuffles beyond the 1-row aggs. */
+  // Storage-format roundtrip audit (q_roundtrip_orc/csv/json): each
+  // query writes the same lineitem projection to its format, reads it
+  // back (CSV/JSON with the explicit source schema — schema-on-read,
+  // no inference nondeterminism) and aggregates; the ORACLE computes
+  // the expected aggregate straight from parquet, so the hash gate
+  // proves each writer→reader path is value-lossless (doubles survive
+  // shortest-repr text, timestamps survive the NTZ formatter, ORC is
+  // binary). The interchange-format insurance a multi-engine lake runs
+  // before trusting a new export path. Scale shape per query: one
+  // narrow write+scan+agg pipeline, no shuffles beyond the 1-row agg.
   /** One fixed roundtrip dir per dataset (mode=overwrite reuses it), so
     * repeated bench/verify invocations can't accumulate temp dirs; a
     * single shutdown hook removes whatever was created. The writes
@@ -667,35 +666,45 @@ object Functions2 {
       p.toString
     })
 
-  private def qFormatRoundtrip(s: SparkSession, d: String): DataFrame = {
+  /** One format's write→read→aggregate roundtrip — r15 split the old
+    * q_format_roundtrip (all three formats in one query, the suite's
+    * single most IO-bound line at 2% of the total) into three
+    * per-format lines: same lossless-path proof per format, but a
+    * slow filesystem day prices as three attributable small numbers
+    * instead of one opaque big one, and the bench's budget-gated
+    * sweeps can re-sample them independently. */
+  private def roundtripFor(s: SparkSession, d: String, fmt: String): DataFrame = {
     val src = Tables.lineitem(s, d).select(
       col("l_orderkey"), col("l_partkey"), col("l_quantity"),
       col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
     val dir = fmtDirFor(d)
-    src.write.mode("overwrite").orc(s"$dir/orc")
-    src.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
-    src.write.mode("overwrite").json(s"$dir/json")
-    val reads = Seq(
-      "csv" -> s.read.option("header", "true").schema(src.schema).csv(s"$dir/csv"),
-      "json" -> s.read.schema(src.schema).json(s"$dir/json"),
-      "orc" -> s.read.orc(s"$dir/orc"))
-    reads.map { case (fmt, df) =>
-      df.agg(
+    val read = fmt match {
+      case "orc" =>
+        src.write.mode("overwrite").orc(s"$dir/orc")
+        s.read.orc(s"$dir/orc")
+      case "csv" =>
+        src.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+        s.read.option("header", "true").schema(src.schema).csv(s"$dir/csv")
+      case "json" =>
+        src.write.mode("overwrite").json(s"$dir/json")
+        s.read.schema(src.schema).json(s"$dir/json")
+    }
+    read.agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("l_partkey")).as("n_parts"),
         expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
         expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)")
           .as("sum_price"),
         expr("MAX(unix_micros(CAST(l_shipdate AS TIMESTAMP)))").as("max_ship_us"))
-        .withColumn("format", lit(fmt))
-    }.reduce(_ unionAll _)
+      .withColumn("format", lit(fmt))
       .select("format", "n_rows", "n_parts", "sum_qty", "sum_price", "max_ship_us")
-      .orderBy("format")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bitmap_presence" -> (qBitmapPresence _),
-    "q_format_roundtrip" -> (qFormatRoundtrip _),
+    "q_roundtrip_orc" -> ((s: SparkSession, d: String) => roundtripFor(s, d, "orc")),
+    "q_roundtrip_csv" -> ((s: SparkSession, d: String) => roundtripFor(s, d, "csv")),
+    "q_roundtrip_json" -> ((s: SparkSession, d: String) => roundtripFor(s, d, "json")),
     "q_json_nested" -> (qJsonNested _),
     "q_zorder" -> (qZorder _),
     "q_skipping_stats" -> (qSkippingStats _),
@@ -720,6 +729,15 @@ object Functions2 {
     "q_anomaly" -> (qAnomaly _),
     "q_approx_percentile" -> (qApproxPercentile _)
   )
+
+  private def roundtripOracle(fmt: String): String =
+    s"""SELECT '$fmt' AS format,
+       |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       |       CAST(MAX(epoch_us(l_shipdate)) AS BIGINT) AS max_ship_us
+       |FROM lineitem""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_bitmap_presence" ->
@@ -776,21 +794,11 @@ object Functions2 {
          |       CAST(SUM(m_mod) AS BIGINT)
          |FROM zones GROUP BY layout
          |ORDER BY layout, predicate""".stripMargin,
-    // ONE parquet-derived aggregate expected identically for every
-    // format row: the hash match proves each roundtrip is lossless
-    "q_format_roundtrip" ->
-      """WITH agg AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
-        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-        |         CAST(MAX(epoch_us(l_shipdate)) AS BIGINT) AS max_ship_us
-        |  FROM lineitem
-        |)
-        |SELECT f.format AS format, a.n_rows, a.n_parts, a.sum_qty, a.sum_price,
-        |       a.max_ship_us
-        |FROM (VALUES ('csv'), ('json'), ('orc')) f(format) CROSS JOIN agg a
-        |ORDER BY f.format""".stripMargin,
+    // the parquet-derived aggregate each format's roundtrip row must
+    // equal exactly: the hash match proves the roundtrip is lossless
+    "q_roundtrip_orc" -> roundtripOracle("orc"),
+    "q_roundtrip_csv" -> roundtripOracle("csv"),
+    "q_roundtrip_json" -> roundtripOracle("json"),
     "q_zorder" ->
       s"""SELECT p_partkey, p_size,
          |       CAST(p_partkey % 64 AS BIGINT) AS pmod,

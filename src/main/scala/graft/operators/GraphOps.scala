@@ -948,6 +948,21 @@ object GraphOps {
     modularityFrom(edges, lbl)
   }
 
+  /** Cold chain-prefix stage prices for the modularity chain (AbWedge
+    * mod_s1/s2/s3, the r14 trim-targeting device): stage 1 = strong
+    * edges built and materialized; stage 2 = + LpaRounds synchronous
+    * label propagation (≈ q_communities' whole front half); stage 3 =
+    * the full suite plan (+ the [[modularityFrom]] back half). The
+    * pairwise deltas locate the expensive link — r14's driver priced
+    * q_modularity 2.4× its record on BOTH passes while q_communities,
+    * sharing everything through stage 2, priced 1.05×. */
+  private[graft] def modularityStage(s: SparkSession, d: String,
+      stage: Int): DataFrame = stage match {
+    case 1 => strongEdges(s, d).localCheckpoint()
+    case 2 => lpaLabelsPlan(s, d, argMax = true)._2
+    case _ => modularityPlan(s, d, argMax = true)
+  }
+
   private def modularityFrom(edges: DataFrame, lbl: DataFrame): DataFrame = {
     val deg = degrees(edges)
     val eLbl = edges

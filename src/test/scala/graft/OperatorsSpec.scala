@@ -2270,7 +2270,10 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("format roundtrip: all three format rows are identical and match the parquet truth") {
-    val rows = q("q_format_roundtrip").collect()
+    // r15 split the audit into one query per format; the cross-format
+    // identity contract is unchanged — every row must agree
+    val rows = Seq("csv", "json", "orc")
+      .map(f => q(s"q_roundtrip_$f").collect().head).toArray
     assert(rows.map(_.getAs[String]("format")).toSeq == Seq("csv", "json", "orc"))
     val cols = Seq("n_rows", "n_parts", "sum_qty", "sum_price", "max_ship_us")
     for (c <- cols) {

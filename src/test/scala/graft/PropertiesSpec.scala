@@ -194,6 +194,27 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("SimHashDoc yields null for an EMPTY token array, both families") {
+    // 'doc absent' semantics: the aggregate path's explode emits no
+    // row for a zero-element array, so the one-pass form must yield
+    // null — NOT signature 0L, which a doc whose hashes cancel exactly
+    // could legitimately produce. Unreachable from split() output
+    // (split("") is [""]) — pinned so a future call site feeding
+    // filter()-ed token arrays cannot silently diverge.
+    graft.functions.SimHashDoc.register(spark)
+    val r = spark.sql(
+      """SELECT graft_simhash_doc_xx(CAST(array() AS ARRAY<STRING>)) AS xx,
+        |       graft_simhash_doc_md5(CAST(array() AS ARRAY<STRING>)) AS md5,
+        |       graft_simhash_doc_xx(filter(split('a b', ' '), x -> false)) AS xxf
+        |""".stripMargin).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // interpreted (non-codegen) path too
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val empty = ArrayData.toArrayData(Array.empty[org.apache.spark.unsafe.types.UTF8String])
+    assert(graft.functions.SimHashDoc.compute(empty, md5Family = false) == null)
+    assert(graft.functions.SimHashDoc.compute(empty, md5Family = true) == null)
+  }
+
   test("connectedComponents converges on a deep chain within the round cap") {
     // the r14 hybrid defers pointer doubling for 4 plain rounds (star/
     // clique near-dup graphs converge before it would help); this pins
