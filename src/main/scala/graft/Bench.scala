@@ -329,10 +329,21 @@ object Bench {
     }
     // ---- sweep 1: warmup + first timed pass for EVERY query --------
     names.zipWithIndex.foreach { case (n, i) =>
-      // warmup pass (always behind a full barrier): JVM/codegen warmup,
-      // parquet footer caches, and plan compilation jitter land here,
-      // so the timed passes are comparable round over round
-      run(n, barrier = true) match {
+      // warmup pass: JVM/codegen warmup, parquet footer caches, and
+      // plan compilation jitter land here, so the timed passes are
+      // comparable round over round. The full GC-settle barrier before
+      // the warmup exists only to protect the TIMED pass that follows
+      // from the previous query's in-flight residue cleanup — the
+      // warmup itself is untimed. For a line whose RECORD is sub-second
+      // the warmup absorbs that cleanup (clearResidue already queued
+      // the unpersists) and the tight 2x in-pass retry guards the one
+      // timed sample, so the ~2.5 s settle (r15 measured: two
+      // System.gc() on this heap) buys nothing — across ~190 such
+      // lines it was ~8 wall-minutes of the budget that starved
+      // sweep 3. Heavy/unknown lines keep the settle: their timed
+      // passes need the quiet heap and amortize it.
+      val warmBarrier = prevTimes.get(n).forall(_ >= BarrierSeconds)
+      run(n, barrier = warmBarrier) match {
         case None => // warmup threw — timed passes would throw the same
           // way; n is already in `failed`, skip it in every sweep
         case Some(w) =>
