@@ -160,7 +160,41 @@ object AbWedge {
       "sigmd5_agg" -> (() =>
         graft.operators.TextOps.sigBuildPlan(spark, sfDir, "md5", onePass = false)),
       "sigmd5_expr" -> (() =>
-        graft.operators.TextOps.sigBuildPlan(spark, sfDir, "md5", onePass = true)))
+        graft.operators.TextOps.sigBuildPlan(spark, sfDir, "md5", onePass = true)),
+      // ---- r15 optimization-round pairs ----
+      // closeness BFS state: (seed, node) pair rows vs MS-BFS bitmask
+      "close_pair" -> (() =>
+        graft.operators.GraphOps.closenessPlan(spark, sfDir, msbfs = false)),
+      "close_msbfs" -> (() =>
+        graft.operators.GraphOps.closenessPlan(spark, sfDir, msbfs = true)),
+      // stock replay fold: WITH RECURSIVE UnionLoop vs the Lindley
+      // reflection-identity windows
+      "stock_rec" -> (() =>
+        graft.operators.Relational.stockReplayPlan(spark, sfDir, recursiveSim = true)),
+      "stock_win" -> (() =>
+        graft.operators.Relational.stockReplayPlan(spark, sfDir, recursiveSim = false)),
+      // PPR blend scaffold: deg ⋈ seeds ⋈ contrib per round vs blending
+      // directly on contrib (same node set by construction)
+      "ppr_scaffold" -> (() =>
+        graft.operators.GraphOps.pprPlan(spark, sfDir, slimBlend = false)),
+      "ppr_slim" -> (() =>
+        graft.operators.GraphOps.pprPlan(spark, sfDir, slimBlend = true)),
+      // scored-edge triangle stream: O(T) checkpoint between triangle
+      // build and the single-consumer explode+agg vs fusing it
+      "links_trickpt" -> (() =>
+        graft.operators.GraphOps.linkScoresPlan(spark, sfDir, merge = false)),
+      "links_fused" -> (() =>
+        graft.operators.GraphOps.linkScoresPlan(spark, sfDir,
+          merge = false, fuseTri = true)),
+      // q_ann_recall model training: pre-r15 duplicate Lloyd/PQ builds
+      // vs the per-pass model memo (flag reset by the thunks below)
+      "annrec_dup" -> (() =>
+        try {
+          graft.operators.VectorOps.modelMemoEnabled = false
+          SparkEntry.queries("q_ann_recall")(spark, sfDir)
+        } finally graft.operators.VectorOps.modelMemoEnabled = true),
+      "annrec_memo" -> (() =>
+        SparkEntry.queries("q_ann_recall")(spark, sfDir)))
 
     // optional second arg: comma-separated substring filter so a
     // 2-variant question doesn't pay the whole sweep
@@ -177,6 +211,7 @@ object AbWedge {
     def clearResidue(): Unit = {
       graft.operators.TextOps.clearGraphCache()
       graft.operators.GraphOps.clearGraphCache()
+      graft.operators.VectorOps.clearModelCache()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }

@@ -107,6 +107,7 @@ object Bench {
       // pipeline runs (graft.Verify), never the published numbers
       graft.operators.TextOps.clearGraphCache()
       graft.operators.GraphOps.clearGraphCache()
+      graft.operators.VectorOps.clearModelCache()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }

@@ -355,43 +355,129 @@ object GraphOps {
     * single IEEE op on exact integers — bit-identical cross-engine). */
   private val BfsMaxRounds = 32
   private val BfsSeeds = 8
-  private def qCloseness(s: SparkSession, d: String): DataFrame = {
+  private def qCloseness(s: SparkSession, d: String): DataFrame =
+    closenessPlan(s, d, msbfs = true)
+
+  /** [[qCloseness]] with the BFS state representation parametrized
+    * (AbWedge pair close_pair / close_msbfs; suite path msbfs = true
+    * since r15).
+    *
+    * msbfs = true is MS-BFS (Then et al., VLDB 2015, "The More the
+    * Merrier: Efficient Multi-Source BFS"): the per-round state is ONE
+    * row per NODE carrying a BfsSeeds-wide bitmask instead of one row
+    * per (seed, node) pair, so the frontier×degree expansion — the
+    * dominant round's join product — shrinks by up to the seed count
+    * (the dense mid-BFS rounds are exactly where all seeds' frontiers
+    * overlap; guide §2.3 — shuffle fewer bytes by shuffling metadata,
+    * here 1 mask long instead of k seed rows). Per round: one
+    * node-keyed join frontier ⋈ adjacency, one bit_or hash aggregate,
+    * one left_outer against the node-sized visited-mask table (new
+    * bits = m & ~vmask), one node-sized checkpoint. Distances are
+    * identical by construction — a node's bit is set in exactly the
+    * round BFS first reaches it from that seed — and OperatorsSpec
+    * pins row-for-row equality of both forms at two SFs.
+    *
+    * msbfs = false is the pre-r15 (seed, node)-pair form: same rounds,
+    * k× the expansion rows, a distinct + anti-join per round. */
+  private[graft] def closenessPlan(s: SparkSession, d: String,
+      msbfs: Boolean): DataFrame = {
     val (e, deg) = coEdgesDegM(s, d)
     val adj = e.select(col("u").as("a"), col("v").as("b"))
       .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+    val seedOrder = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(col("node").cast("string")), col("node"))
     val seeds = deg.select(col("node"))
       .orderBy(md5(col("node").cast("string")), col("node")).limit(BfsSeeds)
-    var visited = seeds
-      .select(col("node").as("seed"), col("node"), lit(0L).as("dist"))
-      .localCheckpoint()
-    var frontier = visited
-    var n = frontier.count()
-    var round = 0
-    while (n > 0 && round < BfsMaxRounds) {
-      val expanded = frontier.join(adj, col("node") === col("a"))
-        .select(col("seed"), col("b").as("node"), (col("dist") + 1L).as("dist"))
-        .distinct()
-        .join(visited.select(col("seed").as("vs"), col("node").as("vn")),
-          col("seed") === col("vs") && col("node") === col("vn"), "left_anti")
+    val visited = if (msbfs) {
+      // (node, bit) for the BfsSeeds elected seeds — the 8-row window
+      // is model-sized; bit order = the same md5 election order
+      val seedBits = seeds
+        .withColumn("bit", (row_number().over(seedOrder) - 1))
         .localCheckpoint()
-      n = expanded.count()
-      if (n > 0) visited = visited.unionAll(expanded).localCheckpoint()
-      frontier = expanded
-      round += 1
-    }
-    if (n > 0) {
-      // the loop exits on the round cap with the dist-32 frontier still
-      // in hand; eccentricity == cap is a COMPLETE result. Probe one
-      // more expansion and fail only if it finds an unvisited node.
-      val probe = frontier.join(adj, col("node") === col("a"))
-        .select(col("seed"), col("b").as("node"))
-        .join(visited.select(col("seed").as("vs"), col("node").as("vn")),
-          col("seed") === col("vs") && col("node") === col("vn"), "left_anti")
-      if (!probe.isEmpty)
-        throw new IllegalStateException(
-          s"BFS did not exhaust the graph in $BfsMaxRounds rounds — " +
-            "eccentricity exceeds the cap; raise BfsMaxRounds deliberately " +
-            "rather than shipping truncated centralities")
+      var vmasks = seedBits
+        .select(col("node"), expr("shiftleft(CAST(1 AS BIGINT), bit)").as("vmask"))
+        .localCheckpoint()
+      var frontier = vmasks.select(col("node"), col("vmask").as("fmask"))
+      var levels = Vector(
+        vmasks.select(col("node"), col("vmask").as("nm"), lit(0L).as("dist")))
+      var n = frontier.count()
+      var round = 0
+      while (n > 0 && round < BfsMaxRounds) {
+        round += 1
+        val gathered = frontier.join(adj, col("node") === col("a"))
+          .groupBy(col("b").as("node")).agg(expr("bit_or(fmask)").as("m"))
+        val newbits = gathered
+          .join(vmasks, Seq("node"), "left_outer")
+          .withColumn("nm", expr("m & ~coalesce(vmask, CAST(0 AS BIGINT))"))
+          .filter(col("nm") =!= 0L)
+          .select(col("node"), col("nm"))
+          .localCheckpoint()
+        n = newbits.count()
+        if (n > 0) {
+          levels :+= newbits.withColumn("dist", lit(round.toLong))
+          vmasks = vmasks.join(newbits, Seq("node"), "full_outer")
+            .select(col("node"),
+              expr("coalesce(vmask, CAST(0 AS BIGINT)) | coalesce(nm, CAST(0 AS BIGINT))")
+                .as("vmask"))
+            .localCheckpoint()
+        }
+        frontier = newbits.select(col("node"), col("nm").as("fmask"))
+      }
+      if (n > 0) {
+        // loop exited on the round cap with a live frontier;
+        // eccentricity == cap is a COMPLETE result. Probe one more
+        // expansion and fail only if it finds an unreached (seed, node).
+        val probe = frontier.join(adj, col("node") === col("a"))
+          .groupBy(col("b").as("node")).agg(expr("bit_or(fmask)").as("m"))
+          .join(vmasks, Seq("node"), "left_outer")
+          .filter(expr("(m & ~coalesce(vmask, CAST(0 AS BIGINT))) != 0"))
+        if (!probe.isEmpty)
+          throw new IllegalStateException(
+            s"BFS did not exhaust the graph in $BfsMaxRounds rounds — " +
+              "eccentricity exceeds the cap; raise BfsMaxRounds deliberately " +
+              "rather than shipping truncated centralities")
+      }
+      levels.reduce(_ unionAll _)
+        .select(col("node"), col("dist"),
+          explode(expr(s"""filter(sequence(0, ${BfsSeeds - 1}),
+            b -> (shiftright(nm, b) & 1) = 1)""")).as("bit"))
+        .join(broadcast(seedBits.select(col("node").as("seed"), col("bit"))),
+          Seq("bit"))
+        .select(col("seed"), col("node"), col("dist"))
+    } else {
+      var visited = seeds
+        .select(col("node").as("seed"), col("node"), lit(0L).as("dist"))
+        .localCheckpoint()
+      var frontier = visited
+      var n = frontier.count()
+      var round = 0
+      while (n > 0 && round < BfsMaxRounds) {
+        val expanded = frontier.join(adj, col("node") === col("a"))
+          .select(col("seed"), col("b").as("node"), (col("dist") + 1L).as("dist"))
+          .distinct()
+          .join(visited.select(col("seed").as("vs"), col("node").as("vn")),
+            col("seed") === col("vs") && col("node") === col("vn"), "left_anti")
+          .localCheckpoint()
+        n = expanded.count()
+        if (n > 0) visited = visited.unionAll(expanded).localCheckpoint()
+        frontier = expanded
+        round += 1
+      }
+      if (n > 0) {
+        // the loop exits on the round cap with the dist-32 frontier still
+        // in hand; eccentricity == cap is a COMPLETE result. Probe one
+        // more expansion and fail only if it finds an unvisited node.
+        val probe = frontier.join(adj, col("node") === col("a"))
+          .select(col("seed"), col("b").as("node"))
+          .join(visited.select(col("seed").as("vs"), col("node").as("vn")),
+            col("seed") === col("vs") && col("node") === col("vn"), "left_anti")
+        if (!probe.isEmpty)
+          throw new IllegalStateException(
+            s"BFS did not exhaust the graph in $BfsMaxRounds rounds — " +
+              "eccentricity exceeds the cap; raise BfsMaxRounds deliberately " +
+              "rather than shipping truncated centralities")
+      }
+      visited
     }
     visited.groupBy(col("seed"))
       .agg(
@@ -571,7 +657,14 @@ object GraphOps {
   // same two rounds and matches bit for bit. The seed election is a
   // model-sized TakeOrdered broadcast back into the plan, never a
   // driver literal.
-  private def qPpr(s: SparkSession, d: String): DataFrame = {
+  private def qPpr(s: SparkSession, d: String): DataFrame =
+    pprPlan(s, d, slimBlend = true)
+
+  /** [[qPpr]] with the blend scaffold parametrized (AbWedge pair
+    * ppr_scaffold / ppr_slim). slimBlend = false is the pre-r15 form:
+    * deg ⋈ seeds ⋈ contrib, both left_outer, per iteration. */
+  private[graft] def pprPlan(s: SparkSession, d: String,
+      slimBlend: Boolean): DataFrame = {
     val (edges, deg) = coEdgesDegM(s, d)
     // hoist the loop-INVARIANT degree join out of the iterations: each
     // directed edge carries its source degree once (one O(|E|) join +
@@ -584,13 +677,27 @@ object GraphOps {
       .localCheckpoint()
     val seeds = deg.orderBy(col("deg").desc, col("node")).limit(4)
       .select(col("node"), lit(1L).as("seed")).localCheckpoint()
-    def blend(contrib: DataFrame): DataFrame = deg.select(col("node"))
-      .join(broadcast(seeds), Seq("node"), "left_outer")
-      .join(contrib, Seq("node"), "left_outer")
-      .withColumn("r",
-        when(col("seed") === 1L, lit(0.15) * lit(0.25)).otherwise(lit(0.0))
-          + lit(0.85) * coalesce(col("sc").cast("double"), lit(0.0)))
-      .select("node", "r")
+    // contrib's key set IS deg's node set — every deg node has degree
+    // ≥ 1 by construction, the symmetrized edge list therefore gives it
+    // ≥ 1 incoming edge, and rank covers every node each round, so the
+    // per-node sum exists (non-null) for exactly the deg nodes. The old
+    // scaffold (deg ⋈ seeds ⋈ contrib, both left_outer) re-scanned and
+    // re-joined the node table once per iteration for rows that are
+    // never missing; blending directly on contrib drops one node-keyed
+    // join + node-table scan per iteration (guide §2.4 — remove
+    // shuffles outright) with identical output.
+    def blend(contrib: DataFrame): DataFrame = {
+      val base = if (slimBlend)
+        contrib.join(broadcast(seeds), Seq("node"), "left_outer")
+      else deg.select(col("node"))
+        .join(broadcast(seeds), Seq("node"), "left_outer")
+        .join(contrib, Seq("node"), "left_outer")
+      base
+        .withColumn("r",
+          when(col("seed") === 1L, lit(0.15) * lit(0.25)).otherwise(lit(0.0))
+            + lit(0.85) * coalesce(col("sc").cast("double"), lit(0.0)))
+        .select("node", "r")
+    }
     var rank = deg.select(col("node"))
       .join(broadcast(seeds), Seq("node"), "left_outer")
       .withColumn("r", when(col("seed") === 1L, lit(0.25)).otherwise(lit(0.0)))
@@ -1037,6 +1144,15 @@ object GraphOps {
   private def linkScoresM(s: SparkSession, d: String): DataFrame =
     cachedGraph[DataFrame](s, d, "links") {
       val (_, deg) = coEdgesDegM(s, d)
+      // r15 adjudication: fusing the triangle stream into the scored
+      // agg (skipping this checkpoint — the stream has one consumer
+      // here) LOST the cold interleaved A/B 2/5 with a worse median
+      // (links_trickpt 8.10 s vs links_fused 9.23, spreads [6.5, 9.3]
+      // vs [5.2, 16.5]): the materialized frame gives the sides-join
+      // planner honest runtime sizes where the fused subtree plans
+      // blind, and the checkpoint's write+read is cheaper than the
+      // misplanned join. The fuse stays available as
+      // linkScoresPlan(fuseTri = true) for re-adjudication.
       linkScoresFrom(deg, triangleRowsM(s, d))
     }
 
@@ -1056,9 +1172,10 @@ object GraphOps {
     * linkScoresM, whose triangle stream uses merge = false since the
     * r14 adjudication — see [[triangleRowsImpl]]). */
   private[graft] def linkScoresPlan(s: SparkSession, d: String,
-      merge: Boolean): DataFrame = {
+      merge: Boolean, fuseTri: Boolean = false): DataFrame = {
     val (e, deg) = coEdgesDegM(s, d)
-    linkScoresFrom(deg, triangleRowsImpl(e, deg, merge).localCheckpoint())
+    val tri = triangleRowsImpl(e, deg, merge)
+    linkScoresFrom(deg, if (fuseTri) tri else tri.localCheckpoint())
   }
 
   private def linkScoresFrom(deg: DataFrame, tri: DataFrame): DataFrame = {

@@ -315,35 +315,67 @@ object Relational {
       .orderBy("region", "day_idx")
   }
 
-  /** Recursive inventory replay — a STATEFUL fold a window function
-    * cannot express: monthly per-region stock evolves as
-    * stock_m = max(0, stock_{m−1} + supply − demand_m); the clamp at
-    * zero makes the recurrence non-linear, so prefix sums don't apply
-    * and the recursion (Spark 4 WITH RECURSIVE → UnionLoop; beside
-    * q_month_spine's linear spine generation, this exercises the
-    * other recursion class). Demand is the DISTRIBUTED part — a
-    * 4-table join + hash aggregate over the full orders fact; the
-    * recursion then runs on the month×region grid (model-sized at any
-    * corpus scale: the 100 TB pattern is "big scan feeds a small
-    * simulation", never recursion over the fact table itself). Supply
-    * is derived from the data (per-region FULL-HISTORY total DIV
-    * months), so light months bank stock and heavy months clamp —
-    * both branches of the recurrence execute. The replay horizon is
-    * the TRAILING 24 MONTHS (policy from history, simulation over the
-    * recent window): recursion steps are inherently sequential — one
-    * scheduler round each — so the depth is an explicit knob, not a
-    * function of corpus age. All columns exact BIGINTs.
+  /** Recursive inventory replay — monthly per-region stock evolving as
+    * stock_m = max(0, stock_{m−1} + supply − demand_m). Demand is the
+    * DISTRIBUTED part — a 4-table join + hash aggregate over the full
+    * orders fact; the replay then runs on the month×region grid
+    * (model-sized at any corpus scale: the 100 TB pattern is "big scan
+    * feeds a small simulation", never recursion over the fact table
+    * itself). Supply is derived from the data (per-region FULL-HISTORY
+    * total DIV months), so light months bank stock and heavy months
+    * clamp — both branches of the recurrence execute. The replay
+    * horizon is the TRAILING 24 MONTHS. All columns exact BIGINTs.
     *
-    * SHARED-TEXT TEMPLATE: the Spark and DuckDB texts come from ONE
-    * pair of builders (grid CTEs + sim recursion) whose only
-    * divergence is the integer-division token (DIV vs //) —
-    * nonnegative operands, where the two are equivalent. On the Spark
-    * side the grid is MATERIALIZED (localCheckpoint) before the
-    * recursion runs: a recursive term that references an unmaterialized
-    * CTE re-evaluates it — demand join, spine recursion and all — on
-    * EVERY iteration (measured 2.5 min vs seconds at sf0.001). The
-    * oracle keeps the whole chain as one statement (DuckDB evaluates
-    * each CTE once). */
+    * r15: the SUITE path computes the replay by the Lindley /
+    * Skorokhod REFLECTION identity instead of WITH RECURSIVE. The
+    * clamped recursion p_t = max(0, p_{t−1} + x_t) (x = supply −
+    * demand, p_{lo−1} = 0) has the exact closed form
+    *   p_t = S_t − min(0, M_t),   shortfall_t = max(0, min(0, M_{t−1}) − S_t)
+    * with S_t the running sum of x and M_t the running min of S —
+    * the classic reflected-random-walk / Lindley-queue identity
+    * (induction: max(0, A − B) = A − min(A, B), so
+    * p_t = S_t − min(S_t, 0, M_{t−1}) = S_t − min(0, M_t)). All terms
+    * are exact BIGINTs, so the window form is bit-identical to the
+    * recursion — pinned row-for-row against the recursive form by
+    * RelationalShapesSpec at two SFs, and end-to-end by the DuckDB
+    * oracle, which KEEPS the recursive text (the hash gate is then a
+    * cross-FORM proof, not a shared-text replay). Why: each UnionLoop
+    * step is an inherently sequential scheduler round (~48 rounds with
+    * the spine — measured ~5 s of pure round-trip wall at ANY data
+    * scale, since the loop is over months); two window passes over the
+    * model-sized grid do the same fold in two stages (guide §1.2 —
+    * pick the algorithm with fewer passes before tuning anything).
+    * The recursive Spark form stays as [[stockReplayPlan]]
+    * (recursiveSim = true) for the AbWedge A/B and the parity spec;
+    * q_month_spine keeps exercising WITH RECURSIVE in the declared
+    * suite.
+    *
+    * SHARED-TEXT TEMPLATE (recursive variant + oracle): the Spark and
+    * DuckDB texts come from ONE pair of builders (grid CTEs + sim
+    * recursion) whose only divergence is the integer-division token
+    * (DIV vs //) — nonnegative operands, where the two are equivalent.
+    * On the Spark side the grid is MATERIALIZED (localCheckpoint)
+    * before the recursion runs: a recursive term that references an
+    * unmaterialized CTE re-evaluates it — demand join, spine recursion
+    * and all — on EVERY iteration (measured 2.5 min vs seconds at
+    * sf0.001). The oracle keeps the whole chain as one statement
+    * (DuckDB evaluates each CTE once). */
+  /** The spine CTE's two forms — the recursive text exactly as it
+    * appears inside [[stockGridCtes]] (the window path substitutes the
+    * sequence form; a failed substitution would silently keep the
+    * RECURSIVE keyword requirement, so [[stockReplayPlan]] requires the
+    * replace to have fired). */
+  private val stockSpineRecursive =
+    """spine AS (
+      |  SELECT lo AS idx, hi FROM bounds
+      |  UNION ALL
+      |  SELECT idx + 1, hi FROM spine WHERE idx < hi
+      |)""".stripMargin
+  private val stockSpineSequence =
+    """spine AS (
+      |  SELECT explode(sequence(lo, hi)) AS idx, hi FROM bounds
+      |)""".stripMargin
+
   private def stockGridCtes(div: String): String =
     s"""bounds AS (
        |  SELECT CAST(MIN(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS BIGINT) AS lo_all,
@@ -395,17 +427,58 @@ object Relational {
        |FROM sim
        |ORDER BY region, month_idx""".stripMargin
 
-  private def qStockReplay(s: SparkSession, d: String): DataFrame = {
+  private def qStockReplay(s: SparkSession, d: String): DataFrame =
+    stockReplayPlan(s, d, recursiveSim = false)
+
+  /** [[qStockReplay]] with the fold form parametrized (AbWedge pair
+    * stock_rec / stock_win; suite path recursiveSim = false since r15
+    * — see the reflection-identity note above). The recursive variant
+    * also swaps the spine back to its WITH RECURSIVE form, so it
+    * prices the full pre-r15 plan. */
+  private[graft] def stockReplayPlan(s: SparkSession, d: String,
+      recursiveSim: Boolean): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("orders_stock")
     Tables.customer(s, d).createOrReplaceTempView("customer_stock")
     Tables.nation(s, d).createOrReplaceTempView("nation_stock")
     Tables.region(s, d).createOrReplaceTempView("region_stock")
-    val grid = s.sql(("WITH RECURSIVE " + stockGridCtes("DIV") + " SELECT * FROM grid_v")
+    def bind(sql: String): String = sql
       .replace("__T_ORDERS__", "orders_stock").replace("__T_CUSTOMER__", "customer_stock")
-      .replace("__T_NATION__", "nation_stock").replace("__T_REGION__", "region_stock"))
-      .localCheckpoint()
-    grid.createOrReplaceTempView("stock_grid_v")
-    s.sql("WITH RECURSIVE " + stockSimSql("DIV", "stock_grid_v"))
+      .replace("__T_NATION__", "nation_stock").replace("__T_REGION__", "region_stock")
+    if (recursiveSim) {
+      val grid = s.sql(bind(
+        "WITH RECURSIVE " + stockGridCtes("DIV") + " SELECT * FROM grid_v"))
+        .localCheckpoint()
+      grid.createOrReplaceTempView("stock_grid_v")
+      s.sql("WITH RECURSIVE " + stockSimSql("DIV", "stock_grid_v"))
+    } else {
+      // non-recursive spine (explode(sequence)) + the reflection-identity
+      // windows: no UnionLoop anywhere, no grid materialization needed —
+      // the grid has exactly one consumer here
+      val grid = stockGridCtes("DIV").replace(stockSpineRecursive, stockSpineSequence)
+      require(grid != stockGridCtes("DIV"),
+        "stock spine substitution failed — template drifted")
+      s.sql(bind(
+        s"""WITH $grid,
+           |w1 AS (
+           |  SELECT region, idx, supply, demand,
+           |         SUM(supply - demand) OVER (PARTITION BY region ORDER BY idx
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+           |  FROM grid_v
+           |), w2 AS (
+           |  SELECT region, idx, supply, demand, s,
+           |         MIN(s) OVER (PARTITION BY region ORDER BY idx
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mprev
+           |  FROM w1
+           |)
+           |SELECT region, idx AS month_idx,
+           |       CAST(make_date(CAST(idx DIV 12 AS INT), CAST(idx % 12 + 1 AS INT), 1)
+           |            AS TIMESTAMP) AS month,
+           |       demand, supply,
+           |       CAST(s - least(least(coalesce(mprev, s), s), 0) AS BIGINT) AS stock_end,
+           |       CAST(greatest(least(coalesce(mprev, 0), 0) - s, 0) AS BIGINT) AS shortfall
+           |FROM w2
+           |ORDER BY region, month_idx""".stripMargin))
+    }
   }
 
   /** 2-D skyline (Pareto frontier) — parts minimizing (retail price,

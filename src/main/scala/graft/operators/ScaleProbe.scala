@@ -310,6 +310,7 @@ object ScaleProbe {
       // sub-linear exponent for the md5-family paths
       TextOps.clearGraphCache()
       GraphOps.clearGraphCache()
+      VectorOps.clearModelCache()
       s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       // GC → settle → GC, not a single collection: unpersist only
       // QUEUES block drops to the async ContextCleaner; without the

@@ -23,6 +23,48 @@ import graft.sources.Tables
   */
 object VectorOps {
 
+  /** Cross-CONSUMER memo for the bounded TRAINED MODELS (Lloyd
+    * centroids, PQ codebooks — K×dim driver-side Seqs, never data):
+    * the twin of GraphOps' graph memo, but for model state. q_ann_recall
+    * alone trains the SAME Lloyd model twice (its ivf and ivfpq chains)
+    * and the SAME PQ codebook twice (pq and ivfpq) — each training is
+    * a driver-blocking collect ladder (seeds + LloydIters assign/mean
+    * rounds), so the duplicate rebuild is pure repeated work inside ONE
+    * query's clock (guide §1.2: don't compute things you throw away).
+    * Keyed by (session identity, data dir); graft.Bench / AbWedge /
+    * ScaleProbe CLEAR this memo before every timed repetition, so each
+    * timed pass still trains cold — the memo dedups consumers WITHIN a
+    * pass, never across runs. */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+
+  /** Drop all memoized models (bench/probe isolation). */
+  def clearModelCache(): Unit = modelCache.clear()
+
+  /** AbWedge's A/B switch (annrec_dup / annrec_memo): false replays the
+    * pre-r15 duplicate-training form. Always true in the suite path. */
+  @volatile private[graft] var modelMemoEnabled = true
+
+  private def cachedModel[T <: AnyRef](s: SparkSession, d: String,
+      kind: String)(build: => T): T =
+    if (!modelMemoEnabled) build
+    else modelCache.getOrElseUpdate(
+      s"$kind|${System.identityHashCode(s)}|$d", build).asInstanceOf[T]
+
+  /** Memoized [[lloydModel]] over dataset `d`'s full embeddings corpus
+    * (all full-corpus consumers train the identical model — the model
+    * depends only on (vec_id, vec), which every caller projects the
+    * same way; qSemdedup's DOUBLED corpus deliberately does NOT use
+    * this). */
+  private def lloydModelM(s: SparkSession, d: String,
+      vecs: DataFrame): Seq[(Long, Seq[Double])] =
+    cachedModel[Seq[(Long, Seq[Double])]](s, d, "lloyd")(lloydModel(s, vecs))
+
+  /** Memoized [[pqCodebook]] — same contract as [[lloydModelM]]. */
+  private def pqCodebookM(s: SparkSession, d: String, e: DataFrame,
+      sub: DataFrame): Seq[(Int, Long, Seq[Double])] =
+    cachedModel[Seq[(Int, Long, Seq[Double])]](s, d, "pqcb")(pqCodebook(s, e, sub))
+
   /** Exact dot product of two double-array columns — the native
     * codegen'd DotProduct expression (graft.functions), same
     * sequential left-fold semantics as the zip_with+aggregate HOF
@@ -458,7 +500,7 @@ object VectorOps {
     VectorExpressions.register(s)
     val e = Tables.embeddings(s, d).withColumn("vec", asDouble("embedding"))
       .select(col("vec_id"), col("vec"))
-    val counts = assignCells(e, lloydModel(s, e))
+    val counts = assignCells(e, lloydModelM(s, d, e))
       .groupBy(col("cell"))
       .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("c_ref"),
         sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("c_cur"))
@@ -490,7 +532,7 @@ object VectorOps {
     VectorExpressions.register(s)
     val e = Tables.embeddings(s, d).withColumn("vec", asDouble("embedding"))
       .select(col("vec_id"), col("vec"))
-    val model = lloydModel(s, e)
+    val model = lloydModelM(s, d, e)
     val keepers = assignCells(e.filter(col("vec_id") % 7 === 0), model)
       .select(col("cell"), col("vec_id").as("k_id"), col("vec").as("k_vec"))
     assignAnn(e, model, keepers).orderBy("vec_id")
@@ -499,7 +541,7 @@ object VectorOps {
   private def qSimIvf(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.register(s)
     val e = Tables.embeddings(s, d).withColumn("vec", asDouble("embedding"))
-    val scored = lloydScored(s, e)
+    val scored = scoreAgainst(s, e, lloydModelM(s, d, e))
     val assigned = scored.filter(col("p_rank") === 1)
       .select(col("vec_id").as("c_id"), col("vec").as("c_vec"), col("cell"))
     val probes = scored.filter(col("vec_id") < 10 && col("p_rank") <= IvfProbes)
@@ -620,7 +662,7 @@ object VectorOps {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble("embedding").as("vec"))
     val sub = pqSub(e)
-    val codebook = pqCodebook(s, e, sub)
+    val codebook = pqCodebookM(s, d, e, sub)
     // corpus → codes (the 64×-compressed representation ADC scans)
     val codes = pqAssign(s, sub, codebook).filter(col("rk") === 1)
       .select(col("vec_id").as("c_id"), col("m"), col("cell"))
@@ -820,7 +862,7 @@ object VectorOps {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble("embedding").as("vec"))
     // coarse stage: one cell per vector, IvfProbes cells per query
-    val scored = lloydScored(s, e)
+    val scored = scoreAgainst(s, e, lloydModelM(s, d, e))
     val assigned = scored.filter(col("p_rank") === 1)
       .select(col("vec_id").as("c_id"), col("cell"))
     val probes = scored.filter(col("vec_id") < 10 && col("p_rank") <= IvfProbes)
@@ -829,7 +871,7 @@ object VectorOps {
     // PQ cell id is renamed `code` so it cannot collide with the IVF
     // cell key the candidate join runs on
     val sub = pqSub(e)
-    val codebook = pqCodebook(s, e, sub)
+    val codebook = pqCodebookM(s, d, e, sub)
     val codes = pqAssign(s, sub, codebook).filter(col("rk") === 1)
       .select(col("vec_id").as("c_id"), col("m"), col("cell").as("code"))
     val qd = sub.filter(col("vec_id") < 10)

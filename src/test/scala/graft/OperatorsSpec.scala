@@ -27,6 +27,51 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("closeness MS-BFS bitmask form equals the (seed,node)-pair form") {
+    // r15 optimization: the suite path rewrites the 8-seed BFS as
+    // MS-BFS (one row per node, seed-bitmask state). Distances are
+    // identical by construction; pin row-for-row INCLUDING output
+    // order at both test SFs.
+    for (sf <- Seq(Sf0001, Sf001)) {
+      val pair = graft.operators.GraphOps.closenessPlan(spark, sf, msbfs = false)
+        .collect().toSeq
+      val msb = graft.operators.GraphOps.closenessPlan(spark, sf, msbfs = true)
+        .collect().toSeq
+      assert(msb == pair, s"sf=$sf")
+    }
+  }
+
+  test("PPR slim blend equals the deg-scaffold blend") {
+    for (sf <- Seq(Sf0001, Sf001)) {
+      val a = graft.operators.GraphOps.pprPlan(spark, sf, slimBlend = false)
+        .collect().toSeq
+      val b = graft.operators.GraphOps.pprPlan(spark, sf, slimBlend = true)
+        .collect().toSeq
+      assert(a == b, s"sf=$sf")
+    }
+  }
+
+  test("scored-edge fused triangle stream equals the checkpointed form") {
+    for (sf <- Seq(Sf0001, Sf001)) {
+      val ck = graft.operators.GraphOps.linkScoresPlan(spark, sf, merge = false)
+      val fu = graft.operators.GraphOps.linkScoresPlan(spark, sf,
+        merge = false, fuseTri = true)
+      assert(fu.exceptAll(ck).count() == 0 && ck.exceptAll(fu).count() == 0,
+        s"sf=$sf")
+    }
+  }
+
+  test("ann_recall model memo changes nothing but the training count") {
+    val dup =
+      try {
+        graft.operators.VectorOps.modelMemoEnabled = false
+        q("q_ann_recall").collect().toSeq
+      } finally graft.operators.VectorOps.modelMemoEnabled = true
+    graft.operators.VectorOps.clearModelCache()
+    val memo = q("q_ann_recall").collect().toSeq
+    assert(memo == dup)
+  }
+
   test("edit-distance gate precondition: corpus is ASCII; Spark counts code points") {
     // q_dedup_edit's oracle is valid only while bytes == code points:
     // Spark's levenshtein counts Unicode CODE POINTS, DuckDB's counts

@@ -16,6 +16,21 @@ class RelationalShapesSpec extends SparkSpec {
   private def part = graft.sources.Tables.part(spark, Sf0001)
   private def orders = graft.sources.Tables.orders(spark, Sf0001)
 
+  test("stock replay: reflection-identity windows equal the recursive fold") {
+    // r15 optimization: p_t = max(0, p_{t-1} + x_t) is replaced by the
+    // Lindley closed form p_t = S_t - min(0, M_t) (exact BIGINTs, so
+    // bit-identical). Pin row-for-row INCLUDING order, at both SFs,
+    // against the WITH RECURSIVE form — the recursion class itself
+    // stays exercised right here.
+    for (sf <- Seq(Sf0001, Sf001)) {
+      val rec = graft.operators.Relational.stockReplayPlan(spark, sf,
+        recursiveSim = true).collect().toSeq
+      val win = graft.operators.Relational.stockReplayPlan(spark, sf,
+        recursiveSim = false).collect().toSeq
+      assert(win == rec, s"sf=$sf")
+    }
+  }
+
   test("q_promo_share: share recomputed from a driver-side BigDecimal walk") {
     val row = q("q_promo_share").collect().head
     val joined = li
